@@ -1,0 +1,32 @@
+"""flox_spark — a PySpark-native grouped-reduction engine.
+
+Re-implements the query surface of xarray-contrib/flox (grouped
+reductions and grouped scans with precise NaN-skipping, missing-group
+fill, dtype promotion, and binning semantics) on top of Spark
+DataFrames, and extends it with large-scale data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Reference semantics studied from /root/reference (flox); see SURVEY.md.
+Architecture is Spark-first: every reduction is a ``groupBy().agg()``
+of built-in JVM expressions (whole-stage-codegen), every scan is a
+window expression, and reindexing to expected groups is a broadcast
+left join.  None of flox's dask machinery (tree combine, cohorts,
+blockwise rechunk) is ported — Catalyst/AQE plays that role.
+"""
+
+from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS
+from flox_spark.core import groupby_reduce
+from flox_spark.scan import groupby_scan
+from flox_spark.options import set_options, get_options
+
+__all__ = [
+    "groupby_reduce",
+    "groupby_scan",
+    "Aggregation",
+    "REDUCTIONS",
+    "SCANS",
+    "set_options",
+    "get_options",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,319 @@
+"""The reduction registry: func name -> Spark aggregate expression.
+
+Ports the semantics of flox's ``REDUCTIONS`` registry
+(reference: flox/aggregations.py:161-913) onto Spark built-in
+aggregates.  flox's chunk/combine/finalize three-stage spec collapses:
+Spark's HashAggregateExec already executes partial -> shuffle -> final
+merge (the exact role of flox's map-reduce tree, flox/dask.py:325-573),
+so each flox reduction becomes ONE declarative Column expression and
+Catalyst plans the distribution.
+
+NaN policy (see dtypes.py): ``nan*`` funcs aggregate the
+missing->NULL view (Spark aggregates skip NULL natively); plain funcs
+wrap the same expression in ``when(bool_or(is_missing), <NaN|NULL>)``
+which reproduces numpy's NaN propagation exactly — including for
+min/max, where Spark's native NaN-sorts-high rule would otherwise
+diverge from numpy (flox/aggregate_npg.py:58-88 vs Spark semantics).
+
+Every build function returns a single Column whose leaves are
+aggregate expressions, so any combination stays inside one
+whole-stage-codegen'd aggregate (no extra passes over the data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DataType,
+    DoubleType,
+    FloatType,
+    LongType,
+)
+
+from flox_spark import dtypes as dt_mod
+from flox_spark.dtypes import (
+    NAN,
+    arith_input,
+    arith_restore,
+    is_datetime_type,
+    is_float_type,
+    is_missing,
+)
+from flox_spark.options import OPTIONS
+
+
+@dataclass
+class AggContext:
+    """Everything a builder needs to emit its expression."""
+
+    value: Column  # raw value column
+    dt: DataType  # its Spark type
+    idx: Column | None = None  # total-order column (first/last/arg*)
+    kwargs: dict[str, Any] = field(default_factory=dict)  # ddof, q, ...
+
+    # -- derived views ------------------------------------------------
+    @property
+    def missing(self) -> Column:
+        return is_missing(self.value, self.dt)
+
+    @property
+    def v_skip(self) -> Column:
+        """Missing -> NULL view (Spark aggs then skip them)."""
+        return dt_mod.to_skip(self.value, self.dt)
+
+    def arith(self) -> tuple[Column, DataType]:
+        """NaN-skipping view pre-cast for arithmetic (bool->int,
+        datetime->int64 us)."""
+        return arith_input(self.v_skip, self.dt)
+
+
+def _nan_sentinel(result_dt: DataType | str) -> Column:
+    """What numpy's NaN-propagation produces in the output type:
+    NaN for float results, NULL otherwise (NULL is Spark's only
+    missing representation for non-float types; flox would have
+    promoted the dtype, xrdtypes.py:35-65)."""
+    if isinstance(result_dt, str):
+        return F.lit(NAN).cast(result_dt) if result_dt in ("double", "float") else F.lit(None).cast(result_dt)
+    if is_float_type(result_dt):
+        return F.lit(NAN).cast(result_dt)
+    return F.lit(None).cast(result_dt)
+
+
+def _propagate(ctx: AggContext, skip_expr: Column, result_dt: DataType | str) -> Column:
+    """Wrap a NaN-skipping aggregate so missing values poison the
+    group result (numpy plain-func semantics, flox §1.2)."""
+    return F.when(F.bool_or(ctx.missing), _nan_sentinel(result_dt)).otherwise(skip_expr)
+
+
+def _restore_float32(expr: Column, in_dt: DataType) -> Column:
+    """numpy keeps float32 results float32 (flox/xrdtypes.py:153-172);
+    Spark's sum/avg widen to double — cast back."""
+    if isinstance(in_dt, FloatType):
+        return expr.cast("float")
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# builders — one per flox reduction (flox/aggregations.py:304-712)
+# ---------------------------------------------------------------------------
+
+
+def _count(ctx: AggContext) -> Column:
+    # flox count == nanlen: number of non-missing (aggregations.py:304-313)
+    return F.count(ctx.v_skip)
+
+
+def _sum(ctx: AggContext, skipna: bool) -> Column:
+    v, vdt = ctx.arith()
+    zero = F.lit(0).cast("double" if is_float_type(vdt) else "long")
+    expr = F.coalesce(F.sum(v), zero)
+    expr = _restore_float32(expr, ctx.dt)
+    if skipna:
+        return expr
+    rdt = "float" if isinstance(ctx.dt, FloatType) else ("double" if is_float_type(ctx.dt) else "long")
+    return _propagate(ctx, expr, rdt)
+
+
+def _prod(ctx: AggContext, skipna: bool) -> Column:
+    v, vdt = ctx.arith()
+    one = F.lit(1).cast("double")
+    expr = F.coalesce(F.product(v), one)  # product() returns double
+    if not is_float_type(ctx.dt):
+        expr = expr.cast("long")  # numpy int prod stays int (xrdtypes.py:175-185)
+    else:
+        expr = _restore_float32(expr, ctx.dt)
+    if skipna:
+        return expr
+    rdt = "float" if isinstance(ctx.dt, FloatType) else ("double" if is_float_type(ctx.dt) else "long")
+    return _propagate(ctx, expr, rdt)
+
+
+def _mean(ctx: AggContext, skipna: bool) -> Column:
+    v, _ = ctx.arith()
+    expr = F.avg(v)
+    if is_datetime_type(ctx.dt):
+        expr = arith_restore(expr, ctx.dt)
+        return expr if skipna else _propagate(ctx, expr, "timestamp")
+    expr = _restore_float32(expr, ctx.dt)
+    rdt = "float" if isinstance(ctx.dt, FloatType) else "double"
+    return expr if skipna else _propagate(ctx, expr, rdt)
+
+
+def _var(ctx: AggContext, skipna: bool, std: bool) -> Column:
+    # flox var/std take ddof (default 0, numpy rule); Spark var_pop is
+    # ddof=0 and var_samp ddof=1; generic ddof scales the sum of
+    # squared deviations M2 = var_pop * n  (flox/aggregations.py:460-472)
+    ddof = int(ctx.kwargs.get("ddof", 0))
+    v, _ = ctx.arith()
+    if ddof == 0:
+        expr = F.var_pop(v)
+    elif ddof == 1:
+        expr = F.var_samp(v)
+    else:
+        n = F.count(v)
+        expr = F.when(n > ddof, F.var_pop(v) * n / (n - ddof)).otherwise(F.lit(NAN))
+    if std:
+        expr = F.sqrt(expr)
+    expr = _restore_float32(expr, ctx.dt)
+    rdt = "float" if isinstance(ctx.dt, FloatType) else "double"
+    # numpy: var of n<=ddof group -> NaN (flox fills NaN); Spark
+    # var_samp of 1 row -> NULL. Normalize NULL->NaN for float parity.
+    expr = F.coalesce(expr, _nan_sentinel(rdt))
+    return expr if skipna else _propagate(ctx, expr, rdt)
+
+
+def _minmax(ctx: AggContext, skipna: bool, is_max: bool) -> Column:
+    f = F.max if is_max else F.min
+    expr = f(ctx.v_skip)  # NULL-skipping; preserves type natively
+    if skipna:
+        return expr
+    # numpy min/max propagate NaN; Spark sorts NaN high (wrong for
+    # min) — the bool_or wrapper fixes both directions (SURVEY §2.2).
+    return _propagate(ctx, expr, ctx.dt)
+
+
+def _first_last(ctx: AggContext, skipna: bool, is_last: bool) -> Column:
+    # Positional semantics need the explicit order column: Spark
+    # first()/last() without a deterministic order are nondeterministic
+    # (flox first/last are array-order, aggregations.py:634-649).
+    assert ctx.idx is not None
+    # plain first/last surface a missing element as NaN (numpy view:
+    # NULL has no representation in float arrays), nan* skip it
+    v = ctx.value if skipna else dt_mod.to_prop(ctx.value, ctx.dt)
+    pair = F.struct(ctx.idx.alias("i"), v.alias("v"))
+    if skipna:
+        pair = F.when(~ctx.missing, pair)
+    f = F.max if is_last else F.min
+    return f(pair)["v"]
+
+
+def _arg(ctx: AggContext, skipna: bool, is_max: bool) -> Column:
+    """argmin/argmax with numpy parity: ties -> first occurrence
+    (flox/core.py:334-336); plain variant returns the FIRST missing
+    position when any value is missing (numpy comparison semantics).
+    Result is the value of the order column (the positional index in
+    flox's flattened axis, core.py:520-521)."""
+    assert ctx.idx is not None
+    if is_max:
+        # max value, then min idx among ties: negate idx inside struct
+        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), (-ctx.idx).alias("ni")))
+        best = -F.max(pair)["ni"]
+    else:
+        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), ctx.idx.alias("i")))
+        best = F.min(pair)["i"]
+    if skipna:
+        return best
+    first_missing = F.min(F.when(ctx.missing, ctx.idx))
+    return F.when(F.bool_or(ctx.missing), first_missing).otherwise(best)
+
+
+def _quantile(ctx: AggContext, skipna: bool, q: Any = None) -> Column:
+    qv = ctx.kwargs.get("q", q)
+    if qv is None:
+        qv = 0.5
+    v, _ = ctx.arith()
+    if OPTIONS["approx_quantile"]:
+        expr = F.percentile_approx(v, qv, OPTIONS["approx_quantile_accuracy"])
+    else:
+        # exact, linear interpolation — matches numpy's default method
+        # (flox/aggregate_flox.py:50-130) and DuckDB quantile_cont
+        expr = F.percentile(v, F.lit(qv) if not isinstance(qv, (list, tuple)) else F.array(*[F.lit(x) for x in qv]))
+    if is_datetime_type(ctx.dt):
+        expr = arith_restore(expr, ctx.dt)
+        return expr if skipna else _propagate(ctx, expr, "timestamp")
+    if skipna:
+        return expr
+    rdt = "double"
+    if isinstance(qv, (list, tuple)):
+        # array result: propagate by replacing whole array
+        return F.when(F.bool_or(ctx.missing), F.array(*[F.lit(NAN) for _ in qv])).otherwise(expr)
+    return _propagate(ctx, expr, rdt)
+
+
+def _any_all(ctx: AggContext, is_all: bool) -> Column:
+    # numpy truthiness: nonzero is True, NaN is True (flox
+    # aggregations.py:651-668). bool input passes through.
+    if dt_mod.is_bool_type(ctx.dt):
+        b = ctx.value
+    elif is_float_type(ctx.dt):
+        b = F.when(ctx.value.isNotNull(), F.isnan(ctx.value) | (ctx.value != 0.0))
+    else:
+        b = F.when(ctx.value.isNotNull(), ctx.value != 0)
+    expr = F.bool_and(b) if is_all else F.bool_or(b)
+    # empty/all-null group -> False (flox final fill, aggregations.py:651-668)
+    return F.coalesce(expr, F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Aggregation:
+    """Declarative reduction spec — the Spark analog of flox's
+    ``Aggregation`` (flox/aggregations.py:161-301).  ``build`` emits
+    the final Column; Spark's partial/merge replaces chunk/combine.
+
+    Users may register custom reductions by constructing one with
+    their own ``build`` callable (mirrors flox's custom-Aggregation
+    support, flox/README.md:51-74) and passing it as ``func=``.
+    """
+
+    name: str
+    build: Callable[[AggContext], Column]
+    default_fill: Any = None
+    needs_order: bool = False
+    two_stage: str | None = None  # "mode" -> needs a pre-aggregation
+    preserves_dtype: bool = False  # min/max/first/last keep input type
+
+
+REDUCTIONS: dict[str, Aggregation] = {}
+
+
+def _reg(name: str, build: Callable[[AggContext], Column], **kw: Any) -> None:
+    REDUCTIONS[name] = Aggregation(name=name, build=build, **kw)
+
+
+_reg("count", _count, default_fill=0)
+_reg("sum", lambda c: _sum(c, skipna=False), default_fill=0)
+_reg("nansum", lambda c: _sum(c, skipna=True), default_fill=0)
+_reg("prod", lambda c: _prod(c, skipna=False), default_fill=1)
+_reg("nanprod", lambda c: _prod(c, skipna=True), default_fill=1)
+_reg("mean", lambda c: _mean(c, skipna=False))
+_reg("nanmean", lambda c: _mean(c, skipna=True))
+_reg("var", lambda c: _var(c, skipna=False, std=False))
+_reg("nanvar", lambda c: _var(c, skipna=True, std=False))
+_reg("std", lambda c: _var(c, skipna=False, std=True))
+_reg("nanstd", lambda c: _var(c, skipna=True, std=True))
+_reg("min", lambda c: _minmax(c, skipna=False, is_max=False), preserves_dtype=True)
+_reg("nanmin", lambda c: _minmax(c, skipna=True, is_max=False), preserves_dtype=True)
+_reg("max", lambda c: _minmax(c, skipna=False, is_max=True), preserves_dtype=True)
+_reg("nanmax", lambda c: _minmax(c, skipna=True, is_max=True), preserves_dtype=True)
+_reg("first", lambda c: _first_last(c, skipna=False, is_last=False), needs_order=True, preserves_dtype=True)
+_reg("last", lambda c: _first_last(c, skipna=False, is_last=True), needs_order=True, preserves_dtype=True)
+_reg("nanfirst", lambda c: _first_last(c, skipna=True, is_last=False), needs_order=True, preserves_dtype=True)
+_reg("nanlast", lambda c: _first_last(c, skipna=True, is_last=True), needs_order=True, preserves_dtype=True)
+_reg("argmin", lambda c: _arg(c, skipna=False, is_max=False), needs_order=True)
+_reg("argmax", lambda c: _arg(c, skipna=False, is_max=True), needs_order=True)
+_reg("nanargmin", lambda c: _arg(c, skipna=True, is_max=False), needs_order=True)
+_reg("nanargmax", lambda c: _arg(c, skipna=True, is_max=True), needs_order=True)
+_reg("median", lambda c: _quantile(c, skipna=False, q=0.5))
+_reg("nanmedian", lambda c: _quantile(c, skipna=True, q=0.5))
+_reg("quantile", lambda c: _quantile(c, skipna=False))
+_reg("nanquantile", lambda c: _quantile(c, skipna=True))
+_reg("all", lambda c: _any_all(c, is_all=True), default_fill=False)
+_reg("any", lambda c: _any_all(c, is_all=False), default_fill=False)
+_reg("mode", None, two_stage="mode", preserves_dtype=True)  # built in core.py
+_reg("nanmode", None, two_stage="mode", preserves_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# scans (flox/aggregations.py:915-920) — window expressions, built in scan.py
+# ---------------------------------------------------------------------------
+
+SCANS: tuple[str, ...] = ("cumsum", "nancumsum", "ffill", "bfill", "cumcount", "cumprod", "nancumprod")

@@ -1,0 +1,254 @@
+"""``groupby_reduce`` — the engine's front door.
+
+Spark-native re-expression of flox's ``groupby_reduce``
+(reference: flox/core.py:739-1222).  The plan it assembles:
+
+    filter(valid labels) -> [bin labels] -> groupBy(keys).agg(expr)
+      -> [min_count mask] -> [expected-groups broadcast join + fill]
+      -> [sort]
+
+Everything is declarative DataFrame API: Catalyst plans a
+partial-aggregate -> shuffle-by-keys -> final-aggregate pipeline
+(replacing flox's blockwise chunk_reduce + tree combine,
+flox/dask.py:325-573), pushes the label filter into the scan, and
+prunes columns.  The expected-groups reindex (flox/reindex.py:160-216)
+is a LEFT JOIN from the (tiny) expected frame onto the (small,
+already-aggregated) result — both sides are |groups|-sized, so the
+join is broadcast and never touches the fact table's scale.
+
+At 100 TB the only data-sized operation here is the single
+groupBy shuffle, which is unavoidable for a hash aggregation and is
+map-side-combined by Spark automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flox_spark.aggregations import REDUCTIONS, AggContext, Aggregation
+from flox_spark.dtypes import NAN, is_float_type, is_missing
+from flox_spark.options import OPTIONS
+
+__all__ = ["groupby_reduce"]
+
+
+def _as_tuple(x: Any, n: int, name: str) -> tuple:
+    """Normalize a scalar-or-per-by argument to a tuple of length n."""
+    if x is None or isinstance(x, (bool, str)) or not isinstance(x, (list, tuple)):
+        return (x,) * n
+    if len(x) != n:
+        raise ValueError(f"{name} must have one entry per `by` column (got {len(x)}, want {n})")
+    return tuple(x)
+
+
+def _bin_column(col: Column, breaks: Sequence[float]) -> Column:
+    """Digitize into left-open right-closed intervals (b[i-1], b[i]]
+    — numpy ``digitize(right=True)`` as used by flox binning
+    (flox/factorize.py:55-82).  Out-of-range -> NULL (the dropped NaN
+    group).  Breaks are a small driver-side constant, so a CASE chain
+    stays inside codegen; no shuffle, no UDF."""
+    breaks = list(breaks)
+    expr = F.lit(None).cast("int")
+    # build from the last interval backwards so the first WHEN wins
+    whens = []
+    for i in range(len(breaks) - 1):
+        whens.append(((col > F.lit(breaks[i])) & (col <= F.lit(breaks[i + 1])), F.lit(i)))
+    result = F.lit(None).cast("int")
+    for cond, val in reversed(whens):
+        result = F.when(cond, val).otherwise(result)
+    return result
+
+
+def _fill_literal(fill: Any) -> Column:
+    if fill is None:
+        return F.lit(None)
+    if isinstance(fill, float) and fill != fill:  # NaN
+        return F.lit(NAN)
+    return F.lit(fill)
+
+
+def groupby_reduce(
+    df: DataFrame,
+    *by: str,
+    func: str | Aggregation,
+    value: str,
+    expected_groups: Sequence | None = None,
+    sort: bool = True,
+    isbin: bool | Sequence[bool] = False,
+    fill_value: Any = None,
+    min_count: int | None = None,
+    finalize_kwargs: dict | None = None,
+    order_by: str | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """Grouped reduction with flox semantics on a Spark DataFrame.
+
+    Parameters mirror flox's ``groupby_reduce`` (flox/core.py:739-855)
+    re-expressed for tables:
+
+    - ``df``: any DataFrame (filters/projections compose upstream).
+    - ``*by``: one or more grouping column names.  Rows whose label is
+      NULL or NaN are dropped (flox/factorize.py:201-212).
+    - ``func``: a name from ``REDUCTIONS`` or a custom ``Aggregation``.
+    - ``value``: the value column to reduce.
+    - ``expected_groups``: per-by list of expected labels (or bin
+      breaks where ``isbin``).  The result is reindexed to the full
+      cartesian grid of expected groups, filling absences with
+      ``fill_value`` (flox/core.py:1195-1202).
+    - ``isbin``: per-by flag; that by's expected_groups are interval
+      breaks, labels are digitized into left-open right-closed bins
+      and the output column is the integer bin index ``{by}_bin``.
+    - ``min_count``: mask results of groups with fewer than this many
+      non-missing values to ``fill_value`` (flox/core.py:437-459).
+      Defaults to 1 when both fill_value and expected_groups are given
+      (flox/core.py:1026-1038).
+    - ``order_by``: total-order column required by positional funcs
+      (first/last/nanfirst/nanlast/arg*): flox's implicit array order
+      made explicit.
+    - ``alias``: output column name for the result (default: func name).
+    """
+    if not by:
+        raise ValueError("need at least one `by` column")
+    nby = len(by)
+    isbin_t = _as_tuple(isbin, nby, "isbin")
+    if expected_groups is None:
+        expected_t: tuple = (None,) * nby
+    elif nby == 1 and not isinstance(expected_groups[0], (list, tuple)):
+        expected_t = (list(expected_groups),)
+    else:
+        expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
+    for i, (b, e) in enumerate(zip(isbin_t, expected_t)):
+        if b and e is None:
+            raise ValueError(f"isbin=True for {by[i]!r} requires bin breaks in expected_groups")
+
+    if isinstance(func, str):
+        if func not in REDUCTIONS:
+            raise ValueError(f"unknown reduction {func!r}; valid: {sorted(REDUCTIONS)}")
+        agg = REDUCTIONS[func]
+    else:
+        agg = func
+    if agg.needs_order and order_by is None:
+        raise ValueError(f"func {agg.name!r} requires order_by= (positional semantics)")
+    out_name = alias or agg.name
+
+    # ---- label prep: drop invalid labels, digitize bins -------------
+    key_cols: list[str] = []
+    work = df
+    for i, b in enumerate(by):
+        bdt = work.schema[b].dataType
+        work = work.filter(~is_missing(F.col(b), bdt))
+        if isbin_t[i]:
+            kc = f"{b}_bin"
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i]))
+            work = work.filter(F.col(kc).isNotNull())  # out-of-range
+        else:
+            kc = b
+        key_cols.append(kc)
+
+    vdt = work.schema[value].dataType
+    ctx = AggContext(
+        value=F.col(value),
+        dt=vdt,
+        idx=F.col(order_by) if order_by else None,
+        kwargs=dict(finalize_kwargs or {}),
+    )
+
+    # ---- min_count defaulting (flox/core.py:1026-1038) --------------
+    if min_count is None and fill_value is not None and any(e is not None for e in expected_t):
+        min_count = 1
+
+    # ---- aggregate --------------------------------------------------
+    if agg.two_stage == "mode":
+        result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
+    else:
+        expr = agg.build(ctx)
+        if min_count is not None and min_count > 0:
+            cnt = F.count(ctx.v_skip)
+            fill = _fill_literal(fill_value if fill_value is not None else agg.default_fill)
+            expr = F.when(cnt >= F.lit(min_count), expr).otherwise(fill)
+        result = work.groupBy(*key_cols).agg(expr.alias(out_name))
+
+    # ---- expected-groups reindex (flox/reindex.py:160-216) ----------
+    if any(e is not None for e in expected_t):
+        result = _reindex_expected(
+            result, key_cols, by, isbin_t, expected_t, out_name, fill_value, agg, df.sparkSession
+        )
+
+    if sort:
+        result = result.orderBy(*key_cols)
+    return result
+
+
+def _mode_two_stage(work: DataFrame, key_cols: list[str], ctx: AggContext, skipna: bool, out_name: str) -> DataFrame:
+    """mode/nanmode: most frequent value, smallest-value tie-break
+    (scipy.stats.mode parity, flox/aggregate_npg.py:185-215).  Two
+    hash aggregations — groupBy(keys, v).count then groupBy(keys) —
+    both shuffle on (subsets of) the same keys; AQE coalesces.
+    Plain mode propagates missing (nan_policy='propagate')."""
+    vals = F.col("__v")
+    stage1 = (
+        work.withColumn("__v", ctx.value)
+        .withColumn("__miss", ctx.missing)
+        .groupBy(*key_cols, "__v", "__miss")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    pair = F.when(~F.col("__miss"), F.struct((-F.col("__cnt")).alias("nc"), vals.alias("v")))
+    best = F.min(pair)["v"]
+    if skipna:
+        expr = best
+    else:
+        sentinel = F.lit(NAN) if is_float_type(ctx.dt) else F.lit(None)
+        expr = F.when(F.bool_or(F.col("__miss")), sentinel.cast(ctx.dt)).otherwise(best)
+    return stage1.groupBy(*key_cols).agg(expr.alias(out_name))
+
+
+def _reindex_expected(
+    result: DataFrame,
+    key_cols: list[str],
+    by: tuple[str, ...],
+    isbin_t: tuple,
+    expected_t: tuple,
+    out_name: str,
+    fill_value: Any,
+    agg: Aggregation,
+    spark,
+) -> DataFrame:
+    """Left-join the aggregated result onto the cartesian grid of
+    expected groups and fill absences — flox's reindex_ + fill
+    (flox/reindex.py:160-216, flox/core.py:1195-1202).  Both sides
+    are group-cardinality-sized; broadcast the aggregated side so the
+    join never shuffles."""
+    grid: DataFrame | None = None
+    for i, kc in enumerate(key_cols):
+        exp = expected_t[i]
+        if exp is None:
+            part = result.select(kc).distinct()
+        elif isbin_t[i]:
+            nbins = len(exp) - 1
+            part = spark.range(nbins).select(F.col("id").cast("int").alias(kc))
+        else:
+            kdt = result.schema[kc].dataType
+            part = spark.createDataFrame([(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}")
+        grid = part if grid is None else grid.crossJoin(part)
+
+    res_dt = result.schema[out_name].dataType
+    fill = fill_value if fill_value is not None else agg.default_fill
+    if fill is None and is_float_type(res_dt):
+        fill = NAN  # flox fills float results with NaN, not NULL
+    # mark presence explicitly: a present group whose aggregate is
+    # legitimately NULL must NOT be replaced by fill_value — fill is
+    # only for expected-but-absent groups (flox/core.py:461-470)
+    marked = result.withColumn("__present", F.lit(True))
+    joined = grid.join(
+        F.broadcast(marked) if OPTIONS["broadcast_reindex"] else marked,
+        on=key_cols,
+        how="left",
+    )
+    filled = joined.withColumn(
+        out_name,
+        F.when(F.col("__present").isNull(), _fill_literal(fill).cast(res_dt)).otherwise(F.col(out_name)),
+    ).drop("__present")
+    return filled

@@ -1,0 +1,50 @@
+"""Engine options, mirroring flox's ``set_options`` (reference:
+flox/options.py:9-65).  flox's options steer dask rechunking; ours
+steer Spark physical choices (approximate quantiles at scale,
+broadcast thresholds for the expected-groups reindex join).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any
+
+OPTIONS: dict[str, Any] = {
+    # Use percentile_approx instead of exact percentile for
+    # quantile/median.  Exact is the flox-parity default; flip to True
+    # for the 100 TB path.
+    "approx_quantile": False,
+    # Relative accuracy for percentile_approx (1/accuracy).
+    "approx_quantile_accuracy": 10000,
+    # Broadcast the aggregated result into the expected-groups join
+    # (the aggregate side is |groups| rows — almost always tiny).
+    "broadcast_reindex": True,
+}
+
+_VALIDATORS = {
+    "approx_quantile": lambda v: isinstance(v, bool),
+    "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
+    "broadcast_reindex": lambda v: isinstance(v, bool),
+}
+
+
+def get_options() -> dict[str, Any]:
+    return dict(OPTIONS)
+
+
+class set_options(contextlib.AbstractContextManager):
+    """Set engine options, usable as a context manager (like
+    flox/options.py:21)."""
+
+    def __init__(self, **kwargs: Any):
+        self.old: dict[str, Any] = {}
+        for k, v in kwargs.items():
+            if k not in OPTIONS:
+                raise ValueError(f"unknown option {k!r}; valid: {sorted(OPTIONS)}")
+            if not _VALIDATORS[k](v):
+                raise ValueError(f"invalid value for {k!r}: {v!r}")
+            self.old[k] = OPTIONS[k]
+        OPTIONS.update(kwargs)
+
+    def __exit__(self, *exc) -> None:
+        OPTIONS.update(self.old)

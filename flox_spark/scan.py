@@ -1,0 +1,107 @@
+"""``groupby_scan`` — grouped scans as window expressions.
+
+Spark-native re-expression of flox's ``groupby_scan``
+(reference: flox/scan.py:101-315).  flox needs a Blelloch prefix-scan
+tree over dask blocks (flox/dask.py:576-663) because dask lacks a
+shuffle; Spark's ``WindowExec`` after a hash partition on the group
+keys replaces the whole carry-state machinery — each scan is ONE
+window expression over ``Window.partitionBy(keys).orderBy(idx)``.
+
+At scale: one shuffle on the group keys, then a sorted streaming pass
+per partition (WindowExec spills if a group exceeds memory).  No UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flox_spark.dtypes import arith_input, arith_restore, is_float_type, is_missing, to_skip
+from flox_spark.aggregations import SCANS
+
+__all__ = ["groupby_scan"]
+
+
+def groupby_scan(
+    df: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    order_by: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Grouped scan with flox semantics (flox/scan.py:101-315).
+
+    Supported funcs (flox SCANS registry, flox/aggregations.py:849-878):
+
+    - ``cumsum``: running sum, NaN propagates from the first NaN on
+      (numpy cumsum semantics, flox/aggregate_flox.py:296-328).
+    - ``nancumsum``: running sum treating NaN/NULL as 0 — missing
+      positions receive the running total (numpy nancumsum).
+    - ``ffill`` / ``bfill``: forward/backward fill of the last/next
+      non-missing value within the group (flox/aggregations.py:855-876).
+      No-op passthrough for non-float, non-nullable semantics mirrors
+      flox/scan.py:199-201 (we fill NULLs for any type).
+    - ``cumcount``: running count of non-missing values (bonus, the
+      ``nanlen`` scan analog).
+    - ``cumprod`` / ``nancumprod``: running product via exp/log of
+      absolute values with sign tracking is numerically lossy, so we
+      implement it exactly with a product aggregate over the window.
+
+    Returns ``df`` with one added column (default name = func), the
+    original row set and order preserved — flox returns an array of
+    the input shape (flox/scan.py:300-315).
+    """
+    if func not in SCANS:
+        raise ValueError(f"unknown scan {func!r}; valid: {SCANS}")
+    out = alias or func
+    vdt = df.schema[value].dataType
+    v = F.col(value)
+    missing = is_missing(v, vdt)
+    v_skip = to_skip(v, vdt)
+
+    w = Window.partitionBy(*by).orderBy(order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    expr: Column
+    if func == "cumsum":
+        av, _ = arith_input(v_skip, vdt)
+        run = F.sum(av).over(w)
+        # numpy cumsum: NaN poisons everything from its position on
+        poisoned = F.max(F.when(missing, F.lit(1)).otherwise(F.lit(0))).over(w) == 1
+        if is_float_type(vdt):
+            expr = F.when(poisoned, F.lit(float("nan"))).otherwise(run)
+            if vdt.simpleString() == "float":
+                expr = expr.cast("float")
+        else:
+            expr = F.when(poisoned, F.lit(None)).otherwise(run)
+    elif func == "nancumsum":
+        av, avdt = arith_input(v_skip, vdt)
+        zero = F.lit(0).cast("double" if is_float_type(avdt) else "long")
+        expr = F.coalesce(F.sum(av).over(w), zero)
+        if vdt.simpleString() == "float":
+            expr = expr.cast("float")
+    elif func == "cumprod" or func == "nancumprod":
+        av, _ = arith_input(v_skip, vdt)
+        run = F.product(av).over(w)
+        if func == "cumprod":
+            poisoned = F.max(F.when(missing, F.lit(1)).otherwise(F.lit(0))).over(w) == 1
+            expr = F.when(poisoned, F.lit(float("nan"))).otherwise(run)
+        else:
+            expr = F.coalesce(run, F.lit(1.0))
+        if not is_float_type(vdt):
+            expr = expr.cast("long")
+        elif vdt.simpleString() == "float":
+            expr = expr.cast("float")
+    elif func == "cumcount":
+        expr = F.count(v_skip).over(w)
+    elif func == "ffill":
+        expr = F.last(v_skip, ignorenulls=True).over(w)
+    elif func == "bfill":
+        w_fwd = Window.partitionBy(*by).orderBy(order_by).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        expr = F.first(v_skip, ignorenulls=True).over(w_fwd)
+    else:  # pragma: no cover
+        raise AssertionError(func)
+
+    return df.withColumn(out, expr)

@@ -1,0 +1,54 @@
+"""Sources: parquet readers with schema normalization.
+
+The reference has no sources at all (data arrives as in-memory
+arrays, SURVEY §2.5); in Spark the source layer is ``spark.read`` and
+the engine composes on any DataFrame.  The one real-world wrinkle
+handled here: parquet files with TIMESTAMP(NANOS) columns (written by
+pandas/arrow with ns precision), which Spark's vectorized reader
+rejects.  We flip the legacy nanos-as-long switch and rebuild a
+microsecond timestamp column — a pure projection, fully codegen'd,
+no data-size cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with TIMESTAMP(NANOS) tolerance: nano
+    columns come back as LongType named as before; callers that need
+    them as timestamps should use ``nanos_to_ts``.  The legacy switch
+    is set proactively — it only affects files that would otherwise
+    fail with PARQUET_TYPE_ILLEGAL, and avoids a doomed first job."""
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+    except Exception:
+        pass  # conf locked down: fall through, plain read may still work
+    return spark.read.parquet(path)
+
+
+def nanos_to_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Convert an int64-nanos column (from nanosAsLong) to a
+    microsecond TimestampType column in place."""
+    for c in cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+# columns per test table that are nano-timestamps on disk
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's test tables with timestamps usable."""
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    return nanos_to_ts(df, *_TS_COLS.get(name, ()))

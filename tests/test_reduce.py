@@ -1,0 +1,251 @@
+"""Differential tests: groupby_reduce vs numpy per-group goldens.
+
+Mirrors the reference's master test ``test_groupby_reduce_all``
+(reference tests/test_core.py:222-386): the canonical label vector
+[0,0,2,2,2,1,1,2,2,1,1,0], every registry func, with and without
+missing values (both NaN and NULL encodings — the table world has
+both), checked against numpy applied per group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce
+from flox_spark.aggregations import REDUCTIONS
+
+LABELS = [0, 0, 2, 2, 2, 1, 1, 2, 2, 1, 1, 0]
+VALUES = [2.5, -1.0, 3.0, 0.5, 7.25, 1.0, 1.0, -2.0, 4.0, 0.0, 5.5, 3.25]
+NAN_POS = [1, 4, 5]  # rows whose value goes missing in the *_missing variants
+
+RTOL = 1e-12
+
+
+def make_pdf(missing: str | None) -> pd.DataFrame:
+    v = np.array(VALUES, dtype=np.float64)
+    if missing == "nan":
+        v[NAN_POS] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(12, dtype=np.int64), "label": np.array(LABELS, dtype=np.int64), "v": v})
+    if missing == "null":
+        pdf["v"] = pdf["v"].astype(object)
+        for p in NAN_POS:
+            pdf.loc[p, "v"] = None
+    return pdf
+
+
+def np_golden(func: str, missing: str | None, **kw):
+    """Per-group numpy result keyed by label."""
+    v = np.array(VALUES, dtype=np.float64)
+    if missing in ("nan", "null"):
+        v[NAN_POS] = np.nan
+    lab = np.array(LABELS)
+    out = {}
+    for g in [0, 1, 2]:
+        pos = np.where(lab == g)[0]
+        x = v[pos]
+        if func == "count":
+            out[g] = int(np.sum(~np.isnan(x)))
+        elif func in ("sum", "nansum", "prod", "nanprod", "mean", "nanmean", "median", "nanmedian"):
+            out[g] = getattr(np, func)(x)
+        elif func in ("var", "nanvar", "std", "nanstd"):
+            out[g] = getattr(np, func)(x, ddof=kw.get("ddof", 0))
+        elif func in ("min", "nanmin", "max", "nanmax"):
+            out[g] = getattr(np, func)(x)
+        elif func in ("quantile", "nanquantile"):
+            f = np.quantile if func == "quantile" else np.nanquantile
+            out[g] = f(x, kw.get("q", 0.5))
+        elif func in ("argmin", "argmax"):
+            out[g] = int(pos[getattr(np, func)(x)])
+        elif func in ("nanargmin", "nanargmax"):
+            out[g] = int(pos[getattr(np, func)(x)])
+        elif func == "first":
+            out[g] = x[0]
+        elif func == "last":
+            out[g] = x[-1]
+        elif func == "nanfirst":
+            nz = x[~np.isnan(x)]
+            out[g] = nz[0] if len(nz) else np.nan
+        elif func == "nanlast":
+            nz = x[~np.isnan(x)]
+            out[g] = nz[-1] if len(nz) else np.nan
+        elif func in ("all", "any"):
+            out[g] = bool(getattr(np, func)(x))
+        elif func in ("mode", "nanmode"):
+            xx = x[~np.isnan(x)] if func == "nanmode" else x
+            if func == "mode" and np.isnan(x).any():
+                out[g] = np.nan
+                continue
+            vals, cnts = np.unique(xx, return_counts=True)
+            out[g] = vals[np.argmax(cnts)]  # np.unique sorts -> smallest wins ties
+        else:
+            raise AssertionError(func)
+    return out
+
+
+def run_engine(spark, pdf, func, **kw):
+    df = spark.createDataFrame(pdf.astype({"v": float}) if pdf["v"].dtype == object else pdf)
+    fk = {k: v for k, v in kw.items() if k in ("ddof", "q")}
+    res = groupby_reduce(
+        df, "label", func=func, value="v",
+        order_by="idx" if REDUCTIONS[func].needs_order else None,
+        finalize_kwargs=fk or None,
+    )
+    rows = res.collect()
+    return {r["label"]: r[func] for r in rows}
+
+
+def assert_close(got, want):
+    if want is None or got is None:
+        assert got == want, f"{got} != {want}"
+        return
+    if isinstance(want, float) and math.isnan(want):
+        assert isinstance(got, float) and math.isnan(got), f"{got} != NaN"
+        return
+    if isinstance(want, (float, np.floating)):
+        assert got == pytest.approx(float(want), rel=RTOL, abs=1e-15), f"{got} != {want}"
+        return
+    assert got == want, f"{got} != {want}"
+
+
+ALL_FUNCS = [f for f in REDUCTIONS if f not in ("all", "any")]
+
+
+@pytest.mark.parametrize("missing", [None, "nan", "null"])
+@pytest.mark.parametrize("func", ALL_FUNCS)
+def test_vs_numpy(spark, func, missing):
+    pdf = make_pdf(missing)
+    got = run_engine(spark, pdf, func)
+    want = np_golden(func, missing)
+    assert set(got) == {0, 1, 2}
+    for g in [0, 1, 2]:
+        assert_close(got[g], want[g])
+
+
+@pytest.mark.parametrize("missing", [None, "nan"])
+@pytest.mark.parametrize("ddof", [0, 1, 2])
+@pytest.mark.parametrize("func", ["var", "nanvar", "std", "nanstd"])
+def test_var_ddof(spark, func, ddof, missing):
+    pdf = make_pdf(missing)
+    got = run_engine(spark, pdf, func, ddof=ddof)
+    want = np_golden(func, missing, ddof=ddof)
+    for g in [0, 1, 2]:
+        assert_close(got[g], want[g])
+
+
+@pytest.mark.parametrize("q", [0.25, 0.9])
+@pytest.mark.parametrize("func", ["quantile", "nanquantile"])
+def test_quantile_scalar(spark, func, q, missing="nan"):
+    pdf = make_pdf(missing)
+    got = run_engine(spark, pdf, func, q=q)
+    want = np_golden(func, missing, q=q)
+    for g in [0, 1, 2]:
+        assert_close(got[g], want[g])
+
+
+def test_quantile_vector(spark):
+    pdf = make_pdf(None)
+    got = run_engine(spark, pdf, "nanquantile", q=[0.25, 0.5, 0.9])
+    for g in [0, 1, 2]:
+        want = np_golden("nanquantile", None, q=[0.25, 0.5, 0.9])[g]
+        assert got[g] == pytest.approx(list(want), rel=RTOL)
+
+
+def test_any_all(spark):
+    pdf = make_pdf(None)
+    pdf["v"] = (np.array(VALUES) > 1.0)
+    df = spark.createDataFrame(pdf)
+    for func in ("any", "all"):
+        res = groupby_reduce(df, "label", func=func, value="v").collect()
+        got = {r["label"]: r[func] for r in res}
+        lab = np.array(LABELS)
+        bv = np.array(VALUES) > 1.0
+        for g in [0, 1, 2]:
+            assert got[g] == bool(getattr(np, func)(bv[lab == g]))
+
+
+def test_expected_groups_fill(spark):
+    # mirrors flox fill_value tests (test_core.py:1112): expected
+    # groups beyond the observed ones are filled
+    pdf = make_pdf(None)
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "label", func="nansum", value="v",
+        expected_groups=[0, 1, 2, 3, 4], fill_value=-1.0,
+    ).collect()
+    got = {r["label"]: r["nansum"] for r in res}
+    assert got[3] == -1.0 and got[4] == -1.0
+    assert got[0] == pytest.approx(2.5 - 1.0 + 3.25)
+    assert [r["label"] for r in res] == [0, 1, 2, 3, 4]  # sorted
+
+
+def test_min_count(spark):
+    # flox core.py:437-459: groups with < min_count valid values -> fill
+    pdf = make_pdf("nan")
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "label", func="nansum", value="v",
+        min_count=4, fill_value=float("nan"),
+    ).collect()
+    got = {r["label"]: r["nansum"] for r in res}
+    # group 2 has 5 members, one NaN -> 4 valid -> kept
+    assert not math.isnan(got[2])
+    # groups 0 (2 valid), 1 (3 valid) -> masked
+    assert math.isnan(got[0]) and math.isnan(got[1])
+
+
+def test_nan_labels_dropped(spark):
+    # flox/factorize.py:201-212: NaN/NULL group labels dropped
+    pdf = make_pdf(None)
+    pdf["label"] = pdf["label"].astype(float)
+    pdf.loc[0, "label"] = np.nan
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "label", func="count", value="v").collect()
+    got = {r["label"]: r["count"] for r in res}
+    assert set(got) == {0.0, 1.0, 2.0}
+    assert got[0.0] == 2  # row 0 dropped
+
+
+def test_multi_by_cartesian(spark):
+    # multiple by -> cartesian expected grid (flox/core.py:1196-1202)
+    pdf = make_pdf(None)
+    pdf["k2"] = (pdf["idx"] % 2).astype(np.int64)
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "label", "k2", func="nansum", value="v",
+        expected_groups=([0, 1, 2, 3], [0, 1]), fill_value=0.0,
+    ).collect()
+    assert len(res) == 8  # 4 x 2 grid
+    got = {(r["label"], r["k2"]): r["nansum"] for r in res}
+    assert got[(3, 0)] == 0.0 and got[(3, 1)] == 0.0
+
+
+def test_binning(spark):
+    # mirrors test_groupby_bins (reference tests/test_core.py:950-977):
+    # data ones, labels [0.2,1.5,1.9,2,3,20], bins [0,1,2,4,5] ->
+    # counts [1,3,1,0]: left-open right-closed (2.0 -> (1,2]),
+    # 20 out of range -> dropped
+    pdf = pd.DataFrame({
+        "idx": range(6),
+        "key": [0.2, 1.5, 1.9, 2.0, 3.0, 20.0],
+        "v": [1.0] * 6,
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "key", func="count", value="v",
+        isbin=True, expected_groups=[0, 1, 2, 4, 5], fill_value=0,
+    ).collect()
+    got = {r["key_bin"]: r["count"] for r in res}
+    assert got == {0: 1, 1: 3, 2: 1, 3: 0}
+
+
+def test_string_labels_sorted(spark):
+    # string group labels sort correctly (reference test_core.py:1465-1484)
+    pdf = pd.DataFrame({"label": ["b", "a", "c", "a", "b"], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "label", func="nansum", value="v").collect()
+    assert [r["label"] for r in res] == ["a", "b", "c"]
+    assert [r["nansum"] for r in res] == [6.0, 6.0, 3.0]

@@ -1,0 +1,106 @@
+"""Differential tests: groupby_scan vs numpy per-group scans.
+
+Mirrors reference scan tests (tests/test_core.py:1995-2121,
+tests/test_properties.py:222-287): cumsum/nancumsum/ffill/bfill with
+NaN runs at group starts, middles and ends; groups interleaved so
+consecutive rows alternate groups (partition-straddling carry).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_scan
+
+LABELS = [0, 1, 0, 1, 2, 0, 2, 1, 0, 2, 1, 0]
+VALUES = [np.nan, 1.0, 2.0, np.nan, np.nan, 3.0, 4.0, 5.0, np.nan, np.nan, 6.0, 7.0]
+
+
+def make_df(spark):
+    pdf = pd.DataFrame({
+        "idx": np.arange(len(LABELS), dtype=np.int64),
+        "label": np.array(LABELS, dtype=np.int64),
+        "v": np.array(VALUES, dtype=np.float64),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def collect_scan(spark, func):
+    df, pdf = make_df(spark)
+    res = groupby_scan(df, "label", func=func, value="v", order_by="idx")
+    rows = {r["idx"]: r[func] for r in res.collect()}
+    return [rows[i] for i in range(len(LABELS))]
+
+
+def per_group_numpy(fn):
+    lab = np.array(LABELS)
+    v = np.array(VALUES)
+    out = np.empty_like(v)
+    for g in np.unique(lab):
+        pos = np.where(lab == g)[0]
+        out[pos] = fn(v[pos])
+    return out
+
+
+def assert_seq(got, want):
+    for i, (g, w) in enumerate(zip(got, want)):
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), f"row {i}: {g} != {w}"
+        else:
+            assert g == pytest.approx(w, rel=1e-12), f"row {i}: {g} != {w}"
+
+
+def test_cumsum(spark):
+    got = collect_scan(spark, "cumsum")
+    want = per_group_numpy(np.cumsum)  # NaN poisons from first NaN on
+    assert_seq(got, want)
+
+
+def test_nancumsum(spark):
+    got = collect_scan(spark, "nancumsum")
+    want = per_group_numpy(np.nancumsum)
+    assert_seq(got, want)
+
+
+def _ffill(x):
+    out = x.copy()
+    last = np.nan
+    for i, xi in enumerate(x):
+        if not np.isnan(xi):
+            last = xi
+        out[i] = last
+    return out
+
+
+def test_ffill(spark):
+    got = collect_scan(spark, "ffill")
+    want = per_group_numpy(_ffill)
+    assert_seq(got, want)
+
+
+def test_bfill(spark):
+    got = collect_scan(spark, "bfill")
+    want = per_group_numpy(lambda x: _ffill(x[::-1])[::-1])
+    assert_seq(got, want)
+
+
+def test_cumcount(spark):
+    got = collect_scan(spark, "cumcount")
+    want = per_group_numpy(lambda x: np.cumsum(~np.isnan(x)).astype(float))
+    assert_seq(got, want)
+
+
+def test_cumprod_int(spark):
+    pdf = pd.DataFrame({
+        "idx": np.arange(6, dtype=np.int64),
+        "label": np.array([0, 1, 0, 1, 0, 1], dtype=np.int64),
+        "v": np.array([2, 3, 4, 5, 6, 7], dtype=np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_scan(df, "label", func="cumprod", value="v", order_by="idx")
+    rows = {r["idx"]: r["cumprod"] for r in res.collect()}
+    assert [rows[i] for i in range(6)] == [2, 3, 8, 15, 48, 105]

@@ -1,0 +1,86 @@
+"""Local stand-in for the driver's t2 gate: run every __spark_entry__
+query on Spark AND its oracle SQL on DuckDB at the given sf, compare
+row count, column names, and values (order-insensitive, float
+tolerance).  Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from flox_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9) if abs(v) < 1e6 else round(v, max(0, 15 - len(str(int(abs(v))))))
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_key(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not hasattr(r, "asDict") else r.asDict()
+        out.append(tuple(norm(d[c]) for c in sorted(d)))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+            if name not in oracles:
+                print(f"{name:20s} SPARK-ONLY rows={len(srows)}")
+                continue
+            orel = con.sql(oracles[name])
+            ocols = orel.columns
+            orows = orel.fetchall()
+            status = []
+            if len(srows) != len(orows):
+                status.append(f"ROWS {len(srows)}!={len(orows)}")
+            if sorted(scols) != sorted(ocols):
+                status.append(f"COLS {sorted(scols)}!={sorted(ocols)}")
+            if not status:
+                a = rows_key(srows, scols)
+                b = rows_key(orows, ocols)
+                bad = [(x, y) for x, y in zip(a, b) if x != y]
+                if bad:
+                    status.append(f"VALUES {len(bad)} diffs, first: {bad[0]}")
+            if status:
+                n_fail += 1
+                print(f"{name:20s} FAIL  {'; '.join(status)}")
+            else:
+                print(f"{name:20s} OK    rows={len(srows)}")
+        except Exception as e:
+            n_fail += 1
+            print(f"{name:20s} ERROR {type(e).__name__}: {e}")
+    print(f"\n{'FAIL' if n_fail else 'PASS'}: {len(qs) - n_fail}/{len(qs)} queries match")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
