@@ -182,6 +182,228 @@ def q_scan_bfill(s, d):
     return out.select("event_id", "user_id", F.col("bfill").alias("v_filled"))
 
 
+# ---- beyond-reference pipeline operators (BASELINE.json north star) -------
+
+from flox_spark.operators import (  # noqa: E402
+    cosine_topk,
+    dedup_exact,
+    embedding_near_duplicates,
+    fingerprint,
+    language_id,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+    token_count,
+)
+
+
+def q_text_tokens(s, d):
+    return token_count(_t(s, d, "documents")).select("doc_id", "n_tokens")
+
+
+def q_text_quality(s, d):
+    return quality_score(_t(s, d, "documents")).select(
+        "doc_id", "q_n_tokens", "q_mean_tok_len", "q_punct_ratio", "q_stop_ratio", "q_score"
+    )
+
+
+def q_text_langid(s, d):
+    return language_id(_t(s, d, "documents")).select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(s, d):
+    return fingerprint(_t(s, d, "documents")).select("doc_id", "fp")
+
+
+def q_dedup_exact(s, d):
+    return dedup_exact(_t(s, d, "documents"))
+
+
+def q_minhash_pairs(s, d):
+    return minhash_candidates(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None)
+
+
+def q_jaccard_pairs(s, d):
+    return ngram_jaccard_pairs(_t(s, d, "documents"), k=3, threshold=0.2, df_max=None).withColumn(
+        "jaccard", F.round("jaccard", 9)
+    )
+
+
+def q_simhash(s, d):
+    return simhash_signatures(_t(s, d, "documents"), hex_chars=8)
+
+
+def q_ann_topk(s, d):
+    emb = _t(s, d, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=10, dim=64)
+
+
+def q_embed_neardup(s, d):
+    return embedding_near_duplicates(
+        _t(s, d, "embeddings"), threshold=0.45, planes=16, bands=4, dim=64, round_to=6
+    )
+
+
+# ---- oracle SQL generators for the operator queries -----------------------
+
+_EN_SW = "'the','a','of','and','is','to','in','that','it','for'"
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingle
+       FROM toks)"""
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
+    bands = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
+            b=b, concat=" || '|' || ".join(f"mh{b * 4 + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(((v{p} // {2 ** (3 - j)}) % 2) * 2 - 1) AS w{p}_{j}"
+        for p in range(8)
+        for j in range(4)
+    )
+    vcols = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 AS v{p}" for p in range(8)
+    )
+    chars = " || ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(f"(CASE WHEN w{p}_{j} > 0 THEN {2 ** (3 - j)} ELSE 0 END)" for j in range(4))
+        + ", 1)"
+        for p in range(8)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+vs AS (SELECT doc_id, {vcols} FROM hs),
+agg AS (SELECT doc_id, {votes} FROM vs GROUP BY doc_id)
+SELECT doc_id, {chars} AS simhash FROM agg"""
+
+
+_COS = (
+    "list_sum(list_transform(range(0, 64), c -> {a}[c+1]::DOUBLE * {b}[c+1]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(0, 64), c -> {a}[c+1]::DOUBLE * {a}[c+1]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(0, 64), c -> {b}[c+1]::DOUBLE * {b}[c+1]::DOUBLE))))"
+)
+
+
+def _lsh_sig_sql(emb: str) -> str:
+    bits = " || ".join(
+        "(CASE WHEN list_sum(list_transform(range(0, 64), "
+        f"c -> {emb}[c+1]::DOUBLE * "
+        f"((((({1009 * (p + 1) + 12345}) + 9176 * (c + 1)) * 2654435761) % 1000003) / 1000003.0 - 0.5)"
+        ")) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(16)
+    )
+    return bits
+
+
+def _neardup_oracle() -> str:
+    bands = "\nUNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substr(sig, {b * 4 + 1}, 4) AS bkey FROM sigs" for b in range(4)
+    )
+    cos = _COS.format(a="va.embedding", b="vb.embedding")
+    return f"""
+WITH sigs AS (SELECT vec_id, {_lsh_sig_sql('embedding')} AS sig FROM embeddings),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS cos_sim
+FROM (SELECT id_a, id_b, {cos} AS sim
+      FROM cand JOIN embeddings va ON va.vec_id = id_a
+                JOIN embeddings vb ON vb.vec_id = id_b)
+WHERE sim >= 0.45"""
+
+
+def _ann_oracle() -> str:
+    cos = _COS.format(a="b.embedding", b="q.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (SELECT q.query_id, b.vec_id, {cos} AS sim
+           FROM embeddings b CROSS JOIN q)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk FROM scored)
+WHERE rk <= 10"""
+
+
+def _operator_oracles() -> dict[str, str]:
+    return {
+        "text_tokens": f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
+        "text_quality": f"""
+            WITH b AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars FROM documents),
+            m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                         len(list_filter(toks, t -> t IN ({_EN_SW}))) AS n_stop
+                  FROM b)
+            SELECT doc_id, n_tokens AS q_n_tokens,
+                   CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS q_mean_tok_len,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS q_punct_ratio,
+                   CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS q_stop_ratio,
+                   (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+                    + CASE WHEN n_tokens > 0 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3.0
+                            AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.15 ELSE 0.0 END
+                    + CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05 THEN 0.15 ELSE 0.0 END
+                   )::DOUBLE AS q_score
+            FROM m""",
+        "text_langid": f"""
+            WITH s AS (SELECT doc_id,
+                len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+                len(list_filter({_TOKS}, t -> t IN ({_EN_SW}))) AS s_en,
+                len(list_filter({_TOKS}, t -> t IN ('el','la','de','que','y','los','en','un','por','con'))) AS s_es,
+                len(list_filter({_TOKS}, t -> t IN ('le','la','de','et','les','des','un','une','dans','est'))) AS s_fr
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s""",
+        "text_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents""",
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "minhash_pairs": _minhash_oracle(),
+        "jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 9) AS jaccard
+            FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2""",
+        "simhash": _simhash_oracle(),
+        "ann_topk": _ann_oracle(),
+        "embed_neardup": _neardup_oracle(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count": q_count,
@@ -211,11 +433,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_cumcount": q_scan_cumcount,
         "scan_ffill": q_scan_ffill,
         "scan_bfill": q_scan_bfill,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = _operator_oracles()
+    out.update({
         "count": """
             SELECT l_returnflag, l_linestatus, count(l_quantity) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -314,4 +547,5 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY event_id
                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_filled
             FROM events""",
-    }
+    })
+    return out

@@ -1,0 +1,35 @@
+from flox_spark.operators.text import (
+    with_tokens,
+    token_count,
+    quality_score,
+    language_id,
+    fingerprint,
+)
+from flox_spark.operators.dedup import (
+    dedup_exact,
+    minhash_signatures,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flox_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_candidates,
+    embedding_near_duplicates,
+)
+
+__all__ = [
+    "with_tokens",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "lsh_bucket_candidates",
+    "embedding_near_duplicates",
+]

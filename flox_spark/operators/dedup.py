@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star).  Four
+families, all expressed as DataFrame ops over JVM built-ins:
+
+- exact: hash-groupBy on a normalized fingerprint.
+- MinHash + LSH: shingle -> per-seed min-hash -> band -> bucket join.
+- n-gram Jaccard: inverted shingle index self-join with a document
+  -frequency cutoff (the classic quadratic-blowup guard at scale).
+- SimHash: per-token md5 bit votes -> compact hex signature.
+
+Determinism note: hashes are md5 hex strings (identical in any
+engine), and min-hash takes the lexicographic minimum of those
+strings — so the DuckDB oracle reproduces results exactly, and a
+re-run on a different cluster gives identical buckets.
+
+Scale notes (100 TB posture):
+- Shingling + hashing is a pure projection (codegen, no shuffle).
+- The signature aggregation is one groupBy(doc) shuffle.
+- Bucket joins shuffle on (band, key) — uniform by construction
+  (md5).  ``max_bucket`` caps pathological buckets (e.g. boilerplate
+  documents) before the pair expansion, which is the one step that
+  can go quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row
+    per distinct content with the representative (min id) and the
+    duplicate count.  ``keep='first'`` semantics."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_expr(text: Column, k: int) -> Column:
+    """Word k-shingles of lower-cased whitespace-tokenized text; docs
+    shorter than k tokens produce their full token string as the one
+    shingle.  Pure array expressions — no UDF."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(_shingle_expr(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed i, the lexicographic
+    min of md5(i || ':' || shingle) over the doc's distinct shingles.
+    One groupBy(doc) shuffle; the 16 mins are one aggregation pass."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands
+    of ``num_hashes/bands`` rows each, hash each band, and emit all
+    (id_a < id_b) pairs sharing any band bucket.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate text) before
+    the quadratic pair expansion — at 100 TB this is the difference
+    between a join and an outage; dropped buckets mean "everything
+    here is near-identical", which callers handle via dedup_exact.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    df_max: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs found via
+    the inverted shingle index.  ``df_max`` drops shingles appearing
+    in more than that many documents (stopword-like shingles create
+    O(df^2) pairs and contribute little discrimination).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = doc_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if df_max is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= df_max), "shingle").drop("__df")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 8,
+) -> DataFrame:
+    """SimHash over distinct tokens (unit weights): for each of
+    ``hex_chars * 4`` bits, sum +1/-1 votes of md5(token)'s bit and
+    emit the majority as a hex signature string.  Near-duplicates
+    share signatures (or differ in few bits — pair via banding on
+    signature prefixes).
+
+    Plan shape: explode tokens -> distinct -> ONE groupBy(doc) with
+    4*hex_chars integer sums — all codegen, no UDF.
+    """
+    toks = F.explode(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    ).alias("tok")
+    base = df.select(F.col(id_col), toks).withColumn("h", F.md5(F.col("tok")))
+    # per hex char p: v = 0..15 from the md5 hex digit
+    char_exprs = []
+    for p in range(hex_chars):
+        v = (F.instr(F.lit(_HEX), F.substring(F.col("h"), p + 1, 1)) - 1).cast("int")
+        char_exprs.append(v.alias(f"v{p}"))
+    base = base.select(id_col, *char_exprs)
+    # bit j of char p: (v >> (3-j)) & 1 ; vote = sum(2*bit - 1)
+    votes = []
+    for p in range(hex_chars):
+        for j in range(4):
+            shift = 3 - j
+            bit = F.floor(F.col(f"v{p}") / (2 ** shift)) % 2
+            votes.append(F.sum(bit * 2 - 1).alias(f"w{p}_{j}"))
+    agg = base.groupBy(id_col).agg(*votes)
+    # rebuild hex chars from majority bits
+    out_chars = []
+    for p in range(hex_chars):
+        val = None
+        for j in range(4):
+            bit = F.when(F.col(f"w{p}_{j}") > 0, F.lit(2 ** (3 - j))).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
+    sig = F.concat(*out_chars)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond the reference's surface (BASELINE.json north star).  Two paths:
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the base table, cosine via sequential
+  ``aggregate``/``transform`` array expressions (JVM, codegen), then a
+  per-query rank.  The baseline and the oracle-checkable path.
+- ``lsh_bucket_candidates`` / ``embedding_near_duplicates``: the scale
+  path — random-hyperplane signatures computed with a deterministic
+  integer-arithmetic PRNG (identical in any engine, no library RNG),
+  banded into buckets; only bucket-mates get exact cosine.
+
+Scale notes: brute force is O(|base| * |queries|) after a broadcast —
+linear in the 100 TB table, no shuffle until the (tiny) rank input.
+LSH turns near-dup detection into a bucket join exactly like MinHash
+(see dedup.py), with the same ``max_bucket`` guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+# integer LCG-style mix, exactly reproducible in SQL on any engine
+_M = 1000003
+
+
+def _plane(p: int, c: Column) -> Column:
+    mix = (F.lit(1009 * (p + 1) + 12345) + F.lit(9176) * (c + 1)) * F.lit(2654435761)
+    return (mix % _M) / F.lit(float(_M)) - 0.5
+
+
+def _dot(a: Column, b: Column, dim: int) -> Column:
+    """Sequential left-to-right dot product (bit-reproducible across
+    engines that evaluate list folds sequentially)."""
+    prods = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda c: F.element_at(a, c + 1).cast("double") * F.element_at(b, c + 1).cast("double"),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column, dim: int) -> Column:
+    sq = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda c: F.element_at(a, c + 1).cast("double") * F.element_at(a, c + 1).cast("double"),
+    )
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` must have columns (query_id_col, vec_col) and be small
+    enough to broadcast (it is hinted).  Ties rank by ascending id for
+    determinism.  Output: (query_id, vec_id, cos_sim) — cos_sim
+    rounded to ``round_to`` decimals (ranking uses full precision).
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
+    joined = base.select(F.col(id_col), F.col(vec_col).alias("__bv")).crossJoin(q)
+    sim = _dot(F.col("__bv"), F.col("__qv"), dim) / (
+        _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
+    )
+    scored = joined.withColumn("__sim", sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(id_col).asc())
+    out = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
+        )
+    )
+    return out
+
+
+def lsh_signature_bits(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(v . plane_p), planes
+    from the deterministic integer mix above.  Output: (id, sig) with
+    sig a '0'/'1' string of length ``planes``."""
+    emb = F.col(vec_col)
+
+    def _proj(p: int):
+        # one-arg lambda: a defaulted second param would make
+        # F.transform pass the element index into it
+        return lambda c: F.element_at(emb, c + 1).cast("double") * _plane(p, c)
+
+    bits = [
+        F.when(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _proj(p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(planes)
+    ]
+    return df.select(F.col(id_col), F.concat(*bits).alias("sig"))
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs sharing any LSH band bucket (id_a < id_b)."""
+    r = planes // bands
+    sigs = lsh_signature_bits(df, id_col, vec_col, planes, dim)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.substring(F.col("sig"), b * r + 1, r).alias("bkey"))
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH candidates verified with exact
+    cosine >= threshold.  Output (id_a, id_b, cos_sim)."""
+    cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = _dot(F.col("__va"), F.col("__vb"), dim) / (
+        _norm(F.col("__va"), dim) * _norm(F.col("__vb"), dim)
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
+        )
+    )

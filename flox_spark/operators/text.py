@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2.5 — flox has no scalar/text
+functions); designed per the engine's north star (BASELINE.json).
+Everything here is built from JVM built-in expressions — no Python
+UDFs in the hot path — so a 100 TB documents table runs entirely
+inside whole-stage codegen with predicate pushdown intact.
+
+Cross-engine determinism: every function here is also expressible in
+ANSI-ish SQL (see __spark_entry__.oracle_sql), using only operations
+whose semantics match between Spark and DuckDB (md5, regexp with
+explicit global flag, length, array ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic.  Deterministic, alphabetical language order for tie-break.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"),
+}
+
+PUNCT_RE = "[.,!?;:]"
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased text; empty text -> []."""
+    t = F.lower(F.trim(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, _tokens(F.col(text_col)))
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (the cheap BPE-proxy)."""
+    return df.withColumn(out, F.size(_tokens(F.col(text_col))).cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", prefix: str = "q_") -> DataFrame:
+    """Heuristic quality features: length, token count, mean token
+    length, punctuation ratio, stopword(en) ratio, and a composite
+    score.  All ratios are exact rational arithmetic over counts, so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = (F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))).cast("long")
+    sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw))).cast("long")
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.15)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn(f"{prefix}n_tokens", n_tokens)
+        .withColumn(f"{prefix}mean_tok_len", mean_tok_len)
+        .withColumn(f"{prefix}punct_ratio", punct_ratio)
+        .withColumn(f"{prefix}stop_ratio", stop_ratio)
+        .withColumn(f"{prefix}score", score)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic: score = number of tokens in
+    each language's stopword list; winner = highest score, ties broken
+    alphabetically; no hits at all -> 'und' (undetermined)."""
+    toks = _tokens(F.col(text_col))
+
+    def _hits(sw: tuple[str, ...]):
+        # NB: a one-arg lambda — a second (even defaulted) parameter
+        # makes F.filter pass the element index into it
+        return lambda t: t.isin(*sw)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _hits(sw))))
+        for lang, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    # argmax with alphabetical tie-break: fold keeping (best_score, lang)
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    pick = F.lit("und")
+    for lang, s in reversed(scores):  # earlier (alphabetical) languages win ties
+        pick = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pick)
+    return df.withColumn(out, pick)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased
+    text — the exact-dedup key.  (A content-defined rolling hash adds
+    nothing at the whole-document granularity; shingle-level rolling
+    hashes live in dedup.minhash_signatures.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return df.withColumn(out, F.md5(norm))

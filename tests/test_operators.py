@@ -1,0 +1,137 @@
+"""Tests for the beyond-reference pipeline operators (dedup,
+similarity, text) on constructed data with planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flox_spark.operators import (
+    cosine_topk,
+    dedup_exact,
+    embedding_near_duplicates,
+    fingerprint,
+    language_id,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near dup of 0
+    (3, "el gato y el perro en la casa de la abuela con los amigos"),
+    (4, "completely different content about spark query engines and distributed joins"),
+    (5, "der hund und die katze sind nicht auf der strasse mit dem auto"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact(docs):
+    res = dedup_exact(docs).collect()
+    assert len(res) == 5  # 6 docs, one exact-dup pair
+    groups = {r["keep_id"]: r["n_dups"] for r in res}
+    assert groups[0] == 2  # doc 1 collapsed into doc 0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "Hello  World"), (1, "hello world "), (2, "other")], columns=["doc_id", "text"])
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_token_count(docs):
+    res = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert res[0] == 14
+    assert res[4] == 10
+
+
+def test_quality_score(docs):
+    res = quality_score(docs).collect()
+    for r in res:
+        assert 0.0 <= r["q_score"] <= 1.0
+        assert r["q_n_tokens"] > 0
+
+
+def test_language_id(docs):
+    res = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert res[0] == "en"
+    assert res[3] == "es"
+    assert res[5] == "de"
+
+
+def test_minhash_signatures_shape(docs):
+    sigs = minhash_signatures(docs, num_hashes=16).collect()
+    assert len(sigs) == 6
+    row = {r["doc_id"]: r for r in sigs}
+    # exact dups share the whole signature
+    for i in range(16):
+        assert row[0][f"mh{i}"] == row[1][f"mh{i}"]
+
+
+def test_minhash_candidates_find_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidates(docs, num_hashes=16, bands=8).collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    # near-dup (0,2) should collide in at least one of 8 bands (2 rows each)
+    assert (0, 2) in pairs or (1, 2) in pairs
+    # unrelated docs must not pair
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_simhash(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # exact dups identical
+    assert len(sigs[0]) == 8
+    # hamming(sig0, sig2) small, hamming(sig0, sig4) larger
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+    assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    base[5] = base[3] + rng.normal(scale=1e-3, size=8).astype(np.float32)  # near-dup pair (3,5)
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in base]})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk(vectors, queries, k=3, dim=8).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        assert rows[0]["vec_id"] == qid  # self is the top hit
+        assert rows[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+             embedding_near_duplicates(vectors, threshold=0.99, planes=8, bands=4, dim=8).collect()}
+    assert (3, 5) in pairs
+    assert pairs[(3, 5)] > 0.999
