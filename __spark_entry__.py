@@ -248,6 +248,39 @@ def q_embed_neardup(s, d):
     )
 
 
+def q_q1_multi(s, d):
+    # TPC-H Q1 shape through the single-pass multi-agg API
+    from flox_spark import groupby_reduce_multi
+
+    return groupby_reduce_multi(
+        _t(s, d, "lineitem"),
+        "l_returnflag",
+        "l_linestatus",
+        aggs={
+            "sum_qty": ("nansum", "l_quantity"),
+            "sum_price": ("nansum", "l_extendedprice"),
+            "avg_qty": ("nanmean", "l_quantity"),
+            "avg_price": ("nanmean", "l_extendedprice"),
+            "avg_disc": ("nanmean", "l_discount"),
+            "count_order": ("count", "l_quantity"),
+        },
+    )
+
+
+def q_multimodal_features(s, d):
+    # binary-column plumbing: fake media from documents -> Arrow-batched
+    # mapInPandas feature extraction (deterministic sha256 expansion)
+    from flox_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_t(s, d, "documents"))
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.transform("feature", lambda x: x.cast("double")).alias("feature"),
+    )
+
+
 # ---- oracle SQL generators for the operator queries -----------------------
 
 _EN_SW = "'the','a','of','and','is','to','in','that','it','for'"
@@ -388,6 +421,23 @@ def _operator_oracles() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
+        "q1_multi": """
+            SELECT l_returnflag, l_linestatus,
+                   coalesce(sum(l_quantity), 0) AS sum_qty,
+                   coalesce(sum(l_extendedprice), 0) AS sum_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(l_quantity) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_transform(range(0, 16), i ->
+                     ((strpos('0123456789abcdef', substr(sha256(text), 2*i + 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(sha256(text), 2*i + 2, 1)) - 1)
+                     / 128.0 - 1.0) AS feature
+            FROM documents""",
         "minhash_pairs": _minhash_oracle(),
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
@@ -443,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
+        "q1_multi": q_q1_multi,
+        "multimodal_features": q_multimodal_features,
     }
 
 

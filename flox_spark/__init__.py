@@ -14,15 +14,17 @@ left join.  None of flox's dask machinery (tree combine, cohorts,
 blockwise rechunk) is ported — Catalyst/AQE plays that role.
 """
 
-from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS
-from flox_spark.core import groupby_reduce
+from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, pandas_aggregation
+from flox_spark.core import groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
 from flox_spark.options import set_options, get_options
 
 __all__ = [
     "groupby_reduce",
+    "groupby_reduce_multi",
     "groupby_scan",
     "Aggregation",
+    "pandas_aggregation",
     "REDUCTIONS",
     "SCANS",
     "set_options",

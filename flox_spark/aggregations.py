@@ -312,6 +312,37 @@ _reg("mode", None, two_stage="mode", preserves_dtype=True)  # built in core.py
 _reg("nanmode", None, two_stage="mode", preserves_dtype=True)
 
 
+def pandas_aggregation(
+    name: str,
+    fn: Callable,
+    return_type: str | DataType,
+    default_fill: Any = None,
+    skipna: bool = True,
+) -> Aggregation:
+    """Custom reduction from a ``pandas.Series -> scalar`` function,
+    executed as an Arrow-batched grouped-agg pandas UDF — the escape
+    hatch mirroring flox's custom-callable Aggregation support
+    (flox/aggregations.py:161-301, flox/core.py:363-366; exercised in
+    reference tests/test_core.py:1510-1551).
+
+    Prefer expression-based custom ``Aggregation(build=...)`` — it
+    stays in codegen; this path ships Arrow batches to Python (still
+    ~10-100x faster than row-at-a-time UDFs).  Note: Spark cannot mix
+    pandas UDAFs with some built-in aggregates in one agg call, so
+    ``min_count`` is not supported with this kind of reduction.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: users pass plain callables/lambdas without
+    # the type hints pyspark would need to infer the UDF kind
+    udf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+
+    def build(ctx: AggContext) -> Column:
+        return udf(ctx.v_skip if skipna else dt_mod.to_prop(ctx.value, ctx.dt))
+
+    return Aggregation(name=name, build=build, default_fill=default_fill)
+
+
 # ---------------------------------------------------------------------------
 # scans (flox/aggregations.py:915-920) — window expressions, built in scan.py
 # ---------------------------------------------------------------------------

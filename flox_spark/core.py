@@ -173,10 +173,93 @@ def groupby_reduce(
 
     # ---- expected-groups reindex (flox/reindex.py:160-216) ----------
     if any(e is not None for e in expected_t):
+        fill = fill_value if fill_value is not None else agg.default_fill
         result = _reindex_expected(
-            result, key_cols, by, isbin_t, expected_t, out_name, fill_value, agg, df.sparkSession
+            result, key_cols, isbin_t, expected_t, {out_name: fill}, df.sparkSession
         )
 
+    if sort:
+        result = result.orderBy(*key_cols)
+    return result
+
+
+def groupby_reduce_multi(
+    df: DataFrame,
+    *by: str,
+    aggs: dict[str, tuple[str, str] | dict],
+    expected_groups: Sequence | None = None,
+    sort: bool = True,
+    isbin: bool | Sequence[bool] = False,
+    fill_value: Any = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Several reductions in ONE aggregation pass — the named-column
+    API sugar playing the role of flox's ``xarray_reduce`` over a
+    Dataset (reference: flox/xarray.py:73-516, which reduces many
+    variables against shared groupers).  One groupBy shuffle total;
+    Catalyst dedups shared sub-aggregates (e.g. one count feeding
+    several expressions — the analog of flox's duplicate-intermediate
+    elimination, flox/core.py:347-353).
+
+    ``aggs``: {output_name: (func, value_col)} or
+    {output_name: {"func":..., "value":..., "finalize_kwargs": {...}}}.
+    """
+    if not by:
+        raise ValueError("need at least one `by` column")
+    nby = len(by)
+    isbin_t = _as_tuple(isbin, nby, "isbin")
+    if expected_groups is None:
+        expected_t: tuple = (None,) * nby
+    elif nby == 1 and not isinstance(expected_groups[0], (list, tuple)):
+        expected_t = (list(expected_groups),)
+    else:
+        expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
+
+    work = df
+    key_cols: list[str] = []
+    for i, b in enumerate(by):
+        bdt = work.schema[b].dataType
+        work = work.filter(~is_missing(F.col(b), bdt))
+        if isbin_t[i]:
+            kc = f"{b}_bin"
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i]))
+            work = work.filter(F.col(kc).isNotNull())
+        else:
+            kc = b
+        key_cols.append(kc)
+
+    exprs = []
+    fills: dict[str, Any] = {}
+    for out_name, spec in aggs.items():
+        if isinstance(spec, dict):
+            func, value = spec["func"], spec["value"]
+            fk = spec.get("finalize_kwargs") or {}
+        else:
+            func, value = spec
+            fk = {}
+        if isinstance(func, str):
+            if func not in REDUCTIONS:
+                raise ValueError(f"unknown reduction {func!r}")
+            agg = REDUCTIONS[func]
+        else:
+            agg = func
+        if agg.two_stage:
+            raise ValueError(f"{agg.name} is two-stage; use groupby_reduce for it")
+        if agg.needs_order and order_by is None:
+            raise ValueError(f"func {agg.name!r} requires order_by=")
+        ctx = AggContext(
+            value=F.col(value),
+            dt=work.schema[value].dataType,
+            idx=F.col(order_by) if order_by else None,
+            kwargs=fk,
+        )
+        exprs.append(agg.build(ctx).alias(out_name))
+        fills[out_name] = fill_value if fill_value is not None else agg.default_fill
+
+    result = work.groupBy(*key_cols).agg(*exprs)
+
+    if any(e is not None for e in expected_t):
+        result = _reindex_expected(result, key_cols, isbin_t, expected_t, fills, df.sparkSession)
     if sort:
         result = result.orderBy(*key_cols)
     return result
@@ -208,19 +291,18 @@ def _mode_two_stage(work: DataFrame, key_cols: list[str], ctx: AggContext, skipn
 def _reindex_expected(
     result: DataFrame,
     key_cols: list[str],
-    by: tuple[str, ...],
     isbin_t: tuple,
     expected_t: tuple,
-    out_name: str,
-    fill_value: Any,
-    agg: Aggregation,
+    fills: dict[str, Any],
     spark,
 ) -> DataFrame:
     """Left-join the aggregated result onto the cartesian grid of
     expected groups and fill absences — flox's reindex_ + fill
     (flox/reindex.py:160-216, flox/core.py:1195-1202).  Both sides
     are group-cardinality-sized; broadcast the aggregated side so the
-    join never shuffles."""
+    join never shuffles.  ``fills``: out_column -> fill value (None ->
+    NaN for float results, flox's promotion rule collapsed to NULL/NaN).
+    """
     grid: DataFrame | None = None
     for i, kc in enumerate(key_cols):
         exp = expected_t[i]
@@ -234,10 +316,6 @@ def _reindex_expected(
             part = spark.createDataFrame([(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}")
         grid = part if grid is None else grid.crossJoin(part)
 
-    res_dt = result.schema[out_name].dataType
-    fill = fill_value if fill_value is not None else agg.default_fill
-    if fill is None and is_float_type(res_dt):
-        fill = NAN  # flox fills float results with NaN, not NULL
     # mark presence explicitly: a present group whose aggregate is
     # legitimately NULL must NOT be replaced by fill_value — fill is
     # only for expected-but-absent groups (flox/core.py:461-470)
@@ -247,8 +325,14 @@ def _reindex_expected(
         on=key_cols,
         how="left",
     )
-    filled = joined.withColumn(
-        out_name,
-        F.when(F.col("__present").isNull(), _fill_literal(fill).cast(res_dt)).otherwise(F.col(out_name)),
-    ).drop("__present")
-    return filled
+    for out_name, fill in fills.items():
+        res_dt = result.schema[out_name].dataType
+        if fill is None and is_float_type(res_dt):
+            fill = NAN  # flox fills float results with NaN, not NULL
+        joined = joined.withColumn(
+            out_name,
+            F.when(F.col("__present").isNull(), _fill_literal(fill).cast(res_dt)).otherwise(
+                F.col(out_name)
+            ),
+        )
+    return joined.drop("__present")

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+Beyond the reference's surface (BASELINE.json north star).  The
+decode step is STUBBED (no image/audio libraries in this container —
+see ``_HAS_PIL``); everything Spark-side is real and tested: the
+schema contract, Arrow batch shape through ``mapInPandas``, the
+deterministic fallback used by tests, and the partitioning guidance
+for skewed blob sizes.
+
+Design for 100 TB:
+- blobs stay in executors end-to-end (no driver collect);
+- ``mapInPandas`` streams Arrow batches, so peak memory is one batch
+  of blobs per core — tune ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` down for large media;
+- decode is embarrassingly parallel; a pre-``repartition`` by
+  ``octet_length(content)`` bucket balances skewed blob sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+# The media-table schema contract: binary payload + typed metadata.
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fake media table from the documents table: payload = utf-8
+    bytes of the text, metadata synthesized deterministically.  Lets
+    the whole multimodal path run (and be benchmarked) without real
+    media files."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(
+            F.lit("fake/text").alias("format"),
+            (F.length(text_col) % 1024).cast("int").alias("width"),
+            (F.length(text_col) % 768).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(content: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real image/audio encoder: expand
+    the blob's sha256 into ``dim`` floats in [-1, 1).  Replace with a
+    real model behind the same signature."""
+    out = np.empty(dim, dtype=np.float32)
+    h = content
+    i = 0
+    while i < dim:
+        h = hashlib.sha256(h).digest()
+        chunk = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        take = min(dim - i, len(chunk))
+        out[i : i + take] = chunk[:take] / 128.0 - 1.0
+        i += take
+    return out
+
+
+def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> DataFrame:
+    """Feature-extract every blob via an Arrow-batched ``mapInPandas``
+    pass — the real plumbing for any per-blob Python/C++ model.  The
+    UDF sees pandas batches of (id, content) and yields (id, n_bytes,
+    feature) batches; Spark handles distribution/recovery."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_feature(c if isinstance(c, (bytes, bytearray)) else bytes(c), dim)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.select(F.col(id_col), "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, id_col: str = "media_id"):
+    """Decode image blobs to (height, width, 3) pixel arrays.
+
+    STUB: requires an image library not present in this container.
+    The Spark-side contract (binary in, array<array<array<int>>> out
+    via mapInPandas) is what ``extract_features`` exercises with the
+    deterministic fake."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow; container has no image libs. "
+            "Use extract_features() for the tested Arrow plumbing."
+        )
+    raise NotImplementedError("real decode path intentionally left to deployment")
+
+
+def balance_by_size(df: DataFrame, partitions: int, content_col: str = "content") -> DataFrame:
+    """Repartition media rows by a hash of (size-bucket, id) so a few
+    giant blobs don't serialize one task: the skew guard to apply
+    before decode at scale."""
+    bucket = (F.octet_length(content_col) / F.lit(65536)).cast("int")
+    return df.repartition(partitions, bucket, F.spark_partition_id())

@@ -1,0 +1,189 @@
+"""Tests: custom aggregations (flox phase-4 UDF surface), multi-agg
+single-pass API, multimodal Arrow plumbing, streaming reductions."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flox_spark import (
+    Aggregation,
+    groupby_reduce,
+    groupby_reduce_multi,
+    pandas_aggregation,
+)
+from flox_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+    balance_by_size,
+    decode_image,
+)
+from flox_spark.streaming import groupby_reduce_stream
+
+
+LABELS = [0, 0, 2, 2, 2, 1, 1, 2, 2, 1, 1, 0]
+VALUES = [2.5, -1.0, 3.0, 0.5, 7.25, 1.0, 1.0, -2.0, 4.0, 0.0, 5.5, 3.25]
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"idx": range(12), "label": LABELS, "v": VALUES})
+    )
+
+
+# ---- custom Aggregation (expression-based) --------------------------------
+
+
+def test_custom_expression_aggregation(small):
+    # "sum of squares" as a user-registered Aggregation — the
+    # expression path mirroring reference test_core.py:1510-1551
+    sumsq = Aggregation(name="sumsq", build=lambda ctx: F.sum(ctx.v_skip * ctx.v_skip))
+    res = groupby_reduce(small, "label", func=sumsq, value="v").collect()
+    got = {r["label"]: r["sumsq"] for r in res}
+    v, lab = np.array(VALUES), np.array(LABELS)
+    for g in [0, 1, 2]:
+        assert got[g] == pytest.approx(float((v[lab == g] ** 2).sum()))
+
+
+def test_custom_pandas_aggregation(small):
+    # geometric mean via Arrow-batched pandas UDAF — the escape hatch
+    geomean = pandas_aggregation(
+        "geomean", lambda s: float(np.exp(np.log(np.abs(s) + 1e-12).mean())), "double"
+    )
+    res = groupby_reduce(small, "label", func=geomean, value="v").collect()
+    got = {r["label"]: r["geomean"] for r in res}
+    v, lab = np.array(VALUES), np.array(LABELS)
+    for g in [0, 1, 2]:
+        want = float(np.exp(np.log(np.abs(v[lab == g]) + 1e-12).mean()))
+        assert got[g] == pytest.approx(want, rel=1e-9)
+
+
+# ---- multi-agg single pass -------------------------------------------------
+
+
+def test_groupby_reduce_multi(small):
+    res = groupby_reduce_multi(
+        small,
+        "label",
+        aggs={
+            "total": ("nansum", "v"),
+            "n": ("count", "v"),
+            "avg": ("nanmean", "v"),
+            "hi": ("nanmax", "v"),
+            "sd1": {"func": "nanstd", "value": "v", "finalize_kwargs": {"ddof": 1}},
+        },
+    ).collect()
+    v, lab = np.array(VALUES), np.array(LABELS)
+    got = {r["label"]: r for r in res}
+    for g in [0, 1, 2]:
+        x = v[lab == g]
+        assert got[g]["total"] == pytest.approx(x.sum())
+        assert got[g]["n"] == len(x)
+        assert got[g]["avg"] == pytest.approx(x.mean())
+        assert got[g]["hi"] == pytest.approx(x.max())
+        assert got[g]["sd1"] == pytest.approx(x.std(ddof=1), rel=1e-12)
+
+
+def test_groupby_reduce_multi_expected(small):
+    res = groupby_reduce_multi(
+        small,
+        "label",
+        aggs={"total": ("nansum", "v"), "n": ("count", "v")},
+        expected_groups=[0, 1, 2, 9],
+    ).collect()
+    got = {r["label"]: r for r in res}
+    assert got[9]["n"] == 0  # count fill
+    assert got[9]["total"] == 0.0  # sum fill
+
+
+def test_multi_single_shuffle(small):
+    # one aggregation pass: physical plan has exactly one shuffle
+    df = groupby_reduce_multi(
+        small, "label", aggs={"a": ("nansum", "v"), "b": ("nanmean", "v")}, sort=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["alpha beta", "gamma", "alpha beta"]})
+    )
+    media = media_from_documents(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len(b"alpha beta")
+    assert len(by_id[0]["feature"]) == 16
+    # deterministic: same payload -> same feature
+    assert by_id[0]["feature"] == by_id[2]["feature"]
+    assert by_id[0]["feature"] != by_id[1]["feature"]
+    assert all(-1.0 <= x < 1.0 for x in by_id[0]["feature"])
+
+
+def test_multimodal_balance_and_stub(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["abc"]}))
+    media = media_from_documents(docs)
+    assert balance_by_size(media, 4).count() == 1
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+# ---- streaming -------------------------------------------------------------
+
+
+def test_streaming_windowed_sum(spark):
+    # end-to-end: file stream -> watermarked window agg -> memory sink,
+    # compared against the equivalent batch computation
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:15", "2024-01-01 00:45",
+                 "2024-01-01 01:10", "2024-01-01 01:20", "2024-01-01 02:05"]
+            ),
+            "k": ["a", "b", "a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="flox_stream_")
+    try:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        out = groupby_reduce_stream(
+            stream, "k", func="nansum", value="v",
+            time_col="ts", window="1 hour", watermark="0 seconds", alias="total",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("flox_stream_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            (r["window_start"].hour, r["k"]): r["total"]
+            for r in spark.sql("SELECT * FROM flox_stream_test").collect()
+        }
+        assert got == {(0, "a"): 4.0, (0, "b"): 2.0, (1, "a"): 4.0, (1, "b"): 5.0, (2, "b"): 6.0}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_rejects_positional(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"]), "k": ["a"], "v": [1.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="total order"):
+        groupby_reduce_stream(df, "k", func="first", value="v", time_col="ts")
