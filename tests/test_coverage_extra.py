@@ -1,0 +1,88 @@
+"""Coverage for option paths and combined features: approx quantile,
+mixed binned+plain multi-by grids, sort=False, scan over high-card
+groups straddling partitions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce, groupby_scan, set_options
+
+
+def test_approx_quantile_option(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame({"k": rng.integers(0, 3, 5000), "v": rng.normal(size=5000)})
+    df = spark.createDataFrame(pdf)
+    exact = {
+        r["k"]: r["nanquantile"]
+        for r in groupby_reduce(df, "k", func="nanquantile", value="v", finalize_kwargs={"q": 0.9}).collect()
+    }
+    with set_options(approx_quantile=True):
+        approx = {
+            r["k"]: r["nanquantile"]
+            for r in groupby_reduce(df, "k", func="nanquantile", value="v", finalize_kwargs={"q": 0.9}).collect()
+        }
+    for g in exact:
+        assert approx[g] == pytest.approx(exact[g], abs=0.05)
+
+
+def test_mixed_bin_and_plain_multiby(spark):
+    # one binned grouper + one categorical grouper -> cartesian grid
+    pdf = pd.DataFrame({
+        "x": [0.5, 1.5, 2.5, 3.5, 0.7, 1.2],
+        "c": ["a", "a", "b", "b", "b", "a"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "x", "c", func="nansum", value="v",
+        isbin=(True, False),
+        expected_groups=([0.0, 1.0, 2.0, 4.0], ["a", "b"]),
+        fill_value=0.0,
+    ).collect()
+    assert len(res) == 6  # 3 bins x 2 cats
+    got = {(r["x_bin"], r["c"]): r["nansum"] for r in res}
+    assert got[(0, "a")] == 1.0           # x=0.5
+    assert got[(0, "b")] == 5.0           # x=0.7
+    assert got[(1, "a")] == 2.0 + 6.0     # x=1.5, 1.2
+    assert got[(2, "b")] == 3.0 + 4.0     # x=2.5, 3.5
+    assert got[(1, "b")] == 0.0 and got[(2, "a")] == 0.0
+
+
+def test_sort_false_skips_sort(spark):
+    pdf = pd.DataFrame({"k": [2, 1, 0], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    plan = (
+        groupby_reduce(df, "k", func="nansum", value="v", sort=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan
+
+
+def test_scan_highcard_partition_straddle(spark):
+    # groups interleaved across many partitions: the window must
+    # reassemble per-group order globally
+    rng = np.random.default_rng(3)
+    n = 20000
+    pdf = pd.DataFrame({
+        "idx": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 500, n),
+        "v": rng.normal(size=n),
+    })
+    df = spark.createDataFrame(pdf).repartition(16)
+    res = groupby_scan(df, "k", func="nancumsum", value="v", order_by="idx")
+    pd_res = res.toPandas().sort_values("idx").reset_index(drop=True)
+    want = pdf.assign(c=pdf.groupby("k")["v"].cumsum())
+    # atol covers running sums passing near zero (cancellation makes
+    # pure-relative comparison meaningless there)
+    np.testing.assert_allclose(pd_res["nancumsum"].to_numpy(), want["c"].to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+def test_expected_groups_subset_drops_unexpected(spark):
+    # expected narrower than observed: flox reindexes to expected only
+    pdf = pd.DataFrame({"k": [0, 1, 2, 3], "v": [1.0, 2.0, 3.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func="nansum", value="v", expected_groups=[0, 2]).collect()
+    assert {r["k"] for r in res} == {0, 2}

@@ -1,0 +1,112 @@
+"""Property-based differential tests (hypothesis), mirroring the
+reference's tests/test_properties.py invariants:
+
+- grouped reduce == per-group numpy on random values/labels/NaNs
+  (reference test_properties.py:181-219)
+- scans == per-group numpy scan (:222-265)
+- ffill/bfill reversal duality (:268-287)
+
+Example counts are kept small: each example is a Spark round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flox_spark import groupby_reduce, groupby_scan
+
+FUNCS = ["count", "nansum", "nanmean", "nanmin", "nanmax", "nanvar", "sum", "mean", "max"]
+
+ex = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def arrays(draw):
+    n = draw(st.integers(4, 24))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                st.just(float("nan")),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    labs = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    return np.array(vals, dtype=np.float64), np.array(labs, dtype=np.int64)
+
+
+def np_group(func, v, lab):
+    out = {}
+    for g in np.unique(lab):
+        x = v[lab == g]
+        with np.errstate(invalid="ignore"):
+            if func == "count":
+                out[int(g)] = int((~np.isnan(x)).sum())
+            elif func in ("sum", "mean", "max"):
+                out[int(g)] = getattr(np, func)(x)
+            else:
+                out[int(g)] = getattr(np, func)(x)
+    return out
+
+
+@pytest.mark.parametrize("func", FUNCS)
+@given(data=arrays())
+@ex
+def test_reduce_matches_numpy(spark, func, data):
+    v, lab = data
+    df = spark.createDataFrame(pd.DataFrame({"k": lab, "v": v}))
+    got = {r["k"]: r[func] for r in groupby_reduce(df, "k", func=func, value="v").collect()}
+    want = np_group(func, v, lab)
+    assert set(got) == set(want)
+    for g, w in want.items():
+        gv = got[g]
+        if isinstance(w, float) and math.isnan(w):
+            assert gv is None or math.isnan(gv), (g, gv, w)
+        else:
+            assert gv == pytest.approx(float(w), rel=1e-9, abs=1e-9), (g, gv, w)
+
+
+@given(data=arrays())
+@ex
+def test_scan_matches_numpy(spark, data):
+    v, lab = data
+    n = len(v)
+    df = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n), "k": lab, "v": v}))
+    res = groupby_scan(df, "k", func="nancumsum", value="v", order_by="idx")
+    got = {r["idx"]: r["nancumsum"] for r in res.collect()}
+    for g in np.unique(lab):
+        pos = np.where(lab == g)[0]
+        want = np.nancumsum(v[pos])
+        for p, w in zip(pos, want):
+            assert got[p] == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+@given(data=arrays())
+@ex
+def test_ffill_bfill_duality(spark, data):
+    # reversing the order column turns ffill into bfill
+    # (reference test_properties.py:268-287)
+    v, lab = data
+    n = len(v)
+    pdf = pd.DataFrame({"idx": np.arange(n), "ridx": n - 1 - np.arange(n), "k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    b = {r["idx"]: r["bfill"] for r in groupby_scan(df, "k", func="bfill", value="v", order_by="idx").collect()}
+    f_rev = {r["idx"]: r["ffill"] for r in groupby_scan(df, "k", func="ffill", value="v", order_by="ridx").collect()}
+    for i in range(n):
+        x, y = b[i], f_rev[i]
+        if x is None or y is None:
+            assert x is None and y is None
+        else:
+            assert x == pytest.approx(y, rel=1e-12)
