@@ -248,6 +248,16 @@ def q_embed_neardup(s, d):
     )
 
 
+def q_ivf_topk(s, d):
+    from flox_spark.operators import ivf_topk
+
+    emb = _t(s, d, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, nprobe=2, cluster_col="label", dim=64)
+
+
 def q_q1_multi(s, d):
     # TPC-H Q1 shape through the single-pass multi-agg API
     from flox_spark import groupby_reduce_multi
@@ -369,6 +379,32 @@ FROM (SELECT id_a, id_b, {cos} AS sim
 WHERE sim >= 0.45"""
 
 
+def _ivf_oracle() -> str:
+    ccos = _COS.format(a="q.embedding", b="c.centroid")
+    fcos = _COS.format(a="b.embedding", b="p.embedding")
+    return f"""
+WITH expl AS (
+  SELECT label,
+         unnest(list_transform(range(0, 64),
+                i -> struct_pack(p := i, v := embedding[i+1]::DOUBLE))) AS s
+  FROM embeddings),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, s.p AS pos, round(avg(s.v), 6) AS m FROM expl GROUP BY label, s.p)
+  GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+qscore AS (SELECT q.query_id, q.embedding, c.label, {ccos} AS cs FROM q CROSS JOIN cents c),
+probed AS (SELECT query_id, embedding, label
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, label) AS pr
+                 FROM qscore)
+           WHERE pr <= 2),
+cand AS (SELECT p.query_id, b.vec_id, {fcos} AS sim
+         FROM embeddings b JOIN probed p ON b.label = p.label)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk FROM cand)
+WHERE rk <= 10"""
+
+
 def _ann_oracle() -> str:
     cos = _COS.format(a="b.embedding", b="q.embedding")
     return f"""
@@ -450,6 +486,7 @@ def _operator_oracles() -> dict[str, str]:
             WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2""",
         "simhash": _simhash_oracle(),
         "ann_topk": _ann_oracle(),
+        "ivf_topk": _ivf_oracle(),
         "embed_neardup": _neardup_oracle(),
     }
 
@@ -492,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "q1_multi": q_q1_multi,
         "multimodal_features": q_multimodal_features,

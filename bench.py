@@ -36,6 +36,14 @@ BENCH_QUERIES = [
     "mode",
     "scan_cumsum",    # window scan over events
     "scan_ffill",
+    "q1_multi",       # 6 aggregates, one pass
+    "dedup_exact",    # pipeline ops over documents/embeddings
+    "minhash_pairs",
+    "text_quality",
+    "simhash",
+    "ann_topk",
+    "ivf_topk",
+    "multimodal_features",
 ]
 
 
@@ -56,6 +64,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        spark.catalog.clearCache()  # operators persist shared frames; isolate queries
         t0 = time.perf_counter()
         force(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 4)

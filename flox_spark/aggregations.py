@@ -280,6 +280,25 @@ def _reg(name: str, build: Callable[[AggContext], Column], **kw: Any) -> None:
 
 
 _reg("count", _count, default_fill=0)
+# backend-named intermediates exposed as public funcs (flox
+# aggregate_flox.py:225-248, aggregate_npg.py:16-109): nanlen == count,
+# len counts ALL rows (NaN included), sum_of_squares variants
+_reg("nanlen", _count, default_fill=0)
+_reg("len", lambda c: F.count(F.lit(1)), default_fill=0)
+_reg(
+    "nansum_of_squares",
+    lambda c: F.coalesce(F.sum(c.arith()[0] * c.arith()[0]), F.lit(0).cast("double" if is_float_type(c.dt) else "long")),
+    default_fill=0,
+)
+_reg(
+    "sum_of_squares",
+    lambda c: _propagate(
+        c,
+        F.coalesce(F.sum(c.arith()[0] * c.arith()[0]), F.lit(0).cast("double" if is_float_type(c.dt) else "long")),
+        "double" if is_float_type(c.dt) else "long",
+    ),
+    default_fill=0,
+)
 _reg("sum", lambda c: _sum(c, skipna=False), default_fill=0)
 _reg("nansum", lambda c: _sum(c, skipna=True), default_fill=0)
 _reg("prod", lambda c: _prod(c, skipna=False), default_fill=1)

@@ -16,6 +16,8 @@ from flox_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_candidates,
     embedding_near_duplicates,
+    ivf_centroids,
+    ivf_topk,
 )
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_candidates",
     "embedding_near_duplicates",
+    "ivf_centroids",
+    "ivf_topk",
 ]

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flox_spark.plans import ensure_parallelism
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -72,7 +74,9 @@ def _shingle_expr(text: Column, k: int) -> Column:
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
+    """Distinct (id, shingle) pairs — the inverted-index input.
+    Fans out small scans first: shingling+hashing are CPU-bound."""
+    df = ensure_parallelism(df)
     return (
         df.select(F.col(id_col), F.explode(_shingle_expr(F.col(text_col), k)).alias("shingle"))
         .distinct()
@@ -141,6 +145,11 @@ def minhash_candidates(
             .filter(F.col("__bs") <= max_bucket)
             .drop("__bs")
         )
+    # the self-join is a diamond DAG: without persisting, Spark
+    # recomputes the whole shingle+md5 pipeline for BOTH sides
+    # (verified via .explain: 2 FileScans, 0 ReusedExchange).  The
+    # bucket table is tiny relative to the raw text, so persist it.
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -176,7 +185,9 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = doc_shingles(df, id_col, text_col, k)
+    # sh feeds the pair join twice plus sizes (and freq): persist the
+    # inverted index once instead of re-shingling per consumer
+    sh = doc_shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -225,7 +236,7 @@ def simhash_signatures(
     toks = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     ).alias("tok")
-    base = df.select(F.col(id_col), toks).withColumn("h", F.md5(F.col("tok")))
+    base = ensure_parallelism(df).select(F.col(id_col), toks).withColumn("h", F.md5(F.col("tok")))
     # per hex char p: v = 0..15 from the md5 hex digit
     char_exprs = []
     for p in range(hex_chars):

@@ -117,7 +117,9 @@ def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> 
                 }
             )
 
-    return df.select(F.col(id_col), "content").mapInPandas(run, FEATURE_SCHEMA)
+    from flox_spark.plans import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), "content")).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def decode_image(df: DataFrame, id_col: str = "media_id"):

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flox_spark.plans import ensure_parallelism
+
 # deterministic pseudo-random hyperplane component in [-0.5, 0.5):
 # integer LCG-style mix, exactly reproducible in SQL on any engine
 _M = 1000003
@@ -68,6 +70,7 @@ def cosine_topk(
     rounded to ``round_to`` decimals (ranking uses full precision).
     """
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
+    base = ensure_parallelism(base)
     joined = base.select(F.col(id_col), F.col(vec_col).alias("__bv")).crossJoin(q)
     sim = _dot(F.col("__bv"), F.col("__qv"), dim) / (
         _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
@@ -97,6 +100,7 @@ def lsh_signature_bits(
     from the deterministic integer mix above.  Output: (id, sig) with
     sig a '0'/'1' string of length ``planes``."""
     emb = F.col(vec_col)
+    df = ensure_parallelism(df)
 
     def _proj(p: int):
         # one-arg lambda: a defaulted second param would make
@@ -146,6 +150,9 @@ def lsh_bucket_candidates(
             .filter(F.col("__bs") <= max_bucket)
             .drop("__bs")
         )
+    # persist: the self-join would otherwise recompute all 16
+    # hyperplane projections for each side (see dedup.py note)
+    buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -156,6 +163,85 @@ def lsh_bucket_candidates(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Elementwise-mean centroid per cluster: posexplode ->
+    groupBy(cluster, pos).avg -> rebuild array ordered by pos.
+    Components are rounded so centroid scores are reproducible across
+    engines despite summation-order float jitter.  Output:
+    (cluster, centroid array<double>)."""
+    exploded = df.select(
+        F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    means = exploded.groupBy(cluster_col, "pos").agg(F.round(F.avg("v"), round_to).alias("m"))
+    return (
+        means.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col(cluster_col), F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: score each query against the
+    (tiny) centroid table, keep the ``nprobe`` nearest clusters, and
+    run exact cosine only inside those clusters.
+
+    The coarse quantizer is the precomputed ``cluster_col`` (e.g. a
+    KMeans label written at ingest); the probe step is a broadcast
+    join, and the fine search scans ``nprobe/num_clusters`` of the
+    base — the classic IVF trade, expressed as three joins Catalyst
+    can reorder.  Ties probe lower cluster ids for determinism."""
+    cents = F.broadcast(ivf_centroids(base, cluster_col, vec_col, dim))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    qscore = (
+        q.crossJoin(cents)
+        .withColumn(
+            "__cs",
+            _dot(F.col("__qv"), F.col("centroid"), dim)
+            / (_norm(F.col("__qv"), dim) * _norm(F.col("centroid"), dim)),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__cs").desc(), F.col(cluster_col).asc())
+    probed = (
+        qscore.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, cluster_col, "__qv")
+    )
+    cand = base.select(F.col(id_col), F.col(cluster_col), F.col(vec_col).alias("__bv")).join(
+        F.broadcast(probed), cluster_col
+    )
+    sim = _dot(F.col("__bv"), F.col("__qv"), dim) / (
+        _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
+    )
+    scored = cand.withColumn("__sim", sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
+        )
     )
 
 

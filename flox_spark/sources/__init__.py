@@ -1,3 +1,8 @@
-from flox_spark.sources.io import load_table, read_parquet
+from flox_spark.sources.io import (
+    load_table,
+    read_parquet,
+    write_bucketed_table,
+    write_partitioned,
+)
 
-__all__ = ["load_table", "read_parquet"]
+__all__ = ["load_table", "read_parquet", "write_bucketed_table", "write_partitioned"]

@@ -26,6 +26,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     fail with PARQUET_TYPE_ILLEGAL, and avoids a doomed first job."""
     try:
         spark.conf.set(_NANOS_CONF, "true")
+        # date-part extraction must agree with naive-timestamp oracles
+        # regardless of the host session's default zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down: fall through, plain read may still work
     return spark.read.parquet(path)
@@ -52,3 +55,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's test tables with timestamps usable."""
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
     return nanos_to_ts(df, *_TS_COLS.get(name, ()))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Sink: (optionally hive-partitioned) columnar write.  Partition
+    columns become directory prefixes -> downstream reads get
+    partition pruning for free.  ``max_records_per_file`` bounds file
+    size without an extra repartition pass."""
+    w = df.write.mode(mode).format(fmt)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sink: bucketed managed table — pre-shuffles on the bucket keys
+    so later joins/aggregations on those keys skip their shuffle (the
+    durable analog of flox's rechunk_for_blockwise,
+    flox/rechunk.py:158-223: co-locate group members once, reuse many
+    times)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -86,3 +86,16 @@ def test_expected_groups_subset_drops_unexpected(spark):
     df = spark.createDataFrame(pdf)
     res = groupby_reduce(df, "k", func="nansum", value="v", expected_groups=[0, 2]).collect()
     assert {r["k"] for r in res} == {0, 2}
+
+
+def test_write_partitioned_roundtrip(spark, tmp_path):
+    from flox_spark.sources import write_partitioned
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, partition_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition pruning: reading one partition only scans that dir
+    plan = back.filter(back.k == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan

@@ -135,3 +135,29 @@ def test_embedding_near_duplicates(vectors):
              embedding_near_duplicates(vectors, threshold=0.99, planes=8, bands=4, dim=8).collect()}
     assert (3, 5) in pairs
     assert pairs[(3, 5)] > 0.999
+
+
+def test_ivf_topk(spark):
+    # clustered vectors: 3 tight clusters; IVF with nprobe=1 must find
+    # same-cluster neighbors; recall vs brute force high for top-3
+    from flox_spark.operators import ivf_topk, cosine_topk
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 8)) * 5
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append((i, c, (centers[c] + rng.normal(scale=0.1, size=8)).astype(np.float32).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]))
+    queries = df.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ivf_topk(df, queries, k=3, nprobe=1, dim=8)
+    brute = cosine_topk(df, queries, k=3, dim=8)
+    ivf_sets = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in ivf_sets:
+        assert r is not None
+        assert ivf_sets[q] == brute_sets[q]  # tight clusters: perfect recall

@@ -47,8 +47,14 @@ def np_golden(func: str, missing: str | None, **kw):
     for g in [0, 1, 2]:
         pos = np.where(lab == g)[0]
         x = v[pos]
-        if func == "count":
+        if func in ("count", "nanlen"):
             out[g] = int(np.sum(~np.isnan(x)))
+        elif func == "len":
+            out[g] = len(x)
+        elif func == "sum_of_squares":
+            out[g] = np.sum(x * x)
+        elif func == "nansum_of_squares":
+            out[g] = np.nansum(x * x)
         elif func in ("sum", "nansum", "prod", "nanprod", "mean", "nanmean", "median", "nanmedian"):
             out[g] = getattr(np, func)(x)
         elif func in ("var", "nanvar", "std", "nanstd"):
