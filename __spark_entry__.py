@@ -151,6 +151,13 @@ def q_multiby_highcard(s, d):
     return _q_reduce("nansum", "events", ["user_id", "event_type"], "value", "sum_value")(s, d)
 
 
+def q_highcard_random(s, d):
+    # RandomBigArray shape (BASELINE.md: 5000 uniform-random groups):
+    # high-cardinality single grouper, unsorted output
+    df = _t(s, d, "lineitem")
+    return groupby_reduce(df, "l_partkey", func="nansum", value="l_quantity", alias="sum_qty")
+
+
 # ---- scans ----------------------------------------------------------------
 
 def _with_gaps(df: DataFrame) -> DataFrame:
@@ -516,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expected_fill": q_expected_fill,
         "dayofyear_mean": q_dayofyear_mean,
         "multiby_highcard": q_multiby_highcard,
+        "highcard_random": q_highcard_random,
         "scan_cumsum": q_scan_cumsum,
         "scan_cumcount": q_scan_cumcount,
         "scan_ffill": q_scan_ffill,
@@ -616,6 +624,9 @@ def oracle_sql() -> dict[str, str]:
         "multiby_highcard": """
             SELECT user_id, event_type, sum(value) AS sum_value
             FROM events GROUP BY user_id, event_type""",
+        "highcard_random": """
+            SELECT l_partkey, coalesce(sum(l_quantity), 0) AS sum_qty
+            FROM lineitem GROUP BY l_partkey""",
         "scan_cumsum": """
             SELECT event_id, user_id,
                    sum(value) OVER (PARTITION BY user_id ORDER BY event_id) AS cum_value

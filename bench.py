@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "quantile",       # exact p90
     "median",
     "multiby_highcard",
+    "highcard_random",  # RandomBigArray shape: 5000+ uniform groups
     "dayofyear_mean",  # climatology shape (ERA5 benchmarks)
     "binned_count",
     "argmax",

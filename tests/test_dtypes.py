@@ -135,3 +135,22 @@ def test_string_minmax(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": [0, 0, 1], "v": ["pear", "apple", "fig"]}))
     res = groupby_reduce(df, "k", func="nanmin", value="v")
     assert {r["k"]: r["nanmin"] for r in res.collect()} == {0: "apple", 1: "fig"}
+
+
+def test_var_precision_large_offset(spark):
+    # reference test_core.py:2293-2321: var/std stay accurate when
+    # values sit on a huge constant offset (Spark's Welford-style M2
+    # matches or beats flox's shift-by-first trick)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=300)
+    for offset in (1e4, 1e7):
+        pdf = pd.DataFrame({"k": np.repeat([0, 1, 2], 100), "v": base + offset})
+        df = spark.createDataFrame(pdf)
+        got = {r["k"]: r["nanvar"] for r in
+               groupby_reduce(df, "k", func="nanvar", value="v").collect()}
+        for g in [0, 1, 2]:
+            want = np.var(base[g * 100:(g + 1) * 100] + offset)
+            # reference tolerance for this test: rtol=3e-8, atol=1e-9
+            # (test_core.py:2312) — Spark's merge order differs from
+            # numpy's two-pass, giving ~1e-10 relative deviation at 1e7
+            assert got[g] == pytest.approx(want, rel=3e-8, abs=1e-9)

@@ -31,6 +31,34 @@ def norm(v):
     return v
 
 
+# DuckDB type name -> Spark simpleString, for a schema-shape check
+# approximating the driver's comparison
+_TYPEMAP = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DOUBLE[]": "array<double>",
+    "FLOAT[]": "array<float>",
+    "BIGINT[]": "array<bigint>",
+}
+
+
+def type_mismatches(sdf, orel):
+    stypes = dict(sdf.dtypes)
+    out = []
+    for c, duck_t in zip(orel.columns, [str(t) for t in orel.types]):
+        want = _TYPEMAP.get(duck_t, duck_t.lower())
+        got = stypes.get(c)
+        if got is not None and got != want:
+            out.append(f"{c}: spark={got} duckdb={duck_t}")
+    return out
+
+
 def rows_key(rows, cols):
     out = []
     for r in rows:
@@ -64,6 +92,9 @@ def main(sf_dir: str) -> int:
                 status.append(f"ROWS {len(srows)}!={len(orows)}")
             if sorted(scols) != sorted(ocols):
                 status.append(f"COLS {sorted(scols)}!={sorted(ocols)}")
+            tmis = type_mismatches(sdf, orel)
+            if tmis:
+                status.append(f"TYPES {tmis}")
             if not status:
                 a = rows_key(srows, scols)
                 b = rows_key(orows, ocols)
