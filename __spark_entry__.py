@@ -219,6 +219,14 @@ def q_text_langid(s, d):
     return language_id(_t(s, d, "documents")).select("doc_id", "lang_pred")
 
 
+def q_text_repetition(s, d):
+    from flox_spark.operators.text import repetition_ratio
+
+    return repetition_ratio(_t(s, d, "documents")).select(
+        "doc_id", "rep_distinct_ratio", "rep_top_token_ratio"
+    )
+
+
 def q_text_fingerprint(s, d):
     return fingerprint(_t(s, d, "documents")).select("doc_id", "fp")
 
@@ -457,6 +465,19 @@ def _operator_oracles() -> dict[str, str]:
                         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM s""",
+        "text_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            top AS (SELECT doc_id, max(c) AS top_c
+                    FROM (SELECT doc_id, tok, count(*) AS c
+                          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                          GROUP BY doc_id, tok)
+                    GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE 1.0 END
+                     AS rep_distinct_ratio,
+                   CASE WHEN len(toks) > 0 THEN top_c / len(toks) ELSE 0.0 END
+                     AS rep_top_token_ratio
+            FROM t JOIN top ON t.doc_id = top.doc_id""",
         "text_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents""",
@@ -531,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,

@@ -58,10 +58,20 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def _shingle_expr(text: Column, k: int) -> Column:
-    """Word k-shingles of lower-cased whitespace-tokenized text; docs
-    shorter than k tokens produce their full token string as the one
-    shingle.  Pure array expressions — no UDF."""
+def _shingle_expr(text: Column, k: int, unit: str = "word") -> Column:
+    """k-shingles of lower-cased text; docs shorter than k units
+    produce their full content as the one shingle.  Pure array
+    expressions — no UDF.  ``unit``: 'word' (whitespace tokens) or
+    'char' (overlapping character k-grams, the classic dedup choice
+    for languages without whitespace segmentation)."""
+    if unit == "char":
+        t = F.lower(F.trim(text))
+        n = F.length(t)
+        shingles = F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+        return F.when(n >= k, shingles).otherwise(F.array(t))
     toks = F.split(F.lower(F.trim(text)), "\\s+")
     n = F.size(toks)
     shingles = F.transform(
@@ -72,13 +82,13 @@ def _shingle_expr(text: Column, k: int) -> Column:
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, unit: str = "word"
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
     Fans out small scans first: shingling+hashing are CPU-bound."""
     df = ensure_parallelism(df)
     return (
-        df.select(F.col(id_col), F.explode(_shingle_expr(F.col(text_col), k)).alias("shingle"))
+        df.select(F.col(id_col), F.explode(_shingle_expr(F.col(text_col), k, unit)).alias("shingle"))
         .distinct()
     )
 

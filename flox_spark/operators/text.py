@@ -99,6 +99,33 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     return df.withColumn(out, pick)
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", prefix: str = "rep_") -> DataFrame:
+    """Repetition signals (Gopher-style quality filters): fraction of
+    distinct tokens, and the frequency share of the most common token.
+    High repetition marks boilerplate/spam.  Pure array expressions."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    distinct_ratio = F.when(n > 0, n_distinct / n).otherwise(F.lit(1.0))
+    # most-common-token share: sort tokens, count the longest run via
+    # aggregate over the sorted array (no explode/shuffle needed)
+    sorted_toks = F.array_sort(toks)
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("run"), F.lit(None).cast("string").alias("prev")),
+        lambda acc, t: F.struct(
+            F.greatest(acc["best"], F.when(acc["prev"] == t, acc["run"] + 1).otherwise(F.lit(1))).alias("best"),
+            F.when(acc["prev"] == t, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            t.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_ratio = F.when(n > 0, top_run / n).otherwise(F.lit(0.0))
+    return df.withColumn(f"{prefix}distinct_ratio", distinct_ratio).withColumn(
+        f"{prefix}top_token_ratio", top_ratio
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lower-cased
     text — the exact-dedup key.  (A content-defined rolling hash adds

@@ -99,3 +99,22 @@ def test_write_partitioned_roundtrip(spark, tmp_path):
     # partition pruning: reading one partition only scans that dir
     plan = back.filter(back.k == "a")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_skewed_groups_correct(spark):
+    # 95% of rows in one group (the skew shape AQE + map-side partial
+    # aggregation absorb): correctness under heavy imbalance
+    rng = np.random.default_rng(9)
+    n = 50000
+    k = np.where(rng.random(n) < 0.95, 0, rng.integers(1, 50, n))
+    v = rng.normal(size=n)
+    df = spark.createDataFrame(pd.DataFrame({"k": k, "v": v})).repartition(16)
+    got = {r["k"]: r["nansum"] for r in groupby_reduce(df, "k", func="nansum", value="v").collect()}
+    pdf = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum()
+    for g, w in pdf.items():
+        assert got[g] == pytest.approx(w, rel=1e-9, abs=1e-9)
+    # the plan must partial-aggregate before the shuffle (flox's
+    # "chunk" stage; keeps the hot key from flooding one reducer)
+    plan = groupby_reduce(df, "k", func="nansum", value="v", sort=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial" in plan.lower()

@@ -161,3 +161,23 @@ def test_ivf_topk(spark):
     for q in ivf_sets:
         assert r is not None
         assert ivf_sets[q] == brute_sets[q]  # tight clusters: perfect recall
+
+
+def test_repetition_ratio(spark):
+    from flox_spark.operators.text import repetition_ratio
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, "a a a a b"), (1, "v w x y z")], columns=["doc_id", "text"]))
+    got = {r["doc_id"]: (r["rep_distinct_ratio"], r["rep_top_token_ratio"])
+           for r in repetition_ratio(df).collect()}
+    assert got[0] == (pytest.approx(2 / 5), pytest.approx(4 / 5))
+    assert got[1] == (pytest.approx(1.0), pytest.approx(1 / 5))
+
+
+def test_char_shingles(spark):
+    from flox_spark.operators.dedup import doc_shingles
+    df = spark.createDataFrame(pd.DataFrame([(0, "abcd")], columns=["doc_id", "text"]))
+    got = {r["shingle"] for r in doc_shingles(df, k=3, unit="char").collect()}
+    assert got == {"abc", "bcd"}
+    short = spark.createDataFrame(pd.DataFrame([(0, "ab")], columns=["doc_id", "text"]))
+    got = {r["shingle"] for r in doc_shingles(short, k=3, unit="char").collect()}
+    assert got == {"ab"}
