@@ -52,11 +52,16 @@ def q_sum(s, d):
 
 
 def q_nansum(s, d):
-    return _q_reduce("nansum", "lineitem", ["l_returnflag", "l_linestatus"], "l_extendedprice", "sum_price")(s, d)
+    # round: engine-vs-oracle summation order differs at the ulp for
+    # ~1e9-magnitude sums; identical rounding on both sides makes the
+    # value-hash insensitive to it
+    out = _q_reduce("nansum", "lineitem", ["l_returnflag", "l_linestatus"], "l_extendedprice", "sum_price")(s, d)
+    return out.withColumn("sum_price", F.round("sum_price", 4))
 
 
 def q_mean(s, d):
-    return _q_reduce("nanmean", "lineitem", ["l_returnflag", "l_linestatus"], "l_discount", "avg_disc")(s, d)
+    out = _q_reduce("nanmean", "lineitem", ["l_returnflag", "l_linestatus"], "l_discount", "avg_disc")(s, d)
+    return out.withColumn("avg_disc", F.round("avg_disc", 9))
 
 
 def q_min(s, d):
@@ -68,31 +73,37 @@ def q_max(s, d):
 
 
 def q_var(s, d):
-    return _q_reduce("nanvar", "lineitem", ["l_returnflag"], "l_quantity", "var_qty")(s, d)
+    out = _q_reduce("nanvar", "lineitem", ["l_returnflag"], "l_quantity", "var_qty")(s, d)
+    return out.withColumn("var_qty", F.round("var_qty", 6))
 
 
 def q_var_ddof1(s, d):
-    return _q_reduce("nanvar", "lineitem", ["l_returnflag"], "l_quantity", "var1_qty",
-                     finalize_kwargs={"ddof": 1})(s, d)
+    out = _q_reduce("nanvar", "lineitem", ["l_returnflag"], "l_quantity", "var1_qty",
+                    finalize_kwargs={"ddof": 1})(s, d)
+    return out.withColumn("var1_qty", F.round("var1_qty", 6))
 
 
 def q_std(s, d):
-    return _q_reduce("nanstd", "lineitem", ["l_returnflag"], "l_quantity", "std_qty",
-                     finalize_kwargs={"ddof": 1})(s, d)
+    out = _q_reduce("nanstd", "lineitem", ["l_returnflag"], "l_quantity", "std_qty",
+                    finalize_kwargs={"ddof": 1})(s, d)
+    return out.withColumn("std_qty", F.round("std_qty", 6))
 
 
 def q_prod(s, d):
     # small groups (lines per order) keep the product in double range
-    return _q_reduce("nanprod", "lineitem", ["l_orderkey"], "l_discount", "prod_disc")(s, d)
+    out = _q_reduce("nanprod", "lineitem", ["l_orderkey"], "l_discount", "prod_disc")(s, d)
+    return out.withColumn("prod_disc", F.round("prod_disc", 12))
 
 
 def q_median(s, d):
-    return _q_reduce("nanmedian", "lineitem", ["l_returnflag"], "l_extendedprice", "med_price")(s, d)
+    out = _q_reduce("nanmedian", "lineitem", ["l_returnflag"], "l_extendedprice", "med_price")(s, d)
+    return out.withColumn("med_price", F.round("med_price", 6))
 
 
 def q_quantile(s, d):
-    return _q_reduce("nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p90_price",
-                     finalize_kwargs={"q": 0.9})(s, d)
+    out = _q_reduce("nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p90_price",
+                    finalize_kwargs={"q": 0.9})(s, d)
+    return out.withColumn("p90_price", F.round("p90_price", 6))
 
 
 def q_first(s, d):
@@ -143,12 +154,14 @@ def q_expected_fill(s, d):
 def q_dayofyear_mean(s, d):
     # the flox climatology shape: groupby dayofyear(ts) (ERA5 benchmarks)
     df = _t(s, d, "events").withColumn("doy", F.dayofyear("ts").cast("long"))
-    return groupby_reduce(df, "doy", func="nanmean", value="value", alias="avg_value")
+    out = groupby_reduce(df, "doy", func="nanmean", value="value", alias="avg_value")
+    return out.withColumn("avg_value", F.round("avg_value", 6))
 
 
 def q_multiby_highcard(s, d):
     # compound grouper, higher cardinality (user x event_type)
-    return _q_reduce("nansum", "events", ["user_id", "event_type"], "value", "sum_value")(s, d)
+    out = _q_reduce("nansum", "events", ["user_id", "event_type"], "value", "sum_value")(s, d)
+    return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
 def q_highcard_random(s, d):
@@ -168,7 +181,7 @@ def _with_gaps(df: DataFrame) -> DataFrame:
 def q_scan_cumsum(s, d):
     df = _t(s, d, "events")
     out = groupby_scan(df, "user_id", func="nancumsum", value="value", order_by="event_id")
-    return out.select("event_id", "user_id", F.col("nancumsum").alias("cum_value"))
+    return out.select("event_id", "user_id", F.round(F.col("nancumsum"), 6).alias("cum_value"))
 
 
 def q_scan_cumcount(s, d):
@@ -289,7 +302,10 @@ def q_q1_multi(s, d):
             "avg_disc": ("nanmean", "l_discount"),
             "count_order": ("count", "l_quantity"),
         },
-    )
+    ).withColumn("sum_price", F.round("sum_price", 4)) \
+     .withColumn("avg_qty", F.round("avg_qty", 9)) \
+     .withColumn("avg_price", F.round("avg_price", 6)) \
+     .withColumn("avg_disc", F.round("avg_disc", 9))
 
 
 def q_multimodal_features(s, d):
@@ -488,10 +504,10 @@ def _operator_oracles() -> dict[str, str]:
         "q1_multi": """
             SELECT l_returnflag, l_linestatus,
                    coalesce(sum(l_quantity), 0) AS sum_qty,
-                   coalesce(sum(l_extendedprice), 0) AS sum_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   round(coalesce(sum(l_extendedprice), 0), 4) AS sum_price,
+                   round(avg(l_quantity), 9) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 9) AS avg_disc,
                    count(l_quantity) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "multimodal_features": """
@@ -576,22 +592,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "nansum": """
-            SELECT l_returnflag, l_linestatus, coalesce(sum(l_extendedprice), 0) AS sum_price
+            SELECT l_returnflag, l_linestatus, round(coalesce(sum(l_extendedprice), 0), 4) AS sum_price
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "mean": """
-            SELECT l_returnflag, l_linestatus, avg(l_discount) AS avg_disc
+            SELECT l_returnflag, l_linestatus, round(avg(l_discount), 9) AS avg_disc
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "min": "SELECT l_returnflag, min(l_extendedprice) AS min_price FROM lineitem GROUP BY l_returnflag",
         "max": "SELECT l_returnflag, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag",
-        "var": "SELECT l_returnflag, var_pop(l_quantity) AS var_qty FROM lineitem GROUP BY l_returnflag",
-        "var_ddof1": "SELECT l_returnflag, var_samp(l_quantity) AS var1_qty FROM lineitem GROUP BY l_returnflag",
-        "std": "SELECT l_returnflag, stddev_samp(l_quantity) AS std_qty FROM lineitem GROUP BY l_returnflag",
-        "prod": "SELECT l_orderkey, coalesce(product(l_discount), 1) AS prod_disc FROM lineitem GROUP BY l_orderkey",
+        "var": "SELECT l_returnflag, round(var_pop(l_quantity), 6) AS var_qty FROM lineitem GROUP BY l_returnflag",
+        "var_ddof1": "SELECT l_returnflag, round(var_samp(l_quantity), 6) AS var1_qty FROM lineitem GROUP BY l_returnflag",
+        "std": "SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS std_qty FROM lineitem GROUP BY l_returnflag",
+        "prod": "SELECT l_orderkey, round(coalesce(product(l_discount), 1), 12) AS prod_disc FROM lineitem GROUP BY l_orderkey",
         "median": """
-            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+            SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
             FROM lineitem GROUP BY l_returnflag""",
         "quantile": """
-            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.9) AS p90_price
+            SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
         "first": """
             SELECT user_id, first(value ORDER BY event_id) AS first_value
@@ -641,17 +657,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY l_returnflag, l_linestatus) s
             USING (l_returnflag, l_linestatus)""",
         "dayofyear_mean": """
-            SELECT dayofyear(ts) AS doy, avg(value) AS avg_value
+            SELECT dayofyear(ts) AS doy, round(avg(value), 6) AS avg_value
             FROM events WHERE ts IS NOT NULL GROUP BY 1""",
         "multiby_highcard": """
-            SELECT user_id, event_type, sum(value) AS sum_value
+            SELECT user_id, event_type, round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id, event_type""",
         "highcard_random": """
             SELECT l_partkey, coalesce(sum(l_quantity), 0) AS sum_qty
             FROM lineitem GROUP BY l_partkey""",
         "scan_cumsum": """
             SELECT event_id, user_id,
-                   sum(value) OVER (PARTITION BY user_id ORDER BY event_id) AS cum_value
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS cum_value
             FROM events""",
         "scan_cumcount": """
             SELECT event_id, user_id,
