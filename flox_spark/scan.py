@@ -31,8 +31,12 @@ def groupby_scan(
     value: str,
     order_by: str,
     alias: str | None = None,
+    engine: str | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """Grouped scan with flox semantics (flox/scan.py:101-315).
+    ``engine``/``method`` accepted for flox call-site compatibility
+    and ignored (WindowExec replaces both scan methods).
 
     Supported funcs (flox SCANS registry, flox/aggregations.py:849-878):
 

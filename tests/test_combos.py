@@ -1,0 +1,117 @@
+"""Combination coverage mirroring the reference's master-test matrix
+(tests/test_core.py:222-386): multiple by arrays with NaN labels in
+some, min_count x expected_groups x fill_value interactions, scans
+over int/bool dtypes, flox-compat no-op kwargs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce, groupby_scan
+
+
+def test_multiby_nan_in_second_by(spark):
+    # NaN in ANY by column drops the row (flox factorize: compound
+    # code -1 if any label missing, factorize.py:201-212)
+    pdf = pd.DataFrame({
+        "k1": [0, 0, 1, 1],
+        "k2": [1.0, np.nan, 1.0, 2.0],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k1", "k2", func="nansum", value="v").collect()
+    got = {(r["k1"], r["k2"]): r["nansum"] for r in res}
+    assert got == {(0, 1.0): 1.0, (1, 1.0): 3.0, (1, 2.0): 4.0}
+
+
+def test_min_count_with_expected_grid(spark):
+    # min_count interacts with the fill join: groups failing min_count
+    # AND absent groups both get fill_value (flox core.py:437-470)
+    pdf = pd.DataFrame({"k": [0, 0, 1], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v",
+        expected_groups=[0, 1, 2], fill_value=-9.0, min_count=2,
+    ).collect()
+    got = {r["k"]: r["nansum"] for r in res}
+    assert got == {0: 3.0, 1: -9.0, 2: -9.0}
+
+
+def test_min_count_defaulting_with_fill(spark):
+    # fill_value + expected_groups => min_count defaults to 1
+    # (flox core.py:1026-1038): all-NaN group -> fill, not 0
+    pdf = pd.DataFrame({"k": [0, 1], "v": [1.0, np.nan]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v",
+        expected_groups=[0, 1], fill_value=float("nan"),
+    ).collect()
+    got = {r["k"]: r["nansum"] for r in res}
+    assert got[0] == 1.0
+    assert math.isnan(got[1])  # would be 0 without the min_count rule
+
+
+def test_scan_int_dtype(spark):
+    pdf = pd.DataFrame({
+        "idx": range(6),
+        "k": [0, 1, 0, 1, 0, 1],
+        "v": np.array([1, 10, 2, 20, 3, 30], dtype=np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_scan(df, "k", func="cumsum", value="v", order_by="idx")
+    got = {r["idx"]: r["cumsum"] for r in res.collect()}
+    assert [got[i] for i in range(6)] == [1, 10, 3, 30, 6, 60]
+    assert dict(res.dtypes)["cumsum"] == "bigint"
+
+
+def test_scan_bool_cumsum(spark):
+    # bool promotes to int for arithmetic scans (flox scan.py:264-267)
+    pdf = pd.DataFrame({"idx": range(4), "k": [0, 0, 0, 0], "v": [True, False, True, True]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_scan(df, "k", func="cumsum", value="v", order_by="idx")
+    got = [r["cumsum"] for r in res.orderBy("idx").collect()]
+    assert got == [1, 1, 2, 3]
+
+
+def test_flox_compat_kwargs_ignored(spark):
+    # a flox call-site with engine/method/reindex runs unchanged
+    pdf = pd.DataFrame({"k": [0, 1], "v": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v",
+        engine="flox", method="cohorts", reindex=True,
+    ).collect()
+    assert {r["k"]: r["nansum"] for r in res} == {0: 1.0, 1: 2.0}
+    res2 = groupby_scan(
+        df.withColumn("idx", df.v), "k", func="cumsum", value="v",
+        order_by="idx", engine="numbagg", method="blelloch",
+    )
+    assert res2.count() == 2
+
+
+def test_quantile_multi_q_matches_numpy_axis(spark):
+    # vector q adds a result dimension (flox quantile_new_dims_func,
+    # aggregations.py:688-689): array column, one element per q
+    pdf = pd.DataFrame({"k": [0] * 10, "v": np.arange(10.0)})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nanquantile", value="v",
+        finalize_kwargs={"q": [0.1, 0.5, 0.9]},
+    ).collect()
+    want = np.quantile(np.arange(10.0), [0.1, 0.5, 0.9])
+    assert res[0]["nanquantile"] == pytest.approx(list(want))
+
+
+def test_groupby_derived_column(spark):
+    # grouping by a computed key (flox's "lazy by" case, core.py:925-951):
+    # any expression column works as a grouper
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"x": np.arange(20.0), "v": np.ones(20)})
+    df = spark.createDataFrame(pdf).withColumn("bucket", (F.col("x") % 4).cast("int"))
+    res = groupby_reduce(df, "bucket", func="count", value="v").collect()
+    assert {r["bucket"]: r["count"] for r in res} == {0: 5, 1: 5, 2: 5, 3: 5}
