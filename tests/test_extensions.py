@@ -187,3 +187,37 @@ def test_streaming_rejects_positional(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="total order"):
         groupby_reduce_stream(df, "k", func="first", value="v", time_col="ts")
+
+
+def test_stream_ffill_state_across_batches(spark):
+    # two files -> maxFilesPerTrigger=1 -> two micro-batches; the fill
+    # must carry the last value across the batch boundary via state
+    tmp = tempfile.mkdtemp(prefix="flox_state_")
+    try:
+        f0 = pd.DataFrame({"ts": [1, 2, 3], "k": ["a", "a", "a"], "v": [10.0, None, None]})
+        f1 = pd.DataFrame({"ts": [4, 5, 6], "k": ["a", "a", "a"], "v": [None, 7.0, None]})
+        # single part file per batch: multi-part writes would let
+        # maxFilesPerTrigger split micro-batches at arbitrary parts
+        spark.createDataFrame(f0).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        import time as _time
+
+        _time.sleep(1.1)  # distinct mtimes: the file source orders by them
+        spark.createDataFrame(f1).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        from flox_spark.streaming import stream_ffill
+        out = stream_ffill(stream, "k", value="v", time_col="ts")
+        q = (
+            out.writeStream.format("memory").queryName("flox_state_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = {r["ts"]: r["ffill"] for r in spark.sql("SELECT * FROM flox_state_test").collect()}
+        assert rows == {1: 10.0, 2: 10.0, 3: 10.0, 4: 10.0, 5: 7.0, 6: 7.0}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
