@@ -110,3 +110,42 @@ def test_ffill_bfill_duality(spark, data):
             assert x is None and y is None
         else:
             assert x == pytest.approx(y, rel=1e-12)
+
+
+@given(data=arrays())
+@ex
+def test_first_last_reverse_duality(spark, data):
+    # nanfirst on reversed order == nanlast (reference
+    # test_properties.py:290-332)
+    v, lab = data
+    n = len(v)
+    pdf = pd.DataFrame({"idx": np.arange(n), "ridx": n - 1 - np.arange(n), "k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    last = {r["k"]: r["nanlast"] for r in
+            groupby_reduce(df, "k", func="nanlast", value="v", order_by="idx").collect()}
+    first_rev = {r["k"]: r["nanfirst"] for r in
+                 groupby_reduce(df, "k", func="nanfirst", value="v", order_by="ridx").collect()}
+    for g in last:
+        x, y = last[g], first_rev[g]
+        if x is None or y is None:
+            assert x == y
+        else:
+            assert x == pytest.approx(y, rel=1e-15)
+
+
+@pytest.mark.parametrize("func", ["nansum", "nanmean", "nanvar", "nanmax", "count"])
+@given(data=arrays())
+@ex
+def test_single_group_equals_numpy(spark, func, data):
+    # all rows in ONE group: reduce == plain numpy func applied to the
+    # whole array (reference test_properties.py:93-178)
+    v, _ = data
+    pdf = pd.DataFrame({"k": np.zeros(len(v), dtype=np.int64), "v": v})
+    df = spark.createDataFrame(pdf)
+    got = groupby_reduce(df, "k", func=func, value="v").collect()[0][func]
+    with np.errstate(invalid="ignore"):
+        want = int((~np.isnan(v)).sum()) if func == "count" else getattr(np, func)(v)
+    if isinstance(want, float) and math.isnan(want):
+        assert got is None or math.isnan(got)
+    else:
+        assert got == pytest.approx(float(want), rel=1e-9, abs=1e-9)
