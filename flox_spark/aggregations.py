@@ -198,16 +198,19 @@ def _arg(ctx: AggContext, skipna: bool, is_max: bool) -> Column:
     Result is the value of the order column (the positional index in
     flox's flattened axis, core.py:520-521)."""
     assert ctx.idx is not None
+    # NB: core.groupby_reduce numericizes datetime order columns
+    # before building the context (the tie-break negates idx)
+    idx = ctx.idx
     if is_max:
         # max value, then min idx among ties: negate idx inside struct
-        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), (-ctx.idx).alias("ni")))
+        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), (-idx).alias("ni")))
         best = -F.max(pair)["ni"]
     else:
-        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), ctx.idx.alias("i")))
+        pair = F.when(~ctx.missing, F.struct(ctx.value.alias("v"), idx.alias("i")))
         best = F.min(pair)["i"]
     if skipna:
         return best
-    first_missing = F.min(F.when(ctx.missing, ctx.idx))
+    first_missing = F.min(F.when(ctx.missing, idx))
     return F.when(F.bool_or(ctx.missing), first_missing).otherwise(best)
 
 

@@ -159,10 +159,17 @@ def groupby_reduce(
         key_cols.append(kc)
 
     vdt = work.schema[value].dataType
+    idx_col = None
+    if order_by:
+        # arg* tie-breaks negate the order key: numericize datetime
+        # order columns (their int64-us view orders identically)
+        from flox_spark.dtypes import arith_input as _ai
+
+        idx_col, _ = _ai(F.col(order_by), work.schema[order_by].dataType)
     ctx = AggContext(
         value=F.col(value),
         dt=vdt,
-        idx=F.col(order_by) if order_by else None,
+        idx=idx_col,
         kwargs=dict(finalize_kwargs or {}),
     )
 

@@ -154,3 +154,20 @@ def test_var_precision_large_offset(spark):
             # (test_core.py:2312) — Spark's merge order differs from
             # numpy's two-pass, giving ~1e-10 relative deviation at 1e7
             assert got[g] == pytest.approx(want, rel=3e-8, abs=1e-9)
+
+
+def test_arg_with_timestamp_order(spark):
+    # arg* with a timestamp order column: orders by the int64-us view
+    # and returns it (flox arg results are positions, not labels)
+    pdf = pd.DataFrame({
+        "k": [0, 0, 0],
+        "ts": [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)],
+        "v": [5.0, 9.0, 1.0],
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func="nanargmax", value="v", order_by="ts").collect()
+    micros = res[0]["nanargmax"]
+    assert micros == int(dt.datetime(2024, 1, 2).timestamp() * 1_000_000)
+    # first/last with timestamp order keep working and return values
+    res = groupby_reduce(df, "k", func="nanlast", value="v", order_by="ts").collect()
+    assert res[0]["nanlast"] == 1.0
