@@ -369,4 +369,14 @@ def pandas_aggregation(
 # scans (flox/aggregations.py:915-920) — window expressions, built in scan.py
 # ---------------------------------------------------------------------------
 
-SCANS: tuple[str, ...] = ("cumsum", "nancumsum", "ffill", "bfill", "cumcount", "cumprod", "nancumprod")
+SCANS: tuple[str, ...] = (
+    "cumsum",
+    "nancumsum",
+    "ffill",
+    "bfill",
+    "cumcount",
+    "cumprod",
+    "nancumprod",
+    "cummax",
+    "cummin",
+)

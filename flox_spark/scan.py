@@ -100,6 +100,11 @@ def groupby_scan(
             expr = expr.cast("float")
     elif func == "cumcount":
         expr = F.count(v_skip).over(w)
+    elif func in ("cummax", "cummin"):
+        # NaN-skipping running extrema (beyond-reference utility);
+        # preserves input type
+        f = F.max if func == "cummax" else F.min
+        expr = f(v_skip).over(w)
     elif func == "ffill":
         expr = F.last(v_skip, ignorenulls=True).over(w)
     elif func == "bfill":

@@ -104,3 +104,21 @@ def test_cumprod_int(spark):
     res = groupby_scan(df, "label", func="cumprod", value="v", order_by="idx")
     rows = {r["idx"]: r["cumprod"] for r in res.collect()}
     assert [rows[i] for i in range(6)] == [2, 3, 8, 15, 48, 105]
+
+
+def test_cummax_cummin(spark):
+    got_max = collect_scan(spark, "cummax")
+    want_max = per_group_numpy(lambda x: np.fmax.accumulate(np.where(np.isnan(x), -np.inf, x)))
+    # fmax.accumulate with -inf placeholder; positions before any value -> -inf; map to None
+    for g, w in zip(got_max, want_max):
+        if w == -np.inf:
+            assert g is None
+        else:
+            assert g == pytest.approx(w)
+    got_min = collect_scan(spark, "cummin")
+    want_min = per_group_numpy(lambda x: np.fmin.accumulate(np.where(np.isnan(x), np.inf, x)))
+    for g, w in zip(got_min, want_min):
+        if w == np.inf:
+            assert g is None
+        else:
+            assert g == pytest.approx(w)
