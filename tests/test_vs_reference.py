@@ -1,0 +1,90 @@
+"""THE parity test: flox_spark vs the actual reference implementation
+(/root/reference, imported read-only via tests/flox_ref.py shims,
+engine='flox' pure-numpy path).
+
+Every supported func runs over random values with NaN injection and
+three label layouts; results must agree within the reference's own
+test tolerances (reference tests/__init__.py:96-100)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce
+from tests.flox_ref import load_reference
+
+flox_gr = load_reference()
+
+pytestmark = pytest.mark.skipif(flox_gr is None, reason="reference flox not importable")
+
+# funcs the reference's engine='flox' path supports without
+# numpy_groupies (argreductions/first/last/mode/all/any need the npg
+# engine; those are covered differentially vs numpy in test_reduce.py)
+FUNCS = [
+    "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
+    "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
+    "median", "nanmedian", "quantile", "nanquantile",
+]
+
+LAYOUTS = {
+    "blocked": np.repeat([0, 1, 2, 3], 8),
+    "interleaved": np.tile([0, 1, 2, 3], 8),
+    "skewed": np.array([0] * 25 + [1] * 5 + [2] * 2),
+}
+
+
+def _rand(n, nan_frac, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=n) * 10
+    if nan_frac:
+        v[rng.random(n) < nan_frac] = np.nan
+    return v
+
+
+@pytest.mark.parametrize("layout", list(LAYOUTS))
+@pytest.mark.parametrize("func", FUNCS)
+def test_matches_reference(spark, func, layout):
+    lab = LAYOUTS[layout]
+    n = len(lab)
+    v = _rand(n, nan_frac=0.2 if func.startswith("nan") or func in ("count", "all", "any") else 0.0, seed=42)
+    kw = {}
+    if "quantile" in func:
+        kw["finalize_kwargs"] = {"q": 0.73}
+    if func in ("var", "nanvar", "std", "nanstd"):
+        kw["finalize_kwargs"] = {"ddof": 1}
+
+    if func in ("all", "any"):
+        ref_vals = v > 0
+        pdf_v = ref_vals
+    else:
+        ref_vals = v
+        pdf_v = v
+
+    ref_kwargs = {}
+    if kw.get("finalize_kwargs"):
+        ref_kwargs["finalize_kwargs"] = kw["finalize_kwargs"]
+    want, groups = flox_gr(ref_vals, lab, func=func, engine="flox", **ref_kwargs)
+
+    pdf = pd.DataFrame({"k": lab, "v": pdf_v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func=func, value="v", **kw).collect()
+    got = {r["k"]: r[func] for r in res}
+
+    assert sorted(got) == sorted(int(g) for g in groups)
+    for g, w in zip(groups, want):
+        gv = got[int(g)]
+        if isinstance(w, (np.floating, float)) and math.isnan(float(w)):
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (g, gv, w)
+        elif isinstance(w, (np.bool_, bool)):
+            assert bool(gv) == bool(w), (g, gv, w)
+        elif isinstance(w, (np.integer, int)):
+            assert int(gv) == int(w), (g, gv, w)
+        else:
+            # reference test tolerance: rtol=1e-15/atol=1e-18 for most,
+            # var/std rtol=1e-13 (tests/__init__.py:96-100); engine-vs-
+            # numpy summation order differences land within 1e-12
+            assert gv == pytest.approx(float(w), rel=1e-12, abs=1e-12), (func, g, gv, w)
