@@ -88,3 +88,68 @@ def test_matches_reference(spark, func, layout):
             # var/std rtol=1e-13 (tests/__init__.py:96-100); engine-vs-
             # numpy summation order differences land within 1e-12
             assert gv == pytest.approx(float(w), rel=1e-12, abs=1e-12), (func, g, gv, w)
+
+
+SCAN_FUNCS = ["cumsum", "nancumsum", "ffill", "bfill"]
+
+
+@pytest.mark.parametrize("layout", list(LAYOUTS))
+@pytest.mark.parametrize("func", SCAN_FUNCS)
+def test_scan_matches_reference(spark, func, layout):
+    from flox import groupby_scan as ref_scan
+    from flox_spark import groupby_scan
+
+    lab = LAYOUTS[layout]
+    n = len(lab)
+    v = _rand(n, nan_frac=0.3, seed=7)
+    want = ref_scan(v, lab, func=func)
+
+    pdf = pd.DataFrame({"idx": np.arange(n), "k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_scan(df, "k", func=func, value="v", order_by="idx")
+    got = {r["idx"]: r[func] for r in res.collect()}
+    for i in range(n):
+        w = float(want[i])
+        gv = got[i]
+        if math.isnan(w):
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (i, gv, w)
+        else:
+            assert gv == pytest.approx(w, rel=1e-12, abs=1e-12), (i, gv, w)
+
+
+def test_expected_fill_matches_reference(spark):
+    lab = LAYOUTS["interleaved"]
+    v = _rand(len(lab), nan_frac=0.2, seed=3)
+    want, groups = flox_gr(
+        v, lab, func="nansum", engine="flox",
+        expected_groups=np.array([0, 1, 2, 3, 9]), fill_value=-1.0,
+    )
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v",
+        expected_groups=[0, 1, 2, 3, 9], fill_value=-1.0,
+    ).collect()
+    got = {r["k"]: r["nansum"] for r in res}
+    for g, w in zip(groups, want):
+        assert got[int(g)] == pytest.approx(float(w), rel=1e-12), (g, got[int(g)], w)
+
+
+def test_min_count_matches_reference(spark):
+    lab = LAYOUTS["skewed"]
+    v = _rand(len(lab), nan_frac=0.5, seed=13)
+    want, groups = flox_gr(
+        v, lab, func="nansum", engine="flox", min_count=3, fill_value=np.nan
+    )
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v", min_count=3, fill_value=float("nan")
+    ).collect()
+    got = {r["k"]: r["nansum"] for r in res}
+    for g, w in zip(groups, want):
+        gv = got[int(g)]
+        if math.isnan(float(w)):
+            assert gv is None or math.isnan(gv), (g, gv, w)
+        else:
+            assert gv == pytest.approx(float(w), rel=1e-12), (g, gv, w)
