@@ -44,17 +44,36 @@ def _as_tuple(x: Any, n: int, name: str) -> tuple:
     return tuple(x)
 
 
+def _is_uniform(breaks: list) -> bool:
+    if len(breaks) < 3 or not all(isinstance(b, (int, float)) for b in breaks):
+        return False
+    steps = [breaks[i + 1] - breaks[i] for i in range(len(breaks) - 1)]
+    w = steps[0]
+    return w > 0 and all(abs(s - w) <= 1e-12 * abs(w) for s in steps)
+
+
 def _bin_column(col: Column, breaks: Sequence[float]) -> Column:
     """Digitize into left-open right-closed intervals (b[i-1], b[i]]
     — numpy ``digitize(right=True)`` as used by flox binning
     (flox/factorize.py:55-82).  Out-of-range -> NULL (the dropped NaN
-    group).  Breaks are a small driver-side constant, so a CASE chain
-    stays inside codegen; no shuffle, no UDF."""
+    group).
+
+    Two physical strategies, same semantics:
+    - uniform numeric breaks with many intervals: arithmetic
+      ``width_bucket`` on the NEGATED axis (width_bucket is left-
+      closed; right-closed (a,b] == left-closed [-b,-a) after
+      negation) — O(1) per row regardless of break count;
+    - otherwise: a constant CASE chain (fine to ~1e3 breaks, stays in
+      codegen; no shuffle, no UDF either way)."""
     breaks = list(breaks)
-    expr = F.lit(None).cast("int")
-    # build from the last interval backwards so the first WHEN wins
+    n = len(breaks) - 1
+    if _is_uniform(breaks) and n > 16:
+        lo, hi = float(breaks[0]), float(breaks[-1])
+        rev = F.width_bucket(-col, F.lit(-hi), F.lit(-lo), F.lit(n))
+        idx = (F.lit(n) - rev).cast("int")
+        return F.when((col > lo) & (col <= hi), idx)
     whens = []
-    for i in range(len(breaks) - 1):
+    for i in range(n):
         whens.append(((col > F.lit(breaks[i])) & (col <= F.lit(breaks[i + 1])), F.lit(i)))
     result = F.lit(None).cast("int")
     for cond, val in reversed(whens):

@@ -118,3 +118,31 @@ def test_skewed_groups_correct(spark):
     plan = groupby_reduce(df, "k", func="nansum", value="v", sort=False) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_uniform_bins_width_bucket_path(spark):
+    # >16 uniform breaks trigger the width_bucket fast path; results
+    # must match the CASE-chain semantics exactly, incl. edges
+    import flox_spark.core as core
+    rng = np.random.default_rng(17)
+    v = np.concatenate([rng.uniform(-5, 105, 5000), np.arange(0.0, 101.0, 1.0)])  # incl. exact breaks
+    pdf = pd.DataFrame({"key": v, "x": np.ones(len(v))})
+    df = spark.createDataFrame(pdf)
+    breaks = [float(b) for b in range(0, 101, 2)]  # 50 uniform bins
+    res = groupby_reduce(
+        df, "key", func="count", value="x",
+        isbin=True, expected_groups=breaks, fill_value=0,
+    ).collect()
+    got = {r["key_bin"]: r["count"] for r in res}
+    # golden: numpy digitize right=True
+    idx = np.digitize(v, breaks, right=True)
+    want = {}
+    for b in range(1, len(breaks)):
+        want[b - 1] = int(((idx == b) & (v > breaks[0])).sum())
+    assert got == want
+    # and the plan really uses width_bucket, not a 50-arm CASE
+    plan = groupby_reduce(
+        df, "key", func="count", value="x", isbin=True,
+        expected_groups=breaks, fill_value=0, sort=False,
+    )._jdf.queryExecution().analyzed().toString()
+    assert "width_bucket" in plan
