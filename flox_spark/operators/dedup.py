@@ -155,11 +155,12 @@ def minhash_candidates(
             .filter(F.col("__bs") <= max_bucket)
             .drop("__bs")
         )
-    # the self-join is a diamond DAG: without persisting, Spark
+    # the self-join is a diamond DAG: without materializing, Spark
     # recomputes the whole shingle+md5 pipeline for BOTH sides
-    # (verified via .explain: 2 FileScans, 0 ReusedExchange).  The
-    # bucket table is tiny relative to the raw text, so persist it.
-    buckets = buckets.persist()
+    # (verified via .explain: 2 FileScans, 0 ReusedExchange)
+    from flox_spark.plans.util import materialize_shared
+
+    buckets = materialize_shared(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -195,9 +196,11 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # sh feeds the pair join twice plus sizes (and freq): persist the
-    # inverted index once instead of re-shingling per consumer
-    sh = doc_shingles(df, id_col, text_col, k).persist()
+    # sh feeds the pair join twice plus sizes (and freq):
+    # materialize the inverted index once instead of re-shingling
+    from flox_spark.plans.util import materialize_shared
+
+    sh = materialize_shared(doc_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

@@ -150,9 +150,11 @@ def lsh_bucket_candidates(
             .filter(F.col("__bs") <= max_bucket)
             .drop("__bs")
         )
-    # persist: the self-join would otherwise recompute all 16
+    # materialize: the self-join would otherwise recompute all 16
     # hyperplane projections for each side (see dedup.py note)
-    buckets = buckets.persist()
+    from flox_spark.plans.util import materialize_shared
+
+    buckets = materialize_shared(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -19,12 +19,20 @@ OPTIONS: dict[str, Any] = {
     # Broadcast the aggregated result into the expected-groups join
     # (the aggregate side is |groups| rows — almost always tiny).
     "broadcast_reindex": True,
+    # How self-join diamond DAGs materialize their shared frame:
+    # "local_checkpoint" (default): faster, auto-cleaned by the
+    # ContextCleaner when dereferenced, but stored only on executors —
+    # an executor loss fails the job (retry recomputes from scratch).
+    # "persist": lineage kept, fault-tolerant recompute, but cached
+    # frames accumulate until spark.catalog.clearCache().
+    "diamond_materialize": "local_checkpoint",
 }
 
 _VALIDATORS = {
     "approx_quantile": lambda v: isinstance(v, bool),
     "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
     "broadcast_reindex": lambda v: isinstance(v, bool),
+    "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
 }
 
 

@@ -22,3 +22,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Materialize a frame consumed by multiple plan branches (the
+    self-join diamond): without this, Spark recomputes the whole
+    subtree per branch.  Strategy via OPTIONS['diamond_materialize']:
+    local_checkpoint (fast, auto-GC'd, not fault-tolerant) | persist
+    (lineage kept, accumulates in cache) | none (recompute)."""
+    from flox_spark.options import OPTIONS
+
+    mode = OPTIONS["diamond_materialize"]
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode == "persist":
+        return df.persist()
+    return df
