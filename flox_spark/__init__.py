@@ -17,12 +17,14 @@ blockwise rechunk) is ported — Catalyst/AQE plays that role.
 from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, pandas_aggregation
 from flox_spark.core import groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
+from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
 
 __all__ = [
     "groupby_reduce",
     "groupby_reduce_multi",
     "groupby_scan",
+    "groupby_scan_blocked",
     "Aggregation",
     "pandas_aggregation",
     "REDUCTIONS",

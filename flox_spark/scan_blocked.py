@@ -1,0 +1,112 @@
+"""Blocked grouped scans: the skew path for giant groups.
+
+``groupby_scan`` shuffles each group to ONE task (WindowExec needs
+the whole partition sorted) — correct at any size thanks to spilling,
+but a single enormous group serializes on one core.  This module
+splits each group into order-range blocks and runs the scan in the
+Blelloch shape flox uses across dask chunks (flox/dask.py:576-663,
+scan_binary_op flox/aggregations.py:792-846):
+
+    stage 1  local scan inside (key, block)        [big shuffle, split]
+    stage 2  per-block carry summary               [small]
+    stage 3  exclusive prefix of carries over blocks per key  [tiny window]
+    stage 4  broadcast-join carries back, combine  [no extra big shuffle]
+
+Supported funcs: ``nancumsum``, ``cumcount`` (additive carries) and
+``ffill`` (last-non-missing carry).  Results equal ``groupby_scan``
+exactly; use when profiling shows one group dominating a WindowExec
+task.  Blocks are order-column range buckets, so rows of block i all
+precede block i+1 — the global min/max bounds come from a lazy
+broadcast aggregate (no driver action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flox_spark.dtypes import is_float_type, to_skip
+
+__all__ = ["groupby_scan_blocked"]
+
+_SUPPORTED = ("nancumsum", "cumcount", "ffill")
+
+
+def groupby_scan_blocked(
+    df: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    order_by: str,
+    num_blocks: int = 32,
+    alias: str | None = None,
+) -> DataFrame:
+    if func not in _SUPPORTED:
+        raise ValueError(f"blocked scan supports {_SUPPORTED}, not {func!r}")
+    out = alias or func
+    vdt = df.schema[value].dataType
+    v_skip = to_skip(F.col(value), vdt)
+
+    # order-range blocks from a lazy global [min, max] broadcast
+    bounds = df.agg(
+        F.min(order_by).alias("__omin"), F.max(order_by).alias("__omax")
+    )
+    work = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__blk",
+        F.when(
+            F.col("__omax") > F.col("__omin"),
+            F.least(
+                F.lit(num_blocks - 1),
+                (
+                    (F.col(order_by) - F.col("__omin"))
+                    / ((F.col("__omax") - F.col("__omin")) / num_blocks)
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("__omin", "__omax")
+
+    # stage 1: local scan within (key, block)
+    w_local = (
+        Window.partitionBy(*by, "__blk")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if func == "nancumsum":
+        zero = F.lit(0).cast("double" if is_float_type(vdt) else "long")
+        local = F.coalesce(F.sum(v_skip).over(w_local), zero)
+        carry_agg = F.coalesce(F.sum(v_skip), zero)
+    elif func == "cumcount":
+        local = F.count(v_skip).over(w_local)
+        carry_agg = F.count(v_skip)
+    else:  # ffill
+        local = F.last(v_skip, ignorenulls=True).over(w_local)
+        # block carry = last NON-missing value in order (missing rows
+        # must not clobber the carry)
+        carry_agg = F.max(
+            F.when(v_skip.isNotNull(), F.struct(F.col(order_by).alias("o"), v_skip.alias("v")))
+        )["v"]
+    staged = work.withColumn("__local", local)
+
+    # stage 2: per-(key, block) carry summaries (reuses stage-1 keys)
+    carries = work.groupBy(*by, "__blk").agg(carry_agg.alias("__carry"))
+
+    # stage 3: exclusive prefix of carries over blocks (tiny window:
+    # |groups| x num_blocks rows)
+    w_prefix = (
+        Window.partitionBy(*by)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if func in ("nancumsum", "cumcount"):
+        offset = F.coalesce(F.sum("__carry").over(w_prefix), F.lit(0))
+    else:  # ffill: last non-null carry among earlier blocks
+        offset = F.last("__carry", ignorenulls=True).over(w_prefix)
+    offsets = carries.select(*by, "__blk", offset.alias("__off"))
+
+    # stage 4: combine local result with the carried offset
+    joined = staged.join(F.broadcast(offsets), [*by, "__blk"], "left")
+    if func in ("nancumsum", "cumcount"):
+        combined = F.col("__local") + F.coalesce(F.col("__off"), F.lit(0))
+    else:
+        combined = F.coalesce(F.col("__local"), F.col("__off"))
+    return joined.withColumn(out, combined).drop("__blk", "__local", "__off")
