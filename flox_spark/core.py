@@ -324,6 +324,15 @@ def _mode_two_stage(work: DataFrame, key_cols: list[str], ctx: AggContext, skipn
     return stage1.groupBy(*key_cols).agg(expr.alias(out_name))
 
 
+def _should_broadcast_reindex(grid_card: float) -> bool:
+    """Force-broadcast the aggregated side of the reindex join only
+    when the DECLARED grid is modest; past ~1e7 expected groups the
+    aggregate may be grid-sized and a forced broadcast would blow the
+    driver — drop the hint and let Catalyst pick by size estimate
+    (it still broadcasts a genuinely small side on its own)."""
+    return OPTIONS["broadcast_reindex"] and grid_card <= 1e7
+
+
 def _reindex_expected(
     result: DataFrame,
     key_cols: list[str],
@@ -340,24 +349,30 @@ def _reindex_expected(
     NaN for float results, flox's promotion rule collapsed to NULL/NaN).
     """
     grid: DataFrame | None = None
+    grid_card: float = 1.0  # exact when all expected are declared
     for i, kc in enumerate(key_cols):
         exp = expected_t[i]
         if exp is None:
+            # observed cardinality unknown at plan time: contributes no
+            # factor — the heuristic only trips on DECLARED huge grids
             part = result.select(kc).distinct()
         elif isbin_t[i]:
             nbins = len(exp) - 1
             part = spark.range(nbins).select(F.col("id").cast("int").alias(kc))
+            grid_card *= nbins
         else:
             kdt = result.schema[kc].dataType
             part = spark.createDataFrame([(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}")
+            grid_card *= len(exp)
         grid = part if grid is None else grid.crossJoin(part)
 
     # mark presence explicitly: a present group whose aggregate is
     # legitimately NULL must NOT be replaced by fill_value — fill is
     # only for expected-but-absent groups (flox/core.py:461-470)
     marked = result.withColumn("__present", F.lit(True))
+    do_broadcast = _should_broadcast_reindex(grid_card)
     joined = grid.join(
-        F.broadcast(marked) if OPTIONS["broadcast_reindex"] else marked,
+        F.broadcast(marked) if do_broadcast else marked,
         on=key_cols,
         how="left",
     )

@@ -29,7 +29,7 @@ from flox_spark.dtypes import is_float_type, to_skip
 
 __all__ = ["groupby_scan_blocked"]
 
-_SUPPORTED = ("nancumsum", "cumcount", "ffill")
+_SUPPORTED = ("nancumsum", "cumcount", "ffill", "cummax", "cummin", "nancumprod")
 
 
 def groupby_scan_blocked(
@@ -78,6 +78,19 @@ def groupby_scan_blocked(
     elif func == "cumcount":
         local = F.count(v_skip).over(w_local)
         carry_agg = F.count(v_skip)
+    elif func == "cummax":
+        local = F.max(v_skip).over(w_local)
+        carry_agg = F.max(v_skip)
+    elif func == "cummin":
+        local = F.min(v_skip).over(w_local)
+        carry_agg = F.min(v_skip)
+    elif func == "nancumprod":
+        one = F.lit(1).cast("double")
+        local = F.coalesce(F.product(v_skip).over(w_local), one)
+        carry_agg = F.coalesce(F.product(v_skip), one)
+        if not is_float_type(vdt):
+            local = local.cast("long")
+            carry_agg = carry_agg.cast("long")
     else:  # ffill
         local = F.last(v_skip, ignorenulls=True).over(w_local)
         # block carry = last NON-missing value in order (missing rows
@@ -99,6 +112,12 @@ def groupby_scan_blocked(
     )
     if func in ("nancumsum", "cumcount"):
         offset = F.coalesce(F.sum("__carry").over(w_prefix), F.lit(0))
+    elif func == "cummax":
+        offset = F.max("__carry").over(w_prefix)
+    elif func == "cummin":
+        offset = F.min("__carry").over(w_prefix)
+    elif func == "nancumprod":
+        offset = F.coalesce(F.product("__carry").over(w_prefix), F.lit(1.0))
     else:  # ffill: last non-null carry among earlier blocks
         offset = F.last("__carry", ignorenulls=True).over(w_prefix)
     offsets = carries.select(*by, "__blk", offset.alias("__off"))
@@ -107,6 +126,15 @@ def groupby_scan_blocked(
     joined = staged.join(F.broadcast(offsets), [*by, "__blk"], "left")
     if func in ("nancumsum", "cumcount"):
         combined = F.col("__local") + F.coalesce(F.col("__off"), F.lit(0))
+    elif func == "cummax":
+        combined = F.greatest(F.col("__local"), F.col("__off"))  # greatest/least skip nulls
+    elif func == "cummin":
+        combined = F.least(F.col("__local"), F.col("__off"))
+    elif func == "nancumprod":
+        off = F.coalesce(F.col("__off"), F.lit(1))
+        combined = F.col("__local") * off
+        if not is_float_type(vdt):
+            combined = combined.cast("long")
     else:
         combined = F.coalesce(F.col("__local"), F.col("__off"))
     return joined.withColumn(out, combined).drop("__blk", "__local", "__off")

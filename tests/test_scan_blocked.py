@@ -54,3 +54,43 @@ def test_blocked_single_row_group(spark):
     df = spark.createDataFrame(pdf)
     r = groupby_scan_blocked(df, "k", func="nancumsum", value="v", order_by="idx").collect()
     assert r[0]["nancumsum"] == 1.5
+
+
+@pytest.mark.parametrize("func", ["cummax", "cummin", "nancumprod"])
+def test_blocked_extrema_prod(spark, skew_df, func):
+    from flox_spark import groupby_scan
+    # nancumprod on normals overflows nothing; use abs+0.5..1.5 range to
+    # keep products finite
+    from pyspark.sql import functions as F
+    df = skew_df.withColumn("v", F.abs(F.col("v")) % 1.0 + 0.5) if func == "nancumprod" else skew_df
+    plain = {r["idx"]: r[func] for r in
+             groupby_scan(df, "k", func=func, value="v", order_by="idx").collect()}
+    blocked = {r["idx"]: r[func] for r in
+               groupby_scan_blocked(df, "k", func=func, value="v", order_by="idx", num_blocks=9).collect()}
+    for i, w in plain.items():
+        g = blocked[i]
+        if w is None:
+            assert g is None, (i, g, w)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (i, g, w)
+
+
+def test_reindex_broadcast_heuristic(spark):
+    # the forced hint is dropped for huge DECLARED grids (Catalyst may
+    # still choose to broadcast a genuinely small side on its own)
+    from flox_spark.core import _should_broadcast_reindex
+    from flox_spark import groupby_reduce, set_options
+
+    assert _should_broadcast_reindex(1000.0)
+    assert not _should_broadcast_reindex(2e7)
+    with set_options(broadcast_reindex=False):
+        assert not _should_broadcast_reindex(10.0)
+
+    # and the small-grid plan does carry the broadcast
+    pdf = pd.DataFrame({"k1": [0, 1], "v": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    small = groupby_reduce(
+        df, "k1", func="nansum", value="v",
+        expected_groups=[0, 1, 2], fill_value=0.0, sort=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small or "BroadcastExchange" in small
