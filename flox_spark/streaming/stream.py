@@ -71,6 +71,33 @@ def groupby_reduce_stream(
     )
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per
+    normalized-content fingerprint, across micro-batches.
+
+    Spark-first: the fingerprint is the same md5 projection as the
+    batch ``dedup_exact`` and the cross-batch memory is Spark's own
+    ``dropDuplicates`` state store — no custom state code.  With a
+    ``time_col`` the watermark bounds state (fingerprints older than
+    the horizon are forgotten — the standard streaming-dedup trade);
+    without one, state grows with distinct content (exact forever-
+    dedup, bounded by content cardinality).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    out = df.withColumn("fp", F.md5(norm))
+    if time_col is not None:
+        # dropDuplicatesWithinWatermark: state entries expire once
+        # older than the watermark horizon (bounded state)
+        return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
 def groupby_session_stream(
     df: DataFrame,
     *by: str,

@@ -221,3 +221,32 @@ def test_stream_ffill_state_across_batches(spark):
         assert rows == {1: 10.0, 2: 10.0, 3: 10.0, 4: 10.0, 5: 7.0, 6: 7.0}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_exact_across_batches(spark):
+    # duplicate content arriving in a LATER micro-batch must be dropped
+    # (dropDuplicates state carries across batches)
+    tmp = tempfile.mkdtemp(prefix="flox_sdedup_")
+    try:
+        f0 = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "gamma delta"]})
+        f1 = pd.DataFrame({"doc_id": [2, 3], "text": ["Alpha  Beta", "epsilon zeta"]})  # 2 dups 0
+        spark.createDataFrame(f0).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        import time as _time
+        _time.sleep(1.1)
+        spark.createDataFrame(f1).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        from flox_spark.streaming import stream_dedup_exact
+        out = stream_dedup_exact(stream)
+        q = (
+            out.writeStream.format("memory").queryName("flox_sdedup")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM flox_sdedup").collect())
+        assert kept == [0, 1, 3]  # doc 2 (normalized dup of 0) dropped cross-batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
