@@ -164,6 +164,16 @@ def q_multiby_highcard(s, d):
     return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
+def q_json_extract(s, d):
+    # scalar-function coverage: JSON field extraction feeding a grouped
+    # reduction (events.props is a JSON string column)
+    df = _t(s, d, "events").withColumn(
+        "k_field", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    out = groupby_reduce(df, "event_type", func="nanmean", value="k_field", alias="avg_k")
+    return out.withColumn("avg_k", F.round("avg_k", 9))
+
+
 def q_highcard_random(s, d):
     # RandomBigArray shape (BASELINE.md: 5000 uniform-random groups):
     # high-cardinality single grouper, unsorted output
@@ -561,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dayofyear_mean": q_dayofyear_mean,
         "multiby_highcard": q_multiby_highcard,
         "highcard_random": q_highcard_random,
+        "json_extract": q_json_extract,
         "scan_cumsum": q_scan_cumsum,
         "scan_cumcount": q_scan_cumcount,
         "scan_ffill": q_scan_ffill,
@@ -665,6 +676,9 @@ def oracle_sql() -> dict[str, str]:
         "highcard_random": """
             SELECT l_partkey, coalesce(sum(l_quantity), 0) AS sum_qty
             FROM lineitem GROUP BY l_partkey""",
+        "json_extract": """
+            SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9) AS avg_k
+            FROM events GROUP BY event_type""",
         "scan_cumsum": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS cum_value
