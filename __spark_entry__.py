@@ -164,6 +164,18 @@ def q_multiby_highcard(s, d):
     return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
+def q_monthhour_sum(s, d):
+    # ERA5MonthHour shape (BASELINE.md): compound (month, hour)
+    # derived-time grouper — 288-group climatology analog
+    df = (
+        _t(s, d, "events")
+        .withColumn("month", F.month("ts").cast("long"))
+        .withColumn("hour", F.hour("ts").cast("long"))
+    )
+    out = groupby_reduce(df, "month", "hour", func="nansum", value="value", alias="sum_value")
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
 def q_json_extract(s, d):
     # scalar-function coverage: JSON field extraction feeding a grouped
     # reduction (events.props is a JSON string column)
@@ -572,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiby_highcard": q_multiby_highcard,
         "highcard_random": q_highcard_random,
         "json_extract": q_json_extract,
+        "monthhour_sum": q_monthhour_sum,
         "scan_cumsum": q_scan_cumsum,
         "scan_cumcount": q_scan_cumcount,
         "scan_ffill": q_scan_ffill,
@@ -679,6 +692,9 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9) AS avg_k
             FROM events GROUP BY event_type""",
+        "monthhour_sum": """
+            SELECT month(ts) AS month, hour(ts) AS hour, round(sum(value), 6) AS sum_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
         "scan_cumsum": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS cum_value

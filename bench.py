@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "multiby_highcard",
     "highcard_random",  # RandomBigArray shape: 5000+ uniform groups
     "dayofyear_mean",  # climatology shape (ERA5 benchmarks)
+    "monthhour_sum",   # compound derived-time grouper (ERA5MonthHour)
     "binned_count",
     "argmax",
     "first",

@@ -153,3 +153,40 @@ def test_min_count_matches_reference(spark):
             assert gv is None or math.isnan(gv), (g, gv, w)
         else:
             assert gv == pytest.approx(float(w), rel=1e-12), (g, gv, w)
+
+
+@pytest.mark.parametrize("func", ["sum", "prod", "min", "max", "count", "mean"])
+def test_int_dtype_matches_reference(spark, func):
+    # integer values: promotion rules must match the reference
+    # (int sum/prod stay integral, mean promotes to float)
+    rng = np.random.default_rng(29)
+    lab = LAYOUTS["interleaved"]
+    v = rng.integers(-50, 50, len(lab))
+    want, groups = flox_gr(v, lab, func=func, engine="flox")
+    pdf = pd.DataFrame({"k": lab, "v": v.astype(np.int64)})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func=func, value="v").collect()
+    got = {r["k"]: r[func] for r in res}
+    for g, w in zip(groups, want):
+        if isinstance(w, (np.integer, int)):
+            assert int(got[int(g)]) == int(w), (g, got[int(g)], w)
+        else:
+            assert got[int(g)] == pytest.approx(float(w), rel=1e-12), (g, got[int(g)], w)
+
+
+def test_bool_dtype_matches_reference(spark):
+    rng = np.random.default_rng(31)
+    lab = LAYOUTS["blocked"]
+    v = rng.random(len(lab)) > 0.5
+    for func in ["sum", "count", "min", "max"]:
+        want, groups = flox_gr(v, lab, func=func, engine="flox")
+        pdf = pd.DataFrame({"k": lab, "v": v})
+        df = spark.createDataFrame(pdf)
+        res = groupby_reduce(df, "k", func=func, value="v").collect()
+        got = {r["k"]: r[func] for r in res}
+        for g, w in zip(groups, want):
+            gv = got[int(g)]
+            if isinstance(w, (np.bool_, bool)):
+                assert bool(gv) == bool(w), (func, g, gv, w)
+            else:
+                assert int(gv) == int(w), (func, g, gv, w)
