@@ -332,7 +332,10 @@ def q_q1_multi(s, d):
 
 def q_multimodal_features(s, d):
     # binary-column plumbing: fake media from documents -> Arrow-batched
-    # mapInPandas feature extraction (deterministic sha256 expansion)
+    # mapInPandas feature extraction (deterministic sha256 expansion).
+    # The vector is exploded to (media_id, pos, feat_value) rows: the
+    # driver's canonicalizer sorts/hashes scalar columns only (an
+    # array<double> column is unhashable in its pandas sort).
     from flox_spark.operators.multimodal import extract_features, media_from_documents
 
     media = media_from_documents(_t(s, d, "documents"))
@@ -340,7 +343,12 @@ def q_multimodal_features(s, d):
     return feats.select(
         "media_id",
         "n_bytes",
-        F.transform("feature", lambda x: x.cast("double")).alias("feature"),
+        F.posexplode("feature").alias("pos", "feat_value"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("feat_value").cast("double").alias("feat_value"),
     )
 
 
@@ -535,11 +543,11 @@ def _operator_oracles() -> dict[str, str]:
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
-                   list_transform(range(0, 16), i ->
-                     ((strpos('0123456789abcdef', substr(sha256(text), 2*i + 1, 1)) - 1) * 16
-                      + strpos('0123456789abcdef', substr(sha256(text), 2*i + 2, 1)) - 1)
-                     / 128.0 - 1.0) AS feature
-            FROM documents""",
+                   i AS pos,
+                   (((strpos('0123456789abcdef', substr(sha256(text), 2*i + 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(sha256(text), 2*i + 2, 1)) - 1)
+                    / 128.0 - 1.0)::DOUBLE AS feat_value
+            FROM documents, range(0, 16) t(i)""",
         "minhash_pairs": _minhash_oracle(),
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},

@@ -52,6 +52,52 @@ def _norm(a: Column, dim: int) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _topk_per_query(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int, sim_col: str = "__sim"
+) -> DataFrame:
+    """Exact per-query top-k rank, bounded-task-size at any base size.
+
+    A naive reading of ``Window.partitionBy(query_id)`` says every
+    scored row of a query lands in ONE task — a scale-killer when base
+    is 100 TB and queries are few.  Spark >= 3.5's rank-limit pushdown
+    (``InsertWindowGroupLimit``) fixes this natively: the
+    ``row_number() <= k`` filter becomes a *Partial* WindowGroupLimit
+    evaluated map-side before the exchange, so each scan partition
+    forwards at most k rows per query and the final task ranks
+    <= k * num_partitions rows.  The executed plan (PLANS.txt,
+    ann_topk/ivf_topk) shows ``WindowGroupLimit ... Partial`` under the
+    Exchange — the two-stage top-k, synthesized by Catalyst.
+
+    The pushdown requires
+    ``k <= spark.sql.optimizer.windowGroupLimitThreshold`` (default
+    1000); beyond that we rank explicitly within
+    (query, spark_partition_id()) first, keep k, then rank globally
+    over the <= k * P survivors.  Both stages share one comparator
+    (sim desc, id asc), so either path is bitwise identical to a
+    single global rank."""
+    order = [F.col(sim_col).desc(), F.col(id_col).asc()]
+    try:
+        thresh = int(
+            scored.sparkSession.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+        )
+    except Exception:  # pragma: no cover - conf read only
+        thresh = 1000
+    if k > thresh:
+        wp = Window.partitionBy(query_id_col, "__part").orderBy(*order)
+        scored = (
+            scored.withColumn("__part", F.spark_partition_id())
+            .withColumn("__prk", F.row_number().over(wp))
+            .filter(F.col("__prk") <= k)
+            .drop("__part", "__prk")
+        )
+    wg = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("__rk", F.row_number().over(wg))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -76,17 +122,11 @@ def cosine_topk(
         _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
     )
     scored = joined.withColumn("__sim", sim)
-    w = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(id_col).asc())
-    out = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
-        )
+    return _topk_per_query(scored, query_id_col, id_col, k).select(
+        query_id_col,
+        id_col,
+        (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
     )
-    return out
 
 
 def lsh_signature_bits(
@@ -235,15 +275,10 @@ def ivf_topk(
         _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
     )
     scored = cand.withColumn("__sim", sim)
-    w = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
-        )
+    return _topk_per_query(scored, query_id_col, id_col, k).select(
+        query_id_col,
+        id_col,
+        (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
     )
 
 

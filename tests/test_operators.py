@@ -130,6 +130,25 @@ def test_cosine_topk(vectors):
         assert rows[0]["cos_sim"] == pytest.approx(1.0)
 
 
+def test_cosine_topk_two_stage_fallback(vectors):
+    # force k past the WindowGroupLimit pushdown threshold so the
+    # explicit (query, partition)-then-global two-stage rank path runs;
+    # results must be identical to the pushdown path
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    spark = vectors.sparkSession
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(key, "1000")
+    baseline = sorted(map(tuple, cosine_topk(vectors, queries, k=5, dim=8).collect()))
+    try:
+        spark.conf.set(key, "1")
+        two_stage = sorted(map(tuple, cosine_topk(vectors, queries, k=5, dim=8).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert two_stage == baseline
+
+
 def test_embedding_near_duplicates(vectors):
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
              embedding_near_duplicates(vectors, threshold=0.99, planes=8, bands=4, dim=8).collect()}
