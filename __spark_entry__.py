@@ -106,6 +106,14 @@ def q_quantile(s, d):
     return out.withColumn("p90_price", F.round("p90_price", 6))
 
 
+def q_quantile_vector(s, d):
+    # vector q: per-q output rows (reference quantile_new_dims_func
+    # adds a q dimension, flox/aggregations.py:688-710)
+    out = _q_reduce("nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p_price",
+                    finalize_kwargs={"q": [0.25, 0.5, 0.9]})(s, d)
+    return out.withColumn("p_price", F.round("p_price", 6))
+
+
 def q_first(s, d):
     return _q_reduce("nanfirst", "events", ["user_id"], "value", "first_value", order_by="event_id")(s, d)
 
@@ -140,6 +148,18 @@ def q_binned_count(s, d):
     return _q_reduce(
         "count", "lineitem", ["l_quantity"], "l_extendedprice", "cnt",
         isbin=True, expected_groups=[0.0, 10.0, 20.0, 30.0, 50.0], fill_value=0,
+    )(s, d)
+
+
+def q_binned_datetime(s, d):
+    # datetime binning: weekly timestamp breaks digitized through the
+    # int64 view (reference flox/factorize.py:64-72)
+    return _q_reduce(
+        "count", "events", ["ts"], "value", "cnt",
+        isbin=True,
+        expected_groups=["2024-01-01", "2024-01-08", "2024-01-15",
+                         "2024-01-22", "2024-01-29", "2024-02-05"],
+        fill_value=0,
     )(s, d)
 
 
@@ -579,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prod": q_prod,
         "median": q_median,
         "quantile": q_quantile,
+        "quantile_vector": q_quantile_vector,
         "first": q_first,
         "last": q_last,
         "argmax": q_argmax,
@@ -587,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all": q_all,
         "mode": q_mode,
         "binned_count": q_binned_count,
+        "binned_datetime": q_binned_datetime,
         "expected_fill": q_expected_fill,
         "dayofyear_mean": q_dayofyear_mean,
         "multiby_highcard": q_multiby_highcard,
@@ -641,6 +663,11 @@ def oracle_sql() -> dict[str, str]:
         "quantile": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
+        "quantile_vector": """
+            SELECT l_returnflag,
+                   unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q,
+                   round(unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9])), 6) AS p_price
+            FROM lineitem GROUP BY l_returnflag""",
         "first": """
             SELECT user_id, first(value ORDER BY event_id) AS first_value
             FROM events WHERE value IS NOT NULL GROUP BY user_id""",
@@ -680,6 +707,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT l_quantity_bin, count(l_extendedprice) AS cnt
                        FROM binned WHERE l_quantity_bin IS NOT NULL
                        GROUP BY l_quantity_bin) g USING (l_quantity_bin)""",
+        "binned_datetime": """
+            WITH binned AS (
+              SELECT CASE
+                       WHEN ts > TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-08' THEN 0
+                       WHEN ts > TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15' THEN 1
+                       WHEN ts > TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-22' THEN 2
+                       WHEN ts > TIMESTAMP '2024-01-22' AND ts <= TIMESTAMP '2024-01-29' THEN 3
+                       WHEN ts > TIMESTAMP '2024-01-29' AND ts <= TIMESTAMP '2024-02-05' THEN 4
+                     END AS ts_bin, value
+              FROM events)
+            SELECT b.ts_bin, coalesce(cnt, 0) AS cnt
+            FROM (VALUES (0),(1),(2),(3),(4)) b(ts_bin)
+            LEFT JOIN (SELECT ts_bin, count(value) AS cnt FROM binned
+                       WHERE ts_bin IS NOT NULL GROUP BY ts_bin) g USING (ts_bin)""",
         "expected_fill": """
             SELECT g.l_returnflag, g.l_linestatus, coalesce(s.sum_qty, 0.0) AS sum_qty
             FROM (SELECT rf.f AS l_returnflag, ls.s AS l_linestatus

@@ -42,6 +42,7 @@ from flox_spark.dtypes import (
     is_datetime_type,
     is_float_type,
     is_missing,
+    is_timedelta_type,
 )
 from flox_spark.options import OPTIONS
 
@@ -111,6 +112,11 @@ def _sum(ctx: AggContext, skipna: bool) -> Column:
     v, vdt = ctx.arith()
     zero = F.lit(0).cast("double" if is_float_type(vdt) else "long")
     expr = F.coalesce(F.sum(v), zero)
+    if is_timedelta_type(ctx.dt):
+        # numpy sums timedelta64 to timedelta64 (flox int64 view +
+        # dtype restore, flox/core.py:985-1001, 1209-1217)
+        expr = arith_restore(expr, ctx.dt)
+        return expr if skipna else _propagate(ctx, expr, ctx.dt)
     expr = _restore_float32(expr, ctx.dt)
     if skipna:
         return expr
@@ -135,9 +141,9 @@ def _prod(ctx: AggContext, skipna: bool) -> Column:
 def _mean(ctx: AggContext, skipna: bool) -> Column:
     v, _ = ctx.arith()
     expr = F.avg(v)
-    if is_datetime_type(ctx.dt):
+    if is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt):
         expr = arith_restore(expr, ctx.dt)
-        return expr if skipna else _propagate(ctx, expr, "timestamp")
+        return expr if skipna else _propagate(ctx, expr, ctx.dt)
     expr = _restore_float32(expr, ctx.dt)
     rdt = "float" if isinstance(ctx.dt, FloatType) else "double"
     return expr if skipna else _propagate(ctx, expr, rdt)
@@ -225,9 +231,9 @@ def _quantile(ctx: AggContext, skipna: bool, q: Any = None) -> Column:
         # exact, linear interpolation — matches numpy's default method
         # (flox/aggregate_flox.py:50-130) and DuckDB quantile_cont
         expr = F.percentile(v, F.lit(qv) if not isinstance(qv, (list, tuple)) else F.array(*[F.lit(x) for x in qv]))
-    if is_datetime_type(ctx.dt):
+    if is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt):
         expr = arith_restore(expr, ctx.dt)
-        return expr if skipna else _propagate(ctx, expr, "timestamp")
+        return expr if skipna else _propagate(ctx, expr, ctx.dt)
     if skipna:
         return expr
     rdt = "double"
@@ -245,7 +251,9 @@ def _any_all(ctx: AggContext, is_all: bool) -> Column:
     elif is_float_type(ctx.dt):
         b = F.when(ctx.value.isNotNull(), F.isnan(ctx.value) | (ctx.value != 0.0))
     else:
-        b = F.when(ctx.value.isNotNull(), ctx.value != 0)
+        # numericize first: datetime/timedelta cannot compare to int 0
+        nv, _ = arith_input(ctx.value, ctx.dt)
+        b = F.when(ctx.value.isNotNull(), nv != 0)
     expr = F.bool_and(b) if is_all else F.bool_or(b)
     # empty/all-null group -> False (flox final fill, aggregations.py:651-668)
     return F.coalesce(expr, F.lit(False))

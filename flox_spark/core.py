@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flox_spark.aggregations import REDUCTIONS, AggContext, Aggregation
-from flox_spark.dtypes import NAN, is_float_type, is_missing
+from flox_spark.dtypes import NAN, arith_input, is_datetime_type, is_float_type, is_missing
 from flox_spark.options import OPTIONS
 
 __all__ = ["groupby_reduce"]
@@ -52,11 +52,28 @@ def _is_uniform(breaks: list) -> bool:
     return w > 0 and all(abs(s - w) <= 1e-12 * abs(w) for s in steps)
 
 
-def _bin_column(col: Column, breaks: Sequence[float]) -> Column:
+def _break_to_num(b: Any, dt) -> float:
+    """A datetime bin break -> the int64 view _bin_column compares on
+    (microseconds for timestamps, epoch days for dates) — the Spark
+    analog of flox digitizing datetime bins through their int64 view
+    (flox/factorize.py:64-72, tested reference tests/test_core.py:1256-1271).
+    Accepts datetime/date/np.datetime64/pd.Timestamp/ISO strings."""
+    import pandas as pd
+    from pyspark.sql.types import DateType
+
+    ts = pd.Timestamp(b)
+    if isinstance(dt, DateType):
+        return float((ts - pd.Timestamp(0)).days)
+    return float(ts.value // 1000)  # ns -> us
+
+
+def _bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
     """Digitize into left-open right-closed intervals (b[i-1], b[i]]
     — numpy ``digitize(right=True)`` as used by flox binning
     (flox/factorize.py:55-82).  Out-of-range -> NULL (the dropped NaN
-    group).
+    group).  Datetime label columns are viewed as int64 and the breaks
+    converted to match, so regular datetime bins (hourly/daily/...)
+    take the same O(1) width_bucket path as uniform numeric bins.
 
     Two physical strategies, same semantics:
     - uniform numeric breaks with many intervals: arithmetic
@@ -65,6 +82,9 @@ def _bin_column(col: Column, breaks: Sequence[float]) -> Column:
       negation) — O(1) per row regardless of break count;
     - otherwise: a constant CASE chain (fine to ~1e3 breaks, stays in
       codegen; no shuffle, no UDF either way)."""
+    if dt is not None and is_datetime_type(dt):
+        col, _ = arith_input(col, dt)
+        breaks = [_break_to_num(b, dt) for b in breaks]
     breaks = list(breaks)
     n = len(breaks) - 1
     if _is_uniform(breaks) and n > 16:
@@ -86,6 +106,8 @@ def _fill_literal(fill: Any) -> Column:
         return F.lit(None)
     if isinstance(fill, float) and fill != fill:  # NaN
         return F.lit(NAN)
+    if isinstance(fill, list):  # per-q fill for vector-quantile results
+        return F.array(*[_fill_literal(x) for x in fill])
     return F.lit(fill)
 
 
@@ -171,7 +193,7 @@ def groupby_reduce(
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
-            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i]))
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt))
             work = work.filter(F.col(kc).isNotNull())  # out-of-range
         else:
             kc = b
@@ -192,6 +214,16 @@ def groupby_reduce(
         kwargs=dict(finalize_kwargs or {}),
     )
 
+    # ---- vector-q quantile: q=[...] adds a per-q output row ---------
+    # (reference quantile_new_dims_func adds a q dimension,
+    # flox/aggregations.py:688-710; the long-table analog is exploding
+    # the array result to (keys..., q, value) rows)
+    qlist: list[float] | None = None
+    if agg.name in ("quantile", "nanquantile"):
+        _q = ctx.kwargs.get("q")
+        if isinstance(_q, (list, tuple)):
+            qlist = [float(x) for x in _q]
+
     # ---- min_count defaulting (flox/core.py:1026-1038) --------------
     if min_count is None and fill_value is not None and any(e is not None for e in expected_t):
         min_count = 1
@@ -203,19 +235,35 @@ def groupby_reduce(
         expr = agg.build(ctx)
         if min_count is not None and min_count > 0:
             cnt = F.count(ctx.v_skip)
-            fill = _fill_literal(fill_value if fill_value is not None else agg.default_fill)
+            fill_scalar = fill_value if fill_value is not None else agg.default_fill
+            fill = _fill_literal([fill_scalar] * len(qlist) if qlist is not None else fill_scalar)
             expr = F.when(cnt >= F.lit(min_count), expr).otherwise(fill)
         result = work.groupBy(*key_cols).agg(expr.alias(out_name))
 
     # ---- expected-groups reindex (flox/reindex.py:160-216) ----------
     if any(e is not None for e in expected_t):
         fill = fill_value if fill_value is not None else agg.default_fill
+        if qlist is not None:
+            fill = [fill if fill is not None else NAN] * len(qlist)
         result = _reindex_expected(
             result, key_cols, isbin_t, expected_t, {out_name: fill}, df.sparkSession
         )
 
+    if qlist is not None:
+        # output column is named "q" (not "quantile": that is the
+        # default result alias and would collide)
+        pairs = F.array(
+            *[
+                F.struct(F.lit(q).alias("q"), F.element_at(F.col(out_name), i + 1).alias("v"))
+                for i, q in enumerate(qlist)
+            ]
+        )
+        result = result.withColumn("__qp", F.explode(pairs)).select(
+            *key_cols, F.col("__qp.q").alias("q"), F.col("__qp.v").alias(out_name)
+        )
+
     if sort:
-        result = result.orderBy(*key_cols)
+        result = result.orderBy(*key_cols, *(["q"] if qlist is not None else []))
     return result
 
 
@@ -258,7 +306,7 @@ def groupby_reduce_multi(
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
-            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i]))
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt))
             work = work.filter(F.col(kc).isNotNull())
         else:
             kc = b

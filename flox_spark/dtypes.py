@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BooleanType,
     DataType,
     DateType,
+    DayTimeIntervalType,
     DoubleType,
     FloatType,
     TimestampNTZType,
@@ -51,6 +52,12 @@ def is_bool_type(dt: DataType) -> bool:
 
 def is_datetime_type(dt: DataType) -> bool:
     return isinstance(dt, (TimestampType, TimestampNTZType, DateType))
+
+
+def is_timedelta_type(dt: DataType) -> bool:
+    """numpy timedelta64 maps to Spark's day-time interval
+    (pandas timedelta64[ns] -> DayTimeIntervalType in Arrow transfer)."""
+    return isinstance(dt, DayTimeIntervalType)
 
 
 def to_skip(col: Column, dt: DataType) -> Column:
@@ -87,8 +94,9 @@ def key_is_invalid(col: Column, dt: DataType) -> Column:
 
 
 def arith_input(col: Column, dt: DataType) -> tuple[Column, DataType]:
-    """Pre-cast for arithmetic reductions: bool -> int, datetime ->
-    int64 microseconds (flox/core.py:916-917, 985-1001)."""
+    """Pre-cast for arithmetic reductions: bool -> int, datetime and
+    timedelta -> int64 microseconds (flox/core.py:916-917, 985-1001;
+    the reference views both 'M' and 'm' numpy kinds as int64)."""
     if is_bool_type(dt):
         from pyspark.sql.types import LongType
 
@@ -101,6 +109,12 @@ def arith_input(col: Column, dt: DataType) -> tuple[Column, DataType]:
         from pyspark.sql.types import LongType
 
         return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long"), LongType()
+    if isinstance(dt, DayTimeIntervalType):
+        from pyspark.sql.types import LongType
+
+        # CAST(interval AS BIGINT) truncates to whole end-field units
+        # (seconds); epoch + interval -> unix_micros is exact to us
+        return F.unix_micros(F.timestamp_micros(F.lit(0)) + col), LongType()
     return col, dt
 
 
@@ -111,6 +125,10 @@ def arith_restore(col: Column, original: DataType) -> Column:
         return F.timestamp_micros(col.cast("long"))
     if isinstance(original, DateType):
         return F.date_add(F.lit("1970-01-01").cast("date"), col.cast("int"))
+    if isinstance(original, DayTimeIntervalType):
+        # int64 us -> interval, exact (timestamp difference), then cast
+        # to the declared start/end fields
+        return (F.timestamp_micros(col.cast("long")) - F.timestamp_micros(F.lit(0))).cast(original)
     if isinstance(original, BooleanType):
         return col.cast("boolean")
     return col

@@ -95,7 +95,7 @@ def test_flox_compat_kwargs_ignored(spark):
 
 def test_quantile_multi_q_matches_numpy_axis(spark):
     # vector q adds a result dimension (flox quantile_new_dims_func,
-    # aggregations.py:688-689): array column, one element per q
+    # aggregations.py:688-689): exploded (k, q, value) rows, one per q
     pdf = pd.DataFrame({"k": [0] * 10, "v": np.arange(10.0)})
     df = spark.createDataFrame(pdf)
     res = groupby_reduce(
@@ -103,7 +103,8 @@ def test_quantile_multi_q_matches_numpy_axis(spark):
         finalize_kwargs={"q": [0.1, 0.5, 0.9]},
     ).collect()
     want = np.quantile(np.arange(10.0), [0.1, 0.5, 0.9])
-    assert res[0]["nanquantile"] == pytest.approx(list(want))
+    assert [r["q"] for r in res] == [0.1, 0.5, 0.9]
+    assert [r["nanquantile"] for r in res] == pytest.approx(list(want))
 
 
 def test_groupby_derived_column(spark):

@@ -171,3 +171,54 @@ def test_arg_with_timestamp_order(spark):
     # first/last with timestamp order keep working and return values
     res = groupby_reduce(df, "k", func="nanlast", value="v", order_by="ts").collect()
     assert res[0]["nanlast"] == 1.0
+
+
+TD = pd.to_timedelta(["1 days 02:00:00.500000", "0 days 03:30:00", "2 days",
+                      "0 days 00:00:01.000001", "5 days 12:00:00"])
+
+
+def test_timedelta_sum_mean_roundtrip(spark):
+    # timedelta values: int64-us view + restore (flox/core.py:985-1001
+    # views numpy kind 'm' like 'M'; numpy sums/averages timedelta64
+    # to timedelta64)
+    pdf = pd.DataFrame({"k": LAB, "v": TD})
+    df = spark.createDataFrame(pdf)
+    npv = TD.to_numpy()
+    for func, np_fn in (("nansum", np.sum), ("nanmean", np.mean)):
+        res = groupby_reduce(df, "k", func=func, value="v")
+        assert schema_of(res, func).startswith("interval day")
+        got = {r["k"]: r[func] for r in res.collect()}
+        for g in (0, 1):
+            want = np_fn(npv[np.array(LAB) == g])
+            # collected values are datetime.timedelta; numpy result is
+            # timedelta64[ns] — compare at microsecond resolution
+            assert got[g] == pd.Timedelta(want).floor("us").to_pytimedelta(), (func, g)
+
+
+def test_timedelta_minmax_first_median(spark):
+    pdf = pd.DataFrame({"idx": range(5), "k": LAB, "v": TD})
+    df = spark.createDataFrame(pdf)
+    npv = TD.to_numpy()
+    lab = np.array(LAB)
+    for func, np_fn in (("nanmin", np.min), ("nanmax", np.max), ("nanmedian", np.median)):
+        res = groupby_reduce(df, "k", func=func, value="v")
+        assert schema_of(res, func).startswith("interval day")
+        got = {r["k"]: r[func] for r in res.collect()}
+        for g in (0, 1):
+            want = pd.Timedelta(np_fn(npv[lab == g])).floor("us").to_pytimedelta()
+            assert got[g] == want, (func, g, got[g], want)
+    res = groupby_reduce(df, "k", func="nanfirst", value="v", order_by="idx")
+    got = {r["k"]: r["nanfirst"] for r in res.collect()}
+    assert got == {0: TD[0].to_pytimedelta(), 1: TD[2].to_pytimedelta()}
+
+
+def test_timedelta_count_any(spark):
+    pdf = pd.DataFrame({"k": LAB, "v": TD})
+    df = spark.createDataFrame(pdf)
+    got = {r["k"]: r["count"] for r in
+           groupby_reduce(df, "k", func="count", value="v").collect()}
+    assert got == {0: 2, 1: 3}
+    # numpy truthiness: nonzero timedelta is True
+    got = {r["k"]: r["any"] for r in
+           groupby_reduce(df, "k", func="any", value="v").collect()}
+    assert got == {0: True, 1: True}

@@ -153,11 +153,50 @@ def test_quantile_scalar(spark, func, q, missing="nan"):
 
 
 def test_quantile_vector(spark):
+    # vector q explodes to (label, q, value) rows — the long-table
+    # analog of the reference's added q dimension
+    # (flox/aggregations.py:688-710)
     pdf = make_pdf(None)
-    got = run_engine(spark, pdf, "nanquantile", q=[0.25, 0.5, 0.9])
+    df = spark.createDataFrame(pdf)
+    qs = [0.25, 0.5, 0.9]
+    res = groupby_reduce(
+        df, "label", func="nanquantile", value="v", finalize_kwargs={"q": qs}
+    ).collect()
+    got = {(r["label"], r["q"]): r["nanquantile"] for r in res}
+    assert len(res) == 9  # 3 groups x 3 qs
+    assert [(r["label"], r["q"]) for r in res] == sorted(got)  # sorted by (label, q)
+    want = np_golden("nanquantile", None, q=qs)
     for g in [0, 1, 2]:
-        want = np_golden("nanquantile", None, q=[0.25, 0.5, 0.9])[g]
-        assert got[g] == pytest.approx(list(want), rel=RTOL)
+        for i, q in enumerate(qs):
+            assert got[(g, q)] == pytest.approx(float(want[g][i]), rel=RTOL)
+
+
+def test_quantile_vector_nan_propagates(spark):
+    # plain quantile with vector q: a poisoned group is NaN at every q
+    pdf = make_pdf("nan")
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "label", func="quantile", value="v", finalize_kwargs={"q": [0.25, 0.9]}
+    ).collect()
+    got = {(r["label"], r["q"]): r["quantile"] for r in res}
+    for g in [0, 1, 2]:  # every group has a NaN row (NAN_POS)
+        for q in (0.25, 0.9):
+            assert math.isnan(got[(g, q)])
+
+
+def test_quantile_vector_expected_fill(spark):
+    # absent expected groups are filled per q
+    pdf = make_pdf(None)
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "label", func="nanquantile", value="v",
+        expected_groups=[0, 1, 2, 3], fill_value=-7.0,
+        finalize_kwargs={"q": [0.5, 0.9]},
+    ).collect()
+    got = {(r["label"], r["q"]): r["nanquantile"] for r in res}
+    assert got[(3, 0.5)] == -7.0 and got[(3, 0.9)] == -7.0
+    want = np_golden("nanquantile", None, q=[0.5, 0.9])
+    assert got[(0, 0.5)] == pytest.approx(float(want[0][0]), rel=RTOL)
 
 
 def test_any_all(spark):

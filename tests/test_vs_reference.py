@@ -155,6 +155,31 @@ def test_min_count_matches_reference(spark):
             assert gv == pytest.approx(float(w), rel=1e-12), (g, gv, w)
 
 
+def test_datetime_bins_match_reference(spark):
+    # datetime bin breaks: the reference digitizes through the int64
+    # view (flox/factorize.py:64-72; reference tests/test_core.py:1256-1271)
+    rng = np.random.default_rng(37)
+    n = 48
+    by = pd.date_range("2024-01-01", periods=n, freq="6h")
+    v = rng.normal(size=n)
+    breaks = pd.date_range("2024-01-01", periods=7, freq="2D")
+    want, groups = flox_gr(
+        v, by.values, func="nansum",
+        expected_groups=pd.IntervalIndex.from_breaks(breaks),
+        fill_value=0.0, engine="flox",
+    )
+    pdf = pd.DataFrame({"ts": by, "v": v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "ts", func="nansum", value="v", isbin=True,
+        expected_groups=list(breaks), fill_value=0.0,
+    ).collect()
+    got = {r["ts_bin"]: r["nansum"] for r in res}
+    assert sorted(got) == list(range(len(want)))
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(float(w), rel=1e-12), (i, got[i], w)
+
+
 @pytest.mark.parametrize("func", ["sum", "prod", "min", "max", "count", "mean"])
 def test_int_dtype_matches_reference(spark, func):
     # integer values: promotion rules must match the reference
