@@ -130,6 +130,50 @@ def q_argmin(s, d):
     return _q_reduce("nanargmin", "events", ["user_id"], "value", "argmin_event", order_by="event_id")(s, d)
 
 
+def _with_sparse_gaps(df: DataFrame) -> DataFrame:
+    # sparser injection than _with_gaps: ~40 of 150 user groups get a
+    # missing value, so BOTH the poisoned and the clean branch of the
+    # plain (NaN-propagating) funcs are driver-verified
+    return df.withColumn(
+        "v", F.when(F.col("event_id") % 211 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+def q_first_plain(s, d):
+    # plain (NaN-propagating) first: positional first INCLUDING the
+    # missing value (numpy view: missing surfaces as NaN) — driver
+    # evidence for the non-nan* semantics (flox/aggregate_npg.py:58-88)
+    df = _with_sparse_gaps(_t(s, d, "events"))
+    return groupby_reduce(df, "user_id", func="first", value="v",
+                          order_by="event_id", alias="first_value")
+
+
+def q_argmax_plain(s, d):
+    # plain argmax: any missing value in the group -> position of the
+    # FIRST missing element (numpy comparison semantics)
+    df = _with_sparse_gaps(_t(s, d, "events"))
+    return groupby_reduce(df, "user_id", func="argmax", value="v",
+                          order_by="event_id", alias="argmax_event")
+
+
+def q_min_plain(s, d):
+    # plain min: NaN poisons the group (Spark's native NaN-sorts-high
+    # rule would instead hide it — the bool_or wrapper is what's tested)
+    df = _with_sparse_gaps(_t(s, d, "events"))
+    return groupby_reduce(df, "user_id", func="min", value="v", alias="min_value")
+
+
+def q_mode_plain(s, d):
+    # plain mode: nan_policy='propagate' (scipy.stats.mode parity)
+    df = _t(s, d, "events").withColumn(
+        "vm",
+        F.when(F.col("event_id") % 211 == 0, F.lit(None)).otherwise(
+            (F.floor("value") % 5).cast("double")
+        ),
+    )
+    return groupby_reduce(df, "user_id", func="mode", value="vm", alias="mode_value")
+
+
 def q_any(s, d):
     df = _t(s, d, "events").withColumn("big", F.col("value") > 100.0)
     return groupby_reduce(df, "event_type", func="any", value="big", alias="any_big")
@@ -607,6 +651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "any": q_any,
         "all": q_all,
         "mode": q_mode,
+        "first_plain": q_first_plain,
+        "argmax_plain": q_argmax_plain,
+        "min_plain": q_min_plain,
+        "mode_plain": q_mode_plain,
         "binned_count": q_binned_count,
         "binned_datetime": q_binned_datetime,
         "expected_fill": q_expected_fill,
@@ -680,6 +728,42 @@ def oracle_sql() -> dict[str, str]:
         "argmin": """
             SELECT user_id, (list(event_id ORDER BY value ASC, event_id ASC))[1] AS argmin_event
             FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+        "first_plain": """
+            SELECT user_id,
+                   coalesce(first(CASE WHEN event_id % 211 = 0 THEN NULL ELSE value END
+                                  ORDER BY event_id), 'NaN'::DOUBLE) AS first_value
+            FROM events GROUP BY user_id""",
+        "argmax_plain": """
+            WITH g AS (SELECT user_id, event_id,
+                              CASE WHEN event_id % 211 = 0 THEN NULL ELSE value END AS v
+                       FROM events)
+            SELECT user_id,
+                   CASE WHEN count(*) FILTER (WHERE v IS NULL) > 0
+                        THEN min(event_id) FILTER (WHERE v IS NULL)
+                        ELSE (list(event_id ORDER BY v DESC, event_id ASC))[1]
+                   END AS argmax_event
+            FROM g GROUP BY user_id""",
+        "min_plain": """
+            WITH g AS (SELECT user_id,
+                              CASE WHEN event_id % 211 = 0 THEN NULL ELSE value END AS v
+                       FROM events)
+            SELECT user_id,
+                   CASE WHEN count(*) FILTER (WHERE v IS NULL) > 0 THEN 'NaN'::DOUBLE
+                        ELSE min(v) END AS min_value
+            FROM g GROUP BY user_id""",
+        "mode_plain": """
+            WITH g AS (SELECT user_id,
+                              CASE WHEN event_id % 211 = 0 THEN NULL
+                                   ELSE (floor(value)::BIGINT % 5)::DOUBLE END AS v
+                       FROM events),
+            counts AS (SELECT user_id, v, count(*) AS c FROM g
+                       WHERE v IS NOT NULL GROUP BY user_id, v),
+            m AS (SELECT user_id, (list(v ORDER BY c DESC, v ASC))[1] AS mode_v
+                  FROM counts GROUP BY user_id),
+            miss AS (SELECT user_id, bool_or(v IS NULL) AS has_miss FROM g GROUP BY user_id)
+            SELECT miss.user_id,
+                   CASE WHEN has_miss THEN 'NaN'::DOUBLE ELSE mode_v END AS mode_value
+            FROM miss LEFT JOIN m ON miss.user_id = m.user_id""",
         "any": """
             SELECT event_type, coalesce(bool_or(value > 100.0), FALSE) AS any_big
             FROM events GROUP BY event_type""",
