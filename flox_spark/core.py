@@ -331,10 +331,16 @@ def groupby_reduce_multi(
             raise ValueError(f"{agg.name} is two-stage; use groupby_reduce for it")
         if agg.needs_order and order_by is None:
             raise ValueError(f"func {agg.name!r} requires order_by=")
+        # numericize the order column exactly as groupby_reduce does:
+        # arg* builders negate idx for the tie-break, which fails on
+        # timestamp/date order columns without the int64 view
+        idx_col = None
+        if order_by:
+            idx_col, _ = arith_input(F.col(order_by), work.schema[order_by].dataType)
         ctx = AggContext(
             value=F.col(value),
             dt=work.schema[value].dataType,
-            idx=F.col(order_by) if order_by else None,
+            idx=idx_col,
             kwargs=fk,
         )
         exprs.append(agg.build(ctx).alias(out_name))
@@ -396,6 +402,13 @@ def _reindex_expected(
     join never shuffles.  ``fills``: out_column -> fill value (None ->
     NaN for float results, flox's promotion rule collapsed to NULL/NaN).
     """
+    if any(e is None for e in expected_t):
+        # partially-declared expected groups: the observed-key grid
+        # branches off `result`, which would otherwise re-execute the
+        # whole aggregate subtree as a second plan branch (diamond)
+        from flox_spark.plans.util import materialize_shared
+
+        result = materialize_shared(result)
     grid: DataFrame | None = None
     grid_card: float = 1.0  # exact when all expected are declared
     for i, kc in enumerate(key_cols):

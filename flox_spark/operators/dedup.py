@@ -195,16 +195,24 @@ def ngram_jaccard_pairs(
     O(df^2) pairs and contribute little discrimination).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    With ``df_max`` set, the score is exact Jaccard over the FILTERED
+    shingle universe (sizes and intersections both exclude the dropped
+    high-frequency shingles) — a consistent metric, not a mix of the
+    two universes.
     """
     # sh feeds the pair join twice plus sizes (and freq):
     # materialize the inverted index once instead of re-shingling
     from flox_spark.plans.util import materialize_shared
 
     sh = materialize_shared(doc_shingles(df, id_col, text_col, k))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(freq.filter(F.col("__df") <= df_max), "shingle").drop("__df")
+        sh = materialize_shared(
+            sh.join(freq.filter(F.col("__df") <= df_max), "shingle").drop("__df")
+        )
+    # sizes AFTER the df_max filter: |A|, |B| and |A∩B| must count the
+    # same shingle universe or near-threshold pairs get silently dropped
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (

@@ -17,9 +17,22 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the frame has fewer partitions than the
-    default parallelism (i.e. the scan undershoots the cluster)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    default parallelism (i.e. the scan undershoots the cluster).
+
+    The partition count is ESTIMATED from the optimized plan's size
+    statistics vs ``spark.sql.files.maxPartitionBytes`` — planning-time
+    only; ``df.rdd.getNumPartitions()`` would force a full plan->RDD
+    conversion per call and is kept only as the fallback."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        max_bytes = int(raw.rstrip("bB")) if raw.rstrip("bB").isdigit() else 128 << 20
+        est_parts = max(1, size // max(1, max_bytes))
+    except Exception:  # pragma: no cover - e.g. stats unavailable
+        est_parts = df.rdd.getNumPartitions()
+    if est_parts < target:
         return df.repartition(target)
     return df
 

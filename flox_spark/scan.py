@@ -91,7 +91,14 @@ def groupby_scan(
         run = F.product(av).over(w)
         if func == "cumprod":
             poisoned = F.max(F.when(missing, F.lit(1)).otherwise(F.lit(0))).over(w) == 1
-            expr = F.when(poisoned, F.lit(float("nan"))).otherwise(run)
+            if is_float_type(vdt):
+                expr = F.when(poisoned, F.lit(float("nan"))).otherwise(run)
+            else:
+                # integer input: poison must stay NULL — a NaN literal
+                # here would be cast to long below, and non-ANSI
+                # CAST(NaN AS BIGINT) silently yields 0 (cumsum's int
+                # branch already does this)
+                expr = F.when(poisoned, F.lit(None)).otherwise(run)
         else:
             expr = F.coalesce(run, F.lit(1.0))
         if not is_float_type(vdt):

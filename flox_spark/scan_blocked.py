@@ -15,9 +15,14 @@ scan_binary_op flox/aggregations.py:792-846):
 Supported funcs: ``nancumsum``, ``cumcount`` (additive carries) and
 ``ffill`` (last-non-missing carry).  Results equal ``groupby_scan``
 exactly; use when profiling shows one group dominating a WindowExec
-task.  Blocks are order-column range buckets, so rows of block i all
-precede block i+1 — the global min/max bounds come from a lazy
-broadcast aggregate (no driver action).
+task.  Blocks are order-column QUANTILE buckets from a lazy broadcast
+``percentile_approx`` aggregate (no driver action): equal-population
+blocks even when the order column is skewed (timestamp bursts), where
+uniform [min, max] ranges would put nearly everything in one block.
+Rows of block i still all precede block i+1 (the bucket function is
+monotone in the order column; ties land in one block).  The order
+column is numericized first (timestamp/date -> int64), so datetime
+order columns work; it must be non-null.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flox_spark.dtypes import is_float_type, to_skip
+from flox_spark.dtypes import arith_input, is_float_type, to_skip
 
 __all__ = ["groupby_scan_blocked"]
 
@@ -47,23 +52,22 @@ def groupby_scan_blocked(
     vdt = df.schema[value].dataType
     v_skip = to_skip(F.col(value), vdt)
 
-    # order-range blocks from a lazy global [min, max] broadcast
+    # equal-population blocks: approx-quantile breaks of the (numeric
+    # view of the) order column, from a lazy broadcast aggregate.
+    # block(x) = #{breaks < x} is monotone, so block i's rows all
+    # precede block i+1's and duplicate order values share one block.
+    onum, _ = arith_input(F.col(order_by), df.schema[order_by].dataType)
+    qs = [i / num_blocks for i in range(1, num_blocks)]
     bounds = df.agg(
-        F.min(order_by).alias("__omin"), F.max(order_by).alias("__omax")
+        F.percentile_approx(onum, F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
+            "__breaks"
+        )
     )
-    work = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__blk",
-        F.when(
-            F.col("__omax") > F.col("__omin"),
-            F.least(
-                F.lit(num_blocks - 1),
-                (
-                    (F.col(order_by) - F.col("__omin"))
-                    / ((F.col("__omax") - F.col("__omin")) / num_blocks)
-                ).cast("int"),
-            ),
-        ).otherwise(F.lit(0)),
-    ).drop("__omin", "__omax")
+    work = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__blk", F.size(F.filter(F.col("__breaks"), lambda b: b < onum)).cast("int"))
+        .drop("__breaks")
+    )
 
     # stage 1: local scan within (key, block)
     w_local = (

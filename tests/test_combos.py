@@ -107,6 +107,25 @@ def test_quantile_multi_q_matches_numpy_axis(spark):
     assert [r["nanquantile"] for r in res] == pytest.approx(list(want))
 
 
+def test_partial_expected_no_diamond(spark):
+    # partially-declared expected groups: the observed-keys grid branch
+    # must reuse the materialized aggregate, not re-execute it (the
+    # groupBy subtree appears once; only the distinct adds aggregates)
+    pdf = pd.DataFrame({"k1": [0, 0, 1], "k2": ["a", "b", "a"], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k1", "k2", func="nansum", value="v",
+        expected_groups=([0, 1, 2], None), fill_value=0.0,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # one partial+final pair for the distinct over the checkpointed
+    # result; the sum aggregate itself is behind an ExistingRDD scan
+    assert plan.count("HashAggregate") <= 2, plan
+    got = {(r["k1"], r["k2"]): r["nansum"] for r in res.collect()}
+    assert got[(2, "a")] == 0.0 and got[(2, "b")] == 0.0
+    assert got[(0, "a")] == 1.0 and got[(1, "a")] == 3.0
+
+
 def test_groupby_derived_column(spark):
     # grouping by a computed key (flox's "lazy by" case, core.py:925-951):
     # any expression column works as a grouper

@@ -97,6 +97,30 @@ def test_ngram_jaccard(docs):
     assert (0, 4) not in pairs
 
 
+def test_ngram_jaccard_df_max_consistent(spark):
+    # with df_max, jaccard is exact over the FILTERED universe: sizes
+    # and intersections exclude the dropped high-frequency shingle
+    import pandas as pd
+    common = "the quick brown"  # one 3-shingle shared by all docs
+    rows = [
+        (0, common + " alpha beta gamma delta"),
+        (1, common + " alpha beta gamma epsilon"),
+        (2, common + " zeta eta theta iota"),
+        (3, common + " kappa lambda mu nu"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # every doc shares shingle "the quick brown" (df=4 > df_max=3):
+    # it must count in NEITHER sizes nor intersections
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, k=3, threshold=0.01, df_max=3).collect()}
+    # docs 0,1: 5 shingles each, 4 after the drop; shared after drop:
+    # 'quick brown alpha','brown alpha beta','alpha beta gamma' = 3;
+    # filtered jaccard = 3/(4+4-3) = 0.6 (the old mixed-universe bug
+    # divided by unfiltered sizes: 3/(5+5-3) ~ 0.43)
+    assert got[(0, 1)] == pytest.approx(3 / 5)
+    assert (2, 3) not in got  # only the dropped shingle was shared
+
+
 def test_simhash(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]  # exact dups identical

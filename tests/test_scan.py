@@ -106,6 +106,23 @@ def test_cumprod_int(spark):
     assert [rows[i] for i in range(6)] == [2, 3, 8, 15, 48, 105]
 
 
+def test_cumprod_int_poison_stays_null(spark):
+    # plain cumprod over an integer column with a missing value: the
+    # poison must surface as NULL from that position on — a NaN literal
+    # would be CAST to 0 by non-ANSI long casting (matches cumsum's
+    # int branch)
+    pdf = pd.DataFrame({
+        "idx": np.arange(4, dtype=np.int64),
+        "label": np.zeros(4, dtype=np.int64),
+        "v": pd.array([2, None, 3, 4], dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    res = groupby_scan(df, "label", func="cumprod", value="v", order_by="idx")
+    rows = {r["idx"]: r["cumprod"] for r in res.collect()}
+    assert rows[0] == 2
+    assert rows[1] is None and rows[2] is None and rows[3] is None
+
+
 def test_cummax_cummin(spark):
     got_max = collect_scan(spark, "cummax")
     want_max = per_group_numpy(lambda x: np.fmax.accumulate(np.where(np.isnan(x), -np.inf, x)))

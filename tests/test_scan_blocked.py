@@ -75,6 +75,59 @@ def test_blocked_extrema_prod(spark, skew_df, func):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (i, g, w)
 
 
+def test_blocked_bursty_order(spark):
+    # bursty order column (timestamp-cluster shape): 95% of rows sit in
+    # dense runs, the rest behind huge gaps.  Uniform [min,max] ranges
+    # would dump nearly all rows into one block; quantile breaks keep
+    # populations balanced AND the result must still equal the plain scan.
+    rng = np.random.default_rng(5)
+    n = 4000
+    gaps = np.where(rng.random(n) < 0.95, 1, 10_000_000)
+    o = np.cumsum(gaps).astype(np.int64)  # strictly increasing (unique)
+    k = rng.integers(0, 3, n)
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.2] = np.nan
+    pdf = pd.DataFrame({"o": o, "k": k, "v": v})
+    df = spark.createDataFrame(pdf).repartition(8)
+    plain = {r["o"]: r["nancumsum"] for r in
+             groupby_scan(df, "k", func="nancumsum", value="v", order_by="o").collect()}
+    blocked = {r["o"]: r["nancumsum"] for r in
+               groupby_scan_blocked(df, "k", func="nancumsum", value="v", order_by="o",
+                                    num_blocks=8).collect()}
+    for i, w in plain.items():
+        assert blocked[i] == pytest.approx(w, rel=1e-9, abs=1e-9), i
+    # balance: the quantile breaks split the bursty axis into blocks
+    # none of which holds more than ~2x the even share
+    from pyspark.sql import functions as F
+    breaks = df.agg(F.percentile_approx(
+        "o", F.array(*[F.lit(i / 8) for i in range(1, 8)]), F.lit(10000)).alias("b")
+    ).first()["b"]
+    blk = np.searchsorted(np.array(breaks), o, side="left")  # = #{breaks < x}
+    counts = np.bincount(blk, minlength=8)
+    assert counts.max() <= 2 * n / 8, counts
+
+
+def test_blocked_timestamp_order(spark):
+    # datetime order columns numericize through the int64 view instead
+    # of failing on interval arithmetic
+    import datetime as dt
+    n = 200
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "ts": [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(i)) for i in range(n)],
+        "k": rng.integers(0, 2, n),
+        "v": rng.normal(size=n),
+    })
+    df = spark.createDataFrame(pdf)
+    plain = {r["ts"]: r["nancumsum"] for r in
+             groupby_scan(df, "k", func="nancumsum", value="v", order_by="ts").collect()}
+    blocked = {r["ts"]: r["nancumsum"] for r in
+               groupby_scan_blocked(df, "k", func="nancumsum", value="v", order_by="ts",
+                                    num_blocks=4).collect()}
+    for i, w in plain.items():
+        assert blocked[i] == pytest.approx(w, rel=1e-9), i
+
+
 def test_reindex_broadcast_heuristic(spark):
     # the forced hint is dropped for huge DECLARED grids (Catalyst may
     # still choose to broadcast a genuinely small side on its own)
