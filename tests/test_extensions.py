@@ -250,3 +250,142 @@ def test_stream_dedup_exact_across_batches(spark):
         assert kept == [0, 1, 3]  # doc 2 (normalized dup of 0) dropped cross-batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_equals_batch_engine(spark):
+    # the differential check the batch engine gets from the oracle,
+    # applied to streaming: a deterministic multi-batch file stream
+    # must produce exactly what groupby_reduce computes on the same
+    # data with the window start as a derived grouper
+    rng = np.random.default_rng(17)
+    n = 300
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+        "k": rng.integers(0, 4, n).astype(str),
+        "v": rng.normal(size=n),
+    })
+    pdf.loc[rng.random(n) < 0.15, "v"] = np.nan
+    tmp = tempfile.mkdtemp(prefix="flox_sdiff_")
+    try:
+        # three single-part files -> three micro-batches
+        import time as _time
+        for i, part in enumerate(np.array_split(pdf, 3)):
+            spark.createDataFrame(part).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+            _time.sleep(1.1)
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        out = groupby_reduce_stream(
+            stream, "k", func="nansum", value="v",
+            time_col="ts", window="1 hour", watermark="0 seconds", alias="total",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("flox_sdiff")
+            .outputMode("complete").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["k"]): r["total"]
+            for r in spark.sql("SELECT * FROM flox_sdiff").collect()
+        }
+        # batch engine on the same data, window start as derived grouper
+        batch_df = spark.read.parquet(f"{tmp}/in/*").withColumn(
+            "window_start", F.window("ts", "1 hour")["start"]
+        )
+        want = {
+            (r["window_start"], r["k"]): r["total"]
+            for r in groupby_reduce(
+                batch_df, "window_start", "k", func="nansum", value="v", alias="total"
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], rel=1e-12), key
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_equals_batch_dedup(spark):
+    # cross-batch streaming dedup must keep exactly the docs batch
+    # dedup_exact selects (min doc_id per fingerprint) when duplicate
+    # content never co-occurs inside one micro-batch (within a batch
+    # dropDuplicates keeps an arbitrary witness)
+    from flox_spark.operators import dedup_exact
+    from flox_spark.streaming import stream_dedup_exact
+
+    files = [
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["aa bb", "cc dd", "ee ff"]}),
+        pd.DataFrame({"doc_id": [3, 4], "text": ["AA  BB", "gg hh"]}),   # 3 dups 0
+        pd.DataFrame({"doc_id": [5, 6], "text": ["cc  DD", "ee ff x"]}),  # 5 dups 1
+    ]
+    tmp = tempfile.mkdtemp(prefix="flox_sdd2_")
+    try:
+        import time as _time
+        for i, f in enumerate(files):
+            spark.createDataFrame(f).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+            _time.sleep(1.1)
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        q = (
+            stream_dedup_exact(stream).writeStream.format("memory")
+            .queryName("flox_sdd2").outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        stream_kept = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM flox_sdd2").collect()
+        )
+        batch = dedup_exact(spark.read.parquet(f"{tmp}/in/*"))
+        batch_kept = sorted(r["keep_id"] for r in batch.collect())
+        assert stream_kept == batch_kept == [0, 1, 2, 4, 6]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_stream_equals_batch_sessions(spark):
+    # session windows: the streaming wrapper must agree with the same
+    # session_window aggregation evaluated in batch mode
+    from flox_spark.streaming import groupby_session_stream
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:30",
+            "2024-01-01 00:05", "2024-01-01 02:00", "2024-01-01 02:20",
+        ]),
+        "k": ["a", "a", "a", "b", "b", "b"],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    tmp = tempfile.mkdtemp(prefix="flox_sess_")
+    try:
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        out = groupby_session_stream(
+            stream, "k", func="nansum", value="v",
+            time_col="ts", gap="30 minutes", watermark="0 seconds", alias="total",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("flox_sess")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        got = {
+            (r["window_start"], r["k"]): r["total"]
+            for r in spark.sql("SELECT * FROM flox_sess").collect()
+        }
+        batch = (
+            spark.read.parquet(f"{tmp}/in")
+            .groupBy(F.session_window("ts", "30 minutes").alias("__w"), "k")
+            .agg(F.sum("v").alias("total"))
+            .select(F.col("__w.start").alias("window_start"), "k", "total")
+        )
+        want = {(r["window_start"], r["k"]): r["total"] for r in batch.collect()}
+        assert got == want
+        assert len(want) == 4  # a: 2 sessions, b: 2 sessions
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
