@@ -21,6 +21,11 @@ def get_spark(app: str = "flox_spark", cpus: int | None = None) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size when coalescing instead
+        # of maximizing parallelism: Spark's own docs recommend false
+        # — small aggregates collapse to few tasks (less scheduling
+        # overhead), huge shuffles still split by size
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
