@@ -348,6 +348,17 @@ def q_simhash(s, d):
     return simhash_signatures(_t(s, d, "documents"), hex_chars=8)
 
 
+def q_minhash_clusters(s, d):
+    # pairs -> connected components -> (doc_id, cluster_id): the
+    # decision step of a near-dedup pipeline (A~B, B~C => one cluster)
+    from flox_spark.operators import dedup_clusters
+
+    pairs = minhash_candidates(
+        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None
+    )
+    return dedup_clusters(pairs)
+
+
 def q_ann_topk(s, d):
     emb = _t(s, d, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -613,6 +624,16 @@ def _operator_oracles() -> dict[str, str]:
                     / 128.0 - 1.0)::DOUBLE AS feat_value
             FROM documents, range(0, 16) t(i)""",
         "minhash_pairs": _minhash_oracle(),
+        "minhash_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+            )
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""",
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -674,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,

@@ -6,7 +6,9 @@ from flox_spark.operators.text import (
     fingerprint,
 )
 from flox_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
+    dedup_keep_representatives,
     minhash_signatures,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -26,7 +28,9 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "dedup_clusters",
     "dedup_exact",
+    "dedup_keep_representatives",
     "minhash_signatures",
     "minhash_candidates",
     "ngram_jaccard_pairs",

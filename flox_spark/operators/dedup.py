@@ -282,3 +282,69 @@ def simhash_signatures(
         out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
     sig = F.concat(*out_chars)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over candidate-pair edges: every document
+    that appears in a pair is assigned the MINIMUM id reachable
+    through the pair graph as its ``cluster_id`` (the canonical
+    representative).  The step a real dedup pipeline needs between
+    "similar pairs" (minhash/jaccard/simhash output) and "which rows
+    to keep": near-duplicates chain (A~B, B~C => one cluster).
+
+    Spark-first iterative min-label propagation: each round joins the
+    edge list with current labels and keeps the per-node minimum —
+    converges in graph-diameter rounds (duplicate clusters are
+    near-cliques, so typically 2-3).  Each round is one join + one
+    groupBy, localCheckpointed to truncate lineage; convergence is
+    detected via the monotone label sum (labels only ever decrease),
+    one tiny action per round.  At 100 TB scale the edge list is
+    |candidate pairs|-sized — orders of magnitude below the corpus —
+    and every round shuffles only that.
+
+    Output: (doc_id, cluster_id) for every id present in ``pairs``;
+    docs in no pair are implicitly their own singleton cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()  # reused every round: cut off the pair pipeline
+    )
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, "u").select(F.col("v").alias("u"), "lbl")
+        labels = (
+            labels.union(prop).groupBy("u").agg(F.min("lbl").alias("lbl")).localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:  # labels are elementwise non-increasing
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered document except its cluster representative
+    (the row whose id equals cluster_id); unclustered rows pass
+    through.  The terminal step of the near-dedup pipeline."""
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -224,3 +224,68 @@ def test_char_shingles(spark):
     short = spark.createDataFrame(pd.DataFrame([(0, "ab")], columns=["doc_id", "text"]))
     got = {r["shingle"] for r in doc_shingles(short, k=3, unit="char").collect()}
     assert got == {"ab"}
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B, B~C chain to one cluster; D~E separate; representative = min id
+    from flox_spark.operators import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (7, 9)], columns=["id_a", "id_b"])
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_path_graph(spark):
+    # worst-case diameter: a 12-node path must still converge to the
+    # single minimum label
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(n - 1)], columns=["id_a", "id_b"])
+    )
+    from flox_spark.operators import dedup_clusters
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_vs_union_find(spark):
+    # random graph differential against a plain python union-find
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for e in edges for x in e})
+    want = {x: find(x) for x in nodes}
+    from flox_spark.operators import dedup_clusters
+
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_keep_representatives(spark):
+    from flox_spark.operators import dedup_clusters, dedup_keep_representatives
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 9, 42], "text": ["a"] * 6})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (7, 9)], columns=["id_a", "id_b"])
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(docs, dedup_clusters(pairs)).collect()
+    )
+    assert kept == [1, 7, 42]  # 2,3 fold into 1; 9 into 7; 42 untouched
