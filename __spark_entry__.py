@@ -308,6 +308,12 @@ def q_text_tokens(s, d):
     return token_count(_t(s, d, "documents")).select("doc_id", "n_tokens")
 
 
+def q_text_tokens_bpe(s, d):
+    from flox_spark.operators import token_count_bpe
+
+    return token_count_bpe(_t(s, d, "documents")).select("doc_id", "n_bpe_tokens")
+
+
 def q_text_quality(s, d):
     return quality_score(_t(s, d, "documents")).select(
         "doc_id", "q_n_tokens", "q_mean_tok_len", "q_punct_ratio", "q_stop_ratio", "q_score"
@@ -555,6 +561,12 @@ WHERE rk <= 10"""
 def _operator_oracles() -> dict[str, str]:
     return {
         "text_tokens": f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
+        "text_tokens_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+                     AS n_bpe_tokens
+            FROM documents""",
         "text_quality": f"""
             WITH b AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars FROM documents),
             m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
@@ -689,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_ffill": q_scan_ffill,
         "scan_bfill": q_scan_bfill,
         "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,

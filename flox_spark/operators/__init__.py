@@ -1,6 +1,7 @@
 from flox_spark.operators.text import (
     with_tokens,
     token_count,
+    token_count_bpe,
     quality_score,
     language_id,
     fingerprint,
@@ -25,6 +26,7 @@ from flox_spark.operators.similarity import (
 __all__ = [
     "with_tokens",
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "language_id",
     "fingerprint",

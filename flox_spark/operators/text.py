@@ -46,6 +46,24 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
     return df.withColumn(out, F.size(_tokens(F.col(text_col))).cast("long"))
 
 
+# GPT-2-style pre-tokenizer segmentation, minus the trailing-space
+# lookahead (RE2 engines have no lookahead; dropping it only changes
+# how runs of whitespace group, not letter/number/punct segments).
+# Leftmost-first alternation semantics match between Java regex and
+# RE2, so the DuckDB oracle counts identically.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count: number of pre-tokenizer segments under the
+    GPT-2 split pattern (contractions, space-prefixed letter runs,
+    number runs, punctuation runs).  The standard fast LLM-budget
+    estimator — actual BPE merges subdivide each segment but the
+    segment count tracks token count closely.  One regexp_count
+    projection, codegen, no shuffle."""
+    return df.withColumn(out, F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).cast("long"))
+
+
 def quality_score(df: DataFrame, text_col: str = "text", prefix: str = "q_") -> DataFrame:
     """Heuristic quality features: length, token count, mean token
     length, punctuation ratio, stopword(en) ratio, and a composite

@@ -289,3 +289,17 @@ def test_dedup_keep_representatives(spark):
         for r in dedup_keep_representatives(docs, dedup_clusters(pairs)).collect()
     )
     assert kept == [1, 7, 42]  # 2,3 fold into 1; 9 into 7; 42 untouched
+
+
+def test_token_count_bpe(spark):
+    from flox_spark.operators import token_count_bpe
+
+    rows = [
+        (0, "I don't like 42 cats!"),  # I | _don | 't | _like | _42 | _cats | !
+        (1, "hello  world"),           # hello | '  ' | world
+        (2, ""),
+        (3, "a+b=c"),                  # a | + | b | = | c
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
+    assert got == {0: 7, 1: 3, 2: 0, 3: 5}
