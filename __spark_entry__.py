@@ -379,6 +379,28 @@ def q_embed_neardup(s, d):
     )
 
 
+def q_embed_normalize(s, d):
+    # L2 normalization, exploded to (vec_id, pos, nval) rows for the
+    # canonicalizer; same sequential float fold on both sides => exact
+    from flox_spark.operators import normalize_embeddings
+
+    emb = _t(s, d, "embeddings").filter(F.col("vec_id") < 100)
+    ndf = normalize_embeddings(emb, dim=64, out_col="nvec")
+    return ndf.select("vec_id", F.posexplode("nvec").alias("pos", "nval")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "nval"
+    )
+
+
+def q_embed_quantize(s, d):
+    from flox_spark.operators import quantize_embeddings_int8
+
+    emb = _t(s, d, "embeddings").filter(F.col("vec_id") < 100)
+    qdf = quantize_embeddings_int8(emb, dim=64)
+    return qdf.select("vec_id", F.posexplode("q_embedding").alias("pos", "q")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "q"
+    )
+
+
 def q_ivf_topk(s, d):
     from flox_spark.operators import ivf_topk
 
@@ -657,6 +679,23 @@ def _operator_oracles() -> dict[str, str]:
             WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2""",
         "simhash": _simhash_oracle(),
         "ann_topk": _ann_oracle(),
+        "embed_normalize": """
+            SELECT vec_id, i AS pos,
+                   CASE WHEN nrm = 0 THEN embedding[i+1]::DOUBLE
+                        ELSE embedding[i+1]::DOUBLE / nrm END AS nval
+            FROM (SELECT vec_id, embedding,
+                         sqrt(list_sum(list_transform(range(0, 64),
+                              c -> embedding[c+1]::DOUBLE * embedding[c+1]::DOUBLE))) AS nrm
+                  FROM embeddings WHERE vec_id < 100), range(0, 64) t(i)""",
+        "embed_quantize": """
+            SELECT vec_id, i AS pos,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE ((CASE WHEN embedding[i+1] < 0 THEN -1 ELSE 1 END)
+                              * floor(abs(embedding[i+1]::DOUBLE) / scale + 0.5))::INTEGER
+                   END AS q
+            FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+                  FROM embeddings WHERE vec_id < 100), range(0, 64) t(i)""",
         "ivf_topk": _ivf_oracle(),
         "embed_neardup": _neardup_oracle(),
     }
@@ -712,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "embed_normalize": q_embed_normalize,
+        "embed_quantize": q_embed_quantize,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "q1_multi": q_q1_multi,

@@ -21,6 +21,8 @@ from flox_spark.operators.similarity import (
     embedding_near_duplicates,
     ivf_centroids,
     ivf_topk,
+    normalize_embeddings,
+    quantize_embeddings_int8,
 )
 
 __all__ = [
@@ -42,4 +44,6 @@ __all__ = [
     "embedding_near_duplicates",
     "ivf_centroids",
     "ivf_topk",
+    "normalize_embeddings",
+    "quantize_embeddings_int8",
 ]

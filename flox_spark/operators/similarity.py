@@ -311,3 +311,58 @@ def embedding_near_duplicates(
             (F.round(F.col("__sim"), round_to) if round_to else F.col("__sim")).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing (pipeline utilities)
+# ---------------------------------------------------------------------------
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize embedding vectors (pure array expressions, one
+    projection, no shuffle).  Cosine against normalized vectors
+    reduces to a dot product, halving the per-pair work in the
+    brute-force and LSH-verify paths.  The norm is the same
+    sequential fold as ``_dot``/``_norm``, so results are
+    bit-reproducible across engines.  Zero vectors pass through
+    unchanged (their norm is 0)."""
+    v = F.col(vec_col)
+    nrm = _norm(v, dim)
+    out = F.when(nrm == 0, F.transform(v, lambda x: x.cast("double"))).otherwise(
+        F.transform(v, lambda x: x.cast("double") / nrm)
+    )
+    return df.withColumn(out_col or vec_col, out)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = sign(x_i) * floor(|x_i|/scale + 0.5) in [-127, 127] — 4x
+    storage cut for ANN candidate stages.  The explicit
+    sign*floor(+0.5) form (instead of round()) makes the result
+    bit-identical in any engine evaluating IEEE doubles, which the
+    embed_quantize oracle row verifies.  Zero vectors quantize to
+    zeros with scale 0."""
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: (
+                F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.floor(F.abs(x.cast("double")) / scale + F.lit(0.5))
+            ).cast("int"),
+        )
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

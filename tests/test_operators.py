@@ -303,3 +303,35 @@ def test_token_count_bpe(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
     assert got == {0: 7, 1: 3, 2: 0, 3: 5}
+
+
+def test_normalize_embeddings(vectors):
+    from flox_spark.operators import normalize_embeddings
+
+    res = normalize_embeddings(vectors, dim=8).collect()
+    for r in res:
+        assert np.linalg.norm(r["embedding"]) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_normalize_zero_vector(spark):
+    from flox_spark.operators import normalize_embeddings
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.0] * 4]})
+    )
+    r = normalize_embeddings(df, dim=4).collect()[0]
+    assert r["embedding"] == [0.0] * 4  # passes through, no NULL/inf
+
+
+def test_quantize_embeddings_int8(vectors):
+    from flox_spark.operators import quantize_embeddings_int8
+
+    res = quantize_embeddings_int8(vectors, dim=8).collect()
+    for r in res:
+        x = np.array(r["embedding"], dtype=np.float64)
+        q = np.array(r["q_embedding"])
+        scale = r["q_scale"]
+        assert q.min() >= -127 and q.max() <= 127
+        assert np.abs(q).max() == 127  # the max-magnitude element saturates
+        # dequantized error bounded by half a step
+        assert np.abs(q * scale - x).max() <= scale / 2 + 1e-12
