@@ -1,8 +1,9 @@
 from flox_spark.sources.io import (
     load_table,
     read_parquet,
+    read_stream_table,
     write_bucketed_table,
     write_partitioned,
 )
 
-__all__ = ["load_table", "read_parquet", "write_bucketed_table", "write_partitioned"]
+__all__ = ["load_table", "read_parquet", "read_stream_table", "write_bucketed_table", "write_partitioned"]

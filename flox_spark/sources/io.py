@@ -57,6 +57,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return nanos_to_ts(df, *_TS_COLS.get(name, ()))
 
 
+def read_stream_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over a growing directory of files — the
+    unbounded twin of ``read_parquet`` for the streaming operators
+    (``flox_spark.streaming``).  Structured Streaming requires an
+    explicit schema; by default it is inferred once from a batch read
+    of whatever files already exist (with the same TIMESTAMP(NANOS)
+    tolerance).  ``max_files_per_trigger`` bounds micro-batch size."""
+    if schema is None:
+        schema = read_parquet(spark, path).schema
+    r = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.load(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -146,3 +146,42 @@ def test_uniform_bins_width_bucket_path(spark):
         expected_groups=breaks, fill_value=0, sort=False,
     )._jdf.queryExecution().analyzed().toString()
     assert "width_bucket" in plan
+
+
+def test_bucketed_table_aggregation_skips_shuffle(spark):
+    # write_bucketed_table is the durable rechunk_for_blockwise analog
+    # (flox/rechunk.py:158-223): grouping the bucketed table on the
+    # bucket key must run WITHOUT any Exchange — the scan's bucket
+    # partitioning satisfies the aggregate's distribution
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flox_spark.sources import write_bucketed_table
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"k": np.arange(1000) % 50, "v": rng.normal(size=1000)})
+    write_bucketed_table(spark.createDataFrame(pdf), "bt_shuffle_test",
+                        bucket_by=["k"], n_buckets=8)
+    try:
+        t = spark.table("bt_shuffle_test")
+        agg = t.groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["k"]: r["s"] for r in agg.collect()}
+        want = pdf.groupby("k")["v"].sum()
+        assert all(got[k] == pytest.approx(want[k]) for k in want.index)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_shuffle_test")
+
+
+def test_read_stream_table(spark, tmp_path):
+    # schema inferred from the existing files; returns a streaming frame
+    import pandas as pd
+    from flox_spark.sources import read_stream_table, write_partitioned
+
+    path = str(tmp_path / "stream_src")
+    write_partitioned(spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [0.5, 1.5]})), path)
+    sdf = read_stream_table(spark, path, max_files_per_trigger=1)
+    assert sdf.isStreaming
+    assert set(sdf.columns) == {"k", "v"}
