@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flox_spark.aggregations import REDUCTIONS, AggContext, Aggregation
@@ -229,8 +229,15 @@ def groupby_reduce(
         min_count = 1
 
     # ---- aggregate --------------------------------------------------
+    use_sort_quantile = (
+        agg.name in ("median", "nanmedian", "quantile", "nanquantile")
+        and OPTIONS["quantile_impl"] == "sort"
+        and not OPTIONS["approx_quantile"]
+    )
     if agg.two_stage == "mode":
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
+    elif use_sort_quantile:
+        result = _quantile_sort(work, key_cols, ctx, agg, out_name, min_count, fill_value)
     else:
         expr = agg.build(ctx)
         if min_count is not None and min_count > 0:
@@ -353,6 +360,103 @@ def groupby_reduce_multi(
     if sort:
         result = result.orderBy(*key_cols)
     return result
+
+
+def _quantile_sort(
+    work: DataFrame,
+    key_cols: list[str],
+    ctx: AggContext,
+    agg: Aggregation,
+    out_name: str,
+    min_count: int | None,
+    fill_value: Any,
+) -> DataFrame:
+    """Exact quantile via sort + rank filter — the giant-group-safe
+    plan (``set_options(quantile_impl='sort')``).
+
+    Spark's ``percentile`` aggregate buffers every group's values in
+    an ObjectHashAggregate map: exact, but memory grows with the
+    largest group — the one reduction in the registry that can OOM at
+    100 TB.  This path computes the identical numpy-linear result
+    with bounded memory: a spillable sort under a streaming
+    ``row_number`` (no whole-partition buffering: group sizes come
+    from a separate tiny aggregate, not an unbounded window frame),
+    then keeps only the floor/ceil rank rows per (group, q) and
+    interpolates.  Data-sized work: one sort shuffle + one join that
+    reuses the sort's hash partitioning; everything else is
+    group-cardinality-sized.
+
+    Returns the same shape as the aggregate path (scalar double or
+    per-q array), so reindex/explode/sort downstream are shared."""
+    from flox_spark.aggregations import _nan_sentinel
+    from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
+
+    skipna = agg.name.startswith("nan")
+    qv_arg = ctx.kwargs.get("q")
+    if agg.name in ("median", "nanmedian") or qv_arg is None:
+        qv_arg = 0.5
+    is_vec = isinstance(qv_arg, (list, tuple))
+    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+
+    av, _ = _ai(ctx.v_skip, ctx.dt)
+    work2 = work.withColumn("__qv", av).withColumn("__miss", ctx.missing)
+    gaggs = [F.count("__qv").alias("__n")]
+    if not skipna:
+        gaggs.append(F.bool_or("__miss").alias("__poison"))
+    groups = work2.groupBy(*key_cols).agg(*gaggs)
+
+    wq = Window.partitionBy(*key_cols).orderBy("__qv")
+    ranked = (
+        work2.filter(F.col("__qv").isNotNull())
+        .select(*key_cols, "__qv")
+        .withColumn("__r", F.row_number().over(wq) - 1)
+    )
+
+    qpairs = F.explode(
+        F.array(*[F.struct(F.lit(i).alias("__qi"), F.lit(q).alias("__q")) for i, q in enumerate(qlist)])
+    ).alias("__qp")
+    extra = [] if skipna else ["__poison"]
+    bounds = (
+        groups.select(*key_cols, "__n", *extra, qpairs)
+        .select(*key_cols, "__n", *extra, F.col("__qp.__qi").alias("__qi"), F.col("__qp.__q").alias("__q"))
+        .withColumn("__t", (F.col("__n") - 1) * F.col("__q"))
+        .withColumn("__tf", F.floor("__t").cast("long"))
+        .withColumn("__tc", F.ceil("__t").cast("long"))
+    )
+    picked = (
+        ranked.join(bounds.select(*key_cols, "__qi", "__tf", "__tc"), key_cols)
+        .filter((F.col("__r") == F.col("__tf")) | (F.col("__r") == F.col("__tc")))
+        .groupBy(*key_cols, "__qi")
+        .agg(
+            F.min(F.when(F.col("__r") == F.col("__tf"), F.col("__qv"))).alias("__vlo"),
+            F.min(F.when(F.col("__r") == F.col("__tc"), F.col("__qv"))).alias("__vhi"),
+        )
+    )
+    per_q = bounds.join(picked, [*key_cols, "__qi"], "left").withColumn(
+        "__val", F.col("__vlo") + (F.col("__t") - F.col("__tf")) * (F.col("__vhi") - F.col("__vlo"))
+    )
+
+    dtish = is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt)
+    val = arith_restore(F.col("__val"), ctx.dt) if dtish else F.col("__val")
+    if not skipna:
+        sentinel = _nan_sentinel(ctx.dt) if dtish else _nan_sentinel("double")
+        val = F.when(F.col("__poison"), sentinel).otherwise(val)
+    if min_count is not None and min_count > 0:
+        fill = _fill_literal(fill_value if fill_value is not None else agg.default_fill)
+        val = F.when(F.col("__n") >= F.lit(min_count), val).otherwise(fill)
+
+    if is_vec:
+        return (
+            per_q.withColumn("__o", val)
+            .groupBy(*key_cols)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__qi"), F.col("__o").alias("v")))),
+                    lambda s: s["v"],
+                ).alias(out_name)
+            )
+        )
+    return per_q.select(*key_cols, val.alias(out_name))
 
 
 def _mode_two_stage(work: DataFrame, key_cols: list[str], ctx: AggContext, skipna: bool, out_name: str) -> DataFrame:

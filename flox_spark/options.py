@@ -19,6 +19,14 @@ OPTIONS: dict[str, Any] = {
     # Broadcast the aggregated result into the expected-groups join
     # (the aggregate side is |groups| rows — almost always tiny).
     "broadcast_reindex": True,
+    # Exact-quantile physical strategy: "agg" uses Spark's percentile
+    # aggregate (ObjectHashAggregate buffering every group's values in
+    # memory — fine for small groups), "sort" computes the identical
+    # numpy-linear interpolation via a spillable sort + streaming
+    # row_number + rank filter (bounded memory at any group size: the
+    # giant-group-safe exact path; approx_quantile remains the cheap
+    # sketch alternative).
+    "quantile_impl": "agg",
     # How self-join diamond DAGs materialize their shared frame:
     # "local_checkpoint" (default): faster, auto-cleaned by the
     # ContextCleaner when dereferenced, but stored only on executors —
@@ -32,6 +40,7 @@ _VALIDATORS = {
     "approx_quantile": lambda v: isinstance(v, bool),
     "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
     "broadcast_reindex": lambda v: isinstance(v, bool),
+    "quantile_impl": lambda v: v in ("agg", "sort"),
     "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
 }
 

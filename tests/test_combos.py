@@ -135,3 +135,67 @@ def test_groupby_derived_column(spark):
     df = spark.createDataFrame(pdf).withColumn("bucket", (F.col("x") % 4).cast("int"))
     res = groupby_reduce(df, "bucket", func="count", value="v").collect()
     assert {r["bucket"]: r["count"] for r in res} == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_quantile_sort_impl_matches_agg(spark):
+    # the giant-group-safe sort-based exact quantile must equal the
+    # percentile-aggregate path across the semantic matrix (within
+    # 1-ulp interpolation round-off: percentile's lerp evaluation
+    # order differs from vlo + frac*(vhi-vlo))
+    import math
+    from flox_spark import set_options
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "v": rng.normal(size=n) * 100,
+    })
+    pdf.loc[rng.random(n) < 0.2, "v"] = np.nan
+    # one single-row group and one all-NaN group
+    pdf = pd.concat([pdf, pd.DataFrame({"k": [97, 98, 98], "v": [5.0, np.nan, np.nan]})],
+                    ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    cases = [
+        dict(func="nanquantile", finalize_kwargs={"q": 0.73}),
+        dict(func="quantile", finalize_kwargs={"q": 0.73}),
+        dict(func="nanmedian"),
+        dict(func="nanquantile", finalize_kwargs={"q": [0.1, 0.5, 0.9]}),
+        dict(func="nanquantile", finalize_kwargs={"q": 0.5}, min_count=300,
+             fill_value=float("nan")),
+        dict(func="nanquantile", finalize_kwargs={"q": 0.9},
+             expected_groups=[0, 1, 2, 3, 4, 5, 6, 50], fill_value=-1.0),
+    ]
+    for kw in cases:
+        base = groupby_reduce(df, "k", value="v", **kw).collect()
+        with set_options(quantile_impl="sort"):
+            alt = groupby_reduce(df, "k", value="v", **kw).collect()
+        assert len(base) == len(alt), kw
+        for rb, ra in zip(base, alt):
+            assert rb.asDict().keys() == ra.asDict().keys()
+            for c in rb.asDict():
+                vb, va = rb[c], ra[c]
+                if isinstance(vb, float) and math.isnan(vb):
+                    assert isinstance(va, float) and math.isnan(va), (kw, c, rb, ra)
+                elif isinstance(vb, float):
+                    assert va == pytest.approx(vb, rel=1e-12), (kw, c, rb, ra)
+                else:
+                    assert vb == va, (kw, c, rb, ra)
+
+
+def test_quantile_sort_impl_timestamp(spark):
+    import datetime as dt
+    from flox_spark import set_options
+
+    pdf = pd.DataFrame({
+        "k": [0, 0, 0, 1],
+        "v": [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+              dt.datetime(2024, 1, 10), dt.datetime(2024, 3, 1)],
+    })
+    df = spark.createDataFrame(pdf)
+    base = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
+    with set_options(quantile_impl="sort"):
+        alt = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
+    assert base[0]["nanmedian"] == dt.datetime(2024, 1, 2)
