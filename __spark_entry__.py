@@ -455,6 +455,73 @@ def q_multimodal_features(s, d):
     )
 
 
+def q_sessionize(s, d):
+    # gap-based session ids: one hash shuffle + streaming window pass
+    from flox_spark.operators import sessionize
+
+    ev = _t(s, d, "events")
+    return sessionize(ev, "user_id", ts="ts", gap_seconds=3600, tiebreak="event_id").select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_session_stats(s, d):
+    # per-session rollup via Spark's native session_window aggregation
+    from flox_spark.operators import session_stats
+
+    ev = _t(s, d, "events")
+    out = session_stats(ev, "user_id", ts="ts", gap_seconds=3600, value="value")
+    return out.select(
+        "user_id", "session_start", "last_ts", "n_events", "duration_us",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_sample_bernoulli(s, d):
+    # deterministic hash-gated row sample: zero shuffles, stable under
+    # repartitioning (unlike df.sample)
+    from flox_spark.operators import sample_bernoulli
+
+    li = _t(s, d, "lineitem").withColumn(
+        "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
+    )
+    return sample_bernoulli(li, "rid", 0.25, seed="a").select("l_orderkey", "l_linenumber")
+
+
+def q_sample_group(s, d):
+    # exact per-group uniform draw by hash order (WindowGroupLimit plan)
+    from flox_spark.operators import sample_exact_per_group
+
+    docs = _t(s, d, "documents")
+    return sample_exact_per_group(docs, "lang", n=20, id_col="doc_id", seed="x").select(
+        "doc_id", "lang"
+    )
+
+
+def q_split_train_test(s, d):
+    # disjoint, exhaustive, id-deterministic train/test labeling
+    from flox_spark.operators import split_train_test
+
+    docs = _t(s, d, "documents")
+    return split_train_test(docs, "doc_id", test_fraction=0.2, seed="s").select(
+        "doc_id", "split"
+    )
+
+
+def q_asof_join(s, d):
+    # distributed as-of: each click joined to the user's latest
+    # preceding purchase — union + one window pass, not a range join
+    from flox_spark.operators import asof_join
+
+    ev = _t(s, d, "events")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("p_event")
+    )
+    out = asof_join(left, right, "user_id", left_ts="ts", right_ts="pts")
+    return out.select("event_id", "user_id", F.col("asof_pts").alias("p_ts"), "p_event")
+
+
 # ---- oracle SQL generators for the operator queries -----------------------
 
 _EN_SW = "'the','a','of','and','is','to','in','that','it','for'"
@@ -757,6 +824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "q1_multi": q_q1_multi,
         "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "sample_bernoulli": q_sample_bernoulli,
+        "sample_group": q_sample_group,
+        "split_train_test": q_split_train_test,
+        "asof_join": q_asof_join,
     }
 
 
@@ -925,5 +998,58 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY event_id
                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_filled
             FROM events""",
+        "sessionize": """
+            SELECT event_id, user_id,
+                   (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microseconds', lag(ts) OVER w, ts) > 3600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+        "session_stats": """
+            WITH b AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microseconds', lag(ts) OVER w, ts) > 3600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM b
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+                   count(*) AS n_events,
+                   date_diff('microseconds', min(ts), max(ts)) AS duration_us,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid""",
+        # hash-gated Bernoulli: threshold = floor(0.25 * 16^12) in hex
+        "sample_bernoulli": """
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem
+            WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR || ':a'),
+                         1, 12) < '400000000000'""",
+        "sample_group": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(doc_id::VARCHAR || ':x'), doc_id) <= 20""",
+        # threshold = floor(0.2 * 16^12) = 0x333333333333
+        "split_train_test": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR || ':s'), 1, 12) < '333333333333'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents""",
+        "asof_join": """
+            SELECT l.event_id, l.user_id, r.ts AS p_ts, r.event_id AS p_event
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
     })
     return out

@@ -15,6 +15,16 @@ from flox_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from flox_spark.operators.asof import asof_join
+from flox_spark.operators.sampling import (
+    sample_bernoulli,
+    sample_exact_per_group,
+    split_train_test,
+)
+from flox_spark.operators.sessions import (
+    sessionize,
+    session_stats,
+)
 from flox_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_candidates,
@@ -39,6 +49,12 @@ __all__ = [
     "minhash_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",
+    "asof_join",
+    "sample_bernoulli",
+    "sample_exact_per_group",
+    "split_train_test",
+    "sessionize",
+    "session_stats",
     "cosine_topk",
     "lsh_bucket_candidates",
     "embedding_near_duplicates",

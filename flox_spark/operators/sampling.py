@@ -1,0 +1,90 @@
+"""Deterministic sampling for training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2.5); pipeline-operator suite
+per the engine's north star (BASELINE.json).  All selection decisions
+are pure functions of (row id, seed) via md5 — reproducible across
+runs, engines, partitionings, and cluster sizes, unlike Spark's
+``df.sample`` whose output depends on the physical partitioning.
+
+Three shapes, by physical cost:
+
+- ``sample_bernoulli`` — keep each row iff a 12-hex-digit prefix of
+  ``md5(id || ':' || seed)`` falls under the fraction threshold.  A
+  pure filter projection: ZERO shuffles, runs inside whole-stage
+  codegen, pushes through scans — the 100 TB default.
+- ``split_train_test`` — same hash, but labels rows instead of
+  dropping them; the split is a deterministic partition of the id
+  space (disjoint, exhaustive).
+- ``sample_exact_per_group`` — exactly ``min(n, |group|)`` rows per
+  group, the hash ordering making it a uniform reproducible draw.
+  One shuffle + rank filter; Spark 3.5+ rewrites the rank<=n filter
+  into ``WindowGroupLimit`` (partial per-partition top-k BEFORE the
+  exchange), so the shuffle carries at most ``n * P`` rows per group,
+  not the whole group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sample_bernoulli", "sample_exact_per_group", "split_train_test"]
+
+_HEX_DIGITS = 12  # 16^12 buckets: fraction resolution ~3.6e-16
+
+
+def _hash_key(id_col: Column, seed: str) -> Column:
+    return F.md5(F.concat(id_col.cast("string"), F.lit(":" + seed)))
+
+
+def _threshold(fraction: float) -> str:
+    return format(int(fraction * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+
+def sample_bernoulli(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "0"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by id hash.
+    Shuffle-free; selection is stable under repartitioning."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    key = F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS)
+    return df.filter(key < F.lit(_threshold(fraction)))
+
+
+def split_train_test(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: str = "0",
+    out: str = "split",
+) -> DataFrame:
+    """Label each row 'test' or 'train' — a disjoint, exhaustive,
+    deterministic partition of the id space (the same id always lands
+    in the same split, across runs and datasets)."""
+    key = F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS)
+    return df.withColumn(
+        out,
+        F.when(key < F.lit(_threshold(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def sample_exact_per_group(
+    df: DataFrame, *by: str, n: int, id_col: str, seed: str = "0"
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, drawn uniformly by
+    hash order (reproducible reservoir-sample equivalent).
+
+    The ``row_number() <= n`` filter compiles to WindowGroupLimit:
+    each map task pre-keeps its local top-n per group, so the shuffle
+    is bounded even when one group holds a billion rows."""
+    w = Window.partitionBy(*by).orderBy(_hash_key(F.col(id_col), seed), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(n))
+        .drop("__rn")
+    )
