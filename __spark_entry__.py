@@ -536,6 +536,39 @@ sh AS (SELECT DISTINCT doc_id,
        FROM toks)"""
 
 
+def q_pack_sequences(s, d):
+    # sequence packing (iterative FFD, no SQL form -> rows-only check):
+    # hash-partition by doc_id first so bin assignment is deterministic
+    from flox_spark.operators import pack_sequences, token_count
+
+    docs = token_count(_t(s, d, "documents")).repartition(4, "doc_id")
+    out = pack_sequences(docs, "n_tokens", budget=512)
+    return out.select("doc_id", "n_tokens", "bin_id", "oversize")
+
+
+def q_minhash_bands(s, d):
+    # row-local (stateless) signature+banding — the streaming-capable
+    # formulation, oracle-checked in batch mode against the same
+    # shingle/md5 math in DuckDB
+    from flox_spark.streaming import minhash_band_keys
+
+    return minhash_band_keys(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3)
+
+
+def _minhash_bands_oracle() -> str:
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
+    bands = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
+            b=b, concat=" || '|' || ".join(f"mh{b * 4 + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT doc_id, band, bkey FROM ({bands})"""
+
+
 def _minhash_oracle() -> str:
     mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
     bands = "\nUNION ALL ".join(
@@ -725,6 +758,7 @@ def _operator_oracles() -> dict[str, str]:
                     / 128.0 - 1.0)::DOUBLE AS feat_value
             FROM documents, range(0, 16) t(i)""",
         "minhash_pairs": _minhash_oracle(),
+        "minhash_bands": _minhash_bands_oracle(),
         "minhash_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle()}),
             e AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -830,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group": q_sample_group,
         "split_train_test": q_split_train_test,
         "asof_join": q_asof_join,
+        "minhash_bands": q_minhash_bands,
+        "pack_sequences": q_pack_sequences,
     }
 
 

@@ -16,6 +16,7 @@ from flox_spark.operators.dedup import (
     simhash_signatures,
 )
 from flox_spark.operators.asof import asof_join
+from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.sampling import (
     sample_bernoulli,
     sample_exact_per_group,
@@ -50,6 +51,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "asof_join",
+    "pack_sequences",
     "sample_bernoulli",
     "sample_exact_per_group",
     "split_train_test",

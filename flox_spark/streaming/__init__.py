@@ -4,10 +4,13 @@ from flox_spark.streaming.stream import (
     stream_dedup_exact,
 )
 from flox_spark.streaming.stateful import stream_ffill
+from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neardup
 
 __all__ = [
     "groupby_reduce_stream",
     "groupby_session_stream",
     "stream_dedup_exact",
     "stream_ffill",
+    "minhash_band_keys",
+    "stream_minhash_neardup",
 ]

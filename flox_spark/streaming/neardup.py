@@ -1,0 +1,126 @@
+"""Streaming incremental MinHash near-duplicate detection.
+
+The batch pipeline (``operators/dedup.py``) computes signatures with
+explode -> distinct -> groupBy — three data-sized stages that would
+all be stateful on a stream.  The streaming formulation exploits that
+a document is ONE ROW: the MinHash min over a doc's shingles ignores
+duplicates, so the signature is a row-local array expression
+(``array_min(transform(shingles, ...))``) — completely stateless, and
+provably equal to the batch signature
+(``tests/test_stream_neardup.py::test_rowlocal_equals_batch_buckets``).
+
+Only the LSH bucket memory is stateful: ``applyInPandasWithState``
+keyed by (band, bucket key) stores exactly one value per bucket — the
+first-seen doc id (the bucket representative).  Each arriving doc is
+emitted with the representative of every band bucket it lands in;
+``rep_id != doc_id`` flags a near-duplicate candidate.  State size is
+fixed per bucket (one id + count, no growth with duplicates), bounded
+overall by the number of distinct band keys — the streaming analog of
+the batch design where ``max_bucket`` bounds the quadratic join.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from flox_spark.operators.dedup import _shingle_expr
+
+__all__ = ["minhash_band_keys", "stream_minhash_neardup"]
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-local (id, band, bkey) rows — no shuffle, no state; works
+    identically on batch and streaming frames.  Equal to the batch
+    explode->groupBy signature because min() is insensitive to
+    duplicate shingles."""
+    r = num_hashes // bands
+    sh = _shingle_expr(F.col(text_col), shingle_k, "word")
+
+    def mh(i: int) -> Column:
+        # closure factory, NOT a defaulted-param lambda: PySpark treats
+        # a two-arg lambda as the (element, index) form
+        def hash_one(s: Column) -> Column:
+            return F.md5(F.concat(F.lit(f"{i}:"), s))
+
+        return F.array_min(F.transform(sh, hash_one))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[mh(b * r + j) for j in range(r)])).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    extra = list(extra_cols or [])
+    return df.select(F.col(id_col), *extra, F.explode(band_structs).alias("bb")).select(
+        id_col, *extra, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def stream_minhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming near-dup flags: one output row per (doc, band) with
+    the band bucket's first-seen representative.
+
+    ``order_col`` (defaults to ``id_col``) breaks in-batch ties so
+    "first seen" is deterministic.  Returns a streaming DataFrame
+    (append mode) with columns (id, band, bkey, rep_id); a doc is a
+    near-dup candidate iff any band row has ``rep_id != id``.
+    """
+    order = order_col or id_col
+    extra = [order] if order != id_col else None
+    keys = minhash_band_keys(df, id_col, text_col, num_hashes, bands, shingle_k, extra)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = (
+        StructType()
+        .add(id_col, id_type)
+        .add("band", "integer")
+        .add("bkey", "string")
+        .add("rep_id", id_type)
+    )
+    state_schema = StructType().add("rep", id_type).add("n", "long")
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rep, seen = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(order, kind="mergesort")
+        if rep is None:
+            rep = rows[id_col].iloc[0]
+        out = rows[[id_col, "band", "bkey"]].copy()
+        out["rep_id"] = rep
+        state.update((rep, seen + len(rows)))
+        yield out
+
+    return keys.groupBy("band", "bkey").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,74 @@
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators.packing import pack_sequences
+from flox_spark.operators import token_count
+from flox_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _packed_docs(spark, budget=512, repartition=None):
+    docs = token_count(load_table(spark, SF, "documents"))
+    return pack_sequences(docs, "n_tokens", budget=budget, repartition=repartition)
+
+
+def test_bins_within_budget_and_exact_cover(spark):
+    budget = 512
+    out = _packed_docs(spark, budget)
+    docs_n = load_table(spark, SF, "documents").count()
+    rows = out.select("doc_id", "bin_id", "n_tokens", "oversize").collect()
+    # every doc placed exactly once
+    assert len(rows) == docs_n
+    assert len({r["doc_id"] for r in rows}) == docs_n
+    # every non-oversize bin within budget; oversize bins are singletons
+    per_bin: dict[int, list] = {}
+    for r in rows:
+        per_bin.setdefault(r["bin_id"], []).append(r)
+    for members in per_bin.values():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1
+            assert members[0]["n_tokens"] > budget
+        else:
+            assert sum(m["n_tokens"] for m in members) <= budget
+
+
+def test_packing_efficiency_near_lower_bound(spark):
+    budget = 512
+    out = _packed_docs(spark, budget, repartition=4)
+    rows = out.select("bin_id", "n_tokens", "oversize").collect()
+    fit_tokens = sum(r["n_tokens"] for r in rows if not r["oversize"])
+    n_bins = len({r["bin_id"] for r in rows if not r["oversize"]})
+    lower = math.ceil(fit_tokens / budget)
+    # FFD per partition: allow the LP lower bound + slack for 4
+    # partition boundaries and fragmentation
+    assert n_bins <= math.ceil(lower * 1.25) + 4, (n_bins, lower)
+
+
+def test_oversize_flagged(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "n_tokens": [10, 5000, 20]})
+    out = pack_sequences(
+        spark.createDataFrame(pdf), "n_tokens", budget=100, repartition=1
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["oversize"] is True
+    assert by_id[0]["oversize"] is False and by_id[2]["oversize"] is False
+    # the two small docs share a bin; the oversize doc is alone
+    assert by_id[0]["bin_id"] == by_id[2]["bin_id"] != by_id[1]["bin_id"]
+
+
+def test_bin_ids_globally_unique_across_partitions(spark):
+    docs = token_count(load_table(spark, SF, "documents"))
+    out = pack_sequences(docs, "n_tokens", budget=256, repartition=8)
+    # bins from different partitions never collide (pid-prefixed ids)
+    pairs = (
+        out.groupBy("bin_id")
+        .agg(F.countDistinct(F.floor(F.col("bin_id") / (1 << 40))).alias("npid"))
+        .agg(F.max("npid").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert pairs == 1
