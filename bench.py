@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "ann_topk",
     "ivf_topk",
     "multimodal_features",
+    "sessionize",       # window sessionization over events
+    "session_stats",    # native session_window rollup
+    "asof_join",        # union+window as-of join
+    "sample_group",     # WindowGroupLimit per-group draw
+    "minhash_bands",    # row-local streaming-capable banding
+    "pack_sequences",   # FFD packing via mapInPandas (no DuckDB row)
 ]
 
 

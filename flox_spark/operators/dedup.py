@@ -251,9 +251,57 @@ def simhash_signatures(
     share signatures (or differ in few bits — pair via banding on
     signature prefixes).
 
-    Plan shape: explode tokens -> distinct -> ONE groupBy(doc) with
-    4*hex_chars integer sums — all codegen, no UDF.
+    Plan shape: a document is one row, so the votes are row-local
+    array folds (``aggregate`` over ``transform``'d md5 digits) — a
+    pure projection with ZERO exchanges, like the text operators; the
+    explode -> groupBy formulation this replaces is kept as
+    ``_simhash_signatures_grouped`` and equality-tested.
     """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+
+    def md5_of(t: Column) -> Column:
+        return F.md5(t)
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.transform(toks, md5_of).alias("__hs")
+    )
+
+    def digits_at(p: int) -> Column:
+        # hex digit p of each token's md5, as 0..15
+        def one(h: Column) -> Column:
+            return (F.instr(F.lit(_HEX), F.substring(h, p + 1, 1)) - 1).cast("long")
+
+        return F.transform(F.col("__hs"), one)
+
+    base = base.select(id_col, *[digits_at(p).alias(f"d{p}") for p in range(hex_chars)])
+
+    def vote(p: int, j: int) -> Column:
+        shift = 3 - j
+
+        def step(acc: Column, v: Column) -> Column:
+            return acc + (F.floor(v / (2 ** shift)) % 2) * 2 - 1
+
+        return F.aggregate(F.col(f"d{p}"), F.lit(0).cast("long"), step)
+
+    out_chars = []
+    for p in range(hex_chars):
+        val = None
+        for j in range(4):
+            bit = F.when(vote(p, j) > 0, F.lit(2 ** (3 - j))).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
+    return base.select(F.col(id_col), F.concat(*out_chars).alias("simhash"))
+
+
+def _simhash_signatures_grouped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 8,
+) -> DataFrame:
+    """Original explode -> distinct -> groupBy formulation (one
+    shuffle); retained as the differential witness for the row-local
+    path above."""
     toks = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     ).alias("tok")

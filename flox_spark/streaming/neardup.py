@@ -46,9 +46,27 @@ def minhash_band_keys(
     """Row-local (id, band, bkey) rows — no shuffle, no state; works
     identically on batch and streaming frames.  Equal to the batch
     explode->groupBy signature because min() is insensitive to
-    duplicate shingles."""
+    duplicate shingles.
+
+    STAGED projections matter here: the shingle array construction is
+    O(tokens^2) (a slice per position), so it must be aliased in its
+    own select — inlining it into all ``num_hashes`` min-hash
+    expressions (the naive one-select form) re-evaluates it per seed,
+    measured 11x slower at sf0.1.  Catalyst's CollapseProject keeps
+    the alias un-duplicated because the reference is non-cheap."""
     r = num_hashes // bands
-    sh = _shingle_expr(F.col(text_col), shingle_k, "word")
+    extra = list(extra_cols or [])
+    if not df.isStreaming:
+        # fan out single-file scans before the CPU-bound hashing (a
+        # streaming frame already shuffles into the stateful operator)
+        from flox_spark.plans import ensure_parallelism
+
+        df = ensure_parallelism(df)
+    base = df.select(
+        F.col(id_col),
+        *extra,
+        _shingle_expr(F.col(text_col), shingle_k, "word").alias("__sh"),
+    )
 
     def mh(i: int) -> Column:
         # closure factory, NOT a defaulted-param lambda: PySpark treats
@@ -56,19 +74,23 @@ def minhash_band_keys(
         def hash_one(s: Column) -> Column:
             return F.md5(F.concat(F.lit(f"{i}:"), s))
 
-        return F.array_min(F.transform(sh, hash_one))
+        return F.array_min(F.transform(F.col("__sh"), hash_one))
 
+    base = base.select(
+        F.col(id_col), *extra, *[mh(i).alias(f"__mh{i}") for i in range(num_hashes)]
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[mh(b * r + j) for j in range(r)])).alias("bkey"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"__mh{b * r + j}") for j in range(r)])
+                ).alias("bkey"),
             )
             for b in range(bands)
         ]
     )
-    extra = list(extra_cols or [])
-    return df.select(F.col(id_col), *extra, F.explode(band_structs).alias("bb")).select(
+    return base.select(F.col(id_col), *extra, F.explode(band_structs).alias("bb")).select(
         id_col, *extra, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 

@@ -335,3 +335,26 @@ def test_quantize_embeddings_int8(vectors):
         assert np.abs(q).max() == 127  # the max-magnitude element saturates
         # dequantized error bounded by half a step
         assert np.abs(q * scale - x).max() <= scale / 2 + 1e-12
+
+
+def test_simhash_rowlocal_equals_grouped(docs, spark):
+    # the zero-shuffle row-local fold must equal the explode->groupBy
+    # formulation on real data
+    from flox_spark.operators.dedup import _simhash_signatures_grouped
+    from flox_spark.sources import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for frame in (docs, real):
+        a = sorted(map(tuple, simhash_signatures(frame).collect()))
+        b = sorted(map(tuple, _simhash_signatures_grouped(frame).collect()))
+        assert a == b
+
+
+def test_simhash_zero_exchange_plan(spark):
+    from flox_spark.sources import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = simhash_signatures(real)._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is ensure_parallelism's round-robin fan-out of
+    # the single-file scan; no hash shuffle (the old groupBy is gone)
+    assert "Exchange hashpartitioning" not in plan
