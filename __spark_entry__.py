@@ -546,6 +546,32 @@ def q_pack_sequences(s, d):
     return out.select("doc_id", "n_tokens", "bin_id", "oversize")
 
 
+def q_grouped_topk(s, d):
+    # top-3 orders by price per status: WindowGroupLimit bounds the
+    # shuffle at k rows per group per map task
+    from flox_spark.operators import grouped_topk
+
+    orders = _t(s, d, "orders")
+    return grouped_topk(
+        orders, "o_orderstatus", value="o_totalprice", k=3, tiebreak="o_orderkey"
+    ).select("o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+def q_nunique(s, d):
+    # exact distinct-count reduction (nan-skipping variant)
+    return groupby_reduce(
+        _t(s, d, "events"), "user_id", func="nannunique", value="event_type",
+        alias="n_types",
+    )
+
+
+def q_nunique_plain(s, d):
+    # plain nunique counts the missing class as ONE value
+    # (pandas nunique(dropna=False) semantics)
+    df = _with_sparse_gaps(_t(s, d, "events"))
+    return groupby_reduce(df, "user_id", func="nunique", value="v", alias="n_vals")
+
+
 def q_minhash_bands(s, d):
     # row-local (stateless) signature+banding — the streaming-capable
     # formulation, oracle-checked in batch mode against the same
@@ -866,6 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "minhash_bands": q_minhash_bands,
         "pack_sequences": q_pack_sequences,
+        "grouped_topk": q_grouped_topk,
+        "nunique": q_nunique,
+        "nunique_plain": q_nunique_plain,
     }
 
 
@@ -1087,5 +1116,19 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "grouped_topk": """
+            SELECT o_orderstatus, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+        "nunique": """
+            SELECT user_id, count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "nunique_plain": """
+            SELECT user_id,
+                   count(DISTINCT CASE WHEN event_id % 211 = 0 THEN NULL ELSE value END)
+                   + max(CASE WHEN event_id % 211 = 0 THEN 1 ELSE 0 END) AS n_vals
+            FROM events GROUP BY user_id ORDER BY user_id""",
     })
     return out

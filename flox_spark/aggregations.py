@@ -340,6 +340,20 @@ _reg("all", lambda c: _any_all(c, is_all=True), default_fill=False)
 _reg("any", lambda c: _any_all(c, is_all=False), default_fill=False)
 _reg("mode", None, two_stage="mode", preserves_dtype=True)  # built in core.py
 _reg("nanmode", None, two_stage="mode", preserves_dtype=True)
+# EXTENSION beyond the flox registry: exact distinct-value count
+# (pandas GroupBy.nunique parity).  nannunique skips missing;
+# nunique counts the missing class as ONE value (pandas
+# nunique(dropna=False)).  Exact = two-stage partial distinct in
+# Spark; for 100 TB cardinality estimates use a custom Aggregation
+# over approx_count_distinct (HLL, mergeable, bounded memory) —
+# not registered here because its result is estimate-dependent.
+_reg("nannunique", lambda c: F.count_distinct(c.v_skip), default_fill=0)
+_reg(
+    "nunique",
+    lambda c: F.count_distinct(c.v_skip)
+    + F.max(F.when(c.missing, F.lit(1)).otherwise(F.lit(0))),
+    default_fill=0,
+)
 
 
 def pandas_aggregation(

@@ -17,6 +17,7 @@ from flox_spark.operators.dedup import (
 )
 from flox_spark.operators.asof import asof_join
 from flox_spark.operators.packing import pack_sequences
+from flox_spark.operators.topk import grouped_topk
 from flox_spark.operators.sampling import (
     sample_bernoulli,
     sample_exact_per_group,
@@ -51,6 +52,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "asof_join",
+    "grouped_topk",
     "pack_sequences",
     "sample_bernoulli",
     "sample_exact_per_group",

@@ -68,6 +68,11 @@ def np_golden(func: str, missing: str | None, **kw):
             out[g] = int(pos[getattr(np, func)(x)])
         elif func in ("nanargmin", "nanargmax"):
             out[g] = int(pos[getattr(np, func)(x)])
+        elif func == "nannunique":
+            out[g] = int(len(np.unique(x[~np.isnan(x)])))
+        elif func == "nunique":
+            # missing counts as one value (pandas nunique(dropna=False))
+            out[g] = int(len(np.unique(x[~np.isnan(x)])) + (1 if np.isnan(x).any() else 0))
         elif func == "first":
             out[g] = x[0]
         elif func == "last":
