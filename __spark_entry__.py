@@ -546,6 +546,33 @@ def q_pack_sequences(s, d):
     return out.select("doc_id", "n_tokens", "bin_id", "oversize")
 
 
+def q_redact_pii(s, d):
+    # inject deterministic PII (docs are synthetic word soup) then
+    # redact: url -> email -> phone, same order as the oracle SQL
+    from flox_spark.operators import redact_pii
+
+    docs = _t(s, d, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("mail bob"), F.col("doc_id").cast("string"),
+            F.lit("@ex-a.com visit https://h"), F.col("doc_id").cast("string"),
+            F.lit(".org/p?x=1 call 555-123-4567 "), F.col("text"),
+        ),
+    )
+    return redact_pii(docs).select("doc_id", "text")
+
+
+def q_boilerplate(s, d):
+    # inject newlines (synthetic docs are single-line), then drop lines
+    # shared by >= 3 documents
+    from flox_spark.operators import remove_boilerplate_lines
+
+    docs = _t(s, d, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", "\n")
+    )
+    return remove_boilerplate_lines(docs, min_docs=3).select("doc_id", "text_clean")
+
+
 def q_grouped_topk(s, d):
     # top-3 orders by price per status: WindowGroupLimit bounds the
     # shuffle at k rows per group per map task
@@ -895,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "nunique": q_nunique,
         "nunique_plain": q_nunique_plain,
+        "redact_pii": q_redact_pii,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -1130,5 +1159,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT CASE WHEN event_id % 211 = 0 THEN NULL ELSE value END)
                    + max(CASE WHEN event_id % 211 = 0 THEN 1 ELSE 0 END) AS n_vals
             FROM events GROUP BY user_id ORDER BY user_id""",
+        "redact_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         'mail bob' || doc_id::VARCHAR || '@ex-a.com visit https://h'
+                           || doc_id::VARCHAR || '.org/p?x=1 call 555-123-4567 ' || text,
+                         'https?://[^\s]+', '<REDACTED>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<REDACTED>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<REDACTED>', 'g') AS text
+            FROM documents""",
+        "boilerplate": """
+            WITH base AS (
+              SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t2
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t2, chr(10))) AS line,
+                     generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+              FROM base
+            ), normed AS (
+              SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines
+            ), freq AS (
+              SELECT norm, count(DISTINCT doc_id) AS dfc FROM normed GROUP BY norm
+            )
+            SELECT b.doc_id,
+                   coalesce(string_agg(n.line, chr(10) ORDER BY n.pos), '') AS text_clean
+            FROM base b
+            LEFT JOIN (SELECT normed.* FROM normed JOIN freq USING (norm)
+                       WHERE freq.dfc < 3) n
+              ON b.doc_id = n.doc_id
+            GROUP BY b.doc_id""",
     })
     return out

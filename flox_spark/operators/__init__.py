@@ -16,6 +16,11 @@ from flox_spark.operators.dedup import (
     simhash_signatures,
 )
 from flox_spark.operators.asof import asof_join
+from flox_spark.operators.clean import (
+    normalize_whitespace,
+    redact_pii,
+    remove_boilerplate_lines,
+)
 from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.topk import grouped_topk
 from flox_spark.operators.sampling import (
@@ -53,6 +58,9 @@ __all__ = [
     "simhash_signatures",
     "asof_join",
     "grouped_topk",
+    "normalize_whitespace",
+    "redact_pii",
+    "remove_boilerplate_lines",
     "pack_sequences",
     "sample_bernoulli",
     "sample_exact_per_group",

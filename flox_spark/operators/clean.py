@@ -1,0 +1,114 @@
+"""Text cleaning for training-data pipelines: PII redaction,
+whitespace normalization, boilerplate-line removal.
+
+Beyond the reference's surface (SURVEY §2.5); pipeline-operator suite
+per the engine's north star (BASELINE.json).  Redaction and
+normalization are pure ``regexp_replace`` projections — zero
+shuffles, whole-stage codegen, filters still push down past them.
+
+The regex subset is deliberately portable (no lookahead/lookbehind,
+no backreferences): the same patterns run under Java regex (Spark)
+and RE2 (DuckDB), which is what makes the oracle differential check
+possible.
+
+``remove_boilerplate_lines`` is the distributed one: a line shared by
+many documents (headers, footers, nav text) is dropped from all of
+them.  Plan: explode lines -> one groupBy(line) document-frequency
+aggregate -> join back -> reassemble per doc.  The doc-frequency
+frame is (distinct lines)-sized; the reassembly groupBy carries
+(doc, pos, line) rows once — two data-sized shuffles total, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
+
+# portable across Java regex and RE2 (no lookaround)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def normalize_whitespace(
+    df: DataFrame, text_col: str = "text", out: str | None = None
+) -> DataFrame:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return df.withColumn(
+        out or text_col, F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    email: bool = True,
+    url: bool = True,
+    phone: bool = True,
+    token: str = "<REDACTED>",
+) -> DataFrame:
+    """Replace emails / URLs / NNN-NNN-NNNN phone numbers with
+    ``token``.  URL redaction runs first so a URL containing an
+    '@' (userinfo) cannot leave a half-redacted email behind."""
+    c: Column = F.col(text_col)
+    if url:
+        c = F.regexp_replace(c, URL_RE, token)
+    if email:
+        c = F.regexp_replace(c, EMAIL_RE, token)
+    if phone:
+        c = F.regexp_replace(c, PHONE_RE, token)
+    return df.withColumn(out or text_col, c)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    max_doc_frac: float | None = None,
+    out: str = "text_clean",
+) -> DataFrame:
+    """Drop every line whose normalized form (trimmed, lower-cased)
+    appears in >= ``min_docs`` distinct documents (and, if
+    ``max_doc_frac`` is given, in >= that fraction of all documents —
+    both conditions must hold).  Line order within each doc is
+    preserved; docs reduced to nothing keep an empty string.
+
+    The total-document count joins in as a broadcast 1-row frame —
+    no driver-side collect."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+
+    docfreq = lines.groupBy("norm").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    boiler = docfreq.filter(F.col("df") >= F.lit(min_docs))
+    if max_doc_frac is not None:
+        total = df.agg(F.count(F.lit(1)).alias("__total"))
+        boiler = boiler.crossJoin(F.broadcast(total)).filter(
+            F.col("df") >= F.col("__total") * F.lit(max_doc_frac)
+        )
+    boiler = boiler.select("norm").withColumn("__drop", F.lit(True))
+
+    kept = (
+        lines.join(boiler, "norm", "left")
+        .filter(F.col("__drop").isNull())
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line").alias("l")))
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias(out)
+        )
+    )
+    return df.join(kept, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )

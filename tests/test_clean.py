@@ -1,0 +1,104 @@
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators import (
+    normalize_whitespace,
+    redact_pii,
+    remove_boilerplate_lines,
+)
+
+
+def test_redact_email_url_phone(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3],
+            "text": [
+                "contact alice.smith+x@sub.example.co.uk for details",
+                "see https://user@host.example.com/a/b?q=1 and http://plain.org now",
+                "call 555-123-4567 or 555.987.6543 today",
+                "no pii here at all",
+            ],
+        }
+    )
+    out = {r["id"]: r["text"] for r in redact_pii(spark.createDataFrame(pdf)).collect()}
+    assert out[0] == "contact <REDACTED> for details"
+    assert out[1] == "see <REDACTED> and <REDACTED> now"
+    assert out[2] == "call <REDACTED> or <REDACTED> today"
+    assert out[3] == "no pii here at all"
+
+
+def test_redact_url_before_email(spark):
+    # a userinfo URL must not leave a half-redacted email tail
+    pdf = pd.DataFrame({"id": [0], "text": ["x https://bob@evil.example.com/p y"]})
+    out = redact_pii(spark.createDataFrame(pdf)).collect()[0]["text"]
+    assert out == "x <REDACTED> y"
+
+
+def test_normalize_whitespace(spark):
+    pdf = pd.DataFrame({"id": [0], "text": ["  a\t\tb \n c   d  "]})
+    out = normalize_whitespace(spark.createDataFrame(pdf)).collect()[0]["text"]
+    assert out == "a b c d"
+
+
+def test_remove_boilerplate_lines(spark):
+    footer = "Copyright Example Corp"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"unique zero\n{footer}\nalso unique",
+                f"{footer}\ndifferent body",
+                "totally separate\nno footer here",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(spark.createDataFrame(pdf), min_docs=2).collect()
+    }
+    assert out[0] == "unique zero\nalso unique"
+    assert out[1] == "different body"
+    assert out[2] == "totally separate\nno footer here"
+
+
+def test_remove_boilerplate_doc_frac_and_empty(spark):
+    shared = "shared line"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [shared, shared, f"{shared}\nextra", "solo"],
+        }
+    )
+    # frac 0.9: shared in 3/4 docs = 0.75 < 0.9 -> kept
+    kept = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(pdf), min_docs=2, max_doc_frac=0.9
+        ).collect()
+    }
+    assert kept[0] == shared
+    # frac 0.5: dropped everywhere; fully-boilerplate docs -> ""
+    dropped = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(pdf), min_docs=2, max_doc_frac=0.5
+        ).collect()
+    }
+    assert dropped[0] == "" and dropped[1] == ""
+    assert dropped[2] == "extra" and dropped[3] == "solo"
+
+
+def test_boilerplate_case_insensitive_matching(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["Header Line\nbody a", "header line\nbody b"],
+        }
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(spark.createDataFrame(pdf), min_docs=2).collect()
+    }
+    assert out == {0: "body a", 1: "body b"}
