@@ -1,0 +1,105 @@
+"""Scale evidence for SCALE.md: measures how plans behave when data
+grows, on synthetic frames built with spark.range (testdata untouched).
+
+1. Giant-group scan crossover: one group of N rows — plain
+   ``groupby_scan`` serializes the WindowExec on a single task;
+   ``groupby_scan_blocked`` splits into order blocks.  Sweeps N to
+   find where blocking starts winning, plus a many-groups control
+   where plain should win.
+2. Reduction scaling: headline reductions on lineitem-shaped synthetic
+   frames at 600k vs 6M rows (the sf0.1 -> sf1 step): wall-time ratio
+   vs the 10x data ratio shows how much of the sf0.1 cost is fixed
+   overhead vs data-proportional work.
+
+Usage: python tools/bench_scale.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from flox_spark import groupby_reduce, groupby_scan
+from flox_spark.scan_blocked import groupby_scan_blocked
+from flox_spark.session import get_spark
+
+
+def force(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def synth_events(spark, n_rows: int, n_groups: int):
+    """Deterministic event-shaped frame: integer-LCG pseudo-random
+    values, contiguous order column."""
+    return (
+        spark.range(n_rows)
+        .withColumn("k", (F.col("id") % n_groups).cast("long"))
+        .withColumn("ord", F.col("id"))
+        .withColumn("v", ((F.col("id") * 1103515245 + 12345) % 1000000).cast("double") / 1000.0)
+    )
+
+
+def scan_crossover(spark, quick: bool) -> dict:
+    sizes = [1_000_000, 4_000_000] if quick else [1_000_000, 4_000_000, 16_000_000]
+    out = {}
+    for n in sizes:
+        df = synth_events(spark, n, 1)  # ONE giant group
+        plain = min(force(groupby_scan(df, "k", func="nancumsum", value="v", order_by="ord")) for _ in range(2))
+        blocked = min(force(
+            groupby_scan_blocked(df, "k", func="nancumsum", value="v", order_by="ord", num_blocks=32)
+        ) for _ in range(2))
+        out[f"giant_group_n{n}"] = {"plain_window_s": plain, "blocked_s": blocked}
+    # control: many groups — plain's per-group parallelism suffices
+    df = synth_events(spark, sizes[-1], 10_000)
+    out["many_groups_control"] = {
+        "plain_window_s": min(force(groupby_scan(df, "k", func="nancumsum", value="v", order_by="ord")) for _ in range(2)),
+        "blocked_s": min(force(
+            groupby_scan_blocked(df, "k", func="nancumsum", value="v", order_by="ord", num_blocks=32)
+        ) for _ in range(2)),
+    }
+    return out
+
+
+def reduction_scaling(spark, quick: bool) -> dict:
+    cases = {
+        "sum_fewgroups": lambda d: groupby_reduce(d, "k", func="nansum", value="v"),
+        "mean_fewgroups": lambda d: groupby_reduce(d, "k", func="nanmean", value="v"),
+        "quantile_p90": lambda d: groupby_reduce(
+            d, "k", func="nanquantile", value="v", finalize_kwargs={"q": 0.9}
+        ),
+        "highcard_sum": lambda d: groupby_reduce(d, "hk", func="nansum", value="v"),
+    }
+    small_n, big_n = (600_000, 6_000_000)
+    out = {}
+    for label, n in (("600k", small_n), ("6M", big_n)):
+        df = (
+            synth_events(spark, n, 6)
+            .withColumn("hk", (F.col("id") % 20_000).cast("long"))
+        )
+        for cname, fn in cases.items():
+            out.setdefault(cname, {})[label] = min(force(fn(df)) for _ in range(2))
+    for cname, d in out.items():
+        d["wall_ratio_for_10x_data"] = round(d["6M"] / d["600k"], 2) if d["600k"] > 0 else None
+    return out
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("bench_scale")
+    force(synth_events(spark, 10_000, 10).groupBy("k").count())  # warm
+    result = {
+        "scan_crossover": scan_crossover(spark, quick),
+        "reduction_scaling": reduction_scaling(spark, quick),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
