@@ -573,6 +573,35 @@ def q_boilerplate(s, d):
     return remove_boilerplate_lines(docs, min_docs=3).select("doc_id", "text_clean")
 
 
+def q_funnel(s, d):
+    # click -> purchase within 6h, per user: asof_join(forward,
+    # tolerance) + one grouped aggregate
+    from flox_spark.operators import funnel_conversion
+
+    return funnel_conversion(
+        _t(s, d, "events"),
+        "user_id",
+        start=F.col("event_type") == "click",
+        step=F.col("event_type") == "purchase",
+        within_seconds=6 * 3600,
+    )
+
+
+def q_kmeans(s, d):
+    # one Lloyd iteration from the deterministic hash-draw init IS
+    # SQL-expressible, so the k-means kernel (init + assign + update)
+    # gets a real hash-matched oracle; centroids exploded to
+    # (cluster, pos, val) rows for the canonicalizer
+    from flox_spark.operators import kmeans_fit
+
+    emb = _t(s, d, "embeddings")
+    cents = kmeans_fit(emb, k=4, max_iter=1)
+    return cents.select(
+        F.col("__cid").cast("long").alias("cluster"),
+        F.posexplode("centroid").alias("pos", "v"),
+    ).select("cluster", F.col("pos").cast("long").alias("pos"), F.round("v", 6).alias("val"))
+
+
 def q_grouped_topk(s, d):
     # top-3 orders by price per status: WindowGroupLimit bounds the
     # shuffle at k rows per group per map task
@@ -924,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique_plain": q_nunique_plain,
         "redact_pii": q_redact_pii,
         "boilerplate": q_boilerplate,
+        "funnel": q_funnel,
+        "kmeans": q_kmeans,
     }
 
 
@@ -1191,5 +1222,41 @@ def oracle_sql() -> dict[str, str]:
                        WHERE freq.dfc < 3) n
               ON b.doc_id = n.doc_id
             GROUP BY b.doc_id""",
+        "funnel": """
+            WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            b AS (SELECT user_id, ts AS bts FROM events WHERE event_type = 'purchase'),
+            j AS (
+              SELECT a.user_id, a.ts,
+                     CASE WHEN b.bts IS NOT NULL
+                           AND date_diff('microseconds', a.ts, b.bts) <= 21600000000
+                          THEN b.bts END AS bts
+              FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.bts
+            )
+            SELECT user_id, count(*) AS n_start, count(bts) AS n_converted,
+                   round(count(bts)::DOUBLE / count(*), 6) AS conversion_rate,
+                   round(avg(date_diff('microseconds', ts, bts) / 1e6), 6) AS mean_delay_s
+            FROM j GROUP BY user_id""",
+        "kmeans": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':0')) - 1 AS cid,
+                     embedding
+              FROM embeddings ORDER BY md5(vec_id::VARCHAR || ':0') LIMIT 4
+            ), scored AS (
+              SELECT e.vec_id, s.cid, e.embedding,
+                     list_sum(list_transform(range(0, 64),
+                       i -> (e.embedding[i+1]::DOUBLE - s.embedding[i+1]::DOUBLE)
+                          * (e.embedding[i+1]::DOUBLE - s.embedding[i+1]::DOUBLE))) AS d
+              FROM embeddings e, seeds s
+            ), best AS (
+              SELECT vec_id, cid, embedding FROM scored
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+            ), pts AS (
+              SELECT cid,
+                     unnest(embedding)::DOUBLE AS x,
+                     generate_subscripts(embedding, 1) - 1 AS pos
+              FROM best
+            )
+            SELECT cid AS cluster, pos::BIGINT AS pos, round(avg(x), 6) AS val
+            FROM pts GROUP BY cid, pos""",
     })
     return out

@@ -21,6 +21,8 @@ from flox_spark.operators.clean import (
     redact_pii,
     remove_boilerplate_lines,
 )
+from flox_spark.operators.funnel import funnel_conversion
+from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
 from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.topk import grouped_topk
 from flox_spark.operators.sampling import (
@@ -57,7 +59,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "asof_join",
+    "assign_clusters",
+    "funnel_conversion",
     "grouped_topk",
+    "kmeans_fit",
     "normalize_whitespace",
     "redact_pii",
     "remove_boilerplate_lines",

@@ -1,0 +1,130 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+Completes the IVF ANN story (``operators/similarity.py``): ``ivf_topk``
+needs a coarse-quantizer cluster column; this trains one with plain
+DataFrame ops — no MLlib dependency, no RDDs, and critically **no
+driver-side collect**: the centroid table is a k-row DataFrame that is
+broadcast-joined into the assignment step, so the same code runs
+against a 100 TB base table.
+
+Per iteration (the classic two phases):
+
+    assign: crossJoin(broadcast(centroids)) -> squared-L2 score ->
+            min_by(cluster) per point        [map-side only + 1 agg shuffle]
+    update: posexplode -> mean per (cluster, pos) -> rebuild arrays
+            [group-cardinality-sized]
+
+Each iteration's centroid frame is materialized
+(``materialize_shared``) — an iterative DataFrame loop otherwise
+compounds the lineage into an exponentially deep plan.
+
+Initialization is deterministic: the k rows with the smallest
+``md5(id || seed)`` — a reproducible uniform draw (same rule as
+``operators/sampling.py``), so fitted centroids are identical across
+runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flox_spark.plans.util import materialize_shared
+
+__all__ = ["kmeans_fit", "assign_clusters"]
+
+
+def _sq_dist(vec_col: str, cent_col: str) -> "F.Column":
+    # elementwise squared L2 via zip_with + aggregate: stays in codegen
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col(cent_col), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    score all k per point, keep the argmin (ties -> lowest cluster id
+    for determinism)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d", _sq_dist(vec_col, "centroid")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__best"))
+        .select(F.col(id_col), F.col("__best.__cid").alias(out))
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: str = "0",
+) -> DataFrame:
+    """Fit k centroids; returns a k-row DataFrame (__cid, centroid).
+
+    ``max_iter`` Lloyd iterations from the deterministic hash-draw
+    init.  Empty clusters keep their previous centroid (standard
+    Lloyd degeneracy handling)."""
+    base = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
+    )
+    base = materialize_shared(base)
+
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (distributed
+    # partial top-k per partition), NOT a single-task global sort; the
+    # row_number window then runs over only k rows
+    seeds = (
+        base.withColumn(
+            "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+        )
+        .orderBy("__h")
+        .limit(k)
+    )
+    w = Window.orderBy("__h")
+    centroids = seeds.select(
+        (F.row_number().over(w) - 1).alias("__cid"), F.col("__v").alias("centroid")
+    )
+    centroids = materialize_shared(centroids)
+
+    for _ in range(max_iter):
+        assigned = (
+            base.crossJoin(F.broadcast(centroids))
+            .withColumn("__d", _sq_dist("__v", "centroid"))
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__best"),
+                F.first("__v").alias("__v"),
+            )
+            .select(F.col("__best.__cid").alias("__cid"), "__v")
+        )
+        means = (
+            assigned.select("__cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("__cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("__cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        # empty clusters: keep the previous centroid
+        centroids = materialize_shared(
+            centroids.alias("old")
+            .join(means.alias("new"), "__cid", "left")
+            .select(
+                "__cid",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"),
+            )
+        )
+    return centroids

@@ -1,0 +1,105 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
+from flox_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # two well-separated 4-d blobs, 40 points each
+    rng = np.random.default_rng(5)
+    a = rng.normal(loc=0.0, scale=0.3, size=(40, 4))
+    b = rng.normal(loc=10.0, scale=0.3, size=(40, 4))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(80),
+            "embedding": [v.tolist() for v in np.vstack([a, b])],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_kmeans_separates_blobs(spark, blobs):
+    cents = kmeans_fit(blobs, k=2, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 2
+    # one centroid near 0, one near 10 (in every coordinate)
+    means = sorted(float(np.mean(r["centroid"])) for r in rows)
+    assert means[0] == pytest.approx(0.0, abs=0.5)
+    assert means[1] == pytest.approx(10.0, abs=0.5)
+    # assignment splits the ids exactly at the blob boundary
+    assign = assign_clusters(blobs, cents)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    first_blob = {got[i] for i in range(40)}
+    second_blob = {got[i] for i in range(40, 80)}
+    assert len(first_blob) == 1 and len(second_blob) == 1
+    assert first_blob != second_blob
+
+
+def test_kmeans_deterministic_across_partitionings(spark, blobs):
+    a = sorted(map(tuple, kmeans_fit(blobs, k=3, max_iter=3).collect()))
+    b = sorted(
+        map(tuple, kmeans_fit(blobs.repartition(7), k=3, max_iter=3).collect())
+    )
+    # float means over reordered partitions: compare with tolerance
+    assert len(a) == len(b)
+    for (cid1, c1), (cid2, c2) in zip(a, b):
+        assert cid1 == cid2
+        assert c1 == pytest.approx(c2, rel=1e-9)
+
+
+def test_kmeans_inertia_decreases(spark, blobs):
+    def inertia(n_iter):
+        cents = kmeans_fit(blobs, k=2, max_iter=n_iter)
+        assigned = assign_clusters(blobs, cents)
+        joined = blobs.join(assigned, "vec_id").join(
+            cents.withColumnRenamed("__cid", "cluster"), "cluster"
+        )
+        return joined.select(
+            F.sum(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "centroid",
+                        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    assert inertia(4) <= inertia(1) + 1e-9
+
+
+def test_kmeans_feeds_ivf_topk(spark):
+    # end-to-end: fit on real embeddings, assign, run IVF ANN with the
+    # learned clusters; results must be plausible top-k (right shape,
+    # scores descending per query)
+    from flox_spark.operators import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_fit(emb, k=4, max_iter=2)
+    labeled = emb.join(assign_clusters(emb, cents), "vec_id").withColumnRenamed(
+        "cluster", "km_label"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        labeled, queries, k=5, nprobe=2, cluster_col="km_label", dim=64
+    ).collect()
+    assert len(out) == 15  # 3 queries x 5
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    for q, scores in by_q.items():
+        assert len(scores) == 5
+        # each query finds itself (cos_sim 1.0) inside its own cluster
+        assert max(scores) == pytest.approx(1.0, abs=1e-6)
