@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "sample_group",     # WindowGroupLimit per-group draw
     "minhash_bands",    # row-local streaming-capable banding
     "pack_sequences",   # FFD packing via mapInPandas (no DuckDB row)
+    "grouped_topk",     # WindowGroupLimit top-k per group
+    "nunique",          # exact distinct-count reduction
+    "redact_pii",       # regex projection chain
+    "boilerplate",      # doc-frequency join + reassembly
+    "funnel",           # forward as-of + aggregate
+    "kmeans",           # one Lloyd iteration kernel
 ]
 
 

@@ -215,3 +215,36 @@ def test_bool_dtype_matches_reference(spark):
                 assert bool(gv) == bool(w), (func, g, gv, w)
             else:
                 assert int(gv) == int(w), (func, g, gv, w)
+
+
+def test_vector_q_matches_reference(spark):
+    # vector q: the reference adds a leading q dimension
+    # (quantile_new_dims_func, flox/aggregations.py:688-710); the
+    # engine's long-table analog is exploded per-q rows.  Checked for
+    # BOTH exact-quantile physical strategies (agg and sort).
+    from flox_spark import set_options
+
+    lab = LAYOUTS["skewed"]
+    v = _rand(len(lab), nan_frac=0.2, seed=7)
+    qs = [0.25, 0.5, 0.9]
+    want, groups = flox_gr(
+        v, lab, func="nanquantile", engine="flox", finalize_kwargs={"q": qs}
+    )
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+
+    for impl in ("agg", "sort"):
+        with set_options(quantile_impl=impl):
+            res = groupby_reduce(
+                df, "k", func="nanquantile", value="v", finalize_kwargs={"q": qs}
+            ).collect()
+        got = {(r["k"], r["q"]): r["nanquantile"] for r in res}
+        assert len(got) == len(qs) * len(groups), impl
+        for qi, q in enumerate(qs):
+            for gi, g in enumerate(groups):
+                w = float(want[qi, gi])
+                gv = got[(int(g), q)]
+                if math.isnan(w):
+                    assert gv is None or math.isnan(gv), (impl, q, g)
+                else:
+                    assert gv == pytest.approx(w, rel=1e-12, abs=1e-12), (impl, q, g)
