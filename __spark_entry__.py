@@ -573,6 +573,30 @@ def q_boilerplate(s, d):
     return remove_boilerplate_lines(docs, min_docs=3).select("doc_id", "text_clean")
 
 
+def q_weighted_mean(s, d):
+    # quantity-weighted mean price (xarray .weighted() surface fused
+    # into one aggregation pass)
+    from flox_spark import groupby_reduce_weighted
+
+    out = groupby_reduce_weighted(
+        _t(s, d, "lineitem"), "l_returnflag",
+        func="nanmean", value="l_extendedprice", weights="l_quantity",
+        alias="wmean_price",
+    )
+    return out.withColumn("wmean_price", F.round("wmean_price", 4))
+
+
+def q_weighted_var(s, d):
+    from flox_spark import groupby_reduce_weighted
+
+    out = groupby_reduce_weighted(
+        _t(s, d, "lineitem"), "l_returnflag",
+        func="nanvar", value="l_extendedprice", weights="l_quantity",
+        alias="wvar_price",
+    )
+    return out.withColumn("wvar_price", F.round("wvar_price", 2))
+
+
 def q_funnel(s, d):
     # click -> purchase within 6h, per user: asof_join(forward,
     # tolerance) + one grouped aggregate
@@ -955,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "funnel": q_funnel,
         "kmeans": q_kmeans,
+        "weighted_mean": q_weighted_mean,
+        "weighted_var": q_weighted_var,
     }
 
 
@@ -1258,5 +1284,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cid AS cluster, pos::BIGINT AS pos, round(avg(x), 6) AS val
             FROM pts GROUP BY cid, pos""",
+        # same one-pass formula as the engine so rounding is stable
+        "weighted_mean": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)
+                     AS wmean_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "weighted_var": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity * l_extendedprice * l_extendedprice)
+                           / sum(l_quantity)
+                         - (sum(l_quantity * l_extendedprice) / sum(l_quantity))
+                           * (sum(l_quantity * l_extendedprice) / sum(l_quantity)),
+                         2) AS wvar_price
+            FROM lineitem GROUP BY l_returnflag""",
     })
     return out

@@ -348,6 +348,17 @@ _reg("nanmode", None, two_stage="mode", preserves_dtype=True)
 # over approx_count_distinct (HLL, mergeable, bounded memory) —
 # not registered here because its result is estimate-dependent.
 _reg("nannunique", lambda c: F.count_distinct(c.v_skip), default_fill=0)
+# the 100 TB path for distinct counts: HyperLogLog++ sketch —
+# mergeable, bounded memory, ONE regular aggregation (exact
+# count_distinct costs an extra Expand + second shuffle stage).
+# rsd via finalize_kwargs={"rsd": 0.01}; deterministic for given data
+# (HLL merge is commutative) but engine-specific, so pytest-accuracy
+# checked rather than oracle-hashed.
+_reg(
+    "approx_nunique",
+    lambda c: F.approx_count_distinct(c.v_skip, rsd=c.kwargs.get("rsd", 0.05)),
+    default_fill=0,
+)
 _reg(
     "nunique",
     lambda c: F.count_distinct(c.v_skip)

@@ -1,0 +1,87 @@
+"""Weighted grouped reductions — the xarray ``.weighted()`` surface.
+
+The reference itself takes no weights (xarray computes ``w*x`` /
+``sum_of_weights`` upstream and calls flox twice); this module fuses
+that pattern into ONE aggregation pass per call, with xarray's
+missing-value rule: a weight is only counted where the VALUE is
+non-missing (xarray's ``weighted.mean`` masks weights by ``notnull``),
+and missing weights are treated as 0.
+
+Supported funcs: ``sum``/``mean``/``var``/``std``/``count`` and their
+``nan*`` twins.  The plain variants NaN-poison exactly like the
+unweighted engine (any missing value in the group -> NaN).  Weighted
+var/std use the frequency-weights convention
+``sum(w*(x-mu)^2) / sum(w)`` computed in a single pass as
+``sum(w*x^2)/sum(w) - mu^2`` — one groupBy, all codegen.
+
+NaN labels are dropped and the output is sorted, matching
+``groupby_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flox_spark.dtypes import NAN, arith_input, is_missing, to_skip
+
+__all__ = ["groupby_reduce_weighted"]
+
+_FUNCS = ("sum", "mean", "var", "std", "count")
+
+
+def groupby_reduce_weighted(
+    df: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    weights: str,
+    alias: str | None = None,
+    sort: bool = True,
+    ddof_note: None = None,
+) -> DataFrame:
+    """Weighted grouped reduction.  ``func`` may be any of
+    sum/mean/var/std/count or the nan-skipping ``nan*`` variant."""
+    skipna = func.startswith("nan")
+    base = func[3:] if skipna else func
+    if base not in _FUNCS:
+        raise ValueError(f"weighted supports {_FUNCS} (+nan*), got {func!r}")
+    out = alias or func
+
+    vdt = df.schema[value].dataType
+    wdt = df.schema[weights].dataType
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+
+    v, _ = arith_input(to_skip(F.col(value), vdt), vdt)
+    v = v.cast("double")
+    w = F.coalesce(to_skip(F.col(weights), wdt).cast("double"), F.lit(0.0))
+    # xarray rule: weights count only where the value is present
+    w_eff = F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
+
+    sw = F.coalesce(F.sum(w_eff), F.lit(0.0))
+    swv = F.sum(w_eff * v)
+    swv2 = F.sum(w_eff * v * v)
+
+    if base == "count":
+        expr: Column = sw
+    elif base == "sum":
+        expr = F.coalesce(swv, F.lit(0.0))
+    elif base == "mean":
+        expr = swv / sw
+    else:  # var / std
+        mu = swv / sw
+        expr = swv2 / sw - mu * mu
+        # clamp the one-pass form's tiny negative round-off
+        expr = F.greatest(expr, F.lit(0.0))
+        if base == "std":
+            expr = F.sqrt(expr)
+
+    if not skipna and base != "count":
+        poisoned = F.bool_or(is_missing(F.col(value), vdt))
+        expr = F.when(poisoned, F.lit(NAN)).otherwise(expr)
+
+    res = work.groupBy(*by).agg(expr.alias(out))
+    return res.orderBy(*by) if sort else res

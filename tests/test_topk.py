@@ -77,3 +77,27 @@ def test_nunique_vs_pandas_on_events(spark):
     pdf = ev.select("user_id", "event_type").toPandas()
     want = pdf.groupby("user_id")["event_type"].nunique().to_dict()
     assert got == want
+
+
+def test_approx_nunique_accuracy_and_plan(spark):
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["user_id"]: r["nannunique"]
+        for r in groupby_reduce(ev, "user_id", func="nannunique", value="event_id").collect()
+    }
+    approx = {
+        r["user_id"]: r["approx_nunique"]
+        for r in groupby_reduce(
+            ev, "user_id", func="approx_nunique", value="event_id",
+            finalize_kwargs={"rsd": 0.01},
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for g in exact:
+        assert abs(approx[g] - exact[g]) <= max(2, 0.05 * exact[g]), g
+    # the sketch is one regular hash aggregation: no Expand stage
+    plan = (
+        groupby_reduce(ev, "user_id", func="approx_nunique", value="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan

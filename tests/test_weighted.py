@@ -1,0 +1,94 @@
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce_weighted
+
+
+@pytest.fixture(scope="module")
+def wdata():
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "v": rng.normal(size=n) * 10,
+            "w": rng.random(n) * 3,
+        }
+    )
+    pdf.loc[rng.random(n) < 0.15, "v"] = np.nan
+    pdf.loc[rng.random(n) < 0.05, "w"] = np.nan
+    return pdf
+
+
+def _np_weighted(pdf, func):
+    out = {}
+    for g, grp in pdf.groupby("k"):
+        v = grp["v"].to_numpy()
+        w = np.nan_to_num(grp["w"].to_numpy(), nan=0.0)
+        mask = ~np.isnan(v)
+        weff = np.where(mask, w, 0.0)
+        sw = weff.sum()
+        if func == "count":
+            out[g] = sw
+            continue
+        swv = np.nansum(weff * np.nan_to_num(v))
+        if func == "sum":
+            out[g] = swv
+        elif func == "mean":
+            out[g] = swv / sw
+        elif func in ("var", "std"):
+            mu = swv / sw
+            var = np.nansum(weff * (np.nan_to_num(v) - mu) ** 2) / sw
+            out[g] = math.sqrt(var) if func == "std" else var
+    return out
+
+
+@pytest.mark.parametrize("base", ["count", "sum", "mean", "var", "std"])
+def test_nan_weighted_vs_numpy(spark, wdata, base):
+    func = "nan" + base
+    df = spark.createDataFrame(wdata)
+    got = {
+        r["k"]: r[func]
+        for r in groupby_reduce_weighted(df, "k", func=func, value="v", weights="w").collect()
+    }
+    want = _np_weighted(wdata, base)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], rel=1e-9), (func, g)
+
+
+def test_plain_variant_poisons(spark, wdata):
+    df = spark.createDataFrame(wdata)
+    got = {
+        r["k"]: r["mean"]
+        for r in groupby_reduce_weighted(df, "k", func="mean", value="v", weights="w").collect()
+    }
+    has_nan = wdata.groupby("k")["v"].apply(lambda s: s.isna().any()).to_dict()
+    want = _np_weighted(wdata, "mean")
+    for g, poisoned in has_nan.items():
+        if poisoned:
+            assert math.isnan(got[g]), g
+        else:
+            assert got[g] == pytest.approx(want[g], rel=1e-9), g
+
+
+def test_uniform_weights_match_unweighted(spark, wdata):
+    from flox_spark import groupby_reduce
+
+    df = spark.createDataFrame(wdata.assign(w1=1.0))
+    a = {
+        r["k"]: r["nanmean"]
+        for r in groupby_reduce_weighted(df, "k", func="nanmean", value="v", weights="w1").collect()
+    }
+    b = {r["k"]: r["nanmean"] for r in groupby_reduce(df, "k", func="nanmean", value="v").collect()}
+    for g in b:
+        assert a[g] == pytest.approx(b[g], rel=1e-12)
+
+
+def test_weighted_rejects_unknown(spark, wdata):
+    df = spark.createDataFrame(wdata)
+    with pytest.raises(ValueError, match="weighted supports"):
+        groupby_reduce_weighted(df, "k", func="median", value="v", weights="w")
