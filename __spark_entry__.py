@@ -611,6 +611,23 @@ def q_funnel(s, d):
     )
 
 
+def q_funnel_path(s, d):
+    # 3-step funnel: click -> purchase -> signup, each within 12h of
+    # the previous match; one forward as-of join per step
+    from flox_spark.operators import funnel_path
+
+    return funnel_path(
+        _t(s, d, "events"),
+        "user_id",
+        steps=[
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "signup",
+        ],
+        within_seconds=12 * 3600,
+    )
+
+
 def q_kmeans(s, d):
     # one Lloyd iteration from the deterministic hash-draw init IS
     # SQL-expressible, so the k-means kernel (init + assign + update)
@@ -978,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "boilerplate": q_boilerplate,
         "funnel": q_funnel,
+        "funnel_path": q_funnel_path,
         "kmeans": q_kmeans,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
@@ -1262,6 +1280,31 @@ def oracle_sql() -> dict[str, str]:
                    round(count(bts)::DOUBLE / count(*), 6) AS conversion_rate,
                    round(avg(date_diff('microseconds', ts, bts) / 1e6), 6) AS mean_delay_s
             FROM j GROUP BY user_id""",
+        "funnel_path": """
+            WITH s0 AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'click'),
+            s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'purchase'),
+            s2 AS (SELECT user_id, ts AS t2 FROM events WHERE event_type = 'signup'),
+            j1 AS (
+              SELECT s0.user_id, t0,
+                     CASE WHEN t1 IS NOT NULL
+                           AND date_diff('microseconds', t0, t1) <= 43200000000
+                          THEN t1 END AS t1
+              FROM s0 ASOF LEFT JOIN s1
+                ON s0.user_id = s1.user_id AND s0.t0 <= s1.t1
+            ), j2 AS (
+              SELECT j1.user_id, t0, j1.t1,
+                     CASE WHEN t2 IS NOT NULL
+                           AND date_diff('microseconds', j1.t1, t2) <= 43200000000
+                          THEN t2 END AS t2
+              FROM j1 ASOF LEFT JOIN s2
+                ON j1.user_id = s2.user_id AND j1.t1 <= s2.t2
+            )
+            SELECT user_id, count(*) AS n_step0,
+                   count(t1) AS n_step1,
+                   round(count(t1)::DOUBLE / count(*), 6) AS rate_step1,
+                   count(t2) AS n_step2,
+                   round(count(t2)::DOUBLE / count(*), 6) AS rate_step2
+            FROM j2 GROUP BY user_id""",
         "kmeans": """
             WITH seeds AS (
               SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':0')) - 1 AS cid,

@@ -21,7 +21,7 @@ from flox_spark.operators.clean import (
     redact_pii,
     remove_boilerplate_lines,
 )
-from flox_spark.operators.funnel import funnel_conversion
+from flox_spark.operators.funnel import funnel_conversion, funnel_path
 from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
 from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.topk import grouped_topk
@@ -61,6 +61,7 @@ __all__ = [
     "asof_join",
     "assign_clusters",
     "funnel_conversion",
+    "funnel_path",
     "grouped_topk",
     "kmeans_fit",
     "normalize_whitespace",

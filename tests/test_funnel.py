@@ -92,3 +92,62 @@ def test_funnel_matches_pandas(spark):
         .to_dict()
     )
     assert got == want
+
+
+def test_funnel_path_three_steps_hand_case(spark):
+    from flox_spark.operators.funnel import funnel_path
+
+    # u1: click@0 -> purchase@10 -> signup@20 (full path)
+    #     click@100 -> purchase@110, no signup within window
+    # u2: click@0, purchase@500 beyond window -> stops at step 0
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 1, 2, 2],
+            "event_type": [
+                "click", "purchase", "signup", "click", "purchase",
+                "click", "purchase",
+            ],
+            "ts": _ts(0, 10, 20, 100, 110) + _ts(0, 500),
+        }
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_path(
+            spark.createDataFrame(pdf),
+            "user_id",
+            steps=[
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+                F.col("event_type") == "signup",
+            ],
+            within_seconds=1800,
+        ).collect()
+    }
+    assert out[1]["n_step0"] == 2 and out[1]["n_step1"] == 2 and out[1]["n_step2"] == 1
+    assert out[1]["rate_step2"] == 0.5
+    assert out[2]["n_step0"] == 1 and out[2]["n_step1"] == 0 and out[2]["n_step2"] == 0
+
+
+def test_funnel_path_null_chain_guard(spark):
+    from flox_spark.operators.funnel import funnel_path
+
+    # u1 has a signup BEFORE any purchase: the step-1 NULL must not
+    # leak into step 2 (failed chains stay failed)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_type": ["click", "signup"],
+            "ts": _ts(0, 5),
+        }
+    )
+    out = funnel_path(
+        spark.createDataFrame(pdf),
+        "user_id",
+        steps=[
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "signup",
+        ],
+        within_seconds=1800,
+    ).collect()[0]
+    assert out["n_step1"] == 0 and out["n_step2"] == 0
