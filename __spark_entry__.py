@@ -1330,15 +1330,18 @@ def oracle_sql() -> dict[str, str]:
         # same one-pass formula as the engine so rounding is stable
         "weighted_mean": """
             SELECT l_returnflag,
-                   round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)
-                     AS wmean_price
+                   round(sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
+                           / sum(l_quantity::DOUBLE), 4) AS wmean_price
             FROM lineitem GROUP BY l_returnflag""",
         "weighted_var": """
             SELECT l_returnflag,
-                   round(sum(l_quantity * l_extendedprice * l_extendedprice)
-                           / sum(l_quantity)
-                         - (sum(l_quantity * l_extendedprice) / sum(l_quantity))
-                           * (sum(l_quantity * l_extendedprice) / sum(l_quantity)),
+                   round(sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE
+                               * l_extendedprice::DOUBLE)
+                           / sum(l_quantity::DOUBLE)
+                         - (sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
+                              / sum(l_quantity::DOUBLE))
+                           * (sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
+                              / sum(l_quantity::DOUBLE)),
                          2) AS wvar_price
             FROM lineitem GROUP BY l_returnflag""",
     })

@@ -338,6 +338,22 @@ def groupby_reduce_multi(
             raise ValueError(f"{agg.name} is two-stage; use groupby_reduce for it")
         if agg.needs_order and order_by is None:
             raise ValueError(f"func {agg.name!r} requires order_by=")
+        if (
+            agg.name in ("median", "nanmedian", "quantile", "nanquantile")
+            and OPTIONS["quantile_impl"] == "sort"
+            and not OPTIONS["approx_quantile"]
+        ):
+            # the sort strategy needs its own multi-stage plan and
+            # cannot fuse into the single agg pass: fall back loudly
+            # rather than silently ignore the user's option
+            import warnings
+
+            warnings.warn(
+                f"groupby_reduce_multi cannot honor quantile_impl='sort' for "
+                f"{agg.name!r}; using the percentile aggregate (per-group "
+                "memory). Call groupby_reduce for the sort-based exact path.",
+                stacklevel=2,
+            )
         # numericize the order column exactly as groupby_reduce does:
         # arg* builders negate idx for the tie-break, which fails on
         # timestamp/date order columns without the int64 view

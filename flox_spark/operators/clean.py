@@ -79,10 +79,16 @@ def remove_boilerplate_lines(
 
     The total-document count joins in as a broadcast 1-row frame —
     no driver-side collect."""
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    from flox_spark.plans.util import materialize_shared
+
+    # the lines frame feeds both the doc-frequency aggregate and the
+    # kept-join (a diamond): materialize so the explode runs once
+    lines = materialize_shared(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    )
 
     docfreq = lines.groupBy("norm").agg(F.count_distinct(F.col(id_col)).alias("df"))
     boiler = docfreq.filter(F.col("df") >= F.lit(min_docs))

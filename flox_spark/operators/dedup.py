@@ -134,6 +134,10 @@ def minhash_candidates(
     between a join and an outage; dropped buckets mean "everything
     here is near-identical", which callers handle via dedup_exact.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     band_structs = F.array(
@@ -262,8 +266,13 @@ def simhash_signatures(
     def md5_of(t: Column) -> Column:
         return F.md5(t)
 
-    base = ensure_parallelism(df).select(
-        F.col(id_col), F.transform(toks, md5_of).alias("__hs")
+    # NULL-text rows have no tokens: drop them, matching the grouped
+    # formulation (whose explode emits no rows for them) instead of
+    # emitting an all-zero signature that would collide all NULL docs
+    base = (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.transform(toks, md5_of).alias("__hs"))
     )
 
     def digits_at(p: int) -> Column:

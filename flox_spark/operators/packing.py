@@ -60,6 +60,12 @@ def pack_sequences(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        if pdf[token_col].isna().any():
+            n_bad = int(pdf[token_col].isna().sum())
+            raise ValueError(
+                f"pack_sequences: {n_bad} rows have NULL {token_col!r}; "
+                "fill or filter token counts before packing"
+            )
         # FFD: place largest first; bins[i] = remaining capacity
         order = pdf[token_col].sort_values(ascending=False, kind="mergesort").index
         remaining: list[int] = []

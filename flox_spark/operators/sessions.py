@@ -76,7 +76,13 @@ def session_stats(
     identical call works under Structured Streaming with a watermark.
     ``session_start`` equals the first event's timestamp, so results
     join back to ``sessionize`` output on (entity, start)."""
-    gap_expr = f"{int(round(gap_seconds))} seconds"
+    # microsecond-precision gap, matching sessionize exactly (a
+    # whole-second rounding here would break the documented agreement
+    # for fractional gaps and reject sub-second ones)
+    gap_us = _gap_micros(gap_seconds)
+    if gap_us <= 0:
+        raise ValueError("gap_seconds must be positive")
+    gap_expr = f"{gap_us} microseconds"
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.col(ts)).alias("last_ts"),

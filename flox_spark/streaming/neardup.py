@@ -54,6 +54,11 @@ def minhash_band_keys(
     expressions (the naive one-select form) re-evaluates it per seed,
     measured 11x slower at sf0.1.  Catalyst's CollapseProject keeps
     the alias un-duplicated because the reference is non-cheap."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+            "a remainder would silently drop hashes and change the LSH threshold"
+        )
     r = num_hashes // bands
     extra = list(extra_cols or [])
     if not df.isStreaming:

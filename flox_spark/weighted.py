@@ -74,10 +74,18 @@ def groupby_reduce_weighted(
     else:  # var / std
         mu = swv / sw
         expr = swv2 / sw - mu * mu
-        # clamp the one-pass form's tiny negative round-off
+        # clamp the one-pass form's tiny negative round-off (guarded
+        # by the sw > 0 branch below — greatest() would otherwise
+        # swallow the empty-group NULL into 0.0)
         expr = F.greatest(expr, F.lit(0.0))
         if base == "std":
             expr = F.sqrt(expr)
+
+    if base in ("mean", "var", "std"):
+        # sw == 0 (all values missing / all weights 0): the engine's
+        # convention for an empty reduction is NaN (xarray weighted
+        # parity), not the NULL Spark's divide produces
+        expr = F.when(sw > 0, expr).otherwise(F.lit(NAN))
 
     if not skipna and base != "count":
         poisoned = F.bool_or(is_missing(F.col(value), vdt))

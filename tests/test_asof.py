@@ -121,3 +121,49 @@ def test_right_col_clash_raises(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("rid", "lid"), "k",
                   left_ts="ts", right_ts="rts")
+
+
+def test_null_payload_not_stitched(spark):
+    # the matched right row's ts and payload must come from the SAME
+    # row: a NULL payload on the matched row stays NULL, never filled
+    # from an earlier right row
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "lid": [0], "ts": _ts(90)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1], "rid": [100.0, None], "rts": _ts(10, 60)}
+        )
+    )
+    row = asof_join(left, right, "k", left_ts="ts", right_ts="rts").collect()[0]
+    assert row["asof_rts"] == _ts(60)[0]
+    assert row["rid"] is None  # matched row's payload, not 100.0 from @10
+
+
+def test_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lid": [0], "ts": _ts(30)}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "rid": [7.0], "rts": [pd.NaT]})
+    )
+    row = asof_join(left, right, "k", left_ts="ts", right_ts="rts").collect()[0]
+    assert row["asof_rts"] is None and row["rid"] is None
+
+
+def test_tiebreak_deterministic(spark):
+    # two right rows at the identical timestamp: tiebreak picks the
+    # winner the direction reaches first (backward -> the LAST in
+    # ascending tiebreak order)
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lid": [0], "ts": _ts(30)}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rid": [7, 9], "rts": _ts(10, 10)})
+    )
+    back = asof_join(
+        left, right, "k", left_ts="ts", right_ts="rts", tiebreak="rid"
+    ).collect()[0]
+    assert back["rid"] == 9
+    fwd = asof_join(
+        left.withColumn("ts", F.lit(_ts(5)[0])),
+        right, "k", left_ts="ts", right_ts="rts",
+        direction="forward", tiebreak="rid",
+    ).collect()[0]
+    assert fwd["rid"] == 7

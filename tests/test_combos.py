@@ -199,3 +199,16 @@ def test_quantile_sort_impl_timestamp(spark):
         alt = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in alt]
     assert base[0]["nanmedian"] == dt.datetime(2024, 1, 2)
+
+
+def test_multi_warns_on_sort_quantile_impl(spark):
+    import warnings
+    from flox_spark import groupby_reduce_multi, set_options
+
+    pdf = pd.DataFrame({"k": [0, 0, 1], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    with set_options(quantile_impl="sort"):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            groupby_reduce_multi(df, "k", aggs={"m": ("nanmedian", "v")}).collect()
+    assert any("cannot honor quantile_impl" in str(w.message) for w in rec)

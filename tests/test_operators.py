@@ -358,3 +358,14 @@ def test_simhash_zero_exchange_plan(spark):
     # the only exchange is ensure_parallelism's round-robin fan-out of
     # the single-file scan; no hash shuffle (the old groupBy is gone)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_simhash_null_text_dropped_matches_grouped(spark):
+    from flox_spark.operators.dedup import _simhash_signatures_grouped
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["alpha beta", None, "gamma"]})
+    df = spark.createDataFrame(pdf)
+    a = sorted(map(tuple, simhash_signatures(df).collect()))
+    b = sorted(map(tuple, _simhash_signatures_grouped(df).collect()))
+    assert a == b
+    assert [t[0] for t in a] == [0, 2]  # NULL-text doc dropped, both paths

@@ -72,3 +72,11 @@ def test_bin_ids_globally_unique_across_partitions(spark):
         .collect()[0]["m"]
     )
     assert pairs == 1
+
+
+def test_null_token_counts_rejected(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "n_tokens": [10.0, None]})
+    with pytest.raises(Exception, match="NULL 'n_tokens'"):
+        pack_sequences(
+            spark.createDataFrame(pdf), "n_tokens", budget=100, repartition=1
+        ).collect()

@@ -109,3 +109,25 @@ def test_sessionize_plan_single_shuffle(spark):
     plan = sessionize(ev, "user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")._jdf.queryExecution().executedPlan().toString()
     # one exchange (hash on user_id) feeding the window pass
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_subsecond_gap_parity(spark):
+    # fractional gaps: session_stats must use microsecond precision
+    # (not whole-second rounding) and agree with sessionize
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user": [1] * 3,
+            "eid": [0, 1, 2],
+            "ts": [base, base + dt.timedelta(milliseconds=400),
+                   base + dt.timedelta(milliseconds=1500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ids = sessionize(df, "user", ts="ts", gap_seconds=0.5, tiebreak="eid").collect()
+    got = {r["eid"]: r["session_id"] for r in ids}
+    assert got == {0: 0, 1: 0, 2: 1}
+    stats = session_stats(df, "user", ts="ts", gap_seconds=0.5).collect()
+    assert sorted(r["n_events"] for r in stats) == [1, 2]
+    with pytest.raises(ValueError, match="positive"):
+        session_stats(df, "user", ts="ts", gap_seconds=0.0).collect()

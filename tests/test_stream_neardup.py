@@ -126,3 +126,11 @@ def test_stream_pairs_subset_of_batch_candidates(spark):
         assert stream_pairs <= batch_pairs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bands_divisibility_rejected(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_band_keys(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_candidates(docs, num_hashes=16, bands=5)

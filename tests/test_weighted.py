@@ -92,3 +92,18 @@ def test_weighted_rejects_unknown(spark, wdata):
     df = spark.createDataFrame(wdata)
     with pytest.raises(ValueError, match="weighted supports"):
         groupby_reduce_weighted(df, "k", func="median", value="v", weights="w")
+
+
+def test_all_missing_group_yields_nan(spark):
+    pdf = pd.DataFrame(
+        {"k": [0, 0, 1], "v": [np.nan, np.nan, 2.0], "w": [1.0, 2.0, 1.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    for func in ("nanmean", "nanvar", "nanstd"):
+        got = {r["k"]: r[func] for r in
+               __import__("flox_spark").groupby_reduce_weighted(
+                   df, "k", func=func, value="v", weights="w").collect()}
+        # zero effective weight divides to NULL in Spark; the engine
+        # must surface NaN (xarray parity), never None
+        assert isinstance(got[0], float) and math.isnan(got[0]), func
+        assert not math.isnan(got[1]), func
