@@ -1,0 +1,107 @@
+"""One-call pipelines composing the dedup / similarity primitives.
+
+``dedup_documents`` is the user-facing entry for "give me a deduped
+corpus": candidate generation (exact / minhash / simhash) -> connected
+components -> keep representatives, all from the existing oracle-
+checked building blocks.  ``ann_recall`` measures an approximate
+index's quality against the exact scan — the evaluation loop every
+ANN deployment needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flox_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_exact,
+    dedup_keep_representatives,
+    minhash_candidates,
+    simhash_signatures,
+)
+from flox_spark.operators.similarity import cosine_topk, ivf_topk
+
+__all__ = ["dedup_documents", "ann_recall"]
+
+
+def dedup_documents(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Return ``df`` minus near/exact duplicates (each duplicate
+    cluster keeps its minimum-id representative).
+
+    ``method``: ``exact`` (normalized-content fingerprint),
+    ``minhash`` (LSH candidates -> connected components), or
+    ``simhash`` (identical-signature groups -> connected components).
+    Extra kwargs pass through to the underlying candidate generator
+    (num_hashes/bands/shingle_k/max_bucket for minhash, hex_chars for
+    simhash)."""
+    if method == "exact":
+        # dedup_exact emits one (fp, keep_id, n_dups) row per distinct
+        # content; keep exactly those representative ids
+        kept = dedup_exact(df, id_col=id_col, text_col=text_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        return df.join(kept, id_col, "left_semi")
+    if method == "minhash":
+        pairs = minhash_candidates(df, id_col=id_col, text_col=text_col, **kw)
+    elif method == "simhash":
+        sigs = simhash_signatures(df, id_col=id_col, text_col=text_col, **kw)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.simhash") == F.col("b.simhash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"method must be exact|minhash|simhash, got {method!r}")
+    clusters = dedup_clusters(pairs)
+    return dedup_keep_representatives(df, clusters, id_col=id_col)
+
+
+def ann_recall(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the IVF index vs the exact cosine scan: per query,
+    the fraction of the exact top-k the approximate search returned.
+    One row per query plus the standard knob-tuning readout — run
+    with increasing ``nprobe`` until recall clears the target."""
+    exact = cosine_topk(
+        base, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, dim=dim,
+    ).select(F.col(query_id_col), F.col(id_col))
+    approx = ivf_topk(
+        base, queries, k=k, nprobe=nprobe, cluster_col=cluster_col,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, dim=dim,
+    ).select(F.col(query_id_col), F.col(id_col).alias("__aid"))
+    hits = exact.join(
+        approx,
+        (exact[query_id_col] == approx[query_id_col])
+        & (exact[id_col] == approx["__aid"]),
+        "left",
+    ).select(exact[query_id_col].alias("__q"), approx["__aid"].isNotNull().alias("__hit"))
+    return (
+        hits.groupBy(F.col("__q").alias(query_id_col))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("__hit").cast("long")).alias("n_hits"),
+            F.round(F.avg(F.col("__hit").cast("double")), 6).alias("recall_at_k"),
+        )
+    )

@@ -1,0 +1,76 @@
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators import ann_recall, dedup_documents
+from flox_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far into the woods tonight"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base,
+                base,  # exact dup of 0
+                base.replace("lazy", "sleepy"),  # near-dup of 0
+                "completely different content about query engines",
+                "another unrelated piece of text entirely here",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_dedup_exact_method(spark, dup_docs):
+    kept = sorted(r["doc_id"] for r in dedup_documents(dup_docs, method="exact").collect())
+    # only the exact dup (1) goes; the near-dup survives exact dedup
+    assert kept == [0, 2, 3, 4]
+
+
+def test_dedup_minhash_method(spark, dup_docs):
+    # r=1 banding: collision prob ~1 at Jaccard ~0.65 (the one-word
+    # edit), still ~0 for unrelated docs — deterministic expectation
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_documents(
+            dup_docs, method="minhash", num_hashes=16, bands=16, shingle_k=3, max_bucket=None
+        ).collect()
+    )
+    # 1 and 2 both collapse into 0's cluster
+    assert kept == [0, 3, 4]
+
+
+def test_dedup_simhash_method(spark, dup_docs):
+    kept = sorted(
+        r["doc_id"] for r in dedup_documents(dup_docs, method="simhash").collect()
+    )
+    # exact dups share a signature; near-dup may or may not at 32 bits
+    assert 1 not in kept
+    assert 0 in kept and 3 in kept and 4 in kept
+
+
+def test_dedup_unknown_method(spark, dup_docs):
+    with pytest.raises(ValueError, match="method must be"):
+        dedup_documents(dup_docs, method="lsh")
+
+
+def test_ann_recall_full_probe_is_one(spark):
+    emb = load_table(spark, SF, "embeddings")
+    nclusters = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # probing every cluster makes IVF exhaustive -> recall exactly 1
+    full = ann_recall(emb, queries, k=10, nprobe=nclusters)
+    rows = full.collect()
+    assert len(rows) == 5
+    assert all(r["recall_at_k"] == 1.0 and r["k"] == 10 for r in rows)
+    # probing 1 of several clusters cannot beat the exhaustive scan
+    part = ann_recall(emb, queries, k=10, nprobe=1).collect()
+    assert all(r["recall_at_k"] <= 1.0 for r in part)
