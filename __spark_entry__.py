@@ -643,6 +643,31 @@ def q_kmeans(s, d):
     ).select("cluster", F.col("pos").cast("long").alias("pos"), F.round("v", 6).alias("val"))
 
 
+def q_frame_sample(s, d):
+    # declarative frame sampling (binary substring + sequence, no
+    # UDF); frames emitted as md5 because DuckDB lacks blob substr —
+    # the ASCII fake content makes char slicing == byte slicing
+    from flox_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_t(s, d, "documents")).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.format"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.col("meta.sample_rate"),
+            (F.lit(1) + F.col("media_id") % 5).cast("int").alias("n_frames"),
+        ),
+    )
+    out = sample_frames(media, every_n=2)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_bytes").cast("long").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_grouped_topk(s, d):
     # top-3 orders by price per status: WindowGroupLimit bounds the
     # shuffle at k rows per group per map task
@@ -999,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1344,5 +1370,20 @@ def oracle_sql() -> dict[str, str]:
                               / sum(l_quantity::DOUBLE)),
                          2) AS wvar_price
             FROM lineitem GROUP BY l_returnflag""",
+        "frame_sample": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, (1 + doc_id % 5)::INT AS nf
+              FROM documents
+            ), f AS (
+              SELECT media_id, text, nf,
+                     greatest(strlen(text) // nf, 1) AS fs,
+                     unnest(range(0, nf)) AS frame_idx
+              FROM m
+            )
+            SELECT media_id, frame_idx::INT AS frame_idx,
+                   strlen(substr(text, (frame_idx * fs + 1)::BIGINT, fs::BIGINT))::BIGINT
+                     AS frame_bytes,
+                   md5(substr(text, (frame_idx * fs + 1)::BIGINT, fs::BIGINT)) AS frame_md5
+            FROM f WHERE frame_idx % 2 = 0""",
     })
     return out

@@ -137,6 +137,99 @@ def decode_image(df: DataFrame, id_col: str = "media_id"):
     raise NotImplementedError("real decode path intentionally left to deployment")
 
 
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each media blob.
+
+    The "demux" here is byte-slicing the container into
+    ``meta.n_frames`` equal chunks — a stand-in for a real video
+    demuxer (no AV library in this container) — but the OPERATOR is
+    the real thing and fully declarative: binary ``substring`` +
+    ``sequence``/``explode``, zero UDFs, whole-stage codegen, and the
+    identical SQL runs in the oracle.  A real demuxer slots in by
+    replacing the offset arithmetic with an index column."""
+    n = F.greatest(F.col("meta.n_frames"), F.lit(1))
+    total = F.octet_length("content")
+    fsize = F.greatest((total / n).cast("int"), F.lit(1))
+    idx = F.explode(
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: i % every_n == 0,
+        )
+    ).alias("frame_idx")
+    out = df.select(F.col(id_col), "content", fsize.alias("__fs"), idx)
+    return out.select(
+        id_col,
+        F.col("frame_idx"),
+        F.substring(F.col("content"), F.col("frame_idx") * F.col("__fs") + 1, F.col("__fs")).alias(
+            "frame"
+        ),
+    ).withColumn("frame_bytes", F.octet_length("frame"))
+
+
+def resize_media(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize each blob's pixel grid to (out_h, out_w) by block
+    averaging (area interpolation).
+
+    Decode is the deterministic fake (content bytes tiled into the
+    meta-declared height x width grayscale grid — a real decoder
+    slots in at the marked line); the RESIZE math and the Arrow
+    ``mapInPandas`` plumbing are real: batches of blobs in, flattened
+    float grids out, no driver involvement."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("out_h", IntegerType()),
+            StructField("out_w", IntegerType()),
+            StructField("pixels", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, h, w in zip(
+                pdf[id_col], pdf["content"], pdf["h"], pdf["w"]
+            ):
+                h, w = max(int(h), 1), max(int(w), 1)
+                raw = np.frombuffer(
+                    content if isinstance(content, (bytes, bytearray)) else bytes(content),
+                    dtype=np.uint8,
+                )
+                # fake decode: tile bytes into the (h, w) grid.  A real
+                # decoder replaces THIS line only.
+                img = np.resize(raw, (h, w)).astype(np.float64)
+                # real area resize: mean over source blocks per target cell
+                ys = (np.arange(out_h + 1) * h / out_h).astype(int)
+                xs = (np.arange(out_w + 1) * w / out_w).astype(int)
+                px = np.empty((out_h, out_w), dtype=np.float32)
+                for yi in range(out_h):
+                    y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+                    for xi in range(out_w):
+                        x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+                        px[yi, xi] = img[y0:y1, x0:x1].mean()
+                rows.append((int(mid), out_h, out_w, px.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "out_h", "out_w", "pixels"])
+
+    from flox_spark.plans import ensure_parallelism
+
+    src = df.select(
+        F.col(id_col),
+        "content",
+        F.greatest(F.col("meta.width"), F.lit(1)).alias("w"),
+        F.greatest(F.col("meta.height"), F.lit(1)).alias("h"),
+    )
+    return ensure_parallelism(src).mapInPandas(run, out_schema)
+
+
 def balance_by_size(df: DataFrame, partitions: int, content_col: str = "content") -> DataFrame:
     """Repartition media rows by a hash of (size-bucket, id) so a few
     giant blobs don't serialize one task: the skew guard to apply
