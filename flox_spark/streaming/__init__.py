@@ -4,6 +4,7 @@ from flox_spark.streaming.stream import (
     stream_dedup_exact,
 )
 from flox_spark.streaming.stateful import stream_ffill
+from flox_spark.streaming.enrich import stream_asof_enrich
 from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neardup
 
 __all__ = [
@@ -12,5 +13,6 @@ __all__ = [
     "stream_dedup_exact",
     "stream_ffill",
     "minhash_band_keys",
+    "stream_asof_enrich",
     "stream_minhash_neardup",
 ]
