@@ -149,3 +149,73 @@ def test_single_group_equals_numpy(spark, func, data):
         assert got is None or math.isnan(got)
     else:
         assert got == pytest.approx(float(want), rel=1e-9, abs=1e-9)
+
+
+@given(arrays())
+@ex
+def test_nunique_matches_numpy(spark, av):
+    v, lab = av
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    got_skip = {
+        r["k"]: r["nannunique"]
+        for r in groupby_reduce(df, "k", func="nannunique", value="v").collect()
+    }
+    got_plain = {
+        r["k"]: r["nunique"]
+        for r in groupby_reduce(df, "k", func="nunique", value="v").collect()
+    }
+    for g in np.unique(lab):
+        x = v[lab == g]
+        nn = len(np.unique(x[~np.isnan(x)]))
+        assert got_skip[int(g)] == nn
+        assert got_plain[int(g)] == nn + (1 if np.isnan(x).any() else 0)
+
+
+@given(arrays(), st.lists(st.floats(0.0, 5.0, allow_nan=False), min_size=24, max_size=24))
+@ex
+def test_weighted_mean_matches_numpy(spark, av, ws):
+    v, lab = av
+    w = np.array(ws[: len(v)], dtype=np.float64)
+    pdf = pd.DataFrame({"k": lab, "v": v, "w": w})
+    from flox_spark import groupby_reduce_weighted
+
+    got = {
+        r["k"]: r["nanmean"]
+        for r in groupby_reduce_weighted(
+            spark.createDataFrame(pdf), "k", func="nanmean", value="v", weights="w"
+        ).collect()
+    }
+    for g in np.unique(lab):
+        x, wg = v[lab == g], w[lab == g]
+        mask = ~np.isnan(x)
+        sw = wg[mask].sum()
+        if sw == 0:
+            assert math.isnan(got[int(g)])
+        else:
+            want = (wg[mask] * x[mask]).sum() / sw
+            assert got[int(g)] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@given(st.lists(st.integers(0, 600), min_size=2, max_size=30), st.integers(1, 120))
+@ex
+def test_sessionize_gap_invariants(spark, offsets, gap_s):
+    import datetime as dt
+
+    ts = sorted(dt.datetime(2024, 1, 1) + dt.timedelta(seconds=o) for o in offsets)
+    pdf = pd.DataFrame({"k": 1, "eid": range(len(ts)), "ts": ts})
+    from flox_spark.operators import sessionize
+
+    rows = (
+        sessionize(spark.createDataFrame(pdf), "k", ts="ts", gap_seconds=gap_s, tiebreak="eid")
+        .orderBy("ts", "eid")
+        .collect()
+    )
+    sids = [r["session_id"] for r in rows]
+    # 0-based, contiguous, non-decreasing
+    assert sids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:]))
+    # boundary rule: same session iff gap <= gap_s (closed interval)
+    for (a, b), (sa, sb) in zip(zip(rows, rows[1:]), zip(sids, sids[1:])):
+        gap = (b["ts"] - a["ts"]).total_seconds()
+        assert (sb == sa) == (gap <= gap_s), (gap, gap_s)
