@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "boilerplate",      # doc-frequency join + reassembly
     "funnel",           # forward as-of + aggregate
     "kmeans",           # one Lloyd iteration kernel
+    "weighted_mean",    # fused xarray-.weighted() pass
+    "frame_sample",     # declarative binary frame slicing
 ]
 
 
