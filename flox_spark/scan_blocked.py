@@ -34,7 +34,17 @@ from flox_spark.dtypes import arith_input, is_float_type, to_skip
 
 __all__ = ["groupby_scan_blocked"]
 
-_SUPPORTED = ("nancumsum", "cumcount", "ffill", "cummax", "cummin", "nancumprod")
+_SUPPORTED = (
+    "nancumsum",
+    "cumsum",
+    "cumcount",
+    "ffill",
+    "bfill",
+    "cummax",
+    "cummin",
+    "nancumprod",
+    "cumprod",
+)
 
 
 def groupby_scan_blocked(
@@ -69,12 +79,56 @@ def groupby_scan_blocked(
         .drop("__breaks")
     )
 
-    # stage 1: local scan within (key, block)
+    # stage 1: local scan within (key, block).  bfill is the mirror
+    # image: traverse each block DESCENDING and take carries from
+    # LATER blocks, so its windows flip direction.
+    order_col = F.col(order_by).desc() if func == "bfill" else F.col(order_by)
     w_local = (
         Window.partitionBy(*by, "__blk")
-        .orderBy(order_by)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    if func in ("cumsum", "cumprod"):
+        # plain (NaN-poisoning) variants: the nan* carry PLUS a
+        # "missing seen so far" boolean carry (a cummax) threaded
+        # through the same four stages; positions at-or-after the
+        # first missing value poison to NaN (NULL for non-float
+        # inputs — CAST(NaN AS BIGINT) would silently yield 0)
+        from flox_spark.dtypes import NAN, is_missing
+
+        is_sum = func == "cumsum"
+        ident = F.lit(0 if is_sum else 1).cast("double" if is_float_type(vdt) else "long")
+        acc = F.sum if is_sum else F.product
+        work = work.withColumn("__m", is_missing(F.col(value), vdt).cast("int"))
+        staged = work.withColumn(
+            "__ls", F.coalesce(acc(v_skip).over(w_local), ident)
+        ).withColumn("__lp", F.max("__m").over(w_local))
+        carries = work.groupBy(*by, "__blk").agg(
+            F.coalesce(acc(v_skip), ident).alias("__cs"),
+            F.max("__m").alias("__cp"),
+        )
+        w_prefix = (
+            Window.partitionBy(*by).orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = carries.select(
+            *by,
+            "__blk",
+            F.coalesce(acc("__cs").over(w_prefix), F.lit(0 if is_sum else 1)).alias("__os"),
+            F.coalesce(F.max("__cp").over(w_prefix), F.lit(0)).alias("__op"),
+        )
+        joined = staged.join(F.broadcast(offsets), [*by, "__blk"], "left")
+        off = F.coalesce(F.col("__os"), F.lit(0 if is_sum else 1))
+        total = (F.col("__ls") + off) if is_sum else (F.col("__ls") * off)
+        poisoned = F.greatest(F.col("__lp"), F.coalesce(F.col("__op"), F.lit(0))) == 1
+        if is_float_type(vdt):
+            combined = F.when(poisoned, F.lit(NAN)).otherwise(total)
+        else:
+            combined = F.when(poisoned, F.lit(None)).otherwise(total).cast("long")
+        return joined.withColumn(out, combined).drop(
+            "__blk", "__m", "__ls", "__lp", "__os", "__op"
+        )
+
     if func == "nancumsum":
         zero = F.lit(0).cast("double" if is_float_type(vdt) else "long")
         local = F.coalesce(F.sum(v_skip).over(w_local), zero)
@@ -95,11 +149,16 @@ def groupby_scan_blocked(
         if not is_float_type(vdt):
             local = local.cast("long")
             carry_agg = carry_agg.cast("long")
-    else:  # ffill
+    elif func == "ffill":
         local = F.last(v_skip, ignorenulls=True).over(w_local)
         # block carry = last NON-missing value in order (missing rows
         # must not clobber the carry)
         carry_agg = F.max(
+            F.when(v_skip.isNotNull(), F.struct(F.col(order_by).alias("o"), v_skip.alias("v")))
+        )["v"]
+    else:  # bfill: first non-missing value in order
+        local = F.last(v_skip, ignorenulls=True).over(w_local)
+        carry_agg = F.min(
             F.when(v_skip.isNotNull(), F.struct(F.col(order_by).alias("o"), v_skip.alias("v")))
         )["v"]
     staged = work.withColumn("__local", local)
@@ -111,7 +170,7 @@ def groupby_scan_blocked(
     # |groups| x num_blocks rows)
     w_prefix = (
         Window.partitionBy(*by)
-        .orderBy("__blk")
+        .orderBy(F.col("__blk").desc() if func == "bfill" else F.col("__blk"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     if func in ("nancumsum", "cumcount"):

@@ -22,7 +22,7 @@ def skew_df(spark):
     return spark.createDataFrame(pdf).repartition(8)
 
 
-@pytest.mark.parametrize("func", ["nancumsum", "cumcount", "ffill"])
+@pytest.mark.parametrize("func", ["nancumsum", "cumsum", "cumcount", "ffill", "bfill", "cumprod", "nancumprod"])
 @pytest.mark.parametrize("num_blocks", [1, 7, 32])
 def test_blocked_equals_plain(spark, skew_df, func, num_blocks):
     plain = {
@@ -36,17 +36,36 @@ def test_blocked_equals_plain(spark, skew_df, func, num_blocks):
         ).collect()
     }
     assert set(plain) == set(blocked)
+    import math
+
     for i, w in plain.items():
         g = blocked[i]
         if w is None:
             assert g is None, (i, g, w)
+        elif isinstance(w, float) and math.isnan(w):
+            assert isinstance(g, float) and math.isnan(g), (i, g, w)
         else:
             assert g == pytest.approx(w, rel=1e-9, abs=1e-9), (i, g, w)
 
 
 def test_blocked_rejects_unsupported(spark, skew_df):
     with pytest.raises(ValueError, match="blocked scan supports"):
-        groupby_scan_blocked(skew_df, "k", func="bfill", value="v", order_by="idx")
+        groupby_scan_blocked(skew_df, "k", func="argmax", value="v", order_by="idx")
+
+
+def test_blocked_cumsum_int_poison_is_null(spark):
+    # plain cumsum on ints: positions at-or-after a NULL emit NULL
+    # (never CAST(NaN AS BIGINT) == 0), matching groupby_scan
+    pdf = pd.DataFrame({"idx": range(6), "k": [0] * 6,
+                        "v": pd.array([1, 2, None, 4, 5, 6], dtype="Int64")})
+    df = spark.createDataFrame(pdf)
+    plain = {r["idx"]: r["cumsum"] for r in
+             groupby_scan(df, "k", func="cumsum", value="v", order_by="idx").collect()}
+    blocked = {r["idx"]: r["cumsum"] for r in
+               groupby_scan_blocked(df, "k", func="cumsum", value="v",
+                                    order_by="idx", num_blocks=3).collect()}
+    assert plain == blocked
+    assert blocked[1] == 3 and blocked[2] is None and blocked[5] is None
 
 
 def test_blocked_single_row_group(spark):
