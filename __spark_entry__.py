@@ -608,6 +608,7 @@ def q_funnel(s, d):
         start=F.col("event_type") == "click",
         step=F.col("event_type") == "purchase",
         within_seconds=6 * 3600,
+        round_to=4,  # delay sums jitter at the 6th decimal by sf0.1
     )
 
 
@@ -1303,8 +1304,8 @@ def oracle_sql() -> dict[str, str]:
               FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.bts
             )
             SELECT user_id, count(*) AS n_start, count(bts) AS n_converted,
-                   round(count(bts)::DOUBLE / count(*), 6) AS conversion_rate,
-                   round(avg(date_diff('microseconds', ts, bts) / 1e6), 6) AS mean_delay_s
+                   round(count(bts)::DOUBLE / count(*), 4) AS conversion_rate,
+                   floor(avg(date_diff('microseconds', ts, bts)))::BIGINT AS mean_delay_us
             FROM j GROUP BY user_id""",
         "funnel_path": """
             WITH s0 AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'click'),

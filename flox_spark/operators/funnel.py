@@ -79,8 +79,12 @@ def funnel_conversion(
     as-of convention).
 
     Returns one row per entity with ``n_start``, ``n_converted``,
-    ``conversion_rate`` and the mean conversion delay in seconds
-    (NULL when nothing converted)."""
+    ``conversion_rate`` and ``mean_delay_us`` — the mean conversion
+    delay floored to whole microseconds (NULL when nothing
+    converted).  Integer microseconds rather than rounded seconds:
+    exact-microsecond delays average onto .5 boundaries, where
+    engines disagree on round-half direction; floor is deterministic
+    everywhere."""
     left = events.filter(start).select(*by, F.col(ts))
     right = events.filter(step).select(*by, F.col(ts).alias("__step_ts"))
     j = asof_join(
@@ -94,13 +98,13 @@ def funnel_conversion(
         tolerance_seconds=within_seconds,
     )
     conv = F.col("asof___step_ts").isNotNull()
-    delay_s = (F.unix_micros(F.col("asof___step_ts")) - F.unix_micros(F.col(ts))) / 1e6
+    delay_us = F.unix_micros(F.col("asof___step_ts")) - F.unix_micros(F.col(ts))
     return (
         j.groupBy(*by)
         .agg(
             F.count(F.lit(1)).alias("n_start"),
             F.sum(conv.cast("long")).alias("n_converted"),
             F.round(F.avg(conv.cast("double")), round_to).alias("conversion_rate"),
-            F.round(F.avg(F.when(conv, delay_s)), round_to).alias("mean_delay_s"),
+            F.floor(F.avg(F.when(conv, delay_us))).cast("long").alias("mean_delay_us"),
         )
     )

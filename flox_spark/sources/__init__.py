@@ -1,9 +1,19 @@
 from flox_spark.sources.io import (
     load_table,
+    read_csv,
+    read_json,
     read_parquet,
     read_stream_table,
     write_bucketed_table,
     write_partitioned,
 )
 
-__all__ = ["load_table", "read_parquet", "read_stream_table", "write_bucketed_table", "write_partitioned"]
+__all__ = [
+    "load_table",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_stream_table",
+    "write_bucketed_table",
+    "write_partitioned",
+]

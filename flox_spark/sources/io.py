@@ -115,3 +115,59 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    ts_cols: tuple = (),
+    ts_format: str | None = None,
+) -> DataFrame:
+    """CSV source with the same posture as ``read_parquet``: explicit
+    schema strongly preferred (schema inference is a full extra pass
+    over 100 TB), UTC session zone, and declared timestamp columns
+    parsed via ``try_to_timestamp`` so bad rows become NULL rather
+    than failing the scan (plain ``to_timestamp`` throws under
+    Spark 4's ANSI default)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    df = r.csv(path)
+    for c in ts_cols:
+        df = df.withColumn(
+            c,
+            F.try_to_timestamp(F.col(c), F.lit(ts_format))
+            if ts_format
+            else F.try_to_timestamp(F.col(c)),
+        )
+    return df
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source (``multiline=True`` for whole-file JSON).
+    Explicit schema strongly preferred for the same inference-pass
+    reason; corrupt records surface in Spark's default
+    ``_corrupt_record`` column instead of failing the scan."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if multiline:
+        r = r.option("multiLine", "true")
+    return r.json(path)

@@ -185,3 +185,44 @@ def test_read_stream_table(spark, tmp_path):
     sdf = read_stream_table(spark, path, max_files_per_trigger=1)
     assert sdf.isStreaming
     assert set(sdf.columns) == {"k", "v"}
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    import datetime as dt
+    from pyspark.sql.types import StructType
+    from flox_spark.sources import read_csv
+    from flox_spark import groupby_reduce
+
+    p = str(tmp_path / "ev.csv")
+    with open(p, "w") as f:
+        f.write("k,ts,v\n")
+        f.write("a,2024-01-01 00:00:00,1.5\n")
+        f.write("a,2024-01-01 01:00:00,2.5\n")
+        f.write("b,not-a-time,3.0\n")
+    schema = StructType().add("k", "string").add("ts", "string").add("v", "double")
+    df = read_csv(spark, p, schema=schema, ts_cols=("ts",))
+    a_ts = sorted(r["ts"] for r in df.filter("k = 'a'").collect())
+    assert a_ts == [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 1)]
+    assert df.filter("k = 'b'").collect()[0]["ts"] is None  # bad ts -> NULL
+    # the engine composes on the CSV frame like any other
+    agg = {r["k"]: r["nansum"] for r in groupby_reduce(df, "k", func="nansum", value="v").collect()}
+    assert agg == {"a": 4.0, "b": 3.0}
+
+
+def test_read_json_lines_and_corrupt(spark, tmp_path):
+    from pyspark.sql.types import StructType
+    from flox_spark.sources import read_json
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "text": "alpha"}\n')
+        f.write('{"id": 2, "text": "beta"}\n')
+        f.write("{not json}\n")
+    schema = (
+        StructType().add("id", "long").add("text", "string").add("_corrupt_record", "string")
+    )
+    df = read_json(spark, p, schema=schema).cache()
+    good = {r["id"] for r in df.filter("_corrupt_record IS NULL").collect()}
+    bad = df.filter("_corrupt_record IS NOT NULL").count()
+    assert good == {1, 2} and bad == 1
+    df.unpersist()

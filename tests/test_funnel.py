@@ -38,9 +38,9 @@ def test_funnel_hand_case(spark):
     }
     assert out[1]["n_start"] == 2 and out[1]["n_converted"] == 1
     assert out[1]["conversion_rate"] == 0.5
-    assert out[1]["mean_delay_s"] == 300.0
+    assert out[1]["mean_delay_us"] == 300 * 1_000_000
     assert out[2]["n_start"] == 1 and out[2]["n_converted"] == 0
-    assert out[2]["mean_delay_s"] is None
+    assert out[2]["mean_delay_us"] is None
 
 
 def test_funnel_equal_ts_converts(spark):
@@ -58,7 +58,7 @@ def test_funnel_equal_ts_converts(spark):
         step=F.col("event_type") == "purchase",
         within_seconds=60,
     ).collect()[0]
-    assert out["n_converted"] == 1 and out["mean_delay_s"] == 0.0
+    assert out["n_converted"] == 1 and out["mean_delay_us"] == 0
 
 
 def test_funnel_matches_pandas(spark):
