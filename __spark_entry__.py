@@ -498,6 +498,17 @@ def q_sample_group(s, d):
     )
 
 
+def q_sample_weighted(s, d):
+    # Efraimidis-Spirakis weighted draw (P proportional to n_chars),
+    # deterministic hash uniforms — same ln(u)/w ranking in DuckDB
+    from flox_spark.operators import sample_weighted_per_group
+
+    docs = _t(s, d, "documents")
+    return sample_weighted_per_group(
+        docs, "lang", n=10, id_col="doc_id", weight_col="n_chars", seed="w"
+    ).select("doc_id", "lang")
+
+
 def q_split_train_test(s, d):
     # disjoint, exhaustive, id-deterministic train/test labeling
     from flox_spark.operators import split_train_test
@@ -1011,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "sample_bernoulli": q_sample_bernoulli,
         "sample_group": q_sample_group,
+        "sample_weighted": q_sample_weighted,
         "split_train_test": q_split_train_test,
         "asof_join": q_asof_join,
         "minhash_bands": q_minhash_bands,
@@ -1235,6 +1247,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR || ':x'), doc_id) <= 20""",
+        "sample_weighted": """
+            SELECT doc_id, lang FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (ln(((('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 12))::BIGINT
+                               + 0.5) / 281474976710656.0))
+                          / n_chars::DOUBLE) DESC, doc_id) <= 10""",
         # threshold = floor(0.2 * 16^12) = 0x333333333333
         "split_train_test": """
             SELECT doc_id,

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sample_bernoulli", "sample_exact_per_group", "split_train_test"]
+__all__ = [
+    "sample_bernoulli",
+    "sample_exact_per_group",
+    "sample_weighted_per_group",
+    "split_train_test",
+]
 
 _HEX_DIGITS = 12  # 16^12 buckets: fraction resolution ~3.6e-16
 
@@ -70,6 +75,32 @@ def split_train_test(
         F.when(key < F.lit(_threshold(test_fraction)), F.lit("test")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def sample_weighted_per_group(
+    df: DataFrame, *by: str, n: int, id_col: str, weight_col: str, seed: str = "0"
+) -> DataFrame:
+    """Weighted sample without replacement: ``min(n, |group|)`` rows
+    per group, each row's inclusion probability proportional to its
+    weight (Efraimidis-Spirakis A-Res: rank by ``ln(u) / w`` with a
+    deterministic hash uniform ``u``, keep the top n).  Reproducible
+    like the other samplers — the draw is a pure function of
+    (id, seed) — and the rank filter compiles to WindowGroupLimit.
+
+    Rows with NULL or non-positive weights are excluded (zero weight
+    means never sampled; the key would be undefined)."""
+    df = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    u = (
+        F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(16**_HEX_DIGITS))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*by).orderBy(F.desc(key), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(n))
+        .drop("__rn")
     )
 
 

@@ -97,3 +97,49 @@ def test_exact_per_group_window_group_limit_plan(spark):
     assert plan.index("WindowGroupLimit") < plan.index("Exchange hashpartitioning") or (
         "Partial" in plan.split("WindowGroupLimit")[1]
     )
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    from flox_spark.operators import sample_weighted_per_group
+
+    # 400 two-item groups (w=1 vs w=9), n=1: the heavy item should win
+    # ~90% of groups (each group is an independent trial)
+    n_groups = 400
+    pdf = pd.DataFrame(
+        {
+            "g": [i for i in range(n_groups) for _ in (0, 1)],
+            "rid": [2 * i + j for i in range(n_groups) for j in (0, 1)],
+            "w": [1.0, 9.0] * n_groups,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = sample_weighted_per_group(df, "g", n=1, id_col="rid", weight_col="w", seed="s")
+    rows = out.collect()
+    assert len(rows) == n_groups
+    heavy = sum(1 for r in rows if r["w"] == 9.0)
+    # E[heavy] = 360, sigma = sqrt(400*0.9*0.1) = 6; allow 4 sigma
+    assert abs(heavy - 360) < 24, heavy
+    # deterministic under repartitioning
+    again = sorted(
+        r["rid"]
+        for r in sample_weighted_per_group(
+            df.repartition(13), "g", n=1, id_col="rid", weight_col="w", seed="s"
+        ).collect()
+    )
+    assert sorted(r["rid"] for r in rows) == again
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps(spark):
+    from flox_spark.operators import sample_weighted_per_group
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 4,
+            "rid": [0, 1, 2, 3],
+            "w": [1.0, 0.0, -2.0, None],
+        }
+    )
+    out = sample_weighted_per_group(
+        spark.createDataFrame(pdf), "g", n=10, id_col="rid", weight_col="w"
+    ).collect()
+    assert [r["rid"] for r in out] == [0]  # only the positive-weight row
