@@ -20,7 +20,11 @@ from flox_spark.operators.dedup import (
     minhash_candidates,
     simhash_signatures,
 )
-from flox_spark.operators.similarity import cosine_topk, ivf_topk
+from flox_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+)
 
 __all__ = ["dedup_documents", "ann_recall"]
 
@@ -36,11 +40,14 @@ def dedup_documents(
     cluster keeps its minimum-id representative).
 
     ``method``: ``exact`` (normalized-content fingerprint),
-    ``minhash`` (LSH candidates -> connected components), or
-    ``simhash`` (identical-signature groups -> connected components).
-    Extra kwargs pass through to the underlying candidate generator
-    (num_hashes/bands/shingle_k/max_bucket for minhash, hex_chars for
-    simhash)."""
+    ``minhash`` (LSH candidates -> connected components), ``simhash``
+    (identical-signature groups -> connected components), or
+    ``embedding`` (cosine near-duplicate pairs over a vector column —
+    pass ``vec_col``/``threshold``/``dim`` and use the embedding id
+    as ``id_col``).  Extra kwargs pass through to the underlying
+    candidate generator (num_hashes/bands/shingle_k/max_bucket for
+    minhash, hex_chars for simhash, planes/bands/threshold/dim for
+    embedding)."""
     if method == "exact":
         # dedup_exact emits one (fp, keep_id, n_dups) row per distinct
         # content; keep exactly those representative ids
@@ -48,7 +55,9 @@ def dedup_documents(
             F.col("keep_id").alias(id_col)
         )
         return df.join(kept, id_col, "left_semi")
-    if method == "minhash":
+    if method == "embedding":
+        pairs = embedding_near_duplicates(df, id_col=id_col, **kw).select("id_a", "id_b")
+    elif method == "minhash":
         pairs = minhash_candidates(df, id_col=id_col, text_col=text_col, **kw)
     elif method == "simhash":
         sigs = simhash_signatures(df, id_col=id_col, text_col=text_col, **kw)
@@ -63,7 +72,9 @@ def dedup_documents(
             .distinct()
         )
     else:
-        raise ValueError(f"method must be exact|minhash|simhash, got {method!r}")
+        raise ValueError(
+            f"method must be exact|minhash|simhash|embedding, got {method!r}"
+        )
     clusters = dedup_clusters(pairs)
     return dedup_keep_representatives(df, clusters, id_col=id_col)
 

@@ -60,6 +60,26 @@ def test_dedup_unknown_method(spark, dup_docs):
         dedup_documents(dup_docs, method="lsh")
 
 
+def test_dedup_embedding_method(spark):
+    # vec 5 is a near-copy of vec 3 (crafted); embedding dedup drops it
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(np.float64)
+    base[5] = base[3] + rng.normal(scale=1e-3, size=8)
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in base]})
+    df = spark.createDataFrame(pdf)
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_documents(
+            df, method="embedding", id_col="vec_id",
+            threshold=0.999, planes=8, bands=4, dim=8,
+        ).collect()
+    )
+    assert 5 not in kept and 3 in kept
+    assert len(kept) == 19
+
+
 def test_ann_recall_full_probe_is_one(spark):
     emb = load_table(spark, SF, "embeddings")
     nclusters = emb.select("label").distinct().count()
