@@ -498,6 +498,20 @@ def q_sample_group(s, d):
     )
 
 
+def q_quantile_sort(s, d):
+    # the giant-group-safe exact quantile (sort + rank filter, bounded
+    # memory) must produce the identical p90 — driver evidence for the
+    # quantile_impl="sort" strategy, same oracle SQL as "quantile"
+    from flox_spark import set_options
+
+    with set_options(quantile_impl="sort"):
+        out = _q_reduce(
+            "nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p90_price",
+            finalize_kwargs={"q": 0.9},
+        )(s, d)
+    return out.withColumn("p90_price", F.round("p90_price", 6))
+
+
 def q_sample_weighted(s, d):
     # Efraimidis-Spirakis weighted draw (P proportional to n_chars),
     # deterministic hash uniforms — same ln(u)/w ranking in DuckDB
@@ -1023,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bernoulli": q_sample_bernoulli,
         "sample_group": q_sample_group,
         "sample_weighted": q_sample_weighted,
+        "quantile_sort": q_quantile_sort,
         "split_train_test": q_split_train_test,
         "asof_join": q_asof_join,
         "minhash_bands": q_minhash_bands,
@@ -1066,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
             FROM lineitem GROUP BY l_returnflag""",
         "quantile": """
+            SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "quantile_sort": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
         "quantile_vector": """
