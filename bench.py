@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "kmeans",           # one Lloyd iteration kernel
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
+    "quantile_sort",    # bounded-memory exact quantile strategy
+    "sample_weighted",  # Efraimidis-Spirakis weighted draw
 ]
 
 
