@@ -498,6 +498,28 @@ def q_sample_group(s, d):
     )
 
 
+def q_transform_mean(s, d):
+    # pandas GroupBy.transform parity: group mean broadcast back onto
+    # every row (one agg pass + broadcast join, no fact-side window)
+    from flox_spark import groupby_transform
+
+    out = groupby_transform(
+        _t(s, d, "events"), "user_id", func="nanmean", value="value", alias="mean_v"
+    )
+    return out.select("event_id", "user_id", F.round("mean_v", 6).alias("mean_v"))
+
+
+def q_sample_stratified(s, d):
+    # per-stratum rates: keep all German docs, 20% of English, drop rest
+    from flox_spark.operators import sample_stratified
+
+    docs = _t(s, d, "documents")
+    return sample_stratified(
+        docs, "lang", {"en": 0.2, "de": 1.0}, id_col="doc_id",
+        default_fraction=0.0, seed="t",
+    ).select("doc_id", "lang")
+
+
 def q_quantile_sort(s, d):
     # the giant-group-safe exact quantile (sort + rank filter, bounded
     # memory) must produce the identical p90 — driver evidence for the
@@ -1038,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group": q_sample_group,
         "sample_weighted": q_sample_weighted,
         "quantile_sort": q_quantile_sort,
+        "transform_mean": q_transform_mean,
+        "sample_stratified": q_sample_stratified,
         "split_train_test": q_split_train_test,
         "asof_join": q_asof_join,
         "minhash_bands": q_minhash_bands,
@@ -1265,6 +1289,16 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR || ':x'), doc_id) <= 20""",
+        "transform_mean": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id), 6) AS mean_v
+            FROM events""",
+        # en threshold = floor(0.2 * 16^12) = 0x333333333333
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'de'
+               OR (lang = 'en'
+                   AND substr(md5(doc_id::VARCHAR || ':t'), 1, 12) < '333333333333')""",
         "sample_weighted": """
             SELECT doc_id, lang FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0

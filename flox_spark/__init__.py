@@ -19,12 +19,15 @@ from flox_spark.core import groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
+from flox_spark.transform import groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
 
 __all__ = [
     "groupby_reduce",
     "groupby_reduce_multi",
     "groupby_reduce_weighted",
+    "groupby_transform",
+    "standardize",
     "groupby_scan",
     "groupby_scan_blocked",
     "Aggregation",

@@ -29,6 +29,7 @@ from flox_spark.operators.topk import grouped_topk
 from flox_spark.operators.sampling import (
     sample_bernoulli,
     sample_exact_per_group,
+    sample_stratified,
     sample_weighted_per_group,
     split_train_test,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "pack_sequences",
     "sample_bernoulli",
     "sample_exact_per_group",
+    "sample_stratified",
     "sample_weighted_per_group",
     "split_train_test",
     "sessionize",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "sample_bernoulli",
     "sample_exact_per_group",
+    "sample_stratified",
     "sample_weighted_per_group",
     "split_train_test",
 ]
@@ -57,6 +58,32 @@ def sample_bernoulli(
         return df.filter(F.lit(False))
     key = F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS)
     return df.filter(key < F.lit(_threshold(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    default_fraction: float = 0.0,
+    seed: str = "0",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (downsample common strata, keep
+    rare ones): each row keeps with its stratum's fraction, decided by
+    the same id hash — still a pure filter projection, zero shuffles,
+    stable under repartitioning.  Strata absent from ``fractions``
+    use ``default_fraction``."""
+    key = F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS)
+    thresh = F.lit(_threshold(min(default_fraction, 1.0)))
+    for stratum, frac in sorted(fractions.items()):
+        if frac >= 1.0:
+            # threshold above every hex key: always keep
+            thresh = F.when(F.col(strata_col) == stratum, F.lit("g")).otherwise(thresh)
+        else:
+            thresh = F.when(
+                F.col(strata_col) == stratum, F.lit(_threshold(frac))
+            ).otherwise(thresh)
+    return df.filter(key < thresh)
 
 
 def split_train_test(

@@ -1,0 +1,77 @@
+"""``groupby_transform`` — broadcast a grouped reduction back onto
+the rows (pandas ``GroupBy.transform`` parity).
+
+The missing third verb next to ``groupby_reduce`` (rows -> one row
+per group) and ``groupby_scan`` (ordered running values): every row
+receives its GROUP's reduction result — the shape feature
+engineering needs for group-relative signals (z-scores, share-of-
+group, gap-to-group-max).
+
+Spark-first plan: ONE aggregation pass (any registry reduction,
+reusing the full flox semantics: NaN policy, finalize_kwargs) and a
+broadcast hash join of the group-cardinality result back onto the
+fact rows — no window over unaggregated data, no second shuffle of
+the big side when the group count is broadcastable (the overwhelming
+case; disable with ``broadcast=False`` for 1e8+-group pathologies).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flox_spark.core import groupby_reduce, groupby_reduce_multi
+
+__all__ = ["groupby_transform", "standardize"]
+
+
+def groupby_transform(
+    df: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    alias: str | None = None,
+    finalize_kwargs: dict | None = None,
+    broadcast: bool = True,
+    **kw: Any,
+) -> DataFrame:
+    """Append column ``alias`` (default ``<func>_<value>``) holding
+    each row's group-level reduction result.  Rows whose group labels
+    are missing (dropped from reductions by flox rule) keep NULL."""
+    out = alias or f"{func}_{value}"
+    agg = groupby_reduce(
+        df, *by, func=func, value=value, alias=out, sort=False,
+        finalize_kwargs=finalize_kwargs, **kw,
+    )
+    if broadcast:
+        agg = F.broadcast(agg)
+    return df.join(agg, list(by), "left")
+
+
+def standardize(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    alias: str | None = None,
+    ddof: int = 0,
+) -> DataFrame:
+    """Group-relative z-score: ``(v - group mean) / group std`` —
+    the canonical transform composition, in one aggregation pass
+    (mean and std share the single groupBy via Catalyst's duplicate-
+    aggregate elimination)."""
+    out = alias or f"{value}_z"
+    stats = groupby_reduce_multi(
+        df,
+        *by,
+        aggs={
+            "__mu": ("nanmean", value),
+            "__sd": {"func": "nanstd", "value": value, "finalize_kwargs": {"ddof": ddof}},
+        },
+        sort=False,
+    )
+    joined = df.join(F.broadcast(stats), list(by), "left")
+    return joined.withColumn(
+        out, (F.col(value) - F.col("__mu")) / F.col("__sd")
+    ).drop("__mu", "__sd")
