@@ -52,16 +52,43 @@ def assign_clusters(
     vec_col: str = "embedding",
     out: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    score all k per point, keep the argmin (ties -> lowest cluster id
-    for determinism)."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d", _sq_dist(vec_col, "centroid")
+    """Nearest-centroid assignment with ZERO shuffles: the k-row
+    centroid table is packed into ONE broadcast row (an array of
+    (cid, centroid) structs) and the argmin is a row-local array fold
+    — no k-way row expansion, no groupBy to re-collapse it.  Ties go
+    to the lowest cluster id.  Because the plan is a pure projection
+    over a stream-static broadcast join, the same call works on a
+    Structured Streaming frame (incremental IVF assignment)."""
+    packed = F.broadcast(
+        centroids.orderBy("__cid").agg(
+            F.collect_list(F.struct(F.col("__cid"), F.col("centroid"))).alias("__cents")
+        )
+    )
+
+    def step(acc: "F.Column", c: "F.Column") -> "F.Column":
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c["centroid"],
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        better = (d < acc["d"]) | ((d == acc["d"]) & (c["__cid"] < acc["cid"]))
+        return F.when(
+            better, F.struct(d.alias("d"), c["__cid"].alias("cid"))
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
+        step,
     )
     return (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__best"))
-        .select(F.col(id_col), F.col("__best.__cid").alias(out))
+        df.crossJoin(packed)
+        .withColumn(out, best["cid"])
+        .select(F.col(id_col), F.col(out))
     )
 
 

@@ -103,3 +103,38 @@ def test_kmeans_feeds_ivf_topk(spark):
         assert len(scores) == 5
         # each query finds itself (cos_sim 1.0) inside its own cluster
         assert max(scores) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_assign_clusters_zero_shuffle_plan(spark, blobs):
+    cents = kmeans_fit(blobs, k=2, max_iter=2)
+    plan = (
+        assign_clusters(blobs, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # row-local argmin fold over one broadcast row: no hash exchange
+    # on the fact side
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_assign_clusters_streaming(spark, blobs, tmp_path):
+    # the same call works on a streaming frame (stream-static
+    # broadcast join + projection)
+    import pandas as _pd
+
+    cents = kmeans_fit(blobs, k=2, max_iter=2)
+    pdf = blobs.toPandas()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{tmp_path}/in/f0")
+    schema = spark.read.parquet(f"{tmp_path}/in/f0").schema
+    stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/in/*")
+    out = assign_clusters(stream, cents)
+    q = (
+        out.writeStream.format("memory").queryName("flox_kassign")
+        .outputMode("append").option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"]: r["cluster"] for r in spark.sql("SELECT * FROM flox_kassign").collect()}
+    want = {r["vec_id"]: r["cluster"] for r in assign_clusters(blobs, cents).collect()}
+    assert got == want
