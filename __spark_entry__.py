@@ -1432,17 +1432,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
                            / sum(l_quantity::DOUBLE), 4) AS wmean_price
             FROM lineitem GROUP BY l_returnflag""",
+        # same min-anchored shifted formula as the engine (weighted.py):
+        # variance is shift-invariant, and anchoring makes both engines'
+        # doubles agree to far below the rounding granularity
         "weighted_var": """
+            WITH t AS (
+              SELECT l_returnflag,
+                     l_extendedprice::DOUBLE AS x,
+                     l_quantity::DOUBLE AS w,
+                     min(l_extendedprice::DOUBLE)
+                       OVER (PARTITION BY l_returnflag) AS a
+              FROM lineitem
+            )
             SELECT l_returnflag,
-                   round(sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE
-                               * l_extendedprice::DOUBLE)
-                           / sum(l_quantity::DOUBLE)
-                         - (sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
-                              / sum(l_quantity::DOUBLE))
-                           * (sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)
-                              / sum(l_quantity::DOUBLE)),
+                   round(sum(w * (x - a) * (x - a)) / sum(w)
+                         - (sum(w * (x - a)) / sum(w))
+                           * (sum(w * (x - a)) / sum(w)),
                          2) AS wvar_price
-            FROM lineitem GROUP BY l_returnflag""",
+            FROM t GROUP BY l_returnflag""",
         "frame_sample": """
             WITH m AS (
               SELECT doc_id AS media_id, text, (1 + doc_id % 5)::INT AS nf

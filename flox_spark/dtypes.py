@@ -60,6 +60,16 @@ def is_timedelta_type(dt: DataType) -> bool:
     return isinstance(dt, DayTimeIntervalType)
 
 
+def ts_micros(col: Column) -> Column:
+    """``unix_micros`` that also accepts TIMESTAMP_NTZ: parquet written
+    with isAdjustedToUTC=false (pandas/arrow default) arrives as NTZ in
+    Spark 4, and ``unix_micros`` rejects it.  The cast interprets the
+    wall time in the session zone — the engine pins UTC everywhere
+    (session.py, sources/io.py), matching DuckDB's naive-timestamp
+    reading of the same files.  No-op for TimestampType input."""
+    return F.unix_micros(col.cast(TimestampType()))
+
+
 def to_skip(col: Column, dt: DataType) -> Column:
     """Missing -> NULL (the NaN-skipping view). flox: the ``nan*``
     kernels of flox/aggregate_npg.py:58-88."""
@@ -104,7 +114,7 @@ def arith_input(col: Column, dt: DataType) -> tuple[Column, DataType]:
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         from pyspark.sql.types import LongType
 
-        return F.unix_micros(col), LongType()
+        return ts_micros(col), LongType()
     if isinstance(dt, DateType):
         from pyspark.sql.types import LongType
 
@@ -122,7 +132,8 @@ def arith_restore(col: Column, original: DataType) -> Column:
     """Cast an arithmetic result back to the original logical type
     (the tail of flox/core.py:1205-1217)."""
     if isinstance(original, (TimestampType, TimestampNTZType)):
-        return F.timestamp_micros(col.cast("long"))
+        # .cast(original): NTZ inputs round-trip back to NTZ (UTC session)
+        return F.timestamp_micros(col.cast("long")).cast(original)
     if isinstance(original, DateType):
         return F.date_add(F.lit("1970-01-01").cast("date"), col.cast("int"))
     if isinstance(original, DayTimeIntervalType):

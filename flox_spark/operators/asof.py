@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from flox_spark.dtypes import ts_micros
 from pyspark.sql.types import StructField, StructType
 
 __all__ = ["asof_join"]
@@ -134,9 +136,9 @@ def asof_join(
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
         gap = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mts"))
+            ts_micros(F.col("__ts")) - ts_micros(F.col("__mts"))
             if direction == "backward"
-            else F.unix_micros(F.col("__mts")) - F.unix_micros(F.col("__ts"))
+            else ts_micros(F.col("__mts")) - ts_micros(F.col("__ts"))
         )
         ok = F.col("__mts").isNotNull() & (gap <= F.lit(tol_us))
         matched = matched.select(

@@ -364,10 +364,14 @@ def dedup_clusters(
     converges in graph-diameter rounds (duplicate clusters are
     near-cliques, so typically 2-3).  Each round is one join + one
     groupBy, localCheckpointed to truncate lineage; convergence is
-    detected via the monotone label sum (labels only ever decrease),
-    one tiny action per round.  At 100 TB scale the edge list is
-    |candidate pairs|-sized — orders of magnitude below the corpus —
-    and every round shuffles only that.
+    detected by COUNTING CHANGED LABELS (join new vs old on the node
+    id, limit 1) — type-agnostic, so string document ids work; a
+    label-sum check would be NULL==NULL-vacuous for non-numeric ids
+    and silently stop after one round, mislabeling any component of
+    diameter >= 3.  At 100 TB scale the edge list is |candidate
+    pairs|-sized — orders of magnitude below the corpus — and every
+    round shuffles only that (both label frames are checkpointed, so
+    the convergence probe joins two materialized node-sized frames).
 
     Output: (doc_id, cluster_id) for every id present in ``pairs``;
     docs in no pair are implicitly their own singleton cluster.
@@ -380,16 +384,23 @@ def dedup_clusters(
     )
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
     labels = labels.localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
         prop = edges.join(labels, "u").select(F.col("v").alias("u"), "lbl")
-        labels = (
+        new_labels = (
             labels.union(prop).groupBy("u").agg(F.min("lbl").alias("lbl")).localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:  # labels are elementwise non-increasing
+        # labels are elementwise non-increasing, so "any row changed"
+        # is exact convergence; limit(1) short-circuits the probe
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flox_spark.dtypes import ts_micros
+
 from flox_spark.operators.asof import asof_join
 
 __all__ = ["funnel_conversion", "funnel_path"]
@@ -98,7 +100,7 @@ def funnel_conversion(
         tolerance_seconds=within_seconds,
     )
     conv = F.col("asof___step_ts").isNotNull()
-    delay_us = F.unix_micros(F.col("asof___step_ts")) - F.unix_micros(F.col(ts))
+    delay_us = ts_micros(F.col("asof___step_ts")) - ts_micros(F.col(ts))
     return (
         j.groupBy(*by)
         .agg(

@@ -44,7 +44,18 @@ def _hash_key(id_col: Column, seed: str) -> Column:
 
 
 def _threshold(fraction: float) -> str:
-    return format(int(fraction * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
+    """Hex threshold for ``key < thresh`` keep decisions.  Clamped:
+    fraction >= 1.0 returns the 'g' sentinel (lexicographically above
+    every hex key -> always keep); an unclamped 1.0 would format to 13
+    hex chars ('1000…') which sorts BELOW ~94% of 12-char keys and
+    silently keeps only ~6% of rows.  fraction <= 0.0 returns '' (no
+    key < '' -> keep none)."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return ""
+    n = min(int(fraction * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1)
+    return format(n, f"0{_HEX_DIGITS}x")
 
 
 def sample_bernoulli(
@@ -74,15 +85,11 @@ def sample_stratified(
     stable under repartitioning.  Strata absent from ``fractions``
     use ``default_fraction``."""
     key = F.substring(_hash_key(F.col(id_col), seed), 1, _HEX_DIGITS)
-    thresh = F.lit(_threshold(min(default_fraction, 1.0)))
+    thresh = F.lit(_threshold(default_fraction))
     for stratum, frac in sorted(fractions.items()):
-        if frac >= 1.0:
-            # threshold above every hex key: always keep
-            thresh = F.when(F.col(strata_col) == stratum, F.lit("g")).otherwise(thresh)
-        else:
-            thresh = F.when(
-                F.col(strata_col) == stratum, F.lit(_threshold(frac))
-            ).otherwise(thresh)
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold(frac))
+        ).otherwise(thresh)
     return df.filter(key < thresh)
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flox_spark.dtypes import ts_micros
+
 __all__ = ["sessionize", "session_stats"]
 
 
@@ -50,9 +52,9 @@ def sessionize(
     timestamps can tie — required for deterministic ids."""
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*by).orderBy(*order)
-    prev = F.lag(F.unix_micros(F.col(ts))).over(w)
+    prev = F.lag(ts_micros(F.col(ts))).over(w)
     brk = F.when(
-        prev.isNull() | (F.unix_micros(F.col(ts)) - prev > F.lit(_gap_micros(gap_seconds))),
+        prev.isNull() | (ts_micros(F.col(ts)) - prev > F.lit(_gap_micros(gap_seconds))),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -95,7 +97,7 @@ def session_stats(
         .withColumn("session_start", F.col("__w.start"))
         .withColumn(
             "duration_us",
-            F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("__w.start")),
+            ts_micros(F.col("last_ts")) - ts_micros(F.col("__w.start")),
         )
         .drop("__w")
     )

@@ -35,11 +35,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def nanos_to_ts(df: DataFrame, *cols: str) -> DataFrame:
-    """Convert an int64-nanos column (from nanosAsLong) to a
-    microsecond TimestampType column in place."""
+    """Normalize a timestamp column to microsecond TimestampType in
+    place, from either on-disk representation: int64 nanos (from
+    nanosAsLong) or TIMESTAMP_NTZ (parquet micros with
+    isAdjustedToUTC=false, which Spark 4 infers as NTZ).  The NTZ cast
+    reads the wall time in the session zone — pinned UTC by
+    ``read_parquet`` — matching DuckDB's naive reading of the file."""
+    types = dict(df.dtypes)
     for c in cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        if types.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif types.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

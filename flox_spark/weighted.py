@@ -11,8 +11,16 @@ Supported funcs: ``sum``/``mean``/``var``/``std``/``count`` and their
 ``nan*`` twins.  The plain variants NaN-poison exactly like the
 unweighted engine (any missing value in the group -> NaN).  Weighted
 var/std use the frequency-weights convention
-``sum(w*(x-mu)^2) / sum(w)`` computed in a single pass as
-``sum(w*x^2)/sum(w) - mu^2`` — one groupBy, all codegen.
+``sum(w*(x-mu)^2) / sum(w)``, computed on values SHIFTED by a
+per-group anchor (the group minimum, via a window over the same
+partitioning the aggregate uses — still one exchange): the raw
+one-pass ``sum(w*x^2)/sum(w) - mu^2`` catastrophically cancels at
+large value offsets (~0.3% relative error at 1e7 magnitude), which
+the reference treats as a correctness property — shift-by-first in
+``flox/aggregate_npg.py:112-126``, pinned at rtol 1e-13 /
+offset 1e7 in reference ``tests/test_core.py:2293-2321``.  Variance
+is shift-invariant, so anchoring makes the residual cancellation
+scale with the group's SPREAD instead of its magnitude.
 
 NaN labels are dropped and the output is sorted, matching
 ``groupby_reduce``.
@@ -20,7 +28,7 @@ NaN labels are dropped and the output is sorted, matching
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flox_spark.dtypes import NAN, arith_input, is_missing, to_skip
@@ -63,7 +71,6 @@ def groupby_reduce_weighted(
 
     sw = F.coalesce(F.sum(w_eff), F.lit(0.0))
     swv = F.sum(w_eff * v)
-    swv2 = F.sum(w_eff * v * v)
 
     if base == "count":
         expr: Column = sw
@@ -71,12 +78,19 @@ def groupby_reduce_weighted(
         expr = F.coalesce(swv, F.lit(0.0))
     elif base == "mean":
         expr = swv / sw
-    else:  # var / std
-        mu = swv / sw
-        expr = swv2 / sw - mu * mu
-        # clamp the one-pass form's tiny negative round-off (guarded
-        # by the sw > 0 branch below — greatest() would otherwise
-        # swallow the empty-group NULL into 0.0)
+    else:  # var / std — shifted for stability (see module docstring).
+        # The anchor window partitions on the same keys as the groupBy,
+        # so Catalyst plans ONE exchange reused by window + aggregate.
+        anchor = F.min(v).over(Window.partitionBy(*by))
+        work = work.withColumn("__fx_sv", v - anchor)
+        s = F.col("__fx_sv")
+        sws = F.sum(w_eff * s)
+        sws2 = F.sum(w_eff * s * s)
+        mu_s = sws / sw
+        expr = sws2 / sw - mu_s * mu_s
+        # clamp tiny negative round-off (guarded by the sw > 0 branch
+        # below — greatest() would otherwise swallow the empty-group
+        # NULL into 0.0)
         expr = F.greatest(expr, F.lit(0.0))
         if base == "std":
             expr = F.sqrt(expr)

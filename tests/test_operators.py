@@ -369,3 +369,17 @@ def test_simhash_null_text_dropped_matches_grouped(spark):
     b = sorted(map(tuple, _simhash_signatures_grouped(df).collect()))
     assert a == b
     assert [t[0] for t in a] == [0, 2]  # NULL-text doc dropped, both paths
+
+
+def test_dedup_clusters_string_ids_long_chain(spark):
+    # regression (ADVICE r2): sum-based convergence was NULL==NULL for
+    # string ids and stopped after one round; a diameter-4 path graph
+    # exposes it — every node must reach the lexicographic minimum
+    from flox_spark.operators import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("d", "e"), ("c", "d"), ("b", "c"), ("a", "b")],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {x: "a" for x in "abcde"}

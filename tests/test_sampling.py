@@ -143,3 +143,32 @@ def test_weighted_sample_excludes_nonpositive_and_caps(spark):
         spark.createDataFrame(pdf), "g", n=10, id_col="rid", weight_col="w"
     ).collect()
     assert [r["rid"] for r in out] == [0]  # only the positive-weight row
+
+
+def test_stratified_default_fraction_one_keeps_all(spark):
+    # regression: _threshold(1.0) used to format to 13 hex chars and
+    # silently keep only ~6% of unlisted-strata rows
+    from flox_spark.operators import sample_stratified
+
+    pdf = pd.DataFrame({"s": ["a"] * 50 + ["b"] * 450, "rid": range(500)})
+    out = sample_stratified(
+        spark.createDataFrame(pdf), "s", {"a": 0.5}, id_col="rid",
+        default_fraction=1.0,
+    ).collect()
+    assert sum(1 for r in out if r["s"] == "b") == 450
+    n_a = sum(1 for r in out if r["s"] == "a")
+    assert 10 < n_a < 40  # ~25 expected
+
+
+def test_split_fraction_one_labels_all_test(spark):
+    from flox_spark.operators import split_train_test
+
+    pdf = pd.DataFrame({"rid": range(300)})
+    out = split_train_test(
+        spark.createDataFrame(pdf), "rid", test_fraction=1.0
+    ).collect()
+    assert all(r["split"] == "test" for r in out)
+    out0 = split_train_test(
+        spark.createDataFrame(pdf), "rid", test_fraction=0.0
+    ).collect()
+    assert all(r["split"] == "train" for r in out0)

@@ -107,3 +107,34 @@ def test_all_missing_group_yields_nan(spark):
         # must surface NaN (xarray parity), never None
         assert isinstance(got[0], float) and math.isnan(got[0]), func
         assert not math.isnan(got[1]), func
+
+
+@pytest.mark.parametrize("offset", [1e7, 1e9])
+@pytest.mark.parametrize("base", ["var", "std"])
+def test_weighted_var_offset_stability(spark, offset, base):
+    # Mirror of reference tests/test_core.py:2293-2321 (shift-by-first
+    # stability, flox/aggregate_npg.py:112-126): unit-variance values at
+    # a large offset must reduce to ~1, not drown in cancellation.
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n),
+            "v": rng.normal(size=n) + offset,
+            "w": rng.random(n) * 3 + 0.1,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["k"]: r["nan" + base]
+        for r in groupby_reduce_weighted(
+            df, "k", func="nan" + base, value="v", weights="w"
+        ).collect()
+    }
+    for g, grp in pdf.groupby("k"):
+        v, w = grp["v"].to_numpy(), grp["w"].to_numpy()
+        mu = np.average(v, weights=w)
+        want = np.average((v - mu) ** 2, weights=w)
+        if base == "std":
+            want = math.sqrt(want)
+        assert got[g] == pytest.approx(want, rel=1e-9), (base, offset, g)
