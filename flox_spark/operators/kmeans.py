@@ -9,10 +9,14 @@ against a 100 TB base table.
 
 Per iteration (the classic two phases):
 
-    assign: crossJoin(broadcast(centroids)) -> squared-L2 score ->
-            min_by(cluster) per point        [map-side only + 1 agg shuffle]
-    update: posexplode -> mean per (cluster, pos) -> rebuild arrays
-            [group-cardinality-sized]
+    assign: the k centroids are packed into ONE broadcast row and the
+            nearest-centroid argmin is a row-local array fold — a pure
+            projection, no k-way row expansion, NO shuffle (same fold
+            as ``assign_clusters``)
+    update: posexplode -> mean per (cluster, pos) -> rebuild arrays;
+            partial aggregation collapses each task to <= k*dim rows
+            before its exchange, so the one shuffle per iteration is
+            centroid-sized, not data-sized
 
 Each iteration's centroid frame is materialized
 (``materialize_shared``) — an iterative DataFrame loop otherwise
@@ -34,36 +38,20 @@ from flox_spark.plans.util import materialize_shared
 __all__ = ["kmeans_fit", "assign_clusters"]
 
 
-def _sq_dist(vec_col: str, cent_col: str) -> "F.Column":
-    # elementwise squared L2 via zip_with + aggregate: stays in codegen
-    return F.aggregate(
-        F.zip_with(
-            F.col(vec_col), F.col(cent_col), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def assign_clusters(
-    df: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    out: str = "cluster",
-) -> DataFrame:
-    """Nearest-centroid assignment with ZERO shuffles: the k-row
-    centroid table is packed into ONE broadcast row (an array of
-    (cid, centroid) structs) and the argmin is a row-local array fold
-    — no k-way row expansion, no groupBy to re-collapse it.  Ties go
-    to the lowest cluster id.  Because the plan is a pure projection
-    over a stream-static broadcast join, the same call works on a
-    Structured Streaming frame (incremental IVF assignment)."""
-    packed = F.broadcast(
+def _packed_centroids(centroids: DataFrame) -> "F.Column":
+    """The k-row centroid table collapsed to ONE broadcastable row:
+    an array of (cid, centroid) structs."""
+    return F.broadcast(
         centroids.orderBy("__cid").agg(
             F.collect_list(F.struct(F.col("__cid"), F.col("centroid"))).alias("__cents")
         )
     )
+
+
+def _nearest_cid(vec_col: str) -> "F.Column":
+    """Row-local argmin over the packed centroid array (``__cents``):
+    a pure fold, no row expansion, no shuffle.  Ties go to the lowest
+    cluster id."""
 
     def step(acc: "F.Column", c: "F.Column") -> "F.Column":
         d = F.aggregate(
@@ -80,14 +68,30 @@ def assign_clusters(
             better, F.struct(d.alias("d"), c["__cid"].alias("cid"))
         ).otherwise(acc)
 
-    best = F.aggregate(
+    return F.aggregate(
         F.col("__cents"),
         F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
         step,
-    )
+    )["cid"]
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffles: the k-row
+    centroid table is packed into ONE broadcast row (an array of
+    (cid, centroid) structs) and the argmin is a row-local array fold
+    — no k-way row expansion, no groupBy to re-collapse it.  Ties go
+    to the lowest cluster id.  Because the plan is a pure projection
+    over a stream-static broadcast join, the same call works on a
+    Structured Streaming frame (incremental IVF assignment)."""
     return (
-        df.crossJoin(packed)
-        .withColumn(out, best["cid"])
+        df.crossJoin(_packed_centroids(centroids))
+        .withColumn(out, _nearest_cid(vec_col))
         .select(F.col(id_col), F.col(out))
     )
 
@@ -127,15 +131,14 @@ def kmeans_fit(
     centroids = materialize_shared(centroids)
 
     for _ in range(max_iter):
+        # row-local fold assignment: a projection, not the
+        # crossJoin-expand + groupBy(id) re-collapse (which cost a
+        # k-way row expansion and a full-data hash exchange per
+        # iteration); the only shuffle left per iteration is the
+        # centroid-sized mean aggregation below
         assigned = (
-            base.crossJoin(F.broadcast(centroids))
-            .withColumn("__d", _sq_dist("__v", "centroid"))
-            .groupBy(id_col)
-            .agg(
-                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__best"),
-                F.first("__v").alias("__v"),
-            )
-            .select(F.col("__best.__cid").alias("__cid"), "__v")
+            base.crossJoin(_packed_centroids(centroids))
+            .select(_nearest_cid("__v").alias("__cid"), "__v")
         )
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("pos", "x"))

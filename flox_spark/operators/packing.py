@@ -5,12 +5,16 @@ fixed-size context windows ("sequence packing") to avoid padding
 waste.  Bin packing is NP-hard and inherently sequential globally, so
 the distributed design is two-level:
 
-- **partition-local first-fit-decreasing (FFD)** via ``mapInPandas``:
-  each partition packs its own documents (sort desc by tokens, place
-  each into the first bin with room).  FFD guarantees <= 11/9 OPT + 1
-  bins per partition; partition-local packing costs at most one
-  partially-filled bin per partition vs a global pack — negligible
-  when partitions hold thousands of documents.
+- **batch-local first-fit-decreasing (FFD) with partition-shared
+  bins** via ``mapInPandas``: each Arrow batch is sorted desc by
+  tokens and placed first-fit into the partition's shared bin list
+  (capacities persist across batches), then EMITTED immediately — so
+  peak Python-worker memory is ONE Arrow batch plus the capacity
+  list, never the whole partition (the 100 TB requirement; a
+  concat-the-partition pack would OOM on a fat partition).  FFD
+  guarantees <= 11/9 OPT + 1 bins per batch; sharing bins across
+  batches keeps the cross-batch waste to partially-filled bins only,
+  and the efficiency test pins the realized bound.
 - **zero shuffles**: bin ids are made globally unique by prefixing
   ``spark_partition_id``.  An optional ``repartition`` fan-out first
   balances skewed inputs (that one exchange is the only one).
@@ -56,39 +60,40 @@ def pack_sequences(
     out_schema = out_schema.add("bin_id", LongType()).add("oversize", "boolean")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = [p for p in batches if len(p)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if pdf[token_col].isna().any():
-            n_bad = int(pdf[token_col].isna().sum())
-            raise ValueError(
-                f"pack_sequences: {n_bad} rows have NULL {token_col!r}; "
-                "fill or filter token counts before packing"
-            )
-        # FFD: place largest first; bins[i] = remaining capacity
-        order = pdf[token_col].sort_values(ascending=False, kind="mergesort").index
+        # bins are shared across the partition's batches; each batch
+        # is packed (FFD within the batch) and emitted immediately
         remaining: list[int] = []
-        bin_of = pd.Series(0, index=pdf.index, dtype="int64")
-        oversize = pd.Series(False, index=pdf.index)
-        for idx in order:
-            t = int(pdf.at[idx, token_col])
-            if t > budget:
-                remaining.append(0)  # singleton, no residual capacity
-                bin_of.at[idx] = len(remaining) - 1
-                oversize.at[idx] = True
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            for i, cap in enumerate(remaining):
-                if cap >= t:
-                    remaining[i] = cap - t
-                    bin_of.at[idx] = i
-                    break
-            else:
-                remaining.append(budget - t)
-                bin_of.at[idx] = len(remaining) - 1
-        pid = int(pdf["__pid"].iloc[0])
-        pdf["bin_id"] = pid * _PID_STRIDE + bin_of
-        pdf["oversize"] = oversize
-        yield pdf
+            if pdf[token_col].isna().any():
+                n_bad = int(pdf[token_col].isna().sum())
+                raise ValueError(
+                    f"pack_sequences: {n_bad} rows have NULL {token_col!r}; "
+                    "fill or filter token counts before packing"
+                )
+            pdf = pdf.reset_index(drop=True)
+            order = pdf[token_col].sort_values(ascending=False, kind="mergesort").index
+            bin_of = pd.Series(0, index=pdf.index, dtype="int64")
+            oversize = pd.Series(False, index=pdf.index)
+            for idx in order:
+                t = int(pdf.at[idx, token_col])
+                if t > budget:
+                    remaining.append(0)  # singleton, no residual capacity
+                    bin_of.at[idx] = len(remaining) - 1
+                    oversize.at[idx] = True
+                    continue
+                for i, cap in enumerate(remaining):
+                    if cap >= t:
+                        remaining[i] = cap - t
+                        bin_of.at[idx] = i
+                        break
+                else:
+                    remaining.append(budget - t)
+                    bin_of.at[idx] = len(remaining) - 1
+            pid = int(pdf["__pid"].iloc[0])
+            pdf["bin_id"] = pid * _PID_STRIDE + bin_of
+            pdf["oversize"] = oversize
+            yield pdf
 
     return work.mapInPandas(pack, out_schema).drop("__pid")

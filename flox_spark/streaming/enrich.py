@@ -85,8 +85,19 @@ def stream_asof_enrich(
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return
-        rows = pd.concat(chunks).sort_values(["__ts", "__side"], kind="mergesort")
-        out_rows = []
+        rows = pd.concat(chunks)
+        # NULL-timestamp left rows: batch asof_join sorts NULLs first so
+        # they never match any right row — emit NULL enrichment, and keep
+        # them out of the stateful sort (pandas would put NaT LAST and
+        # hand them the latest state, diverging from batch)
+        null_ts = rows["__ts"].isna()
+        null_left = rows[null_ts & (rows["__side"] == 1)]
+        rows = rows[~null_ts]
+        out_rows = [
+            [d[f"__l_{c}"] for c in lcols] + [None] * (1 + len(right_cols))
+            for d in null_left.to_dict("records")
+        ]
+        rows = rows.sort_values(["__ts", "__side"], kind="mergesort")
         # dict records, not itertuples: pandas renames the __-prefixed
         # columns to positional _N fields in namedtuples
         for d in rows.to_dict("records"):

@@ -226,3 +226,14 @@ def test_read_json_lines_and_corrupt(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL").count()
     assert good == {1, 2} and bad == 1
     df.unpersist()
+
+
+def test_parse_bytes_units():
+    from flox_spark.plans.util import parse_bytes
+
+    assert parse_bytes("134217728", 0) == 128 << 20
+    assert parse_bytes("128m", 0) == 128 << 20
+    assert parse_bytes("128MB", 0) == 128 << 20
+    assert parse_bytes("1g", 0) == 1 << 30
+    assert parse_bytes("64k", 0) == 64 << 10
+    assert parse_bytes("junk", 42) == 42

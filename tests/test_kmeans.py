@@ -138,3 +138,26 @@ def test_assign_clusters_streaming(spark, blobs, tmp_path):
     got = {r["vec_id"]: r["cluster"] for r in spark.sql("SELECT * FROM flox_kassign").collect()}
     want = {r["vec_id"]: r["cluster"] for r in assign_clusters(blobs, cents).collect()}
     assert got == want
+
+
+def test_kmeans_fit_loop_has_no_data_sized_exchange(spark, blobs):
+    # the Lloyd assign step is the packed-centroid row-local fold, not
+    # crossJoin-expand + groupBy(id): no hash exchange on the point id
+    # anywhere in the iteration plan
+    from flox_spark.options import OPTIONS
+
+    old = OPTIONS["diamond_materialize"]
+    OPTIONS["diamond_materialize"] = "none"  # keep the full lineage visible
+    try:
+        cents = kmeans_fit(blobs, k=2, max_iter=2)
+        plan = cents._jdf.queryExecution().executedPlan().toString()
+    finally:
+        OPTIONS["diamond_materialize"] = old
+    assert "hashpartitioning(vec_id" not in plan
+    # results identical to the materialized loop
+    a = sorted(map(tuple, (r["centroid"] for r in cents.collect())))
+    b = sorted(
+        map(tuple, (r["centroid"] for r in kmeans_fit(blobs, k=2, max_iter=2).collect()))
+    )
+    for x, y in zip(a, b):
+        assert x == pytest.approx(y, rel=1e-12)

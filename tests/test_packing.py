@@ -80,3 +80,28 @@ def test_null_token_counts_rejected(spark):
         pack_sequences(
             spark.createDataFrame(pdf), "n_tokens", budget=100, repartition=1
         ).collect()
+
+
+def test_packing_streams_batches_with_shared_bins(spark):
+    # memory posture: the worker packs per Arrow batch (peak = one
+    # batch), sharing bin capacities across batches — small batches
+    # must still fill bins across batch boundaries
+    import pandas as _pd
+
+    from flox_spark.operators import pack_sequences
+
+    pdf = _pd.DataFrame({"doc_id": range(120), "n_tokens": [500] * 120})
+    df = spark.createDataFrame(pdf).coalesce(1)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = pack_sequences(df, budget=2048, repartition=None).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    assert all(sum(v) <= 2048 for v in bins.values())
+    assert len(rows) == 120
+    # 4 docs of 500 fit a 2048 bin; 120 docs -> exactly 30 bins even
+    # though each Arrow batch holds only 7 docs
+    assert len(bins) == 30

@@ -94,3 +94,18 @@ def test_ann_recall_full_probe_is_one(spark):
     # probing 1 of several clusters cannot beat the exhaustive scan
     part = ann_recall(emb, queries, k=10, nprobe=1).collect()
     assert all(r["recall_at_k"] <= 1.0 for r in part)
+
+
+def test_dedup_simhash_degenerate_bucket_capped(spark):
+    # 200 identical docs share one signature; with max_bucket below
+    # that, the bucket is dropped BEFORE the quadratic self-join and
+    # every doc survives (degenerate buckets belong to dedup_exact)
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "text": ["same boilerplate text"] * 200}
+    )
+    df = spark.createDataFrame(pdf)
+    kept = dedup_documents(df, method="simhash", max_bucket=50).count()
+    assert kept == 200
+    # with the cap above the bucket size the join dedups them to one
+    kept2 = dedup_documents(df, method="simhash", max_bucket=None).count()
+    assert kept2 == 1

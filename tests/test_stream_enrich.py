@@ -95,3 +95,18 @@ def test_enrich_equals_batch_asof_on_inorder_data(spark):
         assert any(v[0] is not None for v in got.values())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_enrich_null_left_ts_gets_null_enrichment(spark):
+    # batch asof_join sorts NULL timestamps first (never matched);
+    # the streaming twin must not hand them the latest state
+    tmp = tempfile.mkdtemp(prefix="flox_enrich_")
+    try:
+        l0 = pd.DataFrame({"k": [1, 1], "lid": [0, 1], "ts": [_ts(20)[0], pd.NaT]})
+        r0 = pd.DataFrame({"k": [1], "rts": _ts(10), "rate": [1.5]})
+        rows = {r["lid"]: r for r in _run(spark, tmp, [l0], [r0])}
+        assert rows[0]["rate"] == 1.5
+        assert rows[1]["rate"] is None
+        assert rows[1]["asof_rts"] is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
