@@ -195,6 +195,17 @@ def q_binned_count(s, d):
     )(s, d)
 
 
+def q_binned_labels(s, d):
+    # interval-edge label columns (flox pd.IntervalIndex parity,
+    # flox/factorize.py:55-82): bin_left < x <= bin_right
+    out = _q_reduce(
+        "nanmean", "lineitem", ["l_quantity"], "l_extendedprice", "mean_price",
+        isbin=True, bin_labels=True,
+        expected_groups=[0.0, 10.0, 20.0, 30.0, 50.0], fill_value=0.0,
+    )(s, d)
+    return out.withColumn("mean_price", F.round("mean_price", 4))
+
+
 def q_binned_datetime(s, d):
     # datetime binning: weekly timestamp breaks digitized through the
     # int64 view (reference flox/factorize.py:64-72)
@@ -344,6 +355,16 @@ def q_minhash_pairs(s, d):
     return minhash_candidates(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None)
 
 
+def q_minhash_pairs_xx(s, d):
+    # production-hash twin of minhash_pairs (xxhash64 longs instead of
+    # md5 hex strings); no DuckDB oracle — cross-engine hashing is the
+    # one thing xxhash64 gives up (rows-only check)
+    return minhash_candidates(
+        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3,
+        max_bucket=None, hash_impl="xxhash64",
+    )
+
+
 def q_jaccard_pairs(s, d):
     return ngram_jaccard_pairs(_t(s, d, "documents"), k=3, threshold=0.2, df_max=None).withColumn(
         "jaccard", F.round("jaccard", 9)
@@ -352,6 +373,12 @@ def q_jaccard_pairs(s, d):
 
 def q_simhash(s, d):
     return simhash_signatures(_t(s, d, "documents"), hex_chars=8)
+
+
+def q_simhash_xx(s, d):
+    # production-hash twin of simhash (bit votes over one xxhash64
+    # long per token); no DuckDB oracle (rows-only check)
+    return simhash_signatures(_t(s, d, "documents"), hex_chars=8, hash_impl="xxhash64")
 
 
 def q_minhash_clusters(s, d):
@@ -1025,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_plain": q_min_plain,
         "mode_plain": q_mode_plain,
         "binned_count": q_binned_count,
+        "binned_labels": q_binned_labels,
         "binned_datetime": q_binned_datetime,
         "expected_fill": q_expected_fill,
         "dayofyear_mean": q_dayofyear_mean,
@@ -1044,9 +1072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_xx": q_minhash_pairs_xx,
         "minhash_clusters": q_minhash_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_xx": q_simhash_xx,
         "ann_topk": q_ann_topk,
         "embed_normalize": q_embed_normalize,
         "embed_quantize": q_embed_quantize,
@@ -1188,6 +1218,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.l_quantity_bin, coalesce(cnt, 0) AS cnt
             FROM (VALUES (0),(1),(2),(3)) b(l_quantity_bin)
             LEFT JOIN (SELECT l_quantity_bin, count(l_extendedprice) AS cnt
+                       FROM binned WHERE l_quantity_bin IS NOT NULL
+                       GROUP BY l_quantity_bin) g USING (l_quantity_bin)""",
+        "binned_labels": """
+            WITH binned AS (
+              SELECT CASE
+                       WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0
+                       WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
+                       WHEN l_quantity > 20 AND l_quantity <= 30 THEN 2
+                       WHEN l_quantity > 30 AND l_quantity <= 50 THEN 3
+                     END AS l_quantity_bin,
+                     l_extendedprice
+              FROM lineitem)
+            SELECT b.l_quantity_bin,
+                   b.bl::DOUBLE AS l_quantity_bin_left,
+                   b.br::DOUBLE AS l_quantity_bin_right,
+                   round(coalesce(m, 0.0), 4) AS mean_price
+            FROM (VALUES (0, 0.0, 10.0), (1, 10.0, 20.0),
+                         (2, 20.0, 30.0), (3, 30.0, 50.0))
+                 b(l_quantity_bin, bl, br)
+            LEFT JOIN (SELECT l_quantity_bin, avg(l_extendedprice) AS m
                        FROM binned WHERE l_quantity_bin IS NOT NULL
                        GROUP BY l_quantity_bin) g USING (l_quantity_bin)""",
         "binned_datetime": """

@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "q1_multi",       # 6 aggregates, one pass
     "dedup_exact",    # pipeline ops over documents/embeddings
     "minhash_pairs",
+    "minhash_pairs_xx",  # xxhash64 production-hash twin
     "text_quality",
     "simhash",
+    "simhash_xx",      # xxhash64 production-hash twin
     "ann_topk",
     "ivf_topk",
     "multimodal_features",

@@ -101,6 +101,43 @@ def _bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
     return result
 
 
+def _break_lit(b: Any, dt=None) -> Column:
+    """A bin break as a literal column for interval-label output:
+    datetime breaks become timestamp literals, numeric breaks doubles
+    (matching the float edges of flox's ``pd.IntervalIndex`` labels,
+    flox/factorize.py:55-82)."""
+    if dt is not None and is_datetime_type(dt):
+        import pandas as pd
+
+        return F.lit(pd.Timestamp(b).to_pydatetime())
+    return F.lit(float(b))
+
+
+def _with_bin_labels(
+    result: DataFrame, by: Sequence[str], isbin_t: Sequence[bool],
+    expected_t: Sequence, dts: Sequence,
+) -> DataFrame:
+    """Attach ``{by}_bin_left`` / ``{by}_bin_right`` interval-edge
+    columns next to each integer bin index — the tabular form of
+    flox's ``pd.IntervalIndex`` bin labels (flox/factorize.py:55-82,
+    reference tests/test_core.py:950-995).  The bin is left-open
+    right-closed: ``bin_left < x <= bin_right``.  A pure element_at
+    projection over the (tiny, literal) breaks array — no join."""
+    for i, b in enumerate(by):
+        if not isbin_t[i]:
+            continue
+        kc = f"{b}_bin"
+        arr = F.array(*[_break_lit(x, dts[i]) for x in expected_t[i]])
+        cols = []
+        for c in result.columns:
+            cols.append(F.col(c))
+            if c == kc:
+                cols.append(F.element_at(arr, F.col(kc) + 1).alias(f"{b}_bin_left"))
+                cols.append(F.element_at(arr, F.col(kc) + 2).alias(f"{b}_bin_right"))
+        result = result.select(*cols)
+    return result
+
+
 def _fill_literal(fill: Any) -> Column:
     if fill is None:
         return F.lit(None)
@@ -119,6 +156,7 @@ def groupby_reduce(
     expected_groups: Sequence | None = None,
     sort: bool = True,
     isbin: bool | Sequence[bool] = False,
+    bin_labels: bool = False,
     fill_value: Any = None,
     min_count: int | None = None,
     finalize_kwargs: dict | None = None,
@@ -152,6 +190,10 @@ def groupby_reduce(
     - ``isbin``: per-by flag; that by's expected_groups are interval
       breaks, labels are digitized into left-open right-closed bins
       and the output column is the integer bin index ``{by}_bin``.
+    - ``bin_labels``: also emit ``{by}_bin_left``/``{by}_bin_right``
+      interval-edge columns for each binned by — the tabular analog
+      of flox's ``pd.IntervalIndex`` bin labels
+      (flox/factorize.py:55-82, reference tests/test_core.py:950-995).
     - ``min_count``: mask results of groups with fewer than this many
       non-missing values to ``fill_value`` (flox/core.py:437-459).
       Defaults to 1 when both fill_value and expected_groups are given
@@ -187,9 +229,11 @@ def groupby_reduce(
 
     # ---- label prep: drop invalid labels, digitize bins -------------
     key_cols: list[str] = []
+    by_dts: list = []
     work = df
     for i, b in enumerate(by):
         bdt = work.schema[b].dataType
+        by_dts.append(bdt)
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
@@ -256,6 +300,9 @@ def groupby_reduce(
             result, key_cols, isbin_t, expected_t, {out_name: fill}, df.sparkSession
         )
 
+    if bin_labels and any(isbin_t):
+        result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
+
     if qlist is not None:
         # output column is named "q" (not "quantile": that is the
         # default result alias and would collide)
@@ -265,8 +312,13 @@ def groupby_reduce(
                 for i, q in enumerate(qlist)
             ]
         )
+        label_cols = [
+            c for c in result.columns
+            if c.endswith("_bin_left") or c.endswith("_bin_right")
+        ]
         result = result.withColumn("__qp", F.explode(pairs)).select(
-            *key_cols, F.col("__qp.q").alias("q"), F.col("__qp.v").alias(out_name)
+            *key_cols, *label_cols,
+            F.col("__qp.q").alias("q"), F.col("__qp.v").alias(out_name),
         )
 
     if sort:

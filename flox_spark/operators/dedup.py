@@ -9,10 +9,15 @@ families, all expressed as DataFrame ops over JVM built-ins:
   -frequency cutoff (the classic quadratic-blowup guard at scale).
 - SimHash: per-token md5 bit votes -> compact hex signature.
 
-Determinism note: hashes are md5 hex strings (identical in any
-engine), and min-hash takes the lexicographic minimum of those
+Determinism note: hashes default to md5 hex strings (identical in
+any engine), and min-hash takes the lexicographic minimum of those
 strings — so the DuckDB oracle reproduces results exactly, and a
-re-run on a different cluster gives identical buckets.
+re-run on a different cluster gives identical buckets.  For
+production paths that don't need cross-engine reproduction, pass
+``hash_impl="xxhash64"``: Spark's native 64-bit hash
+(``F.xxhash64``) is one codegen'd long op instead of a 32-hex-char
+md5 string build — still deterministic across runs/partitionings
+WITHIN Spark, just not reproducible by other engines.
 
 Scale notes (100 TB posture):
 - Shingling + hashing is a pure projection (codegen, no shuffle).
@@ -104,15 +109,27 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_impl: str = "md5",
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed i, the lexicographic
-    min of md5(i || ':' || shingle) over the doc's distinct shingles.
-    One groupBy(doc) shuffle; the 16 mins are one aggregation pass."""
+    """Per-document MinHash signature: for seed i, the minimum of
+    hash(i, shingle) over the doc's distinct shingles — lexicographic
+    min of md5 hex strings (oracle-reproducible) or numeric min of
+    xxhash64 longs (``hash_impl="xxhash64"``, the fast production
+    path).  One groupBy(doc) shuffle; the mins are one aggregation
+    pass either way."""
     sh = doc_shingles(df, id_col, text_col, shingle_k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_impl == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_impl == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -124,6 +141,7 @@ def minhash_candidates(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int | None = 1000,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands
     of ``num_hashes/bands`` rows each, hash each band, and emit all
@@ -139,13 +157,14 @@ def minhash_candidates(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
         )
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
+    if hash_impl == "xxhash64":
+        bkey = lambda b: F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).cast("string")  # noqa: E731
+    else:
+        bkey = lambda b: F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))  # noqa: E731
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bkey"),
-            )
+            F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
             for b in range(bands)
         ]
     )
@@ -248,20 +267,51 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hex_chars: int = 8,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """SimHash over distinct tokens (unit weights): for each of
-    ``hex_chars * 4`` bits, sum +1/-1 votes of md5(token)'s bit and
+    ``hex_chars * 4`` bits, sum +1/-1 votes of hash(token)'s bit and
     emit the majority as a hex signature string.  Near-duplicates
     share signatures (or differ in few bits — pair via banding on
-    signature prefixes).
+    signature prefixes).  ``hash_impl="xxhash64"`` votes on the bits
+    of one native 64-bit hash per token (max 16 hex chars) instead of
+    md5 hex digits — same plan shape, ~no string work.
 
     Plan shape: a document is one row, so the votes are row-local
-    array folds (``aggregate`` over ``transform``'d md5 digits) — a
+    array folds (``aggregate`` over ``transform``'d hashes) — a
     pure projection with ZERO exchanges, like the text operators; the
     explode -> groupBy formulation this replaces is kept as
     ``_simhash_signatures_grouped`` and equality-tested.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+
+    if hash_impl == "xxhash64":
+        if hex_chars * 4 > 64:
+            raise ValueError("xxhash64 simhash supports at most 16 hex chars")
+        base = (
+            ensure_parallelism(df)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"))
+        )
+
+        def vote_bit(bit: int) -> Column:
+            def step(acc: Column, h: Column) -> Column:
+                return acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1))) * 2 - 1
+
+            return F.aggregate(F.col("__hs"), F.lit(0).cast("long"), step)
+
+        out_chars = []
+        for p in range(hex_chars):
+            val = None
+            for j in range(4):
+                bit = F.when(
+                    vote_bit(p * 4 + (3 - j)) > 0, F.lit(2 ** (3 - j))
+                ).otherwise(F.lit(0))
+                val = bit if val is None else val + bit
+            out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
+        return base.select(F.col(id_col), F.concat(*out_chars).alias("simhash"))
+    if hash_impl != "md5":
+        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
 
     def md5_of(t: Column) -> Column:
         return F.md5(t)

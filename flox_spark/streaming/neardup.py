@@ -42,11 +42,15 @@ def minhash_band_keys(
     bands: int = 4,
     shingle_k: int = 3,
     extra_cols: list[str] | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Row-local (id, band, bkey) rows — no shuffle, no state; works
     identically on batch and streaming frames.  Equal to the batch
     explode->groupBy signature because min() is insensitive to
-    duplicate shingles.
+    duplicate shingles.  ``hash_impl="xxhash64"`` swaps the md5 hex
+    strings for native 64-bit hashes (same trade as
+    ``operators/dedup.py``: faster, still Spark-deterministic, not
+    oracle-reproducible).
 
     STAGED projections matter here: the shingle array construction is
     O(tokens^2) (a slice per position), so it must be aliased in its
@@ -73,10 +77,15 @@ def minhash_band_keys(
         _shingle_expr(F.col(text_col), shingle_k, "word").alias("__sh"),
     )
 
+    if hash_impl not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
+
     def mh(i: int) -> Column:
         # closure factory, NOT a defaulted-param lambda: PySpark treats
         # a two-arg lambda as the (element, index) form
         def hash_one(s: Column) -> Column:
+            if hash_impl == "xxhash64":
+                return F.xxhash64(F.lit(i), s)
             return F.md5(F.concat(F.lit(f"{i}:"), s))
 
         return F.array_min(F.transform(F.col("__sh"), hash_one))
@@ -84,14 +93,13 @@ def minhash_band_keys(
     base = base.select(
         F.col(id_col), *extra, *[mh(i).alias(f"__mh{i}") for i in range(num_hashes)]
     )
+    if hash_impl == "xxhash64":
+        bkey = lambda b: F.xxhash64(*[F.col(f"__mh{b * r + j}") for j in range(r)]).cast("string")  # noqa: E731
+    else:
+        bkey = lambda b: F.md5(F.concat_ws("|", *[F.col(f"__mh{b * r + j}") for j in range(r)]))  # noqa: E731
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"__mh{b * r + j}") for j in range(r)])
-                ).alias("bkey"),
-            )
+            F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
             for b in range(bands)
         ]
     )
@@ -108,6 +116,7 @@ def stream_minhash_neardup(
     bands: int = 4,
     shingle_k: int = 3,
     order_col: str | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Streaming near-dup flags: one output row per (doc, band) with
     the band bucket's first-seen representative.
@@ -119,7 +128,9 @@ def stream_minhash_neardup(
     """
     order = order_col or id_col
     extra = [order] if order != id_col else None
-    keys = minhash_band_keys(df, id_col, text_col, num_hashes, bands, shingle_k, extra)
+    keys = minhash_band_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_k, extra, hash_impl
+    )
 
     id_type = df.schema[id_col].dataType
     out_schema = (

@@ -383,3 +383,49 @@ def test_dedup_clusters_string_ids_long_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {x: "a" for x in "abcde"}
+
+
+def test_minhash_xxhash64_production_path(spark, docs):
+    # the fast non-oracle hash: same LSH structure, long mins instead
+    # of md5 hex strings; exact + near dups still pair, and the output
+    # is deterministic under repartitioning
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, num_hashes=16, bands=16, hash_impl="xxhash64"
+        ).collect()
+    )
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup at r=1 banding
+    again = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs.repartition(7), num_hashes=16, bands=16, hash_impl="xxhash64"
+        ).collect()
+    )
+    assert pairs == again
+    sig = minhash_signatures(docs, num_hashes=4, hash_impl="xxhash64")
+    assert dict(sig.dtypes)["mh0"] == "bigint"  # longs, not hex strings
+
+
+def test_simhash_xxhash64_production_path(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(docs, hash_impl="xxhash64").collect()}
+    assert sigs[0] == sigs[1]  # exact dups share the signature
+    assert len(sigs[0]) == 8
+    # near dup differs in at most a few bits
+    diff_bits = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in zip(sigs[0], sigs[2])
+    )
+    assert diff_bits <= 8
+    assert sigs[0] != sigs[4]  # unrelated doc diverges
+    with pytest.raises(ValueError, match="at most 16 hex chars"):
+        simhash_signatures(docs, hex_chars=17, hash_impl="xxhash64")
+
+
+def test_hash_impl_rejects_unknown(spark, docs):
+    with pytest.raises(ValueError, match="hash_impl"):
+        minhash_signatures(docs, hash_impl="sha9")
+    with pytest.raises(ValueError, match="hash_impl"):
+        simhash_signatures(docs, hash_impl="sha9")

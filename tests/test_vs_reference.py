@@ -248,3 +248,31 @@ def test_vector_q_matches_reference(spark):
                     assert gv is None or math.isnan(gv), (impl, q, g)
                 else:
                     assert gv == pytest.approx(w, rel=1e-12, abs=1e-12), (impl, q, g)
+
+
+def test_bin_labels_match_reference_interval_index(spark):
+    # bin_labels=True emits the interval edges flox returns as a
+    # pd.IntervalIndex (flox/factorize.py:55-82; reference
+    # tests/test_core.py:950-995): left-open right-closed edges must
+    # match the reference's returned groups exactly
+    rng = np.random.default_rng(41)
+    n = 200
+    labels = rng.uniform(0, 50, n)
+    v = rng.normal(size=n)
+    breaks = [0.0, 10.0, 20.0, 30.0, 50.0]
+    want, groups = flox_gr(
+        v, labels, func="nansum",
+        expected_groups=pd.IntervalIndex.from_breaks(breaks),
+        fill_value=0.0, engine="flox",
+    )
+    pdf = pd.DataFrame({"x": labels, "v": v})
+    res = groupby_reduce(
+        spark.createDataFrame(pdf), "x", func="nansum", value="v",
+        isbin=True, bin_labels=True, expected_groups=breaks, fill_value=0.0,
+    ).collect()
+    assert len(res) == len(want)
+    for i, r in enumerate(sorted(res, key=lambda r: r["x_bin"])):
+        iv = groups[i]  # pd.Interval, closed='right'
+        assert r["x_bin_left"] == pytest.approx(iv.left, rel=1e-15)
+        assert r["x_bin_right"] == pytest.approx(iv.right, rel=1e-15)
+        assert r["nansum"] == pytest.approx(float(want[i]), rel=1e-12)
