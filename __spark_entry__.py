@@ -647,6 +647,17 @@ def q_boilerplate(s, d):
     return remove_boilerplate_lines(docs, min_docs=3).select("doc_id", "text_clean")
 
 
+def q_salted_sum(s, d):
+    # declared-salt two-phase reduction (hot-key remedy): must equal
+    # the plain grouped sum exactly
+    from flox_spark import groupby_reduce_salted
+
+    return groupby_reduce_salted(
+        _t(s, d, "lineitem"), "l_orderkey",
+        func="nansum", value="l_quantity", n_salt=16, alias="sum_qty",
+    )
+
+
 def q_weighted_mean(s, d):
     # quantity-weighted mean price (xarray .weighted() surface fused
     # into one aggregation pass)
@@ -1104,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "funnel_path": q_funnel_path,
         "kmeans": q_kmeans,
+        "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
         "frame_sample": q_frame_sample,
@@ -1477,6 +1489,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid AS cluster, pos::BIGINT AS pos, round(avg(x), 6) AS val
             FROM pts GROUP BY cid, pos""",
         # same one-pass formula as the engine so rounding is stable
+        "salted_sum": """
+            SELECT l_orderkey, coalesce(sum(l_quantity::DOUBLE), 0.0) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey""",
         "weighted_mean": """
             SELECT l_returnflag,
                    round(sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE)

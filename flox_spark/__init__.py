@@ -21,11 +21,13 @@ from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
 from flox_spark.transform import groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
+from flox_spark.salting import groupby_reduce_salted
 
 __all__ = [
     "groupby_reduce",
     "groupby_reduce_multi",
     "groupby_reduce_weighted",
+    "groupby_reduce_salted",
     "groupby_transform",
     "standardize",
     "groupby_scan",

@@ -1,3 +1,13 @@
-from flox_spark.plans.util import ensure_parallelism
+from flox_spark.plans.util import (
+    ensure_parallelism,
+    estimate_size_bytes,
+    recommend_shuffle_partitions,
+    tuned_shuffle,
+)
 
-__all__ = ["ensure_parallelism"]
+__all__ = [
+    "ensure_parallelism",
+    "estimate_size_bytes",
+    "recommend_shuffle_partitions",
+    "tuned_shuffle",
+]

@@ -62,6 +62,62 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def estimate_size_bytes(df: DataFrame) -> int | None:
+    """Planning-time size estimate from Catalyst's optimized-plan
+    statistics (parquet footers / CBO); None when the source reports
+    the conservative unknown sentinel."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if size >= _UNKNOWN_SIZE else size
+
+
+def recommend_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int | str | None = None,
+    min_partitions: int | None = None,
+    max_partitions: int = 200_000,
+) -> int:
+    """Derive a ``spark.sql.shuffle.partitions`` setting from the
+    input's size statistics instead of a fixed default: enough
+    partitions that a post-shuffle partition holds roughly
+    ``target_partition_bytes`` (default: the session's
+    ``maxPartitionBytes``, usually 128 MB), floored at the cluster's
+    default parallelism and capped to keep the scheduler sane.
+
+    Rationale at 100 TB: the stock 200 gives 500 GB post-shuffle
+    partitions (spill/OOM); a fixed large value makes sf0.01 jobs
+    schedule thousands of empty tasks.  Deriving from scan stats
+    right-sizes both, and AQE coalescing then trims the long tail.
+    Returns the recommendation; apply with
+    ``spark.conf.set("spark.sql.shuffle.partitions", str(n))`` or via
+    ``tuned_shuffle(df)``."""
+    spark = df.sparkSession
+    if target_partition_bytes is None:
+        target = parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)),
+            128 << 20,
+        )
+    else:
+        target = parse_bytes(str(target_partition_bytes), 128 << 20)
+    floor = min_partitions or spark.sparkContext.defaultParallelism
+    size = estimate_size_bytes(df)
+    if size is None:
+        return floor
+    want = -(-size // max(1, target))  # ceil
+    return max(floor, min(int(want), max_partitions))
+
+
+def tuned_shuffle(df: DataFrame, **kwargs) -> DataFrame:
+    """Set the session's shuffle partitions to the recommendation for
+    this input and return ``df`` unchanged (fluent form):
+    ``groupby_reduce(tuned_shuffle(df), ...)``."""
+    n = recommend_shuffle_partitions(df, **kwargs)
+    df.sparkSession.conf.set("spark.sql.shuffle.partitions", str(n))
+    return df
+
+
 def materialize_shared(df: DataFrame) -> DataFrame:
     """Materialize a frame consumed by multiple plan branches (the
     self-join diamond): without this, Spark recomputes the whole

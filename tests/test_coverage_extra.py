@@ -237,3 +237,40 @@ def test_parse_bytes_units():
     assert parse_bytes("1g", 0) == 1 << 30
     assert parse_bytes("64k", 0) == 64 << 10
     assert parse_bytes("junk", 42) == 42
+
+
+def test_recommend_shuffle_partitions_from_stats(spark):
+    from flox_spark.plans import recommend_shuffle_partitions, tuned_shuffle
+    from flox_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    # tiny input: floored at default parallelism
+    floor = spark.sparkContext.defaultParallelism
+    assert recommend_shuffle_partitions(li) == floor
+    # shrink the target partition size until the size estimate drives
+    # the recommendation above the floor: n == ceil(size / target)
+    from flox_spark.plans import estimate_size_bytes
+
+    size = estimate_size_bytes(li)
+    assert size and size > 0
+    target = max(1, size // (floor * 4))
+    n = recommend_shuffle_partitions(li, target_partition_bytes=target)
+    assert n == -(-size // target)
+    assert n >= floor * 4
+    # fluent form sets the session conf and passes the frame through
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = tuned_shuffle(li, target_partition_bytes=target)
+        assert out is li
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_recommend_shuffle_partitions_unknown_stats(spark):
+    from flox_spark.plans import recommend_shuffle_partitions
+
+    # a LocalRelation-ish tiny frame still returns a sane floor
+    df = spark.range(10)
+    n = recommend_shuffle_partitions(df)
+    assert n >= 1
