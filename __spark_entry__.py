@@ -647,6 +647,43 @@ def q_boilerplate(s, d):
     return remove_boilerplate_lines(docs, min_docs=3).select("doc_id", "text_clean")
 
 
+def q_range_join(s, d):
+    # bucketed interval join: customers matched to overlapping acctbal
+    # bands (the equi-bucket plan replacing a nested-loop BETWEEN join)
+    from flox_spark.operators import range_join
+
+    iv = _t(s, d, "nation").select(
+        F.col("n_nationkey").alias("iid"),
+        (F.col("n_nationkey") * 400.0 - 1000.0).alias("lo"),
+        (F.col("n_nationkey") * 400.0 - 550.0).alias("hi"),
+    )
+    pts = _t(s, d, "customer").select("c_custkey", F.col("c_acctbal").cast("double").alias("x"))
+    return range_join(pts, iv, "x", "lo", "hi", bucket_width=450.0).select(
+        "c_custkey", "iid"
+    )
+
+
+def q_heavy_hitters(s, d):
+    # exact corpus-frequency heavy hitters over document tokens
+    from flox_spark.operators import heavy_hitters
+
+    toks = _t(s, d, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", min_count=200)
+
+
+def q_distinct_rollup(s, d):
+    # mergeable HLL sketches: per-(event_type, day) sketches unioned up
+    # to event_type; estimate only — no cross-engine oracle (DuckDB's
+    # HLL differs), rows-only check
+    from flox_spark.operators import build_distinct_sketches, rollup_distinct
+
+    ev = _t(s, d, "events").withColumn("day", F.to_date("ts"))
+    sk = build_distinct_sketches(ev, "event_type", "day", col="user_id")
+    return rollup_distinct(sk, "event_type").orderBy("event_type")
+
+
 def q_salted_sum(s, d):
     # declared-salt two-phase reduction (hot-key remedy): must equal
     # the plain grouped sum exactly
@@ -1115,6 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "funnel_path": q_funnel_path,
         "kmeans": q_kmeans,
+        "range_join": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "distinct_rollup": q_distinct_rollup,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
@@ -1489,6 +1529,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid AS cluster, pos::BIGINT AS pos, round(avg(x), 6) AS val
             FROM pts GROUP BY cid, pos""",
         # same one-pass formula as the engine so rounding is stable
+        "range_join": """
+            WITH iv AS (
+              SELECT n_nationkey AS iid,
+                     n_nationkey * 400.0 - 1000.0 AS lo,
+                     n_nationkey * 400.0 - 550.0 AS hi
+              FROM nation
+            )
+            SELECT c_custkey, iid
+            FROM customer JOIN iv
+              ON c_acctbal::DOUBLE >= lo AND c_acctbal::DOUBLE <= hi""",
+        "heavy_hitters": """
+            SELECT tok AS item, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE tok IS NOT NULL
+            GROUP BY tok HAVING count(*) >= 200""",
         "salted_sum": """
             SELECT l_orderkey, coalesce(sum(l_quantity::DOUBLE), 0.0) AS sum_qty
             FROM lineitem GROUP BY l_orderkey""",

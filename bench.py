@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "boilerplate",      # doc-frequency join + reassembly
     "funnel",           # forward as-of + aggregate
     "kmeans",           # one Lloyd iteration kernel
+    "range_join",       # bucketed interval join (equi-bucket plan)
+    "heavy_hitters",    # exact frequent tokens over documents
+    "salted_sum",       # declared-salt two-phase reduction
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
     "quantile_sort",    # bounded-memory exact quantile strategy

@@ -33,6 +33,12 @@ from flox_spark.operators.sampling import (
     sample_weighted_per_group,
     split_train_test,
 )
+from flox_spark.operators.rangejoin import range_join
+from flox_spark.operators.sketches import (
+    build_distinct_sketches,
+    heavy_hitters,
+    rollup_distinct,
+)
 from flox_spark.operators.sessions import (
     sessionize,
     session_stats,
@@ -87,4 +93,8 @@ __all__ = [
     "ivf_topk",
     "normalize_embeddings",
     "quantize_embeddings_int8",
+    "range_join",
+    "build_distinct_sketches",
+    "rollup_distinct",
+    "heavy_hitters",
 ]
