@@ -375,6 +375,13 @@ def q_simhash(s, d):
     return simhash_signatures(_t(s, d, "documents"), hex_chars=8)
 
 
+def q_simhash_pairs(s, d):
+    # banded hamming-distance pairing over simhash signatures
+    from flox_spark.operators import simhash_pairs
+
+    return simhash_pairs(_t(s, d, "documents"), max_hamming=3, bands=4, max_bucket=None)
+
+
 def q_simhash_xx(s, d):
     # production-hash twin of simhash (bit votes over one xxhash64
     # long per token); no DuckDB oracle (rows-only check)
@@ -879,6 +886,32 @@ agg AS (SELECT doc_id, {votes} FROM vs GROUP BY doc_id)
 SELECT doc_id, {chars} AS simhash FROM agg"""
 
 
+def _simhash_pairs_oracle(bands: int = 4, max_hamming: int = 3) -> str:
+    # same signature pipeline as _simhash_oracle, then band self-join
+    # + per-hex-char xor popcount (mirrors operators/dedup.simhash_pairs)
+    r = 8 // bands
+    sig_sql = _simhash_oracle()
+    band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, substr(simhash, {b * r + 1}, {r}) AS bkey FROM sigs"
+        for b in range(bands)
+    )
+    ham = " + ".join(
+        "bit_count(xor(strpos('0123456789abcdef', substr(sa, {p}, 1)) - 1, "
+        "strpos('0123456789abcdef', substr(sb, {p}, 1)) - 1))".format(p=p + 1)
+        for p in range(8)
+    )
+    return f"""
+WITH sigs AS ({sig_sql}),
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming::INT AS hamming
+FROM (SELECT id_a, id_b, ({ham}) AS hamming FROM cand)
+WHERE hamming <= {max_hamming}"""
+
+
 _COS = (
     "list_sum(list_transform(range(0, 64), c -> {a}[c+1]::DOUBLE * {b}[c+1]::DOUBLE))"
     " / (sqrt(list_sum(list_transform(range(0, 64), c -> {a}[c+1]::DOUBLE * {a}[c+1]::DOUBLE)))"
@@ -1050,6 +1083,7 @@ def _operator_oracles() -> dict[str, str]:
             FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2""",
         "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "ann_topk": _ann_oracle(),
         "embed_normalize": """
             SELECT vec_id, i AS pos,
@@ -1124,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "simhash_xx": q_simhash_xx,
         "ann_topk": q_ann_topk,
         "embed_normalize": q_embed_normalize,

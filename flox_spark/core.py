@@ -333,6 +333,7 @@ def groupby_reduce_multi(
     expected_groups: Sequence | None = None,
     sort: bool = True,
     isbin: bool | Sequence[bool] = False,
+    bin_labels: bool = False,
     fill_value: Any = None,
     order_by: str | None = None,
 ) -> DataFrame:
@@ -360,8 +361,10 @@ def groupby_reduce_multi(
 
     work = df
     key_cols: list[str] = []
+    by_dts: list = []
     for i, b in enumerate(by):
         bdt = work.schema[b].dataType
+        by_dts.append(bdt)
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
@@ -425,6 +428,8 @@ def groupby_reduce_multi(
 
     if any(e is not None for e in expected_t):
         result = _reindex_expected(result, key_cols, isbin_t, expected_t, fills, df.sparkSession)
+    if bin_labels and any(isbin_t):
+        result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
     if sort:
         result = result.orderBy(*key_cols)
     return result

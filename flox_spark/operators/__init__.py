@@ -13,6 +13,7 @@ from flox_spark.operators.dedup import (
     minhash_signatures,
     minhash_candidates,
     ngram_jaccard_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from flox_spark.operators.asof import asof_join
@@ -66,6 +67,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidates",
     "ngram_jaccard_pairs",
+    "simhash_pairs",
     "simhash_signatures",
     "ann_recall",
     "asof_join",

@@ -391,6 +391,81 @@ def _simhash_signatures_grouped(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance: band each
+    signature into ``bands`` substrings, bucket-join docs sharing any
+    band (a pair within ``max_hamming`` bits differs in at most
+    ``max_hamming`` < bands bands, so by pigeonhole it shares at least
+    one — guaranteed recall when ``max_hamming < bands``), then filter
+    candidates by exact hamming distance (``bit_count`` of the xor'd
+    signatures — pure codegen).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.  ``max_bucket``
+    caps degenerate buckets like the minhash path."""
+    if hex_chars % bands != 0:
+        raise ValueError(f"hex_chars ({hex_chars}) must divide into bands ({bands})")
+    if hex_chars > 16:
+        raise ValueError("hamming via 64-bit xor supports at most 16 hex chars")
+    r = hex_chars // bands
+    sigs = simhash_signatures(df, id_col, text_col, hex_chars, hash_impl)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(F.col("simhash"), b * r + 1, r).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
+    from flox_spark.plans.util import materialize_shared
+
+    buckets = materialize_shared(buckets)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.conv(F.col("__sa"), 16, 10).cast("long")
+        .bitwiseXOR(F.conv(F.col("__sb"), 16, 10).cast("long"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clusters (connected components over candidate pairs)
 # ---------------------------------------------------------------------------

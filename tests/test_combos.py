@@ -212,3 +212,21 @@ def test_multi_warns_on_sort_quantile_impl(spark):
             warnings.simplefilter("always")
             groupby_reduce_multi(df, "k", aggs={"m": ("nanmedian", "v")}).collect()
     assert any("cannot honor quantile_impl" in str(w.message) for w in rec)
+
+
+def test_multi_bin_labels(spark):
+    import pandas as _pd
+
+    from flox_spark import groupby_reduce_multi
+
+    pdf = _pd.DataFrame({"x": [1.0, 5.0, 15.0, 25.0], "v": [1.0, 2.0, 3.0, 4.0]})
+    out = groupby_reduce_multi(
+        spark.createDataFrame(pdf), "x",
+        aggs={"s": ("nansum", "v"), "c": ("count", "v")},
+        isbin=True, bin_labels=True,
+        expected_groups=[0.0, 10.0, 20.0, 30.0], fill_value=0.0,
+    ).collect()
+    rows = {r["x_bin"]: r for r in out}
+    assert rows[0]["x_bin_left"] == 0.0 and rows[0]["x_bin_right"] == 10.0
+    assert rows[2]["x_bin_left"] == 20.0 and rows[2]["x_bin_right"] == 30.0
+    assert rows[0]["s"] == 3.0 and rows[1]["s"] == 3.0 and rows[2]["s"] == 4.0

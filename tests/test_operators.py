@@ -429,3 +429,44 @@ def test_hash_impl_rejects_unknown(spark, docs):
         minhash_signatures(docs, hash_impl="sha9")
     with pytest.raises(ValueError, match="hash_impl"):
         simhash_signatures(docs, hash_impl="sha9")
+
+
+def test_simhash_pairs_hamming(spark, docs):
+    from flox_spark.operators import simhash_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(docs, max_hamming=8).collect()}
+    assert got.get((0, 1)) == 0  # exact dups: distance 0
+    # near dup of 0 within a few bits (if banding surfaced it)
+    for pair, h in got.items():
+        assert h <= 8
+    # recall guarantee: max_hamming < bands => a pair within the
+    # threshold shares >= 1 band, so (0,1) can never be missed
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            simhash_pairs(docs, max_hamming=3, bands=4).collect()}
+    assert (0, 1) in got2
+
+
+def test_simhash_pairs_matches_bruteforce(spark, docs):
+    # differential: banding+filter == brute-force hamming over all
+    # pairs when max_hamming < bands (pigeonhole recall guarantee)
+    from flox_spark.operators import simhash_pairs, simhash_signatures
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(int(sigs[a], 16) ^ int(sigs[b], 16)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(docs, max_hamming=3, bands=4).collect()}
+    assert got == want
+
+
+def test_simhash_pairs_validates(spark, docs):
+    from flox_spark.operators import simhash_pairs
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(docs, hex_chars=8, bands=3)
