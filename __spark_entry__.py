@@ -691,6 +691,25 @@ def q_distinct_rollup(s, d):
     return rollup_distinct(sk, "event_type").orderBy("event_type")
 
 
+def q_chunk_docs(s, d):
+    # overlapping token-window chunking (context-window prep)
+    from flox_spark.operators import chunk_documents
+
+    return chunk_documents(_t(s, d, "documents"), max_tokens=32, overlap=8)
+
+
+def q_embed_pool(s, d):
+    # chunk->doc mean pooling over the embeddings table (grouped by a
+    # derived doc key)
+    from flox_spark.operators import average_embeddings
+
+    df = _t(s, d, "embeddings").withColumn("grp", F.col("vec_id") % 100)
+    out = average_embeddings(df, "grp", dim=64)
+    return out.select(
+        "grp", F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias("embedding")
+    )
+
+
 def q_salted_sum(s, d):
     # declared-salt two-phase reduction (hot-key remedy): must equal
     # the plain grouped sum exactly
@@ -1190,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "distinct_rollup": q_distinct_rollup,
+        "chunk_docs": q_chunk_docs,
+        "embed_pool": q_embed_pool,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
@@ -1580,6 +1601,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE text IS NOT NULL)
             WHERE tok IS NOT NULL
             GROUP BY tok HAVING count(*) >= 200""",
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) != ''
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS cid
+              FROM t
+            )
+            SELECT doc_id, cid::INT AS chunk_id,
+                   array_to_string(toks[cid*24 + 1 : cid*24 + 32], ' ') AS chunk_text,
+                   least(32, n - cid*24)::INT AS n_tokens
+            FROM s""",
+        "embed_pool": """
+            WITH pts AS (
+              SELECT vec_id % 100 AS grp,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS pos
+              FROM embeddings
+            ), m AS (
+              SELECT grp, pos, avg(x::DOUBLE) AS m FROM pts GROUP BY grp, pos
+            )
+            SELECT grp, list(round(m, 6) ORDER BY pos) AS embedding
+            FROM m GROUP BY grp""",
         "salted_sum": """
             SELECT l_orderkey, coalesce(sum(l_quantity::DOUBLE), 0.0) AS sum_qty
             FROM lineitem GROUP BY l_orderkey""",

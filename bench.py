@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "range_join",       # bucketed interval join (equi-bucket plan)
     "heavy_hitters",    # exact frequent tokens over documents
     "salted_sum",       # declared-salt two-phase reduction
+    "simhash_pairs",    # banded hamming near-dup pairs
+    "chunk_docs",       # overlapping token-window chunking
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
     "quantile_sort",    # bounded-memory exact quantile strategy

@@ -34,6 +34,7 @@ from flox_spark.operators.sampling import (
     sample_weighted_per_group,
     split_train_test,
 )
+from flox_spark.operators.chunking import average_embeddings, chunk_documents
 from flox_spark.operators.rangejoin import range_join
 from flox_spark.operators.sketches import (
     build_distinct_sketches,
@@ -96,6 +97,8 @@ __all__ = [
     "normalize_embeddings",
     "quantize_embeddings_int8",
     "range_join",
+    "chunk_documents",
+    "average_embeddings",
     "build_distinct_sketches",
     "rollup_distinct",
     "heavy_hitters",
