@@ -455,10 +455,19 @@ def simhash_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(
-        F.conv(F.col("__sa"), 16, 10).cast("long")
-        .bitwiseXOR(F.conv(F.col("__sb"), 16, 10).cast("long"))
-    )
+    # hamming over <=8-hex-char (32-bit) slices: conv().cast(long) on a
+    # full 16-char signature with the top bit set exceeds Long.MAX and
+    # casts to NULL, silently dropping pairs
+    slices = [
+        F.bit_count(
+            F.conv(F.substring(F.col("__sa"), p + 1, 8), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(F.substring(F.col("__sb"), p + 1, 8), 16, 10).cast("long"))
+        )
+        for p in range(0, hex_chars, 8)
+    ]
+    ham = slices[0]
+    for s in slices[1:]:
+        ham = ham + s
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -49,7 +49,9 @@ def range_join(
     typical interval width.  ``extra_on``: additional equi-join keys
     (joined exactly, part of the bucket shuffle key).  ``how``:
     ``inner`` or ``left`` (unmatched left rows keep NULL right
-    columns).
+    columns).  NB ``how="left"`` evaluates the join twice (inner +
+    anti for the unmatched rows); materialize the inputs upstream if
+    they are expensive pipelines.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")

@@ -470,3 +470,23 @@ def test_simhash_pairs_validates(spark, docs):
 
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs(docs, hex_chars=8, bands=3)
+
+
+def test_simhash_pairs_16_chars_no_overflow(spark, docs):
+    # 64-bit signatures with the top bit set: hamming must not
+    # silently NULL out (conv->long overflow on the full string)
+    from flox_spark.operators import simhash_pairs, simhash_signatures
+
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(docs, hex_chars=16).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(int(sigs[a], 16) ^ int(sigs[b], 16)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(docs, hex_chars=16, bands=4, max_hamming=3).collect()}
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0
