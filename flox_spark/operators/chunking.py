@@ -32,15 +32,17 @@ def chunk_documents(
     window's ``chunk_text`` (whitespace-token window re-joined) and
     its ``n_tokens``.  Windows start every ``max_tokens - overlap``
     tokens; the final window may be short; empty/NULL documents emit
-    no rows.  Token order and content are preserved (chunks
-    concatenated with the overlap removed reproduce the token
-    stream)."""
+    no rows.  Tokens are preserved VERBATIM (case, punctuation —
+    this is training-data prep, not dedup normalization); the one
+    transform is that whitespace runs between tokens collapse to
+    single spaces on re-join (chunks concatenated with the overlap
+    removed reproduce the token stream exactly)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
     base = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
@@ -81,13 +83,28 @@ def average_embeddings(
 ) -> DataFrame:
     """Element-wise mean of vectors per group (chunk->doc pooling).
     NULL vectors are skipped; groups with only NULL vectors emit a
-    NULL vector.  ``dim`` is validated when given (ragged inputs are
-    a silent-corruption hazard in pooled embeddings)."""
-    work = df.filter(F.col(vec_col).isNotNull())
+    NULL vector (they stay in the output — dropping them would
+    silently lose docs from downstream joins).  ``dim`` VALIDATES:
+    any non-NULL vector of a different length fails the job
+    (``assert_true``) — silently averaging a ragged subset is exactly
+    the pooled-embedding corruption this parameter exists to stop."""
+    work = df
     if dim is not None:
-        work = work.filter(F.size(F.col(vec_col)) == dim)
+        # the assertion lives INSIDE the vector column (when(assert
+        # .isNull(), vec)) so column pruning can't optimize it away:
+        # evaluating the vector evaluates the check
+        check = F.assert_true(
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim),
+            F.concat(
+                F.lit(f"average_embeddings: expected dim {dim}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
+        )
+        work = work.withColumn(vec_col, F.when(check.isNull(), F.col(vec_col)))
+    groups = work.select(*by).distinct()
     pooled = (
-        work.select(*by, F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+        work.filter(F.col(vec_col).isNotNull())
+        .select(*by, F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
         .groupBy(*by, "__pos")
         .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
         .groupBy(*by)
@@ -100,4 +117,4 @@ def average_embeddings(
             *by, F.transform(F.col("__pm"), lambda s: s["__m"]).alias(out)
         )
     )
-    return pooled
+    return groups.join(pooled, list(by), "left")

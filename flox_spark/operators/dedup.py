@@ -59,6 +59,41 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# shared banding / bucket-cap helpers
+# ---------------------------------------------------------------------------
+
+
+def band_key(hash_impl: str, cols: list[Column]) -> Column:
+    """One band's bucket key from its member hash columns: md5 of the
+    joined hex strings (oracle-reproducible) or xxhash64 of the longs
+    cast to string (production).  Single definition shared by the
+    batch LSH join and the streaming banding so the two can never
+    silently diverge."""
+    if hash_impl == "xxhash64":
+        return F.xxhash64(*cols).cast("string")
+    if hash_impl == "md5":
+        return F.md5(F.concat_ws("|", *cols))
+    raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
+
+
+def cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop buckets larger than ``max_bucket`` BEFORE a pair-expanding
+    self-join (the quadratic-blowup guard).  A dropped bucket means
+    "everything here is near-identical" — route those through
+    dedup_exact instead.  No-op when ``max_bucket`` is None."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bs") <= max_bucket)
+        .drop("__bs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
 
@@ -158,26 +193,19 @@ def minhash_candidates(
         )
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
-    if hash_impl == "xxhash64":
-        bkey = lambda b: F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).cast("string")  # noqa: E731
-    else:
-        bkey = lambda b: F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))  # noqa: E731
     band_structs = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
+            F.struct(
+                F.lit(b).alias("band"),
+                band_key(hash_impl, [F.col(f"mh{b * r + j}") for j in range(r)]).alias("bkey"),
+            )
             for b in range(bands)
         ]
     )
     buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bkey")
-        buckets = (
-            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bs") <= max_bucket)
-            .drop("__bs")
-        )
+    buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     # the self-join is a diamond DAG: without materializing, Spark
     # recomputes the whole shingle+md5 pipeline for BOTH sides
     # (verified via .explain: 2 FileScans, 0 ReusedExchange)
@@ -415,6 +443,12 @@ def simhash_pairs(
         raise ValueError(f"hex_chars ({hex_chars}) must divide into bands ({bands})")
     if hex_chars > 16:
         raise ValueError("hamming via 64-bit xor supports at most 16 hex chars")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole recall guarantee needs one unchanged band per pair; "
+            "raise bands (or hex_chars) to allow a larger distance"
+        )
     r = hex_chars // bands
     sigs = simhash_signatures(df, id_col, text_col, hex_chars, hash_impl)
     band_structs = F.array(
@@ -429,13 +463,7 @@ def simhash_pairs(
     buckets = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bb")
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bkey")
-        buckets = (
-            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bs") <= max_bucket)
-            .drop("__bs")
-        )
+    buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     from flox_spark.plans.util import materialize_shared
 
     buckets = materialize_shared(buckets)

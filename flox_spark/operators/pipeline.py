@@ -60,24 +60,15 @@ def dedup_documents(
     elif method == "minhash":
         pairs = minhash_candidates(df, id_col=id_col, text_col=text_col, **kw)
     elif method == "simhash":
-        from pyspark.sql import Window
-
+        from flox_spark.operators.dedup import cap_buckets
         from flox_spark.plans.util import materialize_shared
 
         max_bucket = kw.pop("max_bucket", 1000)
         sigs = simhash_signatures(df, id_col=id_col, text_col=text_col, **kw)
-        if max_bucket is not None:
-            # same guard as the minhash path: a degenerate corpus
-            # (thousands of empty/boilerplate docs sharing one
-            # signature) would otherwise expand quadratically in the
-            # self-join; such a bucket means "everything here is
-            # near-identical" and belongs to dedup_exact instead
-            w = Window.partitionBy("simhash")
-            sigs = (
-                sigs.withColumn("__bs", F.count(F.lit(1)).over(w))
-                .filter(F.col("__bs") <= max_bucket)
-                .drop("__bs")
-            )
+        # same guard as the minhash path: a degenerate corpus
+        # (thousands of empty/boilerplate docs sharing one signature)
+        # would otherwise expand quadratically in the self-join
+        sigs = cap_buckets(sigs, ["simhash"], max_bucket)
         # materialize: the self-join would otherwise recompute the
         # whole signature pipeline for both sides
         sigs = materialize_shared(sigs)

@@ -88,10 +88,17 @@ def heavy_hitters(
     if min_count is not None:
         counts = counts.filter(F.col("n") >= min_count)
     if top is not None:
-        w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.col("item"))
-        counts = (
-            counts.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= top)
-            .drop("__rk")
-        )
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.col("item"))
+            counts = (
+                counts.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= top)
+                .drop("__rk")
+            )
+        else:
+            # global top-k: orderBy().limit() compiles to
+            # TakeOrderedAndProject (distributed partial top-k per
+            # partition); an unpartitioned window would funnel every
+            # distinct item through ONE task
+            counts = counts.orderBy(F.desc("n"), F.col("item")).limit(top)
     return counts.orderBy(*keys, F.desc("n"), F.col("item"))

@@ -109,13 +109,33 @@ def recommend_shuffle_partitions(
     return max(floor, min(int(want), max_partitions))
 
 
-def tuned_shuffle(df: DataFrame, **kwargs) -> DataFrame:
-    """Set the session's shuffle partitions to the recommendation for
-    this input and return ``df`` unchanged (fluent form):
-    ``groupby_reduce(tuned_shuffle(df), ...)``."""
+from contextlib import contextmanager
+
+
+@contextmanager
+def tuned_shuffle(df: DataFrame, **kwargs):
+    """Context manager: set the session's shuffle partitions to the
+    recommendation for this input, yield ``df``, and RESTORE the
+    previous setting on exit — ``spark.sql.shuffle.partitions`` is
+    session-global, so a plain setter would silently retune every
+    later query in the session (tiny frame -> floor -> a later huge
+    aggregation spills; huge frame -> thousands of empty tasks for
+    later small jobs).
+
+        with tuned_shuffle(df) as tdf:
+            result = groupby_reduce(tdf, ...)
+            result.write.parquet(...)   # execute INSIDE the block
+
+    NB the conf is read at execution time: collect/write inside the
+    ``with`` block."""
+    spark = df.sparkSession
     n = recommend_shuffle_partitions(df, **kwargs)
-    df.sparkSession.conf.set("spark.sql.shuffle.partitions", str(n))
-    return df
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def materialize_shared(df: DataFrame) -> DataFrame:

@@ -44,56 +44,90 @@ from flox_spark.dtypes import NAN, is_missing, to_skip
 __all__ = ["groupby_reduce_salted", "SALTABLE"]
 
 
-def _p_minmax(v: Column, is_max: bool, poison: Column):
-    f = F.max if is_max else F.min
-    return {"m": f(v), "pz": F.bool_or(poison)}
-
-
 # func -> (partial aggs: dict[name, Column-builder], merge expr builder)
 # partial builders take (v_skip, v_raw, poison); merge builders take
 # the partial frame's columns by name (prefixed) and return the final
-# expression.  All merges are EXACT (algebraic combine).
-def _specs() -> dict[str, tuple[Callable, Callable]]:
+# expression.  All merges are EXACT (algebraic combine), with the same
+# output typing as groupby_reduce: integral inputs keep exact long
+# arithmetic (never routed through double — 2^53 precision), float32
+# results restore to float, and the plain-func poison sentinel is NaN
+# for float results / typed NULL otherwise (mirrors
+# aggregations._nan_sentinel / _propagate).
+def _specs(is_float: bool, in_dt) -> dict[str, tuple[Callable, Callable]]:
+    from pyspark.sql.types import FloatType
+
+    is_f32 = isinstance(in_dt, FloatType)
+    num_t = "double" if is_float else "long"
+    out_num_t = "float" if is_f32 else num_t  # float32 restores (xrdtypes parity)
+    mean_t = "float" if is_f32 else "double"
+
+    def zero() -> Column:
+        return F.lit(0).cast(num_t)
+
+    def sentinel(t) -> Column:
+        if isinstance(t, str):
+            return F.lit(NAN).cast(t) if t in ("double", "float") else F.lit(None).cast(t)
+        from flox_spark.dtypes import is_float_type as _ift
+
+        return F.lit(NAN).cast(t) if _ift(t) else F.lit(None).cast(t)
+
+    def poisoned(p, expr: Column, t) -> Column:
+        return F.when(F.bool_or(p("pz")), sentinel(t)).otherwise(expr)
+
+    def restore32(expr: Column) -> Column:
+        return expr.cast("float") if is_f32 else expr
+
+    def prod_merge(p) -> Column:
+        expr = F.coalesce(F.product(p("s")), F.lit(1.0))
+        return restore32(expr) if is_float else expr.cast("long")
+
+    def truthy(vs: Column, vr: Column) -> Column:
+        if is_float:
+            return F.when(vr.isNotNull(), F.isnan(vr) | (vr != 0.0))
+        return F.when(vr.isNotNull(), vr != 0)
+
     return {
         "count": (
             lambda vs, vr, pz: {"c": F.count(vs)},
             lambda p: F.sum(p("c")),
         ),
-        "sum": (  # NaN propagates through double sums on its own
-            lambda vs, vr, pz: {"s": F.sum(vr), "pz": F.bool_or(pz)},
-            lambda p: F.when(F.bool_or(p("pz")), F.lit(NAN)).otherwise(F.sum(p("s"))),
+        "sum": (
+            lambda vs, vr, pz: {"s": F.sum(vs), "pz": F.bool_or(pz)},
+            lambda p: poisoned(
+                p, restore32(F.coalesce(F.sum(p("s")), zero())), out_num_t
+            ),
         ),
         "nansum": (
             lambda vs, vr, pz: {"s": F.sum(vs)},
-            lambda p: F.coalesce(F.sum(p("s")), F.lit(0.0)),
+            lambda p: restore32(F.coalesce(F.sum(p("s")), zero())),
         ),
         "prod": (
-            lambda vs, vr, pz: {"s": F.product(vr), "pz": F.bool_or(pz)},
-            lambda p: F.when(F.bool_or(p("pz")), F.lit(NAN)).otherwise(F.product(p("s"))),
+            lambda vs, vr, pz: {"s": F.product(vs), "pz": F.bool_or(pz)},
+            lambda p: poisoned(p, prod_merge(p), out_num_t),
         ),
         "nanprod": (
             lambda vs, vr, pz: {"s": F.product(vs)},
-            lambda p: F.coalesce(F.product(p("s")), F.lit(1.0)),
+            prod_merge,
         ),
         "mean": (
             lambda vs, vr, pz: {"s": F.sum(vs), "c": F.count(vs), "pz": F.bool_or(pz)},
-            lambda p: F.when(F.bool_or(p("pz")), F.lit(NAN)).otherwise(
-                F.sum(p("s")) / F.sum(p("c"))
+            lambda p: poisoned(
+                p, restore32(F.sum(p("s")) / F.sum(p("c"))), mean_t
             ),
         ),
         "nanmean": (  # all-missing group -> NaN (flox empty-reduce fill)
             lambda vs, vr, pz: {"s": F.sum(vs), "c": F.count(vs)},
             lambda p: F.when(
-                F.sum(p("c")) > 0, F.sum(p("s")) / F.sum(p("c"))
-            ).otherwise(F.lit(NAN)),
+                F.sum(p("c")) > 0, restore32(F.sum(p("s")) / F.sum(p("c")))
+            ).otherwise(F.lit(NAN).cast(mean_t)),
         ),
         "min": (
-            lambda vs, vr, pz: _p_minmax(vs, False, pz),
-            lambda p: F.when(F.bool_or(p("pz")), F.lit(NAN)).otherwise(F.min(p("m"))),
+            lambda vs, vr, pz: {"m": F.min(vs), "pz": F.bool_or(pz)},
+            lambda p: poisoned(p, F.min(p("m")), in_dt),
         ),
         "max": (
-            lambda vs, vr, pz: _p_minmax(vs, True, pz),
-            lambda p: F.when(F.bool_or(p("pz")), F.lit(NAN)).otherwise(F.max(p("m"))),
+            lambda vs, vr, pz: {"m": F.max(vs), "pz": F.bool_or(pz)},
+            lambda p: poisoned(p, F.max(p("m")), in_dt),
         ),
         "nanmin": (
             lambda vs, vr, pz: {"m": F.min(vs)},
@@ -104,17 +138,20 @@ def _specs() -> dict[str, tuple[Callable, Callable]]:
             lambda p: F.max(p("m")),
         ),
         "any": (
-            lambda vs, vr, pz: {"b": F.bool_or(F.isnan(vr) | (vr != 0.0))},
+            lambda vs, vr, pz: {"b": F.bool_or(truthy(vs, vr))},
             lambda p: F.coalesce(F.bool_or(p("b")), F.lit(False)),
         ),
         "all": (
-            lambda vs, vr, pz: {"b": F.bool_and(F.isnan(vr) | (vr != 0.0))},
+            lambda vs, vr, pz: {"b": F.bool_and(truthy(vs, vr))},
             lambda p: F.coalesce(F.bool_and(p("b")), F.lit(False)),
         ),
     }
 
 
-SALTABLE = tuple(sorted(_specs()))
+SALTABLE = (
+    "all", "any", "count", "max", "mean", "min", "nanmax", "nanmean",
+    "nanmin", "nanprod", "nansum", "prod", "sum",
+)
 
 
 def groupby_reduce_salted(
@@ -130,8 +167,7 @@ def groupby_reduce_salted(
     ``groupby_reduce`` for the funcs in ``SALTABLE`` (equality-tested
     in tests/test_salting.py), reducer load bounded by
     ~|hot group| / n_salt."""
-    specs = _specs()
-    if func not in specs:
+    if func not in SALTABLE:
         raise ValueError(
             f"salted reduction supports {SALTABLE}, got {func!r}; "
             "non-decomposable funcs (median/quantile/mode/nunique) need the "
@@ -139,17 +175,40 @@ def groupby_reduce_salted(
         )
     out = alias or func
     vdt = df.schema[value].dataType
+    from pyspark.sql.types import BooleanType, NumericType
+
+    if not isinstance(vdt, (NumericType, BooleanType)):
+        raise ValueError(
+            f"salted reduction supports numeric/bool values, got {vdt.simpleString()!r} "
+            "for column " + repr(value) + "; use groupby_reduce for datetime/interval "
+            "round-trips"
+        )
 
     work = df
     for b in by:
         work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
 
-    v_raw = F.col(value).cast("double")
-    v_skip = to_skip(F.col(value), vdt).cast("double")
+    from flox_spark.dtypes import is_float_type
+
+    if is_float_type(vdt):
+        # NaN policy via the skip view; no double cast — Spark's sum
+        # accumulates float in double anyway and min/max must preserve
+        # the input float type like groupby_reduce does
+        v_raw = F.col(value)
+        v_skip = to_skip(F.col(value), vdt)
+    elif isinstance(vdt, BooleanType):
+        v_raw = F.col(value).cast("long")
+        v_skip = v_raw
+    else:
+        # integral stays integral: casting to double would silently
+        # lose precision past 2^53 (sum of 64-bit counters); Spark's
+        # long sum is exact and matches groupby_reduce's promotion
+        v_raw = F.col(value)
+        v_skip = F.col(value)
     poison = is_missing(F.col(value), vdt)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
 
-    p_build, m_build = specs[func]
+    p_build, m_build = _specs(is_float_type(vdt), vdt)[func]
     partial_aggs = p_build(v_skip, v_raw, poison)
     partial = (
         work.withColumn("__salt", salt)

@@ -93,13 +93,14 @@ def minhash_band_keys(
     base = base.select(
         F.col(id_col), *extra, *[mh(i).alias(f"__mh{i}") for i in range(num_hashes)]
     )
-    if hash_impl == "xxhash64":
-        bkey = lambda b: F.xxhash64(*[F.col(f"__mh{b * r + j}") for j in range(r)]).cast("string")  # noqa: E731
-    else:
-        bkey = lambda b: F.md5(F.concat_ws("|", *[F.col(f"__mh{b * r + j}") for j in range(r)]))  # noqa: E731
+    from flox_spark.operators.dedup import band_key
+
     band_structs = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
+            F.struct(
+                F.lit(b).alias("band"),
+                band_key(hash_impl, [F.col(f"__mh{b * r + j}") for j in range(r)]).alias("bkey"),
+            )
             for b in range(bands)
         ]
     )

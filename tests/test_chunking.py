@@ -76,3 +76,33 @@ def test_average_embeddings_pools(spark):
     for doc, grp in pdf.groupby("doc"):
         want = np.mean(np.array(grp["embedding"].tolist()), axis=0)
         assert np.allclose(got[doc], want, rtol=1e-12), doc
+
+
+def test_chunk_text_preserves_case_and_punctuation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 'The CEO said "NO"\n\tTwice!')], columns=["doc_id", "text"])
+    )
+    rows = chunk_documents(df, max_tokens=3).collect()
+    texts = sorted((r["chunk_id"], r["chunk_text"]) for r in rows)
+    # tokens verbatim; whitespace runs collapse to single spaces
+    assert texts == [(0, 'The CEO said'), (1, '"NO" Twice!')]
+
+
+def test_average_embeddings_keeps_all_null_groups_and_validates_dim(spark):
+    import pyspark
+
+    pdf = pd.DataFrame(
+        {
+            "doc": [0, 0, 1, 1],
+            "embedding": [[1.0, 2.0], [3.0, 4.0], None, None],
+        }
+    )
+    got = {r["doc"]: r["embedding"] for r in
+           average_embeddings(spark.createDataFrame(pdf), "doc", dim=2).collect()}
+    assert got[0] == [2.0, 3.0]
+    assert got[1] is None  # all-NULL group stays, with NULL vector
+    ragged = pd.DataFrame(
+        {"doc": [0, 0], "embedding": [[1.0, 2.0], [1.0, 2.0, 3.0]]}
+    )
+    with pytest.raises(Exception, match="expected dim 2"):
+        average_embeddings(spark.createDataFrame(ragged), "doc", dim=2).collect()

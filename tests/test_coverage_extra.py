@@ -257,14 +257,13 @@ def test_recommend_shuffle_partitions_from_stats(spark):
     n = recommend_shuffle_partitions(li, target_partition_bytes=target)
     assert n == -(-size // target)
     assert n >= floor * 4
-    # fluent form sets the session conf and passes the frame through
+    # context-manager form sets the conf inside the block and RESTORES
+    # it on exit (session-global conf must not leak to later queries)
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        out = tuned_shuffle(li, target_partition_bytes=target)
+    with tuned_shuffle(li, target_partition_bytes=target) as out:
         assert out is li
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
 
 def test_recommend_shuffle_partitions_unknown_stats(spark):

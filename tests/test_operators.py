@@ -435,7 +435,7 @@ def test_simhash_pairs_hamming(spark, docs):
     from flox_spark.operators import simhash_pairs
 
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-           simhash_pairs(docs, max_hamming=8).collect()}
+           simhash_pairs(docs, hex_chars=16, bands=16, max_hamming=8).collect()}
     assert got.get((0, 1)) == 0  # exact dups: distance 0
     # near dup of 0 within a few bits (if banding surfaced it)
     for pair, h in got.items():
@@ -490,3 +490,10 @@ def test_simhash_pairs_16_chars_no_overflow(spark, docs):
            simhash_pairs(docs, hex_chars=16, bands=4, max_hamming=3).collect()}
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 0
+
+
+def test_simhash_pairs_rejects_hamming_ge_bands(spark, docs):
+    from flox_spark.operators import simhash_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bands=4, max_hamming=4)

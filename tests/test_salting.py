@@ -89,3 +89,42 @@ def test_salted_plan_has_two_aggregate_phases(spark, skewed):
     # first keyed by (k, __salt): the skew-splitting shuffle
     assert plan.count("HashAggregate") >= 4
     assert "__salt" in plan
+
+
+@pytest.mark.parametrize(
+    # no prod here: the product of 2^55-scale values overflows the
+    # long output cast in BOTH paths (ANSI) — covered by the double test
+    "func", ["sum", "nansum", "count", "min", "max", "mean", "any", "all"]
+)
+def test_salted_long_dtype_parity(spark, func):
+    # integral inputs must stay in exact long arithmetic: a double
+    # round-trip would corrupt sums past 2^53
+    big = 1 << 55
+    # NB: build rows directly — a pandas column with a None would
+    # coerce to float64 and round big+1 back to big before Spark
+    df = spark.createDataFrame(
+        [(0, big), (0, big + 1), (0, big + 3), (1, 7), (1, None)],
+        "k bigint, v bigint",
+    )
+    a = {r["k"]: r[func] for r in
+         groupby_reduce_salted(df, "k", func=func, value="v", n_salt=4).collect()}
+    b = {r["k"]: r[func] for r in
+         groupby_reduce(df, "k", func=func, value="v").collect()}
+    assert set(a) == set(b)
+    for g in b:
+        x, y = a[g], b[g]
+        if isinstance(y, float) and math.isnan(y):
+            assert isinstance(x, float) and math.isnan(x), (func, g, x, y)
+        else:
+            assert x == y, (func, g, x, y)
+    if func == "sum":
+        assert a[0] == 3 * big + 4  # exact, impossible via double
+    sch = dict(groupby_reduce_salted(df, "k", func=func, value="v").dtypes)
+    sch_b = dict(groupby_reduce(df, "k", func=func, value="v").dtypes)
+    assert sch[func] == sch_b[func], (func, sch, sch_b)
+
+
+def test_salted_rejects_datetime(spark):
+    pdf = pd.DataFrame({"k": [0], "v": pd.to_datetime(["2024-01-01"])})
+    with pytest.raises(ValueError, match="numeric/bool"):
+        groupby_reduce_salted(spark.createDataFrame(pdf), "k", func="max", value="v")

@@ -90,3 +90,17 @@ def test_heavy_hitters_requires_bound(spark, user_days):
     df, _ = user_days
     with pytest.raises(ValueError, match="unbounded"):
         heavy_hitters(df, "user")
+
+
+def test_heavy_hitters_global_top_uses_limit_plan(spark, user_days):
+    df, _ = user_days
+    plan = (
+        heavy_hitters(df, "user", top=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # global top-k must be TakeOrderedAndProject (distributed partial
+    # top-k), not a single-task unpartitioned window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
