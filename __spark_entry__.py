@@ -1604,7 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": """
             WITH t AS (
               SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                     regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents
               WHERE text IS NOT NULL AND trim(text) != ''
             ), s AS (
