@@ -710,6 +710,16 @@ def q_embed_pool(s, d):
     )
 
 
+def q_decontaminate(s, d):
+    # benchmark decontamination: every 50th document plays the eval
+    # set; corpus docs sharing >= 5 distinct 3-grams with it are dropped
+    from flox_spark.operators import decontaminate
+
+    docs = _t(s, d, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=3, min_shared=5).select("doc_id")
+
+
 def q_salted_sum(s, d):
     # declared-salt two-phase reduction (hot-key remedy): must equal
     # the plain grouped sum exactly
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         "chunk_docs": q_chunk_docs,
         "embed_pool": q_embed_pool,
+        "decontaminate": q_decontaminate,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
         "weighted_var": q_weighted_var,
@@ -1627,6 +1638,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp, list(round(m, 6) ORDER BY pos) AS embedding
             FROM m GROUP BY grp""",
+        "decontaminate": """
+            WITH {SHINGLES},
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+                     FROM sh s JOIN bench b USING (shingle)
+                     GROUP BY s.doc_id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_shared >= 5)""".replace("{SHINGLES}", _SHINGLES_CTE),
         "salted_sum": """
             SELECT l_orderkey, coalesce(sum(l_quantity::DOUBLE), 0.0) AS sum_qty
             FROM lineitem GROUP BY l_orderkey""",

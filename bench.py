@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "salted_sum",       # declared-salt two-phase reduction
     "simhash_pairs",    # banded hamming near-dup pairs
     "chunk_docs",       # overlapping token-window chunking
+    "decontaminate",    # n-gram benchmark decontamination
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
     "quantile_sort",    # bounded-memory exact quantile strategy

@@ -18,6 +18,8 @@ from flox_spark.operators.dedup import (
 )
 from flox_spark.operators.asof import asof_join
 from flox_spark.operators.clean import (
+    contamination_report,
+    decontaminate,
     normalize_whitespace,
     redact_pii,
     remove_boilerplate_lines,
@@ -79,6 +81,8 @@ __all__ = [
     "grouped_topk",
     "kmeans_fit",
     "normalize_whitespace",
+    "contamination_report",
+    "decontaminate",
     "redact_pii",
     "remove_boilerplate_lines",
     "pack_sequences",

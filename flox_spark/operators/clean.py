@@ -118,3 +118,77 @@ def remove_boilerplate_lines(
     return df.join(kept, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(""))
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per-corpus-document count of distinct word n-grams shared with
+    ANY benchmark document: one row ``(id, n_shared)`` per corpus doc
+    with at least one shared n-gram.  The candidate-generation half of
+    benchmark decontamination (the standard n-gram-overlap protocol
+    for keeping eval data out of training corpora; n=13 is the common
+    published choice).
+
+    Plan: corpus shingles (projection + one distinct) equi-join the
+    benchmark's DISTINCT shingle set — benchmark suites are tiny next
+    to a training corpus, so the join broadcasts; one count-distinct
+    aggregate per doc.  No UDFs."""
+    from flox_spark.operators.dedup import doc_shingles
+
+    bench_sh = (
+        doc_shingles(
+            benchmark, id_col=id_col, text_col=bench_text_col or text_col, k=n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    corp_sh = doc_shingles(corpus, id_col=id_col, text_col=text_col, k=n)
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "ngram",
+    n: int = 13,
+    min_shared: int = 1,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Remove corpus documents that overlap the benchmark set —
+    ``method="ngram"`` drops docs sharing >= ``min_shared`` distinct
+    word n-grams with any benchmark doc (``contamination_report``),
+    ``method="exact"`` drops docs whose whitespace/case-normalized
+    content equals any benchmark doc.  Returns the surviving corpus
+    rows unchanged."""
+    if method == "exact":
+        btc = bench_text_col or text_col
+        norm_c = F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        )
+        norm_b = F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(btc))), r"\s+", " ")
+        )
+        bench_fp = benchmark.select(norm_b.alias("__fp")).distinct()
+        return (
+            corpus.withColumn("__fp", norm_c)
+            .join(F.broadcast(bench_fp), "__fp", "left_anti")
+            .drop("__fp")
+        )
+    if method != "ngram":
+        raise ValueError(f"method must be ngram|exact, got {method!r}")
+    hits = contamination_report(
+        corpus, benchmark, id_col, text_col, n, bench_text_col
+    ).filter(F.col("n_shared") >= min_shared).select(id_col)
+    return corpus.join(hits, id_col, "left_anti")

@@ -102,3 +102,63 @@ def test_boilerplate_case_insensitive_matching(spark):
         for r in remove_boilerplate_lines(spark.createDataFrame(pdf), min_docs=2).collect()
     }
     assert out == {0: "body a", 1: "body b"}
+
+
+def test_decontaminate_ngram(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        _pd.DataFrame(
+            [(100, "the capital of france is paris and the capital of spain is madrid")],
+            columns=["doc_id", "text"],
+        )
+    )
+    corpus = spark.createDataFrame(
+        _pd.DataFrame(
+            [
+                # verbatim leak of a benchmark span (>= 5 shared 5-grams)
+                (0, "trivia time the capital of france is paris and the capital of spain is madrid obviously"),
+                (1, "completely unrelated text about query engines and shuffles here"),
+                # short partial overlap (< threshold)
+                (2, "the capital of france is a lovely place in europe today"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    rep = {r["doc_id"]: r["n_shared"] for r in
+           contamination_report(corpus, bench, n=5).collect()}
+    assert rep.get(0, 0) >= 5
+    assert 1 not in rep
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, bench, n=5, min_shared=5).collect())
+    assert kept == [1, 2]
+
+
+def test_decontaminate_exact(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import decontaminate
+
+    bench = spark.createDataFrame(
+        _pd.DataFrame([(0, "Secret  Eval Question?")], columns=["doc_id", "text"])
+    )
+    corpus = spark.createDataFrame(
+        _pd.DataFrame(
+            [(10, "secret eval question?"), (11, "something else")],
+            columns=["doc_id", "text"],
+        )
+    )
+    kept = [r["doc_id"] for r in decontaminate(corpus, bench, method="exact").collect()]
+    assert kept == [11]  # case/whitespace-normalized match dropped
+
+
+def test_decontaminate_rejects_unknown(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import decontaminate
+
+    df = spark.createDataFrame(_pd.DataFrame([(0, "x")], columns=["doc_id", "text"]))
+    with pytest.raises(ValueError, match="ngram|exact"):
+        decontaminate(df, df, method="fuzzy")
