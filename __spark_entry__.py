@@ -710,6 +710,13 @@ def q_embed_pool(s, d):
     )
 
 
+def q_quality_report(s, d):
+    # the quality decision layer: per-drop-reason counts over documents
+    from flox_spark.operators import quality_filter_report
+
+    return quality_filter_report(_t(s, d, "documents"))
+
+
 def q_decontaminate(s, d):
     # benchmark decontamination: every 50th document plays the eval
     # set; corpus docs sharing >= 5 distinct 3-grams with it are dropped
@@ -1221,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         "chunk_docs": q_chunk_docs,
         "embed_pool": q_embed_pool,
+        "quality_report": q_quality_report,
         "decontaminate": q_decontaminate,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
@@ -1638,6 +1646,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp, list(round(m, 6) ORDER BY pos) AS embedding
             FROM m GROUP BY grp""",
+        "quality_report": f"""
+            WITH b AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars FROM documents),
+            m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                         len(list_filter(toks, t -> t IN ({_EN_SW}))) AS n_stop
+                  FROM b),
+            r AS (SELECT doc_id,
+                   CASE WHEN NOT (n_tokens >= 5 AND n_tokens <= 100000) THEN 'n_tokens'
+                        WHEN NOT (n_tokens > 0 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3.0
+                                  AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0) THEN 'mean_tok_len'
+                        WHEN NOT ((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1) THEN 'punct_ratio'
+                        WHEN NOT ((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05) THEN 'stop_ratio'
+                        ELSE 'kept' END AS outcome
+                  FROM m)
+            SELECT outcome, count(*)::BIGINT AS n FROM r GROUP BY outcome""",
         "decontaminate": """
             WITH {SHINGLES},
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),

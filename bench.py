@@ -19,6 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+
+# best-of-N per query (both engines): single-shot timings at sf0.1 mix
+# real cost with first-run JIT/page-cache noise and ambient machine
+# load; the minimum is the standard steady-state estimator
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2") or 2))
 from flox_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -66,6 +71,7 @@ BENCH_QUERIES = [
     "simhash_pairs",    # banded hamming near-dup pairs
     "chunk_docs",       # overlapping token-window chunking
     "decontaminate",    # n-gram benchmark decontamination
+    "quality_report",   # quality-filter drop-reason accounting
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
     "quantile_sort",    # bounded-memory exact quantile strategy
@@ -99,10 +105,14 @@ def duckdb_times(sf_dir: str, names: list[str]) -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
-        t0 = time.perf_counter()
         try:
-            con.sql(sql).fetchall()
-            out[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 4)
         except Exception as e:
             print(f"duckdb {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             out[name] = -1.0
@@ -120,11 +130,15 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        spark.catalog.clearCache()  # operators persist shared frames; isolate queries
-        t0 = time.perf_counter()
         try:
-            force(qs[name](spark, sf_dir))
-            times[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()  # isolate persisted shared frames
+                t0 = time.perf_counter()
+                force(qs[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
         except Exception as e:  # never lose the whole bench to one query
             print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             times[name] = -1.0

@@ -1,4 +1,7 @@
 from flox_spark.operators.text import (
+    annotate_quality_filter,
+    quality_filter,
+    quality_filter_report,
     with_tokens,
     token_count,
     token_count_bpe,
@@ -62,6 +65,9 @@ __all__ = [
     "token_count",
     "token_count_bpe",
     "quality_score",
+    "annotate_quality_filter",
+    "quality_filter",
+    "quality_filter_report",
     "language_id",
     "fingerprint",
     "dedup_clusters",

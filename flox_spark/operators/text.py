@@ -151,3 +151,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     hashes live in dedup.minhash_signatures.)"""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def annotate_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_mean_tok_len: float = 12.0,
+    min_mean_tok_len: float = 3.0,
+    max_punct_ratio: float = 0.1,
+    min_stop_ratio: float = 0.05,
+) -> DataFrame:
+    """The decision layer over ``quality_score``: adds ``keep``
+    (boolean) and ``drop_reason`` (the FIRST failing rule's name, in
+    the documented order: n_tokens, mean_tok_len, punct_ratio,
+    stop_ratio; NULL when kept).  Reason accounting is what a real
+    filtering pipeline reports — "we dropped 12% for length, 3% for
+    punctuation" — and a deterministic first-fail rule makes the
+    report reproducible.  Pure projections over the quality features;
+    zero shuffles."""
+    ann = quality_score(df, text_col=text_col, prefix="__qf_")
+    rules = [
+        (
+            "n_tokens",
+            (F.col("__qf_n_tokens") >= min_tokens)
+            & (F.col("__qf_n_tokens") <= max_tokens),
+        ),
+        (
+            "mean_tok_len",
+            (F.col("__qf_mean_tok_len") >= min_mean_tok_len)
+            & (F.col("__qf_mean_tok_len") <= max_mean_tok_len),
+        ),
+        ("punct_ratio", F.col("__qf_punct_ratio") <= max_punct_ratio),
+        ("stop_ratio", F.col("__qf_stop_ratio") >= min_stop_ratio),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    keep = reason.isNull()
+    out = ann.withColumn("keep", keep).withColumn("drop_reason", reason)
+    return out.drop(*[c for c in out.columns if c.startswith("__qf_")])
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Corpus rows passing every quality rule (columns unchanged)."""
+    ann = annotate_quality_filter(df, text_col=text_col, **thresholds)
+    return ann.filter(F.col("keep")).drop("keep", "drop_reason")
+
+
+def quality_filter_report(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Per-reason drop counts (plus a ``kept`` row) — one tiny
+    aggregate over the annotations."""
+    ann = annotate_quality_filter(df, text_col=text_col, **thresholds)
+    return (
+        ann.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("outcome")
+    )

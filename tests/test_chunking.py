@@ -106,3 +106,31 @@ def test_average_embeddings_keeps_all_null_groups_and_validates_dim(spark):
     )
     with pytest.raises(Exception, match="expected dim 2"):
         average_embeddings(spark.createDataFrame(ragged), "doc", dim=2).collect()
+
+
+def test_chunk_documents_streaming(spark, tmp_path):
+    # chunk_documents is a pure projection (explode over sequence):
+    # the identical call runs on a Structured Streaming frame
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d e f", "x y"]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = chunk_documents(stream, max_tokens=3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flox_chunks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM flox_chunks").collect()
+    )
+    assert rows == [(0, 0, "a b c"), (0, 1, "d e f"), (1, 0, "x y")]

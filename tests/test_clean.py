@@ -162,3 +162,26 @@ def test_decontaminate_rejects_unknown(spark):
     df = spark.createDataFrame(_pd.DataFrame([(0, "x")], columns=["doc_id", "text"]))
     with pytest.raises(ValueError, match="ngram|exact"):
         decontaminate(df, df, method="fuzzy")
+
+
+def test_quality_filter_first_fail_reason(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import annotate_quality_filter, quality_filter_report
+
+    rows = [
+        (0, "the cat sat on the mat and it was good enough for everyone there"),  # keep
+        (1, "too short"),                                     # n_tokens fails first
+        (2, "a b c d e f g h i j k l"),                       # 1-char tokens: mean_tok_len
+        (3, "the cat!!! sat;;; on,,, the... mat??? here!!!"),  # punct_ratio
+    ]
+    df = spark.createDataFrame(_pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ann = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in
+           annotate_quality_filter(df).collect()}
+    assert ann[0] == (True, None)
+    assert ann[1] == (False, "n_tokens")
+    assert ann[2] == (False, "mean_tok_len")
+    assert ann[3][0] is False
+    rep = {r["outcome"]: r["n"] for r in quality_filter_report(df).collect()}
+    assert rep["kept"] == 1
+    assert sum(rep.values()) == 4
