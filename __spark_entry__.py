@@ -710,6 +710,20 @@ def q_embed_pool(s, d):
     )
 
 
+def q_profile(s, d):
+    # one-pass table profiling; approx_distinct dropped from the oracle
+    # row (HLL implementations differ across engines)
+    from flox_spark.operators import profile_columns
+
+    out = profile_columns(
+        _t(s, d, "lineitem"), ["l_orderkey", "l_quantity", "l_returnflag"]
+    )
+    return out.select(
+        "column", "n_rows", "n_null",
+        F.round("null_frac", 9).alias("null_frac"), "min_str", "max_str",
+    )
+
+
 def q_quality_report(s, d):
     # the quality decision layer: per-drop-reason counts over documents
     from flox_spark.operators import quality_filter_report
@@ -1228,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         "chunk_docs": q_chunk_docs,
         "embed_pool": q_embed_pool,
+        "profile": q_profile,
         "quality_report": q_quality_report,
         "decontaminate": q_decontaminate,
         "salted_sum": q_salted_sum,
@@ -1646,6 +1661,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp, list(round(m, 6) ORDER BY pos) AS embedding
             FROM m GROUP BY grp""",
+        "profile": """
+            WITH w AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum((l_orderkey IS NULL)::BIGINT)::BIGINT AS nn1,
+                     min(l_orderkey)::VARCHAR AS mn1, max(l_orderkey)::VARCHAR AS mx1,
+                     sum((l_quantity IS NULL)::BIGINT)::BIGINT AS nn2,
+                     min(l_quantity)::VARCHAR AS mn2, max(l_quantity)::VARCHAR AS mx2,
+                     sum((l_returnflag IS NULL)::BIGINT)::BIGINT AS nn3,
+                     min(l_returnflag)::VARCHAR AS mn3, max(l_returnflag)::VARCHAR AS mx3
+              FROM lineitem)
+            SELECT 'l_orderkey' AS column, n AS n_rows, nn1 AS n_null,
+                   round(CASE WHEN n > 0 THEN nn1 / n ELSE 0.0 END, 9) AS null_frac,
+                   mn1 AS min_str, mx1 AS max_str FROM w
+            UNION ALL
+            SELECT 'l_quantity', n, nn2,
+                   round(CASE WHEN n > 0 THEN nn2 / n ELSE 0.0 END, 9),
+                   mn2, mx2 FROM w
+            UNION ALL
+            SELECT 'l_returnflag', n, nn3,
+                   round(CASE WHEN n > 0 THEN nn3 / n ELSE 0.0 END, 9),
+                   mn3, mx3 FROM w""",
         "quality_report": f"""
             WITH b AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars FROM documents),
             m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "chunk_docs",       # overlapping token-window chunking
     "decontaminate",    # n-gram benchmark decontamination
     "quality_report",   # quality-filter drop-reason accounting
+    "profile",          # one-pass table profiling
     "weighted_mean",    # fused xarray-.weighted() pass
     "frame_sample",     # declarative binary frame slicing
     "quantile_sort",    # bounded-memory exact quantile strategy

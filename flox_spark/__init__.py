@@ -19,7 +19,7 @@ from flox_spark.core import groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
-from flox_spark.transform import groupby_transform, standardize
+from flox_spark.transform import groupby_apply, groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
 from flox_spark.salting import groupby_reduce_salted
 
@@ -29,6 +29,7 @@ __all__ = [
     "groupby_reduce_weighted",
     "groupby_reduce_salted",
     "groupby_transform",
+    "groupby_apply",
     "standardize",
     "groupby_scan",
     "groupby_scan_blocked",

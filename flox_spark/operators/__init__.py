@@ -40,6 +40,7 @@ from flox_spark.operators.sampling import (
     split_train_test,
 )
 from flox_spark.operators.chunking import average_embeddings, chunk_documents
+from flox_spark.operators.profile import profile_columns
 from flox_spark.operators.rangejoin import range_join
 from flox_spark.operators.sketches import (
     build_distinct_sketches,
@@ -107,6 +108,7 @@ __all__ = [
     "normalize_embeddings",
     "quantize_embeddings_int8",
     "range_join",
+    "profile_columns",
     "chunk_documents",
     "average_embeddings",
     "build_distinct_sketches",

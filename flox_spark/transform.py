@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from flox_spark.core import groupby_reduce, groupby_reduce_multi
 
-__all__ = ["groupby_transform", "standardize"]
+__all__ = ["groupby_apply", "groupby_transform", "standardize"]
 
 
 def groupby_transform(
@@ -75,3 +75,32 @@ def standardize(
     return joined.withColumn(
         out, (F.col(value) - F.col("__mu")) / F.col("__sd")
     ).drop("__mu", "__sd")
+
+
+def groupby_apply(
+    df: DataFrame,
+    *by: str,
+    fn,
+    schema,
+    drop_missing_labels: bool = True,
+):
+    """Arbitrary pandas-per-group escape hatch (pandas
+    ``GroupBy.apply`` parity): ``fn(pdf) -> pdf`` runs once per group
+    via ``applyInPandas`` with flox's label rule applied first
+    (missing-label rows dropped, like every reduction —
+    flox/factorize.py:201-212; pass ``drop_missing_labels=False`` for
+    raw Spark behavior where NULL labels form a group).
+
+    This is the LAST resort by design: it ships whole groups through
+    Arrow into Python and holds one group per worker in pandas —
+    prefer a registry reduction, a custom expression ``Aggregation``,
+    or ``pandas_aggregation`` (scalar UDAF) first; use this only when
+    the per-group computation is genuinely iterative/relational
+    (model-per-group fitting, per-group resampling)."""
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    if drop_missing_labels:
+        for b in by:
+            work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    return work.groupBy(*by).applyInPandas(fn, schema)
