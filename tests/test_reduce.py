@@ -301,3 +301,28 @@ def test_string_labels_sorted(spark):
     res = groupby_reduce(df, "label", func="nansum", value="v").collect()
     assert [r["label"] for r in res] == ["a", "b", "c"]
     assert [r["nansum"] for r in res] == [6.0, 6.0, 3.0]
+
+
+def test_bin_labels_datetime(spark):
+    # datetime bin edges come back as timestamp literals
+    import pandas as _pd
+
+    from flox_spark import groupby_reduce
+
+    pdf = _pd.DataFrame(
+        {
+            "ts": _pd.date_range("2024-01-01", periods=20, freq="12h"),
+            "v": range(20),
+        }
+    )
+    breaks = ["2024-01-01", "2024-01-04", "2024-01-08", "2024-01-12"]
+    rows = groupby_reduce(
+        spark.createDataFrame(pdf), "ts", func="count", value="v",
+        isbin=True, bin_labels=True, expected_groups=breaks, fill_value=0,
+    ).collect()
+    by_bin = {r["ts_bin"]: r for r in rows}
+    assert by_bin[0]["ts_bin_left"] == _pd.Timestamp("2024-01-01")
+    assert by_bin[0]["ts_bin_right"] == _pd.Timestamp("2024-01-04")
+    assert by_bin[2]["ts_bin_right"] == _pd.Timestamp("2024-01-12")
+    # left-open right-closed: the 2024-01-01 00:00 row is out of range
+    assert sum(r["count"] for r in rows) == 19
