@@ -1689,19 +1689,21 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(toks, t -> t IN ({_EN_SW}))) AS n_stop
                   FROM b),
             r AS (SELECT doc_id,
-                   CASE WHEN NOT (n_tokens >= 5 AND n_tokens <= 100000) THEN 'n_tokens'
-                        WHEN NOT (n_tokens > 0 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3.0
-                                  AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0) THEN 'mean_tok_len'
-                        WHEN NOT ((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1) THEN 'punct_ratio'
-                        WHEN NOT ((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05) THEN 'stop_ratio'
+                   CASE WHEN NOT coalesce(n_tokens >= 5 AND n_tokens <= 100000, false) THEN 'n_tokens'
+                        WHEN NOT coalesce(n_tokens > 0 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3.0
+                                  AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0, false) THEN 'mean_tok_len'
+                        WHEN NOT coalesce((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1, false) THEN 'punct_ratio'
+                        WHEN NOT coalesce((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05, false) THEN 'stop_ratio'
                         ELSE 'kept' END AS outcome
                   FROM m)
             SELECT outcome, count(*)::BIGINT AS n FROM r GROUP BY outcome""",
         "decontaminate": """
             WITH {SHINGLES},
-            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 50 = 0 AND shingle != ''),
             hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
                      FROM sh s JOIN bench b USING (shingle)
+                     WHERE s.shingle != ''
                      GROUP BY s.doc_id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_shared >= 5)""".replace("{SHINGLES}", _SHINGLES_CTE),

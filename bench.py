@@ -106,17 +106,17 @@ def duckdb_times(sf_dir: str, names: list[str]) -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
-        try:
-            best = None
-            for _ in range(N_RUNS):
-                t0 = time.perf_counter()
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            try:
                 con.sql(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 4)
-        except Exception as e:
-            print(f"duckdb {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            out[name] = -1.0
+            except Exception as e:
+                print(f"duckdb {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                continue  # keep any successful run's timing
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4) if best is not None else -1.0
     return out
 
 
@@ -131,18 +131,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        try:
-            best = None
-            for _ in range(N_RUNS):
-                spark.catalog.clearCache()  # isolate persisted shared frames
-                t0 = time.perf_counter()
+        best = None
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()  # isolate persisted shared frames
+            t0 = time.perf_counter()
+            try:
                 force(qs[name](spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 4)
-        except Exception as e:  # never lose the whole bench to one query
-            print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            times[name] = -1.0
+            except Exception as e:  # never lose the whole bench to one query
+                print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                continue  # keep any successful run's timing
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4) if best is not None else -1.0
 
     duck = duckdb_times(sf_dir, BENCH_QUERIES)
     ratios = {

@@ -145,20 +145,24 @@ def contamination_report(
     size since that shuffle is corpus-sized while the survivors are
     benchmark-sized; count_distinct already dedups survivors.)  No
     UDFs."""
-    from flox_spark.operators.dedup import _shingle_expr, doc_shingles
+    from flox_spark.operators.dedup import _shingle_expr
     from flox_spark.plans import ensure_parallelism
 
+    btc = bench_text_col or text_col
+    # shingle the benchmark TEXT directly (no doc-level distinct, no
+    # id column required on the benchmark frame); contentless docs
+    # (NULL/empty/whitespace) shingle to [''] — exclude that sentinel
+    # on BOTH sides, or one empty benchmark doc would "contaminate"
+    # every empty corpus doc
     bench_sh = (
-        doc_shingles(
-            benchmark, id_col=id_col, text_col=bench_text_col or text_col, k=n
-        )
-        .select("shingle")
+        benchmark.select(F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle"))
+        .filter(F.col("shingle") != "")
         .distinct()
     )
     corp_sh = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.explode(_shingle_expr(F.col(text_col), n, "word")).alias("shingle"),
-    )
+    ).filter(F.col("shingle") != "")
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -184,17 +188,21 @@ def decontaminate(
     rows unchanged."""
     if method == "exact":
         btc = bench_text_col or text_col
+        # pick a scratch name that cannot clobber a corpus column
+        fp = "__fp"
+        while fp in corpus.columns:
+            fp += "_"
         norm_c = F.md5(
             F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
         )
         norm_b = F.md5(
             F.regexp_replace(F.lower(F.trim(F.col(btc))), r"\s+", " ")
         )
-        bench_fp = benchmark.select(norm_b.alias("__fp")).distinct()
+        bench_fp = benchmark.select(norm_b.alias(fp)).distinct()
         return (
-            corpus.withColumn("__fp", norm_c)
-            .join(F.broadcast(bench_fp), "__fp", "left_anti")
-            .drop("__fp")
+            corpus.withColumn(fp, norm_c)
+            .join(F.broadcast(bench_fp), fp, "left_anti")
+            .drop(fp)
         )
     if method != "ngram":
         raise ValueError(f"method must be ngram|exact, got {method!r}")

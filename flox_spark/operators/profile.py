@@ -32,6 +32,8 @@ def profile_columns(
     as strings so mixed-type tables fit one schema; NULL for
     unorderable types like maps)."""
     names = list(cols) if cols is not None else list(df.columns)
+    if not names:
+        raise ValueError("no columns to profile")
     missing = [c for c in names if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")

@@ -171,6 +171,16 @@ def annotate_quality_filter(
     punctuation" — and a deterministic first-fail rule makes the
     report reproducible.  Pure projections over the quality features;
     zero shuffles."""
+    added = [
+        f"__qf_{s}"
+        for s in ("n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio", "score")
+    ]
+    clash = (set(added) | {"keep", "drop_reason"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} already exist; rename them before "
+            "annotate_quality_filter"
+        )
     ann = quality_score(df, text_col=text_col, prefix="__qf_")
     rules = [
         (
@@ -188,10 +198,14 @@ def annotate_quality_filter(
     ]
     reason = F.lit(None).cast("string")
     for name, ok in reversed(rules):
-        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+        # coalesce: a NULL rule verdict (NULL text -> NULL n_tokens
+        # under ANSI) FAILS that rule rather than silently passing to
+        # the next one — NULL text reads as 'n_tokens', deterministic
+        # in both engines
+        reason = F.when(~F.coalesce(ok, F.lit(False)), F.lit(name)).otherwise(reason)
     keep = reason.isNull()
     out = ann.withColumn("keep", keep).withColumn("drop_reason", reason)
-    return out.drop(*[c for c in out.columns if c.startswith("__qf_")])
+    return out.drop(*added)
 
 
 def quality_filter(

@@ -185,3 +185,82 @@ def test_quality_filter_first_fail_reason(spark):
     rep = {r["outcome"]: r["n"] for r in quality_filter_report(df).collect()}
     assert rep["kept"] == 1
     assert sum(rep.values()) == 4
+
+
+def test_decontaminate_empty_docs_not_cross_matched(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        _pd.DataFrame([(0, ""), (1, "   "), (2, None)], columns=["doc_id", "text"]))
+    corpus = spark.createDataFrame(
+        _pd.DataFrame(
+            [(10, ""), (11, None), (12, "real content stays here")],
+            columns=["doc_id", "text"],
+        )
+    )
+    # contentless benchmark docs must not contaminate contentless
+    # corpus docs through the '' sentinel shingle
+    assert contamination_report(corpus, bench, n=3).count() == 0
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect())
+    assert kept == [10, 11, 12]
+
+
+def test_decontaminate_benchmark_needs_no_id_column(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import decontaminate
+
+    bench = spark.createDataFrame(
+        _pd.DataFrame({"text": ["the capital of france is paris today ok"]})
+    )
+    corpus = spark.createDataFrame(
+        _pd.DataFrame(
+            [(0, "verbatim the capital of france is paris today ok leak"),
+             (1, "unrelated")],
+            columns=["doc_id", "text"],
+        )
+    )
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, bench, n=3, min_shared=3).collect())
+    assert kept == [1]
+
+
+def test_decontaminate_exact_fp_name_collision(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import decontaminate
+
+    corpus = spark.createDataFrame(
+        _pd.DataFrame(
+            [(0, "match me", "precious"), (1, "other", "data")],
+            columns=["doc_id", "text", "__fp"],
+        )
+    )
+    bench = spark.createDataFrame(_pd.DataFrame({"text": ["match  ME"]}))
+    rows = {r["doc_id"]: r["__fp"] for r in
+            decontaminate(corpus, bench, method="exact").collect()}
+    assert rows == {1: "data"}  # user column survives intact
+
+
+def test_quality_filter_null_text_fails_first_rule(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import annotate_quality_filter
+
+    df = spark.createDataFrame(
+        _pd.DataFrame([(0, None), (1, "")], columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["drop_reason"] for r in annotate_quality_filter(df).collect()}
+    assert got == {0: "n_tokens", 1: "n_tokens"}
+
+
+def test_quality_filter_rejects_column_collisions(spark):
+    import pandas as _pd
+
+    from flox_spark.operators import annotate_quality_filter
+
+    df = spark.createDataFrame(
+        _pd.DataFrame([(0, "x", True)], columns=["doc_id", "text", "keep"]))
+    with pytest.raises(ValueError, match="already exist"):
+        annotate_quality_filter(df)

@@ -61,3 +61,9 @@ def test_groupby_apply_escape_hatch(spark):
     ).collect()
     got = sorted((r["k"], r["v"]) for r in out)
     assert got == [(1.0, -1.0), (1.0, 1.0), (2.0, 0.0)]  # NaN-label row dropped
+
+
+def test_profile_empty_cols_rejected(spark):
+    pdf = pd.DataFrame({"a": [1]})
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(spark.createDataFrame(pdf), cols=[])
