@@ -219,3 +219,27 @@ def test_sessionize_gap_invariants(spark, offsets, gap_s):
     for (a, b), (sa, sb) in zip(zip(rows, rows[1:]), zip(sids, sids[1:])):
         gap = (b["ts"] - a["ts"]).total_seconds()
         assert (sb == sa) == (gap <= gap_s), (gap, gap_s)
+
+
+@pytest.mark.parametrize("func", ["nansum", "nanmean", "count", "nanmin", "nanmax", "sum", "mean"])
+@given(data=arrays())
+@ex
+def test_salted_equals_plain_property(spark, func, data):
+    # the salted two-phase combine is exact for any data/NaN layout
+    from flox_spark.salting import groupby_reduce_salted
+
+    v, lab = data
+    df = spark.createDataFrame(pd.DataFrame({"k": lab, "v": v}))
+    a = {r["k"]: r[func] for r in
+         groupby_reduce_salted(df, "k", func=func, value="v", n_salt=3).collect()}
+    b = {r["k"]: r[func] for r in
+         groupby_reduce(df, "k", func=func, value="v").collect()}
+    assert set(a) == set(b)
+    for g in b:
+        x, y = a[g], b[g]
+        if y is None or (isinstance(y, float) and math.isnan(y)):
+            assert x is None or (isinstance(x, float) and math.isnan(x)), (func, g)
+        elif isinstance(y, float):
+            assert x == pytest.approx(y, rel=1e-12, abs=1e-12), (func, g)
+        else:
+            assert x == y, (func, g)
