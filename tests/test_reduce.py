@@ -326,3 +326,34 @@ def test_bin_labels_datetime(spark):
     assert by_bin[2]["ts_bin_right"] == _pd.Timestamp("2024-01-12")
     # left-open right-closed: the 2024-01-01 00:00 row is out of range
     assert sum(r["count"] for r in rows) == 19
+
+
+@pytest.mark.parametrize(
+    # reference tests/test_core.py:2293-2321 pins offset 1e7 (its
+    # shift-by-first kernel, flox/aggregate_npg.py:112-126); Spark's
+    # streaming central-moment merge holds ~1e-9 there and degrades
+    # gracefully to ~1e-8 at 1e9 (measured) — pinned per magnitude so
+    # a regression to naive E[x^2]-mu^2 (which loses ~0.3% at 1e7)
+    # cannot slip in.  For extreme offsets, shift values upstream or
+    # use standardize().
+    "offset,rtol", [(1e7, 1e-9), (1e9, 1e-7)]
+)
+@pytest.mark.parametrize("func", ["var", "nanvar", "std", "nanstd"])
+def test_var_offset_stability(spark, offset, rtol, func):
+    import numpy as _np
+    import pandas as _pd
+
+    from flox_spark import groupby_reduce
+
+    rng = _np.random.default_rng(9)
+    n = 2000
+    pdf = _pd.DataFrame(
+        {"k": rng.integers(0, 3, n), "v": rng.normal(size=n) + offset}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["k"]: r[func] for r in
+           groupby_reduce(df, "k", func=func, value="v").collect()}
+    for g, grp in pdf.groupby("k"):
+        v = grp["v"].to_numpy()
+        want = _np.var(v) if "var" in func else _np.std(v)
+        assert got[g] == pytest.approx(want, rel=rtol), (func, offset, g)
