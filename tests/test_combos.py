@@ -230,3 +230,42 @@ def test_multi_bin_labels(spark):
     assert rows[0]["x_bin_left"] == 0.0 and rows[0]["x_bin_right"] == 10.0
     assert rows[2]["x_bin_left"] == 20.0 and rows[2]["x_bin_right"] == 30.0
     assert rows[0]["s"] == 3.0 and rows[1]["s"] == 3.0 and rows[2]["s"] == 4.0
+
+
+def test_multiby_one_binned_with_labels_and_fill(spark):
+    # 2 by-columns, one binned with labels, cartesian expected grid +
+    # fill: the full reindex interaction in one call
+    import numpy as _np
+    import pandas as _pd
+
+    from flox_spark import groupby_reduce
+
+    rng = _np.random.default_rng(77)
+    n = 200
+    pdf = _pd.DataFrame(
+        {
+            "cat": rng.choice(["a", "b"], n),
+            "x": rng.uniform(0, 30, n),
+            "v": rng.normal(size=n),
+        }
+    )
+    # nothing lands in the last bin for cat 'b': fill must materialize it
+    pdf.loc[(pdf["cat"] == "b") & (pdf["x"] > 20), "x"] = 5.0
+    out = groupby_reduce(
+        spark.createDataFrame(pdf), "cat", "x",
+        func="nansum", value="v",
+        isbin=(False, True), bin_labels=True,
+        expected_groups=(["a", "b"], [0.0, 10.0, 20.0, 30.0]),
+        fill_value=0.0,
+    ).collect()
+    assert len(out) == 6  # 2 cats x 3 bins, grid complete
+    by_key = {(r["cat"], r["x_bin"]): r for r in out}
+    assert by_key[("b", 2)]["nansum"] == 0.0  # filled empty bin
+    for (cat, b), r in by_key.items():
+        assert r["x_bin_left"] == [0.0, 10.0, 20.0][b]
+        assert r["x_bin_right"] == [10.0, 20.0, 30.0][b]
+    # values match pandas on the observed bins
+    pdf["bin"] = _pd.cut(pdf["x"], [0, 10, 20, 30], labels=False, right=True)
+    want = pdf.groupby(["cat", "bin"])["v"].sum()
+    for (cat, b), w in want.items():
+        assert by_key[(cat, int(b))]["nansum"] == pytest.approx(w, rel=1e-12)
