@@ -90,6 +90,36 @@ def reduction_scaling(spark, quick: bool) -> dict:
     return out
 
 
+def kmeans_scaling(spark, quick: bool) -> dict:
+    """Lloyd-loop wall time vs point count: the zero-shuffle fold
+    assignment means per-iteration cost should track the scan, not a
+    data-sized exchange."""
+    from flox_spark.operators.kmeans import kmeans_fit
+
+    def synth_vecs(n: int):
+        dim = 16
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: ((F.col("id") * 1103515245 + i * 12345) % 1000).cast("double") / 100.0,
+            ).alias("embedding"),
+        )
+
+    sizes = [100_000] if quick else [100_000, 1_000_000]
+    out = {}
+    for n in sizes:
+        df = synth_vecs(n)
+        t0 = time.perf_counter()
+        kmeans_fit(df, k=16, max_iter=3).collect()
+        out[f"{n}_pts_k16_iter3"] = round(time.perf_counter() - t0, 3)
+    if len(sizes) == 2:
+        out["wall_ratio_for_10x_data"] = round(
+            out["1000000_pts_k16_iter3"] / out["100000_pts_k16_iter3"], 2
+        )
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("bench_scale")
@@ -97,6 +127,7 @@ def main() -> None:
     result = {
         "scan_crossover": scan_crossover(spark, quick),
         "reduction_scaling": reduction_scaling(spark, quick),
+        "kmeans_scaling": kmeans_scaling(spark, quick),
     }
     print(json.dumps(result, indent=2))
 
