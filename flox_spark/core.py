@@ -138,6 +138,41 @@ def _with_bin_labels(
     return result
 
 
+_NUMPY_TO_SPARK = {
+    "float64": "double", "float32": "float", "float16": "float",
+    "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",
+    "uint64": "bigint", "uint32": "bigint", "uint16": "int", "uint8": "smallint",
+    "bool": "boolean", "object": "string", "str": "string",
+}
+
+
+_SPARK_TYPE_NAMES = {
+    "double", "float", "bigint", "long", "int", "integer", "smallint",
+    "tinyint", "boolean", "string", "decimal", "date", "timestamp",
+    "timestamp_ntz", "binary",
+}
+
+
+def _spark_type(dtype: Any):
+    """Normalize a user dtype (Spark DataType, Spark type string, or
+    numpy dtype/str) to something ``Column.cast`` accepts.  Spark type
+    names win over numpy aliases: "int" must mean Spark's 32-bit int,
+    not numpy's platform int64."""
+    from pyspark.sql.types import DataType as _DT
+
+    if isinstance(dtype, _DT):
+        return dtype
+    if isinstance(dtype, str) and dtype.lower() in _SPARK_TYPE_NAMES:
+        return dtype
+    try:
+        import numpy as _np
+
+        name = str(_np.dtype(dtype))
+    except Exception:
+        name = str(dtype)
+    return _NUMPY_TO_SPARK.get(name, name)
+
+
 def _fill_literal(fill: Any) -> Column:
     if fill is None:
         return F.lit(None)
@@ -159,6 +194,7 @@ def groupby_reduce(
     bin_labels: bool = False,
     fill_value: Any = None,
     min_count: int | None = None,
+    dtype: Any = None,
     finalize_kwargs: dict | None = None,
     order_by: str | None = None,
     alias: str | None = None,
@@ -198,6 +234,12 @@ def groupby_reduce(
       non-missing values to ``fill_value`` (flox/core.py:437-459).
       Defaults to 1 when both fill_value and expected_groups are given
       (flox/core.py:1026-1038).
+    - ``dtype``: explicit output type override (flox's ``dtype=``
+      argument, flox/core.py:848; resolution
+      flox/xrdtypes.py:153-172): a Spark type string ("double",
+      "float", "long", ...), Spark DataType, or numpy dtype/str —
+      the result column is cast to it after the registry's own
+      promotion rules run.
     - ``order_by``: total-order column required by positional funcs
       (first/last/nanfirst/nanlast/arg*): flox's implicit array order
       made explicit.
@@ -242,6 +284,14 @@ def groupby_reduce(
         else:
             kc = b
         key_cols.append(kc)
+
+    if dtype is not None:
+        # flox's dtype= governs the ACCUMULATOR (the kernel runs in
+        # the requested dtype, flox/aggregations.py:925-1030): cast
+        # the value column up front so e.g. float32 data summed with
+        # dtype=float64 keeps double precision instead of being
+        # restored to float32 and re-widened
+        work = work.withColumn(value, F.col(value).cast(_spark_type(dtype)))
 
     vdt = work.schema[value].dataType
     idx_col = None
@@ -320,6 +370,11 @@ def groupby_reduce(
             *key_cols, *label_cols,
             F.col("__qp.q").alias("q"), F.col("__qp.v").alias(out_name),
         )
+
+    if dtype is not None:
+        # explicit output-type override, applied after the registry's
+        # own promotion (flox core.py:848 semantics)
+        result = result.withColumn(out_name, F.col(out_name).cast(_spark_type(dtype)))
 
     if sort:
         result = result.orderBy(*key_cols, *(["q"] if qlist is not None else []))

@@ -276,3 +276,36 @@ def test_bin_labels_match_reference_interval_index(spark):
         assert r["x_bin_left"] == pytest.approx(iv.left, rel=1e-15)
         assert r["x_bin_right"] == pytest.approx(iv.right, rel=1e-15)
         assert r["nansum"] == pytest.approx(float(want[i]), rel=1e-12)
+
+
+def test_dtype_override_matches_reference(spark):
+    # flox's dtype= argument: sum over float32 forced to float64 (and
+    # the reverse) must match the reference's resolution
+    rng = np.random.default_rng(19)
+    v = rng.normal(size=40).astype(np.float32)
+    lab = rng.integers(0, 4, 40)
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    for np_dt, spark_dt in ((np.float64, "double"), (np.float32, "float")):
+        want, _ = flox_gr(
+            v.astype(np.float64), lab, func="nansum", dtype=np_dt, engine="flox"
+        )
+        res = groupby_reduce(df, "k", func="nansum", value="v", dtype=np_dt)
+        assert dict(res.dtypes)["nansum"] == spark_dt
+        got = {r["k"]: r["nansum"] for r in res.collect()}
+        assert want.dtype == np_dt
+        for i, g in enumerate(sorted(got)):
+            # float32 accumulators differ in rounding path (the
+            # reference sums IN f32; the engine sums in double and
+            # casts) — compare at f32 precision
+            rtol = 1e-5 if np_dt == np.float32 else 1e-12
+            assert got[g] == pytest.approx(float(want[i]), rel=rtol), (np_dt, g)
+
+
+def test_dtype_override_string_and_int(spark):
+    pdf = pd.DataFrame({"k": [0, 0, 1], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func="count", value="v", dtype="int")
+    assert dict(res.dtypes)["count"] == "int"
+    got = {r["k"]: r["count"] for r in res.collect()}
+    assert got == {0: 2, 1: 1}
