@@ -31,12 +31,15 @@ def groupby_scan(
     value: str,
     order_by: str,
     alias: str | None = None,
+    dtype: object = None,
     engine: str | None = None,
     method: str | None = None,
 ) -> DataFrame:
     """Grouped scan with flox semantics (flox/scan.py:101-315).
     ``engine``/``method`` accepted for flox call-site compatibility
-    and ignored (WindowExec replaces both scan methods).
+    and ignored (WindowExec replaces both scan methods); ``dtype``
+    casts the value column before the scan (flox scan.py's dtype
+    argument — the scan runs in the requested type).
 
     Supported funcs (flox SCANS registry, flox/aggregations.py:849-878):
 
@@ -61,6 +64,10 @@ def groupby_scan(
     if func not in SCANS:
         raise ValueError(f"unknown scan {func!r}; valid: {SCANS}")
     out = alias or func
+    if dtype is not None:
+        from flox_spark.core import _spark_type
+
+        df = df.withColumn(value, F.col(value).cast(_spark_type(dtype)))
     vdt = df.schema[value].dataType
     v = F.col(value)
     missing = is_missing(v, vdt)

@@ -139,3 +139,21 @@ def test_cummax_cummin(spark):
             assert g is None
         else:
             assert g == pytest.approx(w)
+
+
+def test_scan_dtype_override(spark):
+    import numpy as np
+    import pandas as pd
+
+    from flox_spark import groupby_scan
+
+    pdf = pd.DataFrame(
+        {"k": [0, 0, 0], "idx": [0, 1, 2], "v": np.array([1.5, 2.5, 3.5], dtype=np.float32)}
+    )
+    out = groupby_scan(
+        spark.createDataFrame(pdf), "k", func="nancumsum", value="v",
+        order_by="idx", dtype=np.float64,
+    )
+    assert dict(out.dtypes)["nancumsum"] == "double"
+    got = [r["nancumsum"] for r in out.orderBy("idx").collect()]
+    assert got == [1.5, 4.0, 7.5]
