@@ -173,6 +173,18 @@ def _spark_type(dtype: Any):
     return _NUMPY_TO_SPARK.get(name, name)
 
 
+def _is_nested_expected(expected_groups) -> bool:
+    """True when expected_groups is a per-by sequence of sequences
+    (multi-by form) rather than one flat label/breaks collection."""
+    try:
+        first = expected_groups[0]
+    except (TypeError, KeyError, IndexError):
+        return False
+    import pandas as pd
+
+    return isinstance(first, (list, tuple, pd.IntervalIndex))
+
+
 def _fill_literal(fill: Any) -> Column:
     if fill is None:
         return F.lit(None)
@@ -249,12 +261,38 @@ def groupby_reduce(
         raise ValueError("need at least one `by` column")
     nby = len(by)
     isbin_t = _as_tuple(isbin, nby, "isbin")
+    def _iv_breaks(e):
+        # a pd.IntervalIndex implies binning without isbin=True (flox
+        # accepts it directly, flox/core.py:604-636); contiguity is
+        # required because digitization works on the break vector
+        import pandas as pd
+
+        if isinstance(e, pd.IntervalIndex):
+            if len(e) and not (e.left[1:] == e.right[:-1]).all():
+                raise ValueError("IntervalIndex bins must be contiguous")
+            return [e.left[0], *e.right]
+        return e
+
     if expected_groups is None:
         expected_t: tuple = (None,) * nby
-    elif nby == 1 and not isinstance(expected_groups[0], (list, tuple)):
-        expected_t = (list(expected_groups),)
+    elif nby == 1 and not _is_nested_expected(expected_groups):
+        expected_t = (expected_groups,)
     else:
         expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
+    new_isbin = list(isbin_t)
+    new_expected = []
+    for i, e in enumerate(expected_t):
+        import pandas as pd
+
+        if isinstance(e, pd.IntervalIndex):
+            new_isbin[i] = True
+            new_expected.append(_iv_breaks(e))
+        elif e is not None:
+            new_expected.append(list(e))
+        else:
+            new_expected.append(None)
+    isbin_t = tuple(new_isbin)
+    expected_t = tuple(new_expected)
     for i, (b, e) in enumerate(zip(isbin_t, expected_t)):
         if b and e is None:
             raise ValueError(f"isbin=True for {by[i]!r} requires bin breaks in expected_groups")

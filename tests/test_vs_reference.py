@@ -309,3 +309,29 @@ def test_dtype_override_string_and_int(spark):
     assert dict(res.dtypes)["count"] == "int"
     got = {r["k"]: r["count"] for r in res.collect()}
     assert got == {0: 2, 1: 1}
+
+
+def test_interval_index_expected_groups_without_isbin(spark):
+    # flox accepts pd.IntervalIndex directly as expected_groups (no
+    # isbin flag); the engine auto-detects it
+    rng = np.random.default_rng(43)
+    labels = rng.uniform(0, 40, 150)
+    v = rng.normal(size=150)
+    iv = pd.IntervalIndex.from_breaks([0.0, 10.0, 25.0, 40.0])
+    want, _ = flox_gr(
+        v, labels, func="nansum", expected_groups=iv, fill_value=0.0, engine="flox"
+    )
+    pdf = pd.DataFrame({"x": labels, "v": v})
+    res = groupby_reduce(
+        spark.createDataFrame(pdf), "x", func="nansum", value="v",
+        expected_groups=iv, fill_value=0.0,
+    ).collect()
+    got = {r["x_bin"]: r["nansum"] for r in res}
+    assert sorted(got) == [0, 1, 2]
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(float(w), rel=1e-12)
+    with pytest.raises(ValueError, match="contiguous"):
+        groupby_reduce(
+            spark.createDataFrame(pdf), "x", func="nansum", value="v",
+            expected_groups=pd.IntervalIndex.from_tuples([(0, 5), (10, 15)]),
+        )
