@@ -173,6 +173,37 @@ def _spark_type(dtype: Any):
     return _NUMPY_TO_SPARK.get(name, name)
 
 
+def _normalize_expected(
+    expected_groups, isbin_t: tuple, nby: int
+) -> tuple[tuple, tuple]:
+    """Resolve expected_groups into per-by lists, auto-detecting
+    ``pd.IntervalIndex`` entries as bin breaks (flox accepts an
+    IntervalIndex directly with no isbin flag, flox/core.py:604-636;
+    contiguity required because digitization works on the break
+    vector).  Returns the possibly-updated (isbin_t, expected_t)."""
+    import pandas as pd
+
+    if expected_groups is None:
+        expected_t: tuple = (None,) * nby
+    elif nby == 1 and not _is_nested_expected(expected_groups):
+        expected_t = (expected_groups,)
+    else:
+        expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
+    new_isbin = list(isbin_t)
+    new_expected = []
+    for i, e in enumerate(expected_t):
+        if isinstance(e, pd.IntervalIndex):
+            if len(e) and not (e.left[1:] == e.right[:-1]).all():
+                raise ValueError("IntervalIndex bins must be contiguous")
+            new_isbin[i] = True
+            new_expected.append([e.left[0], *e.right])
+        elif e is not None:
+            new_expected.append(list(e))
+        else:
+            new_expected.append(None)
+    return tuple(new_isbin), tuple(new_expected)
+
+
 def _is_nested_expected(expected_groups) -> bool:
     """True when expected_groups is a per-by sequence of sequences
     (multi-by form) rather than one flat label/breaks collection."""
@@ -261,38 +292,7 @@ def groupby_reduce(
         raise ValueError("need at least one `by` column")
     nby = len(by)
     isbin_t = _as_tuple(isbin, nby, "isbin")
-    def _iv_breaks(e):
-        # a pd.IntervalIndex implies binning without isbin=True (flox
-        # accepts it directly, flox/core.py:604-636); contiguity is
-        # required because digitization works on the break vector
-        import pandas as pd
-
-        if isinstance(e, pd.IntervalIndex):
-            if len(e) and not (e.left[1:] == e.right[:-1]).all():
-                raise ValueError("IntervalIndex bins must be contiguous")
-            return [e.left[0], *e.right]
-        return e
-
-    if expected_groups is None:
-        expected_t: tuple = (None,) * nby
-    elif nby == 1 and not _is_nested_expected(expected_groups):
-        expected_t = (expected_groups,)
-    else:
-        expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
-    new_isbin = list(isbin_t)
-    new_expected = []
-    for i, e in enumerate(expected_t):
-        import pandas as pd
-
-        if isinstance(e, pd.IntervalIndex):
-            new_isbin[i] = True
-            new_expected.append(_iv_breaks(e))
-        elif e is not None:
-            new_expected.append(list(e))
-        else:
-            new_expected.append(None)
-    isbin_t = tuple(new_isbin)
-    expected_t = tuple(new_expected)
+    isbin_t, expected_t = _normalize_expected(expected_groups, isbin_t, nby)
     for i, (b, e) in enumerate(zip(isbin_t, expected_t)):
         if b and e is None:
             raise ValueError(f"isbin=True for {by[i]!r} requires bin breaks in expected_groups")
@@ -445,12 +445,7 @@ def groupby_reduce_multi(
         raise ValueError("need at least one `by` column")
     nby = len(by)
     isbin_t = _as_tuple(isbin, nby, "isbin")
-    if expected_groups is None:
-        expected_t: tuple = (None,) * nby
-    elif nby == 1 and not isinstance(expected_groups[0], (list, tuple)):
-        expected_t = (list(expected_groups),)
-    else:
-        expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
+    isbin_t, expected_t = _normalize_expected(expected_groups, isbin_t, nby)
 
     work = df
     key_cols: list[str] = []

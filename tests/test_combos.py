@@ -269,3 +269,20 @@ def test_multiby_one_binned_with_labels_and_fill(spark):
     want = pdf.groupby(["cat", "bin"])["v"].sum()
     for (cat, b), w in want.items():
         assert by_key[(cat, int(b))]["nansum"] == pytest.approx(w, rel=1e-12)
+
+
+def test_multi_interval_index_expected_groups(spark):
+    import pandas as _pd
+
+    from flox_spark import groupby_reduce_multi
+
+    pdf = _pd.DataFrame({"x": [1.0, 5.0, 15.0, 25.0], "v": [1.0, 2.0, 3.0, 4.0]})
+    out = groupby_reduce_multi(
+        spark.createDataFrame(pdf), "x",
+        aggs={"s": ("nansum", "v")},
+        expected_groups=_pd.IntervalIndex.from_breaks([0.0, 10.0, 20.0, 30.0]),
+        bin_labels=True, fill_value=0.0,
+    ).collect()
+    rows = {r["x_bin"]: r for r in out}
+    assert rows[0]["s"] == 3.0 and rows[1]["s"] == 3.0 and rows[2]["s"] == 4.0
+    assert rows[1]["x_bin_left"] == 10.0
