@@ -15,7 +15,7 @@ blockwise rechunk) is ported — Catalyst/AQE plays that role.
 """
 
 from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, pandas_aggregation
-from flox_spark.core import groupby_reduce, groupby_reduce_multi
+from flox_spark.core import bin_column, groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
@@ -25,6 +25,7 @@ from flox_spark.salting import groupby_reduce_salted
 
 __all__ = [
     "groupby_reduce",
+    "bin_column",
     "groupby_reduce_multi",
     "groupby_reduce_weighted",
     "groupby_reduce_salted",

@@ -216,6 +216,17 @@ def _is_nested_expected(expected_groups) -> bool:
     return isinstance(first, (list, tuple, pd.IntervalIndex))
 
 
+def bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
+    """Public flox-style digitizer: left-open right-closed interval
+    index for ``col`` over ``breaks`` (out-of-range -> NULL), exactly
+    the expression ``groupby_reduce(isbin=True)`` uses internally —
+    exposed so any pipeline (including Structured Streaming, where
+    it is a pure projection) can bin a column first and group on the
+    index: ``df.withColumn("x_bin", bin_column(F.col("x"), breaks))``.
+    Pass ``dt`` (the column's DataType) for datetime breaks."""
+    return _bin_column(col, breaks, dt)
+
+
 def _fill_literal(fill: Any) -> Column:
     if fill is None:
         return F.lit(None)

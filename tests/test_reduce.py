@@ -357,3 +357,17 @@ def test_var_offset_stability(spark, offset, rtol, func):
         v = grp["v"].to_numpy()
         want = _np.var(v) if "var" in func else _np.std(v)
         assert got[g] == pytest.approx(want, rel=rtol), (func, offset, g)
+
+
+def test_public_bin_column(spark):
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    from flox_spark import bin_column
+
+    pdf = _pd.DataFrame({"x": [0.5, 5.0, 15.0, 99.0]})
+    out = spark.createDataFrame(pdf).withColumn(
+        "b", bin_column(_F.col("x"), [0.0, 10.0, 20.0])
+    ).collect()
+    got = [(r["x"], r["b"]) for r in out]
+    assert got == [(0.5, 0), (5.0, 0), (15.0, 1), (99.0, None)]
