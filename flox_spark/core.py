@@ -67,21 +67,27 @@ def _break_to_num(b: Any, dt) -> float:
     return float(ts.value // 1000)  # ns -> us
 
 
-def _bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
-    """Digitize into left-open right-closed intervals (b[i-1], b[i]]
-    — numpy ``digitize(right=True)`` as used by flox binning
-    (flox/factorize.py:55-82).  Out-of-range -> NULL (the dropped NaN
-    group).  Datetime label columns are viewed as int64 and the breaks
+def _bin_column(col: Column, breaks: Sequence, dt=None, closed: str = "right") -> Column:
+    """Digitize into intervals over ``breaks`` — numpy ``digitize``
+    as used by flox binning (flox/factorize.py:55-82, which passes
+    ``right=expect.closed_right``).  ``closed="right"`` (the default,
+    matching ``pd.IntervalIndex.from_breaks``) assigns left-open
+    right-closed bins (b[i], b[i+1]]; ``closed="left"`` assigns
+    [b[i], b[i+1]).  Out-of-range -> NULL (the dropped NaN group).
+    Datetime label columns are viewed as int64 and the breaks
     converted to match, so regular datetime bins (hourly/daily/...)
     take the same O(1) width_bucket path as uniform numeric bins.
 
     Two physical strategies, same semantics:
     - uniform numeric breaks with many intervals: arithmetic
-      ``width_bucket`` on the NEGATED axis (width_bucket is left-
-      closed; right-closed (a,b] == left-closed [-b,-a) after
-      negation) — O(1) per row regardless of break count;
+      ``width_bucket`` — natively left-closed, so closed="left" uses
+      it directly and closed="right" runs it on the NEGATED axis
+      (right-closed (a,b] == left-closed [-b,-a) after negation) —
+      O(1) per row regardless of break count;
     - otherwise: a constant CASE chain (fine to ~1e3 breaks, stays in
       codegen; no shuffle, no UDF either way)."""
+    if closed not in ("right", "left"):
+        raise ValueError(f"closed must be 'right' or 'left', got {closed!r}")
     if dt is not None and is_datetime_type(dt):
         col, _ = arith_input(col, dt)
         breaks = [_break_to_num(b, dt) for b in breaks]
@@ -89,12 +95,19 @@ def _bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
     n = len(breaks) - 1
     if _is_uniform(breaks) and n > 16:
         lo, hi = float(breaks[0]), float(breaks[-1])
-        rev = F.width_bucket(-col, F.lit(-hi), F.lit(-lo), F.lit(n))
-        idx = (F.lit(n) - rev).cast("int")
-        return F.when((col > lo) & (col <= hi), idx)
+        if closed == "right":
+            rev = F.width_bucket(-col, F.lit(-hi), F.lit(-lo), F.lit(n))
+            idx = (F.lit(n) - rev).cast("int")
+            return F.when((col > lo) & (col <= hi), idx)
+        idx = (F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(n)) - 1).cast("int")
+        return F.when((col >= lo) & (col < hi), idx)
     whens = []
     for i in range(n):
-        whens.append(((col > F.lit(breaks[i])) & (col <= F.lit(breaks[i + 1])), F.lit(i)))
+        if closed == "right":
+            cond = (col > F.lit(breaks[i])) & (col <= F.lit(breaks[i + 1]))
+        else:
+            cond = (col >= F.lit(breaks[i])) & (col < F.lit(breaks[i + 1]))
+        whens.append((cond, F.lit(i)))
     result = F.lit(None).cast("int")
     for cond, val in reversed(whens):
         result = F.when(cond, val).otherwise(result)
@@ -175,12 +188,17 @@ def _spark_type(dtype: Any):
 
 def _normalize_expected(
     expected_groups, isbin_t: tuple, nby: int
-) -> tuple[tuple, tuple]:
+) -> tuple[tuple, tuple, tuple]:
     """Resolve expected_groups into per-by lists, auto-detecting
     ``pd.IntervalIndex`` entries as bin breaks (flox accepts an
     IntervalIndex directly with no isbin flag, flox/core.py:604-636;
     contiguity required because digitization works on the break
-    vector).  Returns the possibly-updated (isbin_t, expected_t)."""
+    vector).  The index's ``closed`` side is honored exactly as the
+    reference does (flox/factorize.py:57-76 passes
+    ``right=expect.closed_right`` to np.digitize, raising
+    NotImplementedError for closed='both'; closed='neither' digitizes
+    left-closed there, mirrored here for parity).  Returns the
+    possibly-updated (isbin_t, expected_t, closed_t)."""
     import pandas as pd
 
     if expected_groups is None:
@@ -191,17 +209,24 @@ def _normalize_expected(
         expected_t = _as_tuple(list(expected_groups), nby, "expected_groups")
     new_isbin = list(isbin_t)
     new_expected = []
+    closed = ["right"] * nby
     for i, e in enumerate(expected_t):
         if isinstance(e, pd.IntervalIndex):
+            if e.closed == "both":
+                raise NotImplementedError(
+                    "closed='both' IntervalIndex bins are not supported "
+                    "(reference parity: flox/factorize.py:58-59 raises too)"
+                )
             if len(e) and not (e.left[1:] == e.right[:-1]).all():
                 raise ValueError("IntervalIndex bins must be contiguous")
             new_isbin[i] = True
+            closed[i] = "right" if e.closed_right else "left"
             new_expected.append([e.left[0], *e.right])
         elif e is not None:
             new_expected.append(list(e))
         else:
             new_expected.append(None)
-    return tuple(new_isbin), tuple(new_expected)
+    return tuple(new_isbin), tuple(new_expected), tuple(closed)
 
 
 def _is_nested_expected(expected_groups) -> bool:
@@ -216,15 +241,17 @@ def _is_nested_expected(expected_groups) -> bool:
     return isinstance(first, (list, tuple, pd.IntervalIndex))
 
 
-def bin_column(col: Column, breaks: Sequence, dt=None) -> Column:
-    """Public flox-style digitizer: left-open right-closed interval
-    index for ``col`` over ``breaks`` (out-of-range -> NULL), exactly
-    the expression ``groupby_reduce(isbin=True)`` uses internally —
-    exposed so any pipeline (including Structured Streaming, where
-    it is a pure projection) can bin a column first and group on the
-    index: ``df.withColumn("x_bin", bin_column(F.col("x"), breaks))``.
-    Pass ``dt`` (the column's DataType) for datetime breaks."""
-    return _bin_column(col, breaks, dt)
+def bin_column(col: Column, breaks: Sequence, dt=None, closed: str = "right") -> Column:
+    """Public flox-style digitizer: interval index for ``col`` over
+    ``breaks`` (out-of-range -> NULL), exactly the expression
+    ``groupby_reduce(isbin=True)`` uses internally — exposed so any
+    pipeline (including Structured Streaming, where it is a pure
+    projection) can bin a column first and group on the index:
+    ``df.withColumn("x_bin", bin_column(F.col("x"), breaks))``.
+    Pass ``dt`` (the column's DataType) for datetime breaks and
+    ``closed="left"`` for [b[i], b[i+1]) bins (default right-closed,
+    matching ``pd.IntervalIndex.from_breaks``)."""
+    return _bin_column(col, breaks, dt, closed)
 
 
 def _fill_literal(fill: Any) -> Column:
@@ -303,7 +330,7 @@ def groupby_reduce(
         raise ValueError("need at least one `by` column")
     nby = len(by)
     isbin_t = _as_tuple(isbin, nby, "isbin")
-    isbin_t, expected_t = _normalize_expected(expected_groups, isbin_t, nby)
+    isbin_t, expected_t, closed_t = _normalize_expected(expected_groups, isbin_t, nby)
     for i, (b, e) in enumerate(zip(isbin_t, expected_t)):
         if b and e is None:
             raise ValueError(f"isbin=True for {by[i]!r} requires bin breaks in expected_groups")
@@ -328,7 +355,7 @@ def groupby_reduce(
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
-            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt))
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt, closed_t[i]))
             work = work.filter(F.col(kc).isNotNull())  # out-of-range
         else:
             kc = b
@@ -456,7 +483,7 @@ def groupby_reduce_multi(
         raise ValueError("need at least one `by` column")
     nby = len(by)
     isbin_t = _as_tuple(isbin, nby, "isbin")
-    isbin_t, expected_t = _normalize_expected(expected_groups, isbin_t, nby)
+    isbin_t, expected_t, closed_t = _normalize_expected(expected_groups, isbin_t, nby)
 
     work = df
     key_cols: list[str] = []
@@ -467,7 +494,7 @@ def groupby_reduce_multi(
         work = work.filter(~is_missing(F.col(b), bdt))
         if isbin_t[i]:
             kc = f"{b}_bin"
-            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt))
+            work = work.withColumn(kc, _bin_column(F.col(b), expected_t[i], bdt, closed_t[i]))
             work = work.filter(F.col(kc).isNotNull())
         else:
             kc = b

@@ -40,10 +40,17 @@ __all__ = ["kmeans_fit", "assign_clusters"]
 
 def _packed_centroids(centroids: DataFrame) -> "F.Column":
     """The k-row centroid table collapsed to ONE broadcastable row:
-    an array of (cid, centroid) structs."""
+    an array of (cid, centroid) structs, ``array_sort``-ed by cid.
+    ``collect_list`` makes NO order guarantee (even under an orderBy —
+    partition arrival order wins), so the explicit sort is what makes
+    the packed array — and with it every downstream fold — identical
+    across partitionings; the fold's own ``cid <`` tie-break then
+    never depends on arrival order."""
     return F.broadcast(
-        centroids.orderBy("__cid").agg(
-            F.collect_list(F.struct(F.col("__cid"), F.col("centroid"))).alias("__cents")
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cid"), F.col("centroid")))
+            ).alias("__cents")
         )
     )
 

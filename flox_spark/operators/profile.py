@@ -40,13 +40,21 @@ def profile_columns(
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     orderable = {}
+    hashable = {}
     for i, c in enumerate(names):
         dt = df.schema[c].dataType.simpleString()
         orderable[c] = not (dt.startswith("map<") or dt.startswith("struct<"))
+        # map-typed columns (including maps nested in arrays/structs)
+        # are unhashable in Spark: approx_count_distinct over one
+        # raises AnalysisException and fails the WHOLE profile job.
+        # Skip the sketch (emit NULL) for those columns so the rest of
+        # the table still profiles.
+        hashable[c] = "map<" not in dt
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"))
-        aggs.append(
-            F.approx_count_distinct(F.col(c), approx_rsd).alias(f"__dist_{i}")
-        )
+        if hashable[c]:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), approx_rsd).alias(f"__dist_{i}")
+            )
         if orderable[c]:
             aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
             aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
@@ -61,7 +69,11 @@ def profile_columns(
                 F.when(
                     F.col("__n") > 0, F.col(f"__null_{i}") / F.col("__n")
                 ).otherwise(F.lit(0.0)).alias("null_frac"),
-                F.col(f"__dist_{i}").alias("approx_distinct"),
+                (
+                    F.col(f"__dist_{i}")
+                    if hashable[c]
+                    else F.lit(None).cast("long")
+                ).alias("approx_distinct"),
                 (
                     F.col(f"__min_{i}")
                     if orderable[c]

@@ -63,17 +63,41 @@ def range_join(
         raise ValueError(
             f"overlapping non-key columns: {sorted(clash)}; rename before joining"
         )
+    # Integral x/lo/hi with an integral width bucket via EXACT long
+    # floor-div: the double path rounds past 2^53 (epoch-nanosecond
+    # int64 domains), which can place a point near a bucket boundary
+    # in a bucket the interval's explosion doesn't cover — a silently
+    # DROPPED match the exact BETWEEN post-filter can never recover.
+    # The double path remains for fractional widths / float domains.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+    all_integral = all(
+        isinstance(df.schema[c].dataType, _INTEGRAL)
+        for df, c in ((left, x), (right, lo), (right, hi))
+    )
+    w_int = int(bucket_width)
+    use_long = all_integral and float(w_int) == float(bucket_width) and w_int > 0
     w = float(bucket_width)
 
-    def bucket(c: Column) -> Column:
-        return F.floor(c.cast("double") / F.lit(w)).cast("long")
+    def bucket(name: str) -> Column:
+        if use_long:
+            # floor-div toward -inf in pure long arithmetic: SQL DIV
+            # truncates toward zero and % follows the dividend's sign,
+            # so a negative dividend with a nonzero remainder needs -1
+            q = f"CAST(`{name}` AS BIGINT)"
+            return F.expr(
+                f"CASE WHEN {q} % {w_int} < 0 THEN ({q} DIV {w_int}) - 1 "
+                f"ELSE {q} DIV {w_int} END"
+            )
+        return F.floor(F.col(name).cast("double") / F.lit(w)).cast("long")
 
-    l_b = left.withColumn("__bkt", bucket(F.col(x)))
+    l_b = left.withColumn("__bkt", bucket(x))
     r_b = (
         right.filter(F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(lo) <= F.col(hi)))
         .withColumn(
             "__bkt",
-            F.explode(F.sequence(bucket(F.col(lo)), bucket(F.col(hi)))),
+            F.explode(F.sequence(bucket(lo), bucket(hi))),
         )
     )
     cond = (

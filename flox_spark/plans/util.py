@@ -41,11 +41,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
     The partition count is ESTIMATED from the optimized plan's size
     statistics vs ``spark.sql.files.maxPartitionBytes`` — planning-time
-    only.  When the stats are Catalyst's conservative unknown-source
-    sentinel (defaultSizeInBytes = Long.MaxValue, reported by
-    LocalRelations after joins and RDD-backed frames), fall back to
-    ``df.rdd.getNumPartitions()`` — a huge fake size would otherwise
-    read as "already parallel" and silently skip the fan-out."""
+    only, never touching the RDD API (``df.rdd`` forces a full
+    plan->RDD conversion on the driver, a real planning cost when
+    called per-operator).  When the stats are Catalyst's conservative
+    unknown-source sentinel (defaultSizeInBytes = Long.MaxValue,
+    reported by LocalRelations after joins and RDD-backed frames),
+    assume the frame is already at default parallelism and skip the
+    fan-out: stats-less frames are almost always post-shuffle (joins,
+    aggregations) and therefore already spread across
+    ``spark.sql.shuffle.partitions`` tasks; forcing a repartition
+    there would add a shuffle for nothing."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
@@ -56,7 +61,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         max_bytes = parse_bytes(raw, 128 << 20)
         est_parts = max(1, size // max(1, max_bytes))
     except Exception:
-        est_parts = df.rdd.getNumPartitions()
+        est_parts = spark.sparkContext.defaultParallelism
     if est_parts < target:
         return df.repartition(target)
     return df

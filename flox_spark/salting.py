@@ -48,8 +48,12 @@ __all__ = ["groupby_reduce_salted", "SALTABLE"]
 # partial builders take (v_skip, v_raw, poison); merge builders take
 # the partial frame's columns by name (prefixed) and return the final
 # expression.  All merges are EXACT (algebraic combine), with the same
-# output typing as groupby_reduce: integral inputs keep exact long
-# arithmetic (never routed through double — 2^53 precision), float32
+# output typing as groupby_reduce: integral sum/count/min/max keep
+# exact long arithmetic (never routed through double — 2^53
+# precision); prod/nanprod merge via F.product, whose accumulator IS
+# double, so integer products past 2^53 are inexact despite the final
+# cast('long') — the same limitation groupby_reduce's prod has
+# (parity holds, exactness doesn't).  float32
 # results restore to float, and the plain-func poison sentinel is NaN
 # for float results / typed NULL otherwise (mirrors
 # aggregations._nan_sentinel / _propagate).

@@ -67,3 +67,18 @@ def test_profile_empty_cols_rejected(spark):
     pdf = pd.DataFrame({"a": [1]})
     with pytest.raises(ValueError, match="no columns"):
         profile_columns(spark.createDataFrame(pdf), cols=[])
+
+
+def test_profile_map_column_skips_distinct_sketch(spark):
+    # map-typed columns are unhashable in Spark: approx_count_distinct
+    # over one would fail the WHOLE job; the profile must skip the
+    # sketch (NULL) for that column and still profile the others
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2}), (3, None)],
+        "id int, m map<string,int>",
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert rows["m"]["approx_distinct"] is None
+    assert rows["m"]["n_null"] == 1
+    assert rows["m"]["min_str"] is None  # unorderable too
+    assert rows["id"]["approx_distinct"] == 3

@@ -107,3 +107,46 @@ def test_range_join_validates(spark, interval_data):
         range_join(pts_df, iv_df, "x", "lo", "hi", bucket_width=0)
     with pytest.raises(ValueError, match="how"):
         range_join(pts_df, iv_df, "x", "lo", "hi", bucket_width=1, how="full")
+
+
+def test_range_join_int64_beyond_double_precision(spark):
+    # epoch-nanosecond-style int64 domains past 2^53: the double
+    # bucket path rounds and can drop boundary matches; the exact
+    # long floor-div path must not.  Construct points exactly on and
+    # adjacent to a bucket boundary at a magnitude where doubles round
+    # to multiples of 256.
+    base = (1 << 60) + 7  # not representable exactly as double
+    w = 1000
+    pts = [(1, base), (2, base + 1), (3, base + w - 1), (4, base - 1)]
+    ivs = [(10, base, base + w - 1), (11, base - 5, base)]
+    pts_df = spark.createDataFrame(pts, "pid int, x long")
+    iv_df = spark.createDataFrame(ivs, "iid int, lo long, hi long")
+    out = range_join(pts_df, iv_df, "x", "lo", "hi", bucket_width=w)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # exact semantics: x BETWEEN lo AND hi inclusive
+    want = sorted(
+        (pid, iid)
+        for pid, x in pts
+        for iid, lo, hi in ivs
+        if lo <= x <= hi
+    )
+    assert got == want
+
+
+def test_range_join_negative_long_floor_div(spark):
+    # floor-div toward -inf: negative coordinates must bucket like
+    # floor(x/w), not truncate toward zero (off-by-one buckets drop
+    # boundary matches)
+    pts = [(1, -1), (2, -1000), (3, -1001), (4, 0)]
+    ivs = [(10, -1000, -1), (11, -1500, -1001)]
+    pts_df = spark.createDataFrame(pts, "pid int, x long")
+    iv_df = spark.createDataFrame(ivs, "iid int, lo long, hi long")
+    out = range_join(pts_df, iv_df, "x", "lo", "hi", bucket_width=1000)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    want = sorted(
+        (pid, iid)
+        for pid, x in pts
+        for iid, lo, hi in ivs
+        if lo <= x <= hi
+    )
+    assert got == want

@@ -335,3 +335,64 @@ def test_interval_index_expected_groups_without_isbin(spark):
             spark.createDataFrame(pdf), "x", func="nansum", value="v",
             expected_groups=pd.IntervalIndex.from_tuples([(0, 5), (10, 15)]),
         )
+
+
+def test_interval_index_closed_left_matches_reference(spark):
+    # the reference digitizes by the IntervalIndex's closed side
+    # (flox/factorize.py:57-76, right=expect.closed_right); edge
+    # values sitting exactly ON the breaks are the discriminating
+    # cases: 10.0 belongs to [10,25) under closed='left' but (0,10]
+    # under closed='right'
+    labels = np.array([0.0, 5.0, 10.0, 24.999, 25.0, 39.999, 40.0, 41.0])
+    v = np.arange(len(labels), dtype=np.float64) + 1.0
+    for closed in ("left", "right"):
+        iv = pd.IntervalIndex.from_breaks([0.0, 10.0, 25.0, 40.0], closed=closed)
+        want, _ = flox_gr(
+            v, labels, func="nansum", expected_groups=iv, fill_value=0.0,
+            engine="flox",
+        )
+        pdf = pd.DataFrame({"x": labels, "v": v})
+        res = groupby_reduce(
+            spark.createDataFrame(pdf), "x", func="nansum", value="v",
+            expected_groups=iv, fill_value=0.0,
+        ).collect()
+        got = {r["x_bin"]: r["nansum"] for r in res}
+        assert sorted(got) == [0, 1, 2], closed
+        for i, w in enumerate(want):
+            assert got[i] == pytest.approx(float(w), rel=1e-12), (closed, i)
+
+
+def test_interval_index_closed_both_raises(spark):
+    # reference parity: flox/factorize.py:58-59 raises
+    # NotImplementedError for closed='both'
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "v": [1.0, 2.0]})
+    iv = pd.IntervalIndex.from_breaks([0.0, 1.5, 3.0], closed="both")
+    with pytest.raises(NotImplementedError, match="both"):
+        groupby_reduce(
+            spark.createDataFrame(pdf), "x", func="sum", value="v",
+            expected_groups=iv,
+        )
+
+
+def test_bin_column_closed_left_width_bucket_path(spark):
+    # >16 uniform breaks takes the O(1) width_bucket path; verify the
+    # left-closed variant agrees with numpy digitize(right=False) on
+    # edge values
+    from flox_spark import bin_column
+    from pyspark.sql import functions as F
+
+    breaks = [float(i) for i in range(0, 21)]  # 20 bins, uniform
+    xs = [0.0, 0.5, 1.0, 19.999, 20.0, -0.1, 10.0]
+    pdf = pd.DataFrame({"x": xs})
+    df = spark.createDataFrame(pdf)
+    got = [
+        r["b"]
+        for r in df.select(
+            bin_column(F.col("x"), breaks, closed="left").alias("b")
+        ).collect()
+    ]
+    want = []
+    for x in xs:
+        i = np.digitize([x], breaks, right=False)[0] - 1
+        want.append(int(i) if 0 <= i < len(breaks) - 1 and x < breaks[-1] else None)
+    assert got == want
