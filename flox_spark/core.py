@@ -399,15 +399,18 @@ def groupby_reduce(
         min_count = 1
 
     # ---- aggregate --------------------------------------------------
-    use_sort_quantile = (
-        agg.name in ("median", "nanmedian", "quantile", "nanquantile")
-        and OPTIONS["quantile_impl"] == "sort"
-        and not OPTIONS["approx_quantile"]
+    qfam = agg.name in ("median", "nanmedian", "quantile", "nanquantile")
+    quantile_impl = (
+        _choose_quantile_impl(work)
+        if qfam and not OPTIONS["approx_quantile"]
+        else "agg"
     )
     if agg.two_stage == "mode":
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
-    elif use_sort_quantile:
+    elif qfam and quantile_impl == "sort":
         result = _quantile_sort(work, key_cols, ctx, agg, out_name, min_count, fill_value)
+    elif qfam and quantile_impl == "refine":
+        result = _quantile_refine(work, key_cols, ctx, agg, out_name, min_count, fill_value)
     else:
         expr = agg.build(ctx)
         if min_count is not None and min_count > 0:
@@ -453,8 +456,70 @@ def groupby_reduce(
         result = result.withColumn(out_name, F.col(out_name).cast(_spark_type(dtype)))
 
     if sort:
-        result = result.orderBy(*key_cols, *(["q"] if qlist is not None else []))
+        declared_card = _declared_cardinality(isbin_t, expected_t)
+        if declared_card is not None and qlist is not None:
+            declared_card *= len(qlist)
+        result = _sorted_output(
+            result,
+            [*key_cols, *(["q"] if qlist is not None else [])],
+            declared_card,
+            heavy=(qfam and quantile_impl == "agg"),
+        )
     return result
+
+
+def _declared_cardinality(isbin_t: tuple, expected_t: tuple) -> int | None:
+    """Exact output cardinality when every expected group list is
+    declared (the reindex grid size); None when any by's groups are
+    observed (unknown until runtime)."""
+    card = 1
+    for i, e in enumerate(expected_t):
+        if e is None:
+            return None
+        card *= (len(e) - 1) if isbin_t[i] else len(e)
+    return card
+
+
+def _sorted_output(
+    result: DataFrame, sort_cols: list[str], declared_card: int | None, heavy: bool
+) -> DataFrame:
+    """The final ``sort=True`` ordering, costed by output shape.
+
+    A plain ``orderBy`` compiles to a range exchange whose partitioner
+    SAMPLES the child — re-executing the final aggregate stage once
+    before the real sort.  For cheap codegen aggregates that re-run is
+    noise, but for buffering aggregates (exact ``percentile``) it
+    doubles the most expensive stage.  Strategy:
+
+    - declared grid <= ``single_partition_sort_max``: the output is
+      provably tiny — ``repartition(1).sortWithinPartitions`` sorts it
+      in one post-shuffle task with NO sampling pass and no range
+      exchange (the upstream aggregate keeps full parallelism; only
+      the group-cardinality-sized result funnels to one task).
+    - declared grid larger: the range sort IS the right distributed
+      plan; warn (SCALE.md) that sorting that many groups adds a
+      whole-result exchange the caller can skip with ``sort=False``.
+    - unknown cardinality: keep the classic range sort, but when the
+      final aggregate is the buffering kind (``heavy``), materialize
+      the group-sized result first so the sampling pass reads the
+      materialization instead of re-running the aggregate."""
+    if declared_card is not None:
+        if declared_card <= OPTIONS["single_partition_sort_max"]:
+            return result.repartition(1).sortWithinPartitions(*sort_cols)
+        import warnings
+
+        warnings.warn(
+            f"sorting {declared_card} declared groups adds a range exchange "
+            "of the whole result; pass sort=False if output order does not "
+            "matter (see SCALE.md)",
+            stacklevel=3,
+        )
+        return result.orderBy(*sort_cols)
+    if heavy:
+        from flox_spark.plans.util import materialize_shared
+
+        return materialize_shared(result).orderBy(*sort_cols)
+    return result.orderBy(*sort_cols)
 
 
 def groupby_reduce_multi(
@@ -521,18 +586,21 @@ def groupby_reduce_multi(
             raise ValueError(f"func {agg.name!r} requires order_by=")
         if (
             agg.name in ("median", "nanmedian", "quantile", "nanquantile")
-            and OPTIONS["quantile_impl"] == "sort"
+            and OPTIONS["quantile_impl"] in ("sort", "refine")
             and not OPTIONS["approx_quantile"]
         ):
-            # the sort strategy needs its own multi-stage plan and
-            # cannot fuse into the single agg pass: fall back loudly
-            # rather than silently ignore the user's option
+            # the sort/refine strategies need their own multi-stage
+            # plans and cannot fuse into the single agg pass: fall back
+            # loudly rather than silently ignore the user's explicit
+            # option ("auto" fuses silently — agg IS the best strategy
+            # available inside one aggregation pass)
             import warnings
 
             warnings.warn(
-                f"groupby_reduce_multi cannot honor quantile_impl='sort' for "
-                f"{agg.name!r}; using the percentile aggregate (per-group "
-                "memory). Call groupby_reduce for the sort-based exact path.",
+                f"groupby_reduce_multi cannot honor quantile_impl="
+                f"{OPTIONS['quantile_impl']!r} for {agg.name!r}; using the "
+                "percentile aggregate (per-group memory). Call "
+                "groupby_reduce for the multi-stage exact paths.",
                 stacklevel=2,
             )
         # numericize the order column exactly as groupby_reduce does:
@@ -557,7 +625,9 @@ def groupby_reduce_multi(
     if bin_labels and any(isbin_t):
         result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
     if sort:
-        result = result.orderBy(*key_cols)
+        result = _sorted_output(
+            result, key_cols, _declared_cardinality(isbin_t, expected_t), heavy=False
+        )
     return result
 
 
@@ -656,6 +726,175 @@ def _quantile_sort(
             )
         )
     return per_q.select(*key_cols, val.alias(out_name))
+
+
+def _choose_quantile_impl(work: DataFrame) -> str:
+    """Stats-driven exact-quantile strategy selection (the Spark
+    analog of flox's ``_choose_engine``, flox/core.py:712-736 — pick
+    the physical kernel from the data's shape, never from a fixed
+    default).  ``set_options(quantile_impl=...)`` forces a strategy;
+    the default ``"auto"`` picks from the optimized plan's size
+    statistics (parquet footers / LocalRelation actual bytes — free
+    at plan time):
+
+    - small input (<= ``quantile_agg_max_bytes``): ``"agg"`` —
+      Spark's ``percentile`` ObjectHashAggregate.  Fastest single-pass
+      plan, but it buffers every group's values in an in-memory map,
+      so it is only chosen when the WHOLE input provably fits.
+    - medium input (<= ``quantile_refine_max_bytes``): ``"refine"`` —
+      exact two-scan approx-bracket + candidate-collect
+      (``_quantile_refine``).  Worst-case per-group memory is
+      ~6*rows/accuracy values even if ONE group holds the entire
+      input (64 GB input, accuracy 1e4 -> ~5M candidate doubles,
+      ~38 MB), so no regime of group sizes can OOM it.
+    - large or unknown input: ``"sort"`` — spillable sort + streaming
+      rank (``_quantile_sort``); the always-safe plan whose cost is a
+      full shuffle of the values."""
+    impl = OPTIONS["quantile_impl"]
+    if impl != "auto":
+        return impl
+    from flox_spark.plans.util import estimate_size_bytes
+
+    size = estimate_size_bytes(work)
+    if size is None:
+        return "sort"
+    if size <= OPTIONS["quantile_agg_max_bytes"]:
+        return "agg"
+    if size <= OPTIONS["quantile_refine_max_bytes"]:
+        return "refine"
+    return "sort"
+
+
+def _quantile_refine(
+    work: DataFrame,
+    key_cols: list[str],
+    ctx: AggContext,
+    agg: Aggregation,
+    out_name: str,
+    min_count: int | None,
+    fill_value: Any,
+) -> DataFrame:
+    """Exact quantile via approx-bracket + candidate collection — the
+    medium-scale path of ``_choose_quantile_impl``: two scans, zero
+    data-sized shuffles, bounded memory at any group size.
+
+    Pass 1 (one hash aggregate): per group, the non-missing count
+    ``n`` and a deterministic-error rank bracket from
+    ``percentile_approx`` at q -/+ 3/accuracy (Spark's GK summary
+    guarantees rank error <= n/accuracy, so the bracket provably
+    contains the floor/ceil target ranks once n > accuracy/2; smaller
+    groups skip the bracket and collect everything — bounded by the
+    cutoff).  Pass 2 (broadcast-join the tiny per-group bracket back,
+    one more hash aggregate): count values below the bracket, collect
+    ONLY the ~6n/accuracy candidate values strictly inside it, and
+    read the floor/ceil rank values straight out of the sorted
+    candidate array — then numpy-linear interpolation, identical
+    semantics to the ``percentile`` aggregate (and DuckDB
+    quantile_cont).
+
+    Scale shape: both aggregates are map-side-combined hash aggs on
+    the group keys; the join is a broadcast of a |groups|-row frame;
+    the input is scanned twice (no materialization — at 100 TB a
+    second columnar scan is far cheaper than caching).  Returns the
+    same shape as the aggregate path (scalar double or per-q array).
+    """
+    from flox_spark.aggregations import _nan_sentinel
+    from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
+
+    skipna = agg.name.startswith("nan")
+    qv_arg = ctx.kwargs.get("q")
+    if agg.name in ("median", "nanmedian") or qv_arg is None:
+        qv_arg = 0.5
+    is_vec = isinstance(qv_arg, (list, tuple))
+    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+
+    acc = int(OPTIONS["approx_quantile_accuracy"])
+    slack = 3.0 / acc
+    # below this size a group's values are collected outright (exact,
+    # bounded); above it the bracket's rank-error margin 3n/acc >= 1.5
+    # provably covers the target ranks
+    cutoff = max(1024, acc // 2)
+
+    av, _ = _ai(ctx.v_skip, ctx.dt)
+    work2 = work.withColumn("__qv", av).withColumn("__miss", ctx.missing)
+
+    probs: list[float] = []
+    for q in qlist:
+        probs += [max(0.0, q - slack), min(1.0, q + slack)]
+    gaggs = [
+        F.count("__qv").alias("__n"),
+        F.percentile_approx(
+            F.col("__qv"), F.array(*[F.lit(p) for p in probs]), F.lit(acc)
+        ).alias("__pa"),
+    ]
+    if not skipna:
+        gaggs.append(F.bool_or("__miss").alias("__poison"))
+    bounds = work2.groupBy(*key_cols).agg(*gaggs)
+
+    j = work2.select(*key_cols, "__qv").join(F.broadcast(bounds), key_cols)
+    small = F.col("__n") <= F.lit(cutoff)
+    exprs = [F.first("__n").alias("__n")]
+    if not skipna:
+        exprs.append(F.first("__poison").alias("__poison"))
+    for i in range(len(qlist)):
+        vlo = F.element_at("__pa", 2 * i + 1)
+        vhi = F.element_at("__pa", 2 * i + 2)
+        use_all = small | vlo.isNull()
+        in_mid = F.when(use_all, F.col("__qv").isNotNull()).otherwise(
+            (F.col("__qv") > vlo) & (F.col("__qv") < vhi)
+        )
+        exprs += [
+            F.sum(
+                F.when(~use_all & (F.col("__qv") < vlo), 1).otherwise(0)
+            ).alias(f"__clt_{i}"),
+            F.sum(
+                F.when(~use_all & (F.col("__qv") == vlo), 1).otherwise(0)
+            ).alias(f"__ceq_{i}"),
+            F.array_sort(F.collect_list(F.when(in_mid, F.col("__qv")))).alias(f"__mid_{i}"),
+            F.first(vlo).alias(f"__vlo_{i}"),
+            F.first(vhi).alias(f"__vhi_{i}"),
+        ]
+    g2 = j.groupBy(*key_cols).agg(*exprs)
+
+    dtish = is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt)
+
+    def q_val(i: int, q: float) -> Column:
+        t = (F.col("__n") - 1) * F.lit(q)
+        tf = F.floor(t).cast("long")
+        tc = F.ceil(t).cast("long")
+        mid_lo = F.col(f"__clt_{i}") + F.col(f"__ceq_{i}")
+        mid_hi = mid_lo + F.size(f"__mid_{i}")
+
+        def val_at(r: Column) -> Column:
+            return (
+                F.when(r < mid_lo, F.col(f"__vlo_{i}"))
+                .when(
+                    r < mid_hi,
+                    F.element_at(f"__mid_{i}", (r - mid_lo + 1).cast("int")),
+                )
+                .otherwise(F.col(f"__vhi_{i}"))
+            )
+
+        vf = val_at(tf).cast("double")
+        vc = val_at(tc).cast("double")
+        val = F.when(
+            F.col("__n") > 0, vf + (t - tf) * (vc - vf)
+        )
+        if dtish:
+            val = arith_restore(val, ctx.dt)
+        if not skipna:
+            sentinel = _nan_sentinel(ctx.dt) if dtish else _nan_sentinel("double")
+            val = F.when(F.col("__poison"), sentinel).otherwise(val)
+        if min_count is not None and min_count > 0:
+            fill = _fill_literal(fill_value if fill_value is not None else agg.default_fill)
+            val = F.when(F.col("__n") >= F.lit(min_count), val).otherwise(fill)
+        return val
+
+    if is_vec:
+        return g2.select(
+            *key_cols, F.array(*[q_val(i, q) for i, q in enumerate(qlist)]).alias(out_name)
+        )
+    return g2.select(*key_cols, q_val(0, qlist[0]).alias(out_name))
 
 
 def _mode_two_stage(work: DataFrame, key_cols: list[str], ctx: AggContext, skipna: bool, out_name: str) -> DataFrame:

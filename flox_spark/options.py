@@ -19,14 +19,34 @@ OPTIONS: dict[str, Any] = {
     # Broadcast the aggregated result into the expected-groups join
     # (the aggregate side is |groups| rows — almost always tiny).
     "broadcast_reindex": True,
-    # Exact-quantile physical strategy: "agg" uses Spark's percentile
-    # aggregate (ObjectHashAggregate buffering every group's values in
-    # memory — fine for small groups), "sort" computes the identical
-    # numpy-linear interpolation via a spillable sort + streaming
-    # row_number + rank filter (bounded memory at any group size: the
-    # giant-group-safe exact path; approx_quantile remains the cheap
-    # sketch alternative).
-    "quantile_impl": "agg",
+    # Exact-quantile physical strategy.  "auto" (default) picks from
+    # plan-size statistics (core._choose_quantile_impl): "agg" for
+    # provably-small inputs, "refine" for medium, "sort" for large or
+    # stats-less inputs.  Explicit values force one strategy:
+    # - "agg": Spark's percentile aggregate (ObjectHashAggregate
+    #   buffering every group's values in memory — fastest, but the
+    #   one OOM-able plan at giant group sizes);
+    # - "refine": exact two-scan approx-bracket + candidate collect
+    #   (bounded ~6n/accuracy memory at ANY group size, zero
+    #   data-sized shuffles);
+    # - "sort": spillable sort + streaming row_number + rank filter
+    #   (always-safe, cost = one full shuffle of the values).
+    # All three produce the identical numpy-linear interpolation;
+    # approx_quantile remains the cheap sketch alternative.
+    "quantile_impl": "auto",
+    # "auto" thresholds (bytes, from the optimized plan's stats):
+    # inputs <= agg_max run "agg"; <= refine_max run "refine"; larger
+    # or unknown run "sort".  refine's worst case is ONE group holding
+    # the whole input: 64 GB / accuracy 1e4 -> ~5M collected
+    # candidates (~38 MB) — still bounded.
+    "quantile_agg_max_bytes": 16 << 20,
+    "quantile_refine_max_bytes": 64 << 30,
+    # sort=True outputs whose DECLARED expected-groups grid is at most
+    # this many rows are sorted in one post-shuffle task
+    # (repartition(1).sortWithinPartitions — no range-exchange sampling
+    # pass); larger declared grids keep the distributed range sort and
+    # warn (see SCALE.md / core._sorted_output).
+    "single_partition_sort_max": 100_000,
     # How self-join diamond DAGs materialize their shared frame:
     # "local_checkpoint" (default): faster, auto-cleaned by the
     # ContextCleaner when dereferenced, but stored only on executors —
@@ -40,7 +60,10 @@ _VALIDATORS = {
     "approx_quantile": lambda v: isinstance(v, bool),
     "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
     "broadcast_reindex": lambda v: isinstance(v, bool),
-    "quantile_impl": lambda v: v in ("agg", "sort"),
+    "quantile_impl": lambda v: v in ("auto", "agg", "sort", "refine"),
+    "quantile_agg_max_bytes": lambda v: isinstance(v, int) and v >= 0,
+    "quantile_refine_max_bytes": lambda v: isinstance(v, int) and v >= 0,
+    "single_partition_sort_max": lambda v: isinstance(v, int) and v >= 0,
     "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
 }
 

@@ -168,20 +168,22 @@ def test_quantile_sort_impl_matches_agg(spark):
              expected_groups=[0, 1, 2, 3, 4, 5, 6, 50], fill_value=-1.0),
     ]
     for kw in cases:
-        base = groupby_reduce(df, "k", value="v", **kw).collect()
-        with set_options(quantile_impl="sort"):
-            alt = groupby_reduce(df, "k", value="v", **kw).collect()
-        assert len(base) == len(alt), kw
-        for rb, ra in zip(base, alt):
-            assert rb.asDict().keys() == ra.asDict().keys()
-            for c in rb.asDict():
-                vb, va = rb[c], ra[c]
-                if isinstance(vb, float) and math.isnan(vb):
-                    assert isinstance(va, float) and math.isnan(va), (kw, c, rb, ra)
-                elif isinstance(vb, float):
-                    assert va == pytest.approx(vb, rel=1e-12), (kw, c, rb, ra)
-                else:
-                    assert vb == va, (kw, c, rb, ra)
+        with set_options(quantile_impl="agg"):
+            base = groupby_reduce(df, "k", value="v", **kw).collect()
+        for impl in ("sort", "refine"):
+            with set_options(quantile_impl=impl):
+                alt = groupby_reduce(df, "k", value="v", **kw).collect()
+            assert len(base) == len(alt), (impl, kw)
+            for rb, ra in zip(base, alt):
+                assert rb.asDict().keys() == ra.asDict().keys()
+                for c in rb.asDict():
+                    vb, va = rb[c], ra[c]
+                    if isinstance(vb, float) and math.isnan(vb):
+                        assert isinstance(va, float) and math.isnan(va), (impl, kw, c, rb, ra)
+                    elif isinstance(vb, float):
+                        assert va == pytest.approx(vb, rel=1e-12), (impl, kw, c, rb, ra)
+                    else:
+                        assert vb == va, (impl, kw, c, rb, ra)
 
 
 def test_quantile_sort_impl_timestamp(spark):
@@ -195,9 +197,10 @@ def test_quantile_sort_impl_timestamp(spark):
     })
     df = spark.createDataFrame(pdf)
     base = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
-    with set_options(quantile_impl="sort"):
-        alt = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
-    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
+    for impl in ("sort", "refine"):
+        with set_options(quantile_impl=impl):
+            alt = groupby_reduce(df, "k", func="nanmedian", value="v").collect()
+        assert [tuple(r) for r in base] == [tuple(r) for r in alt], impl
     assert base[0]["nanmedian"] == dt.datetime(2024, 1, 2)
 
 
@@ -286,3 +289,82 @@ def test_multi_interval_index_expected_groups(spark):
     rows = {r["x_bin"]: r for r in out}
     assert rows[0]["s"] == 3.0 and rows[1]["s"] == 3.0 and rows[2]["s"] == 4.0
     assert rows[1]["x_bin_left"] == 10.0
+
+
+def test_quantile_auto_impl_selection(spark):
+    # the stats-driven strategy pick (core._choose_quantile_impl,
+    # mirroring flox's _choose_engine spirit, flox/core.py:712-736):
+    # small input -> "agg", medium -> "refine", huge/unknown -> "sort"
+    from flox_spark import set_options
+    from flox_spark.core import _choose_quantile_impl
+
+    pdf = pd.DataFrame({"k": [0, 1] * 50, "v": np.arange(100.0)})
+    df = spark.createDataFrame(pdf)
+    assert _choose_quantile_impl(df) == "agg"  # tiny LocalRelation
+    with set_options(quantile_agg_max_bytes=0):
+        assert _choose_quantile_impl(df) == "refine"
+    with set_options(quantile_agg_max_bytes=0, quantile_refine_max_bytes=0):
+        assert _choose_quantile_impl(df) == "sort"
+    with set_options(quantile_impl="agg", quantile_agg_max_bytes=0):
+        assert _choose_quantile_impl(df) == "agg"  # explicit wins
+
+
+def test_quantile_refine_adversarial_distributions(spark):
+    # distributions that stress the refine path's bracket logic: point
+    # masses AT the approx bounds (ties), two heavy masses, constant
+    # groups, single-element groups, q=0/1 extremes
+    import math
+    from flox_spark import set_options
+
+    rng = np.random.default_rng(17)
+    frames = {
+        "point_mass": np.full(5000, 3.25),
+        "two_masses": np.concatenate([np.full(2500, 1.0), np.full(2500, 2.0)]),
+        "few_distinct": rng.integers(0, 5, 5000).astype(float),
+        "normal": rng.normal(size=5000),
+        "tiny": np.array([42.0]),
+    }
+    for name, v in frames.items():
+        pdf = pd.DataFrame({"k": np.zeros(len(v), dtype=np.int64), "v": v})
+        df = spark.createDataFrame(pdf)
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            want = float(np.quantile(v, q))
+            # cutoff is max(1024, acc//2); force the LARGE-group bracket
+            # path by shrinking accuracy so 5000 > cutoff
+            with set_options(quantile_impl="refine", approx_quantile_accuracy=2048):
+                got = groupby_reduce(
+                    df, "k", func="nanquantile", value="v",
+                    finalize_kwargs={"q": q},
+                ).collect()[0]["nanquantile"]
+            assert got == pytest.approx(want, rel=1e-12, abs=1e-12), (name, q, got, want)
+
+
+def test_sorted_output_small_declared_grid_single_task(spark):
+    # sort=True with a small DECLARED grid sorts in one post-shuffle
+    # task: no range exchange (whose partitioner would sample —
+    # re-executing the aggregate) anywhere in the plan
+    pdf = pd.DataFrame({"k": [2, 0, 1, 0], "v": [1.0, 2.0, 3.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(
+        df, "k", func="nansum", value="v", expected_groups=[0, 1, 2], fill_value=0.0
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert [r["k"] for r in res.collect()] == [0, 1, 2]
+
+
+def test_sorted_output_huge_declared_grid_warns(spark):
+    import warnings
+    from flox_spark import set_options
+
+    pdf = pd.DataFrame({"k": [0, 1], "v": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    with set_options(single_partition_sort_max=1):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = groupby_reduce(
+                df, "k", func="nansum", value="v",
+                expected_groups=[0, 1, 2], fill_value=0.0,
+            ).collect()
+    assert any("sort=False" in str(w.message) for w in rec)
+    assert [r["k"] for r in out] == [0, 1, 2]

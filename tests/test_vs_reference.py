@@ -233,7 +233,7 @@ def test_vector_q_matches_reference(spark):
     pdf = pd.DataFrame({"k": lab, "v": v})
     df = spark.createDataFrame(pdf)
 
-    for impl in ("agg", "sort"):
+    for impl in ("agg", "sort", "refine"):
         with set_options(quantile_impl=impl):
             res = groupby_reduce(
                 df, "k", func="nanquantile", value="v", finalize_kwargs={"q": qs}
