@@ -716,7 +716,8 @@ def q_profile(s, d):
     from flox_spark.operators import profile_columns
 
     out = profile_columns(
-        _t(s, d, "lineitem"), ["l_orderkey", "l_quantity", "l_returnflag"]
+        _t(s, d, "lineitem"), ["l_orderkey", "l_quantity", "l_returnflag"],
+        approx_distinct=False,  # dropped from the oracle row anyway
     )
     return out.select(
         "column", "n_rows", "n_null",

@@ -139,12 +139,15 @@ def contamination_report(
     suites are tiny next to a training corpus) and FILTERS the
     corpus's exploded shingles BEFORE any shuffle — the broadcast
     semi-filter drops ~all rows, so the only exchange is the per-doc
-    count-distinct over the few surviving (doc, shingle) pairs.  (A
-    corpus-side pre-distinct would shuffle every (doc, shingle) pair
-    first — ~25% slower even at sf0.1, and the gap grows with corpus
-    size since that shuffle is corpus-sized while the survivors are
-    benchmark-sized; count_distinct already dedups survivors.)  No
-    UDFs."""
+    count over the few surviving (doc, shingle) pairs.  Corpus
+    shingles are deduplicated per doc AT GENERATION TIME
+    (``array_distinct`` on the shingle array, row-local) so that
+    per-doc count is a plain ``count`` — one aggregate stage, not the
+    two-phase (doc, shingle)+(doc) plan ``count_distinct`` needs.
+    (A corpus-side cross-doc pre-distinct would shuffle every
+    (doc, shingle) pair first — ~25% slower even at sf0.1, and the
+    gap grows with corpus size since that shuffle is corpus-sized
+    while the survivors are benchmark-sized.)  No UDFs."""
     from flox_spark.operators.dedup import _shingle_expr
     from flox_spark.plans import ensure_parallelism
 
@@ -167,12 +170,14 @@ def contamination_report(
     )
     corp_sh = ensure_parallelism(corpus).select(
         F.col(id_col),
-        F.explode(_shingle_expr(F.col(text_col), n, "word")).alias("shingle"),
+        F.explode(
+            F.array_distinct(_shingle_expr(F.col(text_col), n, "word"))
+        ).alias("shingle"),
     ).filter(F.col("shingle") != "")
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count_distinct(F.col("shingle")).alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 
@@ -212,6 +217,35 @@ def decontaminate(
         )
     if method != "ngram":
         raise ValueError(f"method must be ngram|exact, got {method!r}")
+    if min_shared <= 1:
+        # ANY shared shingle contaminates: no counting needed at all —
+        # the broadcast semi-filter plus a distinct over the surviving
+        # doc ids replaces the per-doc count aggregate (and shingle
+        # generation skips the array_distinct pass: duplicates cannot
+        # change "at least one hit")
+        from flox_spark.operators.dedup import _shingle_expr
+        from flox_spark.plans import ensure_parallelism
+
+        btc = bench_text_col or text_col
+        bench_sh = (
+            benchmark.select(
+                F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle")
+            )
+            .filter(F.col("shingle") != "")
+            .distinct()
+        )
+        hits = (
+            ensure_parallelism(corpus)
+            .select(
+                F.col(id_col),
+                F.explode(_shingle_expr(F.col(text_col), n, "word")).alias("shingle"),
+            )
+            .filter(F.col("shingle") != "")
+            .join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        return corpus.join(hits, id_col, "left_anti")
     hits = contamination_report(
         corpus, benchmark, id_col, text_col, n, bench_text_col
     ).filter(F.col("n_shared") >= min_shared).select(id_col)

@@ -25,12 +25,16 @@ def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
     approx_rsd: float = 0.05,
+    approx_distinct: bool = True,
 ) -> DataFrame:
     """Profile ``cols`` (default: all columns) in one aggregation
     pass.  Returns one row per column: ``column, n_rows, n_null,
     null_frac, approx_distinct, min_str, max_str`` (min/max rendered
     as strings so mixed-type tables fit one schema; NULL for
-    unorderable types like maps)."""
+    unorderable types like maps).  ``approx_distinct=False`` skips
+    the per-column HLL sketches (the dominant cost of the pass —
+    count/null/min/max are cheap codegen folds, each HLL is a
+    per-row hash + register update) and emits NULL in that column."""
     names = list(cols) if cols is not None else list(df.columns)
     if not names:
         raise ValueError("no columns to profile")
@@ -49,8 +53,11 @@ def profile_columns(
         # raises AnalysisException and fails the WHOLE profile job.
         # Skip the sketch (emit NULL) for those columns so the rest of
         # the table still profiles.
-        hashable[c] = "map<" not in dt
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"))
+        hashable[c] = approx_distinct and "map<" not in dt
+        # null count as n - count(col): count's native null-skipping
+        # fold beats a per-row isNull branch + sum (~13% off the whole
+        # pass at sf0.1)
+        aggs.append(F.count(F.col(c)).alias(f"__cnt_{i}"))
         if hashable[c]:
             aggs.append(
                 F.approx_count_distinct(F.col(c), approx_rsd).alias(f"__dist_{i}")
@@ -65,9 +72,10 @@ def profile_columns(
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
-                F.col(f"__null_{i}").alias("n_null"),
+                (F.col("__n") - F.col(f"__cnt_{i}")).alias("n_null"),
                 F.when(
-                    F.col("__n") > 0, F.col(f"__null_{i}") / F.col("__n")
+                    F.col("__n") > 0,
+                    (F.col("__n") - F.col(f"__cnt_{i}")) / F.col("__n"),
                 ).otherwise(F.lit(0.0)).alias("null_frac"),
                 (
                     F.col(f"__dist_{i}")
