@@ -1159,7 +1159,51 @@ def _operator_oracles() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for driver-coverage rotation: the harness checks a prefix
+    # window of this dict, so entries never driver-verified in rounds
+    # 1-3 come first (33 queries: sampling, sessions, funnel, kmeans,
+    # asof/range joins, weighted, profile, decontaminate, ...), then
+    # the four last seen in round 1, then the regularly-checked rest.
+    # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
+    # of window position.
     return {
+        "simhash_xx": q_simhash_xx,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "sample_bernoulli": q_sample_bernoulli,
+        "sample_group": q_sample_group,
+        "sample_weighted": q_sample_weighted,
+        "quantile_sort": q_quantile_sort,
+        "transform_mean": q_transform_mean,
+        "sample_stratified": q_sample_stratified,
+        "split_train_test": q_split_train_test,
+        "asof_join": q_asof_join,
+        "minhash_bands": q_minhash_bands,
+        "pack_sequences": q_pack_sequences,
+        "grouped_topk": q_grouped_topk,
+        "nunique": q_nunique,
+        "nunique_plain": q_nunique_plain,
+        "redact_pii": q_redact_pii,
+        "boilerplate": q_boilerplate,
+        "funnel": q_funnel,
+        "funnel_path": q_funnel_path,
+        "kmeans": q_kmeans,
+        "range_join": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "distinct_rollup": q_distinct_rollup,
+        "chunk_docs": q_chunk_docs,
+        "embed_pool": q_embed_pool,
+        "profile": q_profile,
+        "quality_report": q_quality_report,
+        "decontaminate": q_decontaminate,
+        "salted_sum": q_salted_sum,
+        "weighted_mean": q_weighted_mean,
+        "weighted_var": q_weighted_var,
+        "frame_sample": q_frame_sample,
+        "ivf_topk": q_ivf_topk,
+        "embed_neardup": q_embed_neardup,
+        "q1_multi": q_q1_multi,
+        "multimodal_features": q_multimodal_features,
         "count": q_count,
         "sum": q_sum,
         "nansum": q_nansum,
@@ -1210,46 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "simhash_xx": q_simhash_xx,
         "ann_topk": q_ann_topk,
         "embed_normalize": q_embed_normalize,
         "embed_quantize": q_embed_quantize,
-        "ivf_topk": q_ivf_topk,
-        "embed_neardup": q_embed_neardup,
-        "q1_multi": q_q1_multi,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "sample_bernoulli": q_sample_bernoulli,
-        "sample_group": q_sample_group,
-        "sample_weighted": q_sample_weighted,
-        "quantile_sort": q_quantile_sort,
-        "transform_mean": q_transform_mean,
-        "sample_stratified": q_sample_stratified,
-        "split_train_test": q_split_train_test,
-        "asof_join": q_asof_join,
-        "minhash_bands": q_minhash_bands,
-        "pack_sequences": q_pack_sequences,
-        "grouped_topk": q_grouped_topk,
-        "nunique": q_nunique,
-        "nunique_plain": q_nunique_plain,
-        "redact_pii": q_redact_pii,
-        "boilerplate": q_boilerplate,
-        "funnel": q_funnel,
-        "funnel_path": q_funnel_path,
-        "kmeans": q_kmeans,
-        "range_join": q_range_join,
-        "heavy_hitters": q_heavy_hitters,
-        "distinct_rollup": q_distinct_rollup,
-        "chunk_docs": q_chunk_docs,
-        "embed_pool": q_embed_pool,
-        "profile": q_profile,
-        "quality_report": q_quality_report,
-        "decontaminate": q_decontaminate,
-        "salted_sum": q_salted_sum,
-        "weighted_mean": q_weighted_mean,
-        "weighted_var": q_weighted_var,
-        "frame_sample": q_frame_sample,
     }
 
 
