@@ -14,7 +14,7 @@ left join.  None of flox's dask machinery (tree combine, cohorts,
 blockwise rechunk) is ported — Catalyst/AQE plays that role.
 """
 
-from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, pandas_aggregation
+from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, Scan, ScanContext, pandas_aggregation
 from flox_spark.core import bin_column, groupby_reduce, groupby_reduce_multi
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
@@ -40,6 +40,8 @@ __all__ = [
     "SCANS",
     "set_options",
     "get_options",
+    "Scan",
+    "ScanContext",
 ]
 
 __version__ = "0.1.0"

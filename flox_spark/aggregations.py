@@ -413,3 +413,38 @@ SCANS: tuple[str, ...] = (
     "cummax",
     "cummin",
 )
+
+
+@dataclass
+class ScanContext:
+    """Everything a custom scan's ``build`` gets — the window-spec
+    analog of ``AggContext``.  ``window`` is the running frame
+    (unboundedPreceding..currentRow, ordered by the scan's order
+    column within the group); ``window_fwd`` the mirrored forward
+    frame (bfill-style).  ``v_skip`` is the value with every missing
+    representation as NULL; ``missing`` the is-missing boolean."""
+
+    value: Column
+    v_skip: Column
+    missing: Column
+    dt: DataType
+    window: Any  # pyspark WindowSpec
+    window_fwd: Any
+    kwargs: dict
+
+
+@dataclass
+class Scan:
+    """User-defined scan spec — the escape hatch mirroring flox's
+    public ``Scan`` dataclass (flox/aggregations.py:715-737, which
+    lets users register custom scans next to the built-ins).  ``build``
+    receives a ``ScanContext`` and returns the window Column, e.g. a
+    running cummedian:
+
+        cummedian = Scan("cummedian", lambda c: F.percentile(
+            c.v_skip, F.lit(0.5)).over(c.window))
+        groupby_scan(df, "k", func=cummedian, value="v", order_by="t")
+    """
+
+    name: str
+    build: Callable[[ScanContext], Column]

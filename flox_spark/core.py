@@ -183,6 +183,17 @@ def _spark_type(dtype: Any):
         name = str(_np.dtype(dtype))
     except Exception:
         name = str(dtype)
+    if name.startswith("complex") or name in ("csingle", "cdouble", "clongdouble"):
+        # the reference reduces complex arrays (its hypothesis
+        # strategies include complex dtypes, reference
+        # tests/strategies.py:83-99); Spark has NO complex type, and
+        # without this check a complex request would die obscurely in
+        # a cast/Arrow error.  Fail loudly with the workaround.
+        raise TypeError(
+            "complex dtypes are not supported: Spark has no complex number "
+            "type. Split the values into real/imag double columns and "
+            "reduce each (sum/mean are componentwise), then recombine."
+        )
     return _NUMPY_TO_SPARK.get(name, name)
 
 
@@ -324,6 +335,12 @@ def groupby_reduce(
     - ``order_by``: total-order column required by positional funcs
       (first/last/nanfirst/nanlast/arg*): flox's implicit array order
       made explicit.
+    - ``sort=False``: groups come back in flox's sort=False order —
+      first-occurrence order (pd.factorize(sort=False),
+      flox/factorize.py:96) when ``order_by`` is given, or the
+      declared lists' given order when every ``expected_groups`` is
+      declared (flox/factorize.py:85-93).  With neither, tables have
+      no row order and the output order is unspecified.
     - ``alias``: output column name for the result (default: func name).
     """
     if not by:
@@ -405,6 +422,15 @@ def groupby_reduce(
         if qfam and not OPTIONS["approx_quantile"]
         else "agg"
     )
+    # sort=False occurrence-order parity (flox factorize.py:96:
+    # pd.factorize(sort=False) returns groups in FIRST-OCCURRENCE
+    # order; with declared expected_groups flox instead keeps the
+    # expected list's GIVEN order, factorize.py:85-93).  Tables are
+    # unordered, so "occurrence" needs the explicit order_by column;
+    # with neither order_by nor a fully-declared grid, sort=False
+    # leaves the output order unspecified (documented).
+    all_declared = all(e is not None for e in expected_t)
+    occ_needed = (not sort) and order_by is not None and not all_declared
     if agg.two_stage == "mode":
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
     elif qfam and quantile_impl == "sort":
@@ -418,7 +444,19 @@ def groupby_reduce(
             fill_scalar = fill_value if fill_value is not None else agg.default_fill
             fill = _fill_literal([fill_scalar] * len(qlist) if qlist is not None else fill_scalar)
             expr = F.when(cnt >= F.lit(min_count), expr).otherwise(fill)
-        result = work.groupBy(*key_cols).agg(expr.alias(out_name))
+        aggs_list = [expr.alias(out_name)]
+        if occ_needed:
+            # fused into the one aggregation pass — no extra scan
+            aggs_list.append(F.min(idx_col).alias("__occ"))
+            occ_needed = False
+        result = work.groupBy(*key_cols).agg(*aggs_list)
+    if occ_needed:
+        # multi-stage strategies (mode/quantile): attach the
+        # first-occurrence position with a separate group-sized
+        # aggregate + join (only when the caller asked for sort=False
+        # WITH an order column — never on the default path)
+        occ = work.groupBy(*key_cols).agg(F.min(idx_col).alias("__occ"))
+        result = result.join(occ, key_cols, "left")
 
     # ---- expected-groups reindex (flox/reindex.py:160-216) ----------
     if any(e is not None for e in expected_t):
@@ -426,7 +464,8 @@ def groupby_reduce(
         if qlist is not None:
             fill = [fill if fill is not None else NAN] * len(qlist)
         result = _reindex_expected(
-            result, key_cols, isbin_t, expected_t, {out_name: fill}, df.sparkSession
+            result, key_cols, isbin_t, expected_t, {out_name: fill}, df.sparkSession,
+            with_pos=(not sort) and all_declared,
         )
 
     if bin_labels and any(isbin_t):
@@ -445,8 +484,9 @@ def groupby_reduce(
             c for c in result.columns
             if c.endswith("_bin_left") or c.endswith("_bin_right")
         ]
+        occ_cols = ["__occ"] if "__occ" in result.columns else []
         result = result.withColumn("__qp", F.explode(pairs)).select(
-            *key_cols, *label_cols,
+            *key_cols, *label_cols, *occ_cols,
             F.col("__qp.q").alias("q"), F.col("__qp.v").alias(out_name),
         )
 
@@ -465,6 +505,17 @@ def groupby_reduce(
             declared_card,
             heavy=(qfam and quantile_impl == "agg"),
         )
+    elif "__occ" in result.columns:
+        # flox sort=False order: first occurrence (or the declared
+        # expected order).  Group-cardinality-sized sort; groups with
+        # no occurrence (fill-only grid rows under a partial declare)
+        # go last.
+        oc = [F.col("__occ").asc_nulls_last(), *(["q"] if qlist is not None else [])]
+        declared_card = _declared_cardinality(isbin_t, expected_t)
+        if declared_card is not None and declared_card <= OPTIONS["single_partition_sort_max"]:
+            result = result.repartition(1).sortWithinPartitions(*oc).drop("__occ")
+        else:
+            result = result.orderBy(*oc).drop("__occ")
     return result
 
 
@@ -618,16 +669,31 @@ def groupby_reduce_multi(
         exprs.append(agg.build(ctx).alias(out_name))
         fills[out_name] = fill_value if fill_value is not None else agg.default_fill
 
+    all_declared = all(e is not None for e in expected_t)
+    if (not sort) and order_by is not None and not all_declared:
+        # sort=False occurrence order (see groupby_reduce) — fused
+        occ_idx, _ = arith_input(F.col(order_by), work.schema[order_by].dataType)
+        exprs.append(F.min(occ_idx).alias("__occ"))
     result = work.groupBy(*key_cols).agg(*exprs)
 
     if any(e is not None for e in expected_t):
-        result = _reindex_expected(result, key_cols, isbin_t, expected_t, fills, df.sparkSession)
+        result = _reindex_expected(
+            result, key_cols, isbin_t, expected_t, fills, df.sparkSession,
+            with_pos=(not sort) and all_declared,
+        )
     if bin_labels and any(isbin_t):
         result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
     if sort:
         result = _sorted_output(
             result, key_cols, _declared_cardinality(isbin_t, expected_t), heavy=False
         )
+    elif "__occ" in result.columns:
+        oc = F.col("__occ").asc_nulls_last()
+        declared_card = _declared_cardinality(isbin_t, expected_t)
+        if declared_card is not None and declared_card <= OPTIONS["single_partition_sort_max"]:
+            result = result.repartition(1).sortWithinPartitions(oc).drop("__occ")
+        else:
+            result = result.orderBy(oc).drop("__occ")
     return result
 
 
@@ -936,6 +1002,7 @@ def _reindex_expected(
     expected_t: tuple,
     fills: dict[str, Any],
     spark,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Left-join the aggregated result onto the cartesian grid of
     expected groups and fill absences — flox's reindex_ + fill
@@ -943,6 +1010,9 @@ def _reindex_expected(
     are group-cardinality-sized; broadcast the aggregated side so the
     join never shuffles.  ``fills``: out_column -> fill value (None ->
     NaN for float results, flox's promotion rule collapsed to NULL/NaN).
+    ``with_pos`` attaches a ``__occ`` row-major grid position (the
+    declared lists' GIVEN order — flox's sort=False expected-order
+    contract, flox/factorize.py:85-93); requires every by declared.
     """
     if any(e is None for e in expected_t):
         # partially-declared expected groups: the observed-key grid
@@ -953,6 +1023,7 @@ def _reindex_expected(
         result = materialize_shared(result)
     grid: DataFrame | None = None
     grid_card: float = 1.0  # exact when all expected are declared
+    part_sizes: list[int] = []
     for i, kc in enumerate(key_cols):
         exp = expected_t[i]
         if exp is None:
@@ -962,12 +1033,31 @@ def _reindex_expected(
         elif isbin_t[i]:
             nbins = len(exp) - 1
             part = spark.range(nbins).select(F.col("id").cast("int").alias(kc))
+            if with_pos:
+                part = part.withColumn(f"__pos{i}", F.col(kc).cast("long"))
+                part_sizes.append(nbins)
             grid_card *= nbins
         else:
             kdt = result.schema[kc].dataType
-            part = spark.createDataFrame([(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}")
+            if with_pos:
+                part = spark.createDataFrame(
+                    [(v, j) for j, v in enumerate(exp)],
+                    schema=f"`{kc}` {kdt.simpleString()}, `__pos{i}` bigint",
+                )
+                part_sizes.append(len(exp))
+            else:
+                part = spark.createDataFrame(
+                    [(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}"
+                )
             grid_card *= len(exp)
         grid = part if grid is None else grid.crossJoin(part)
+    if with_pos:
+        pos: Column = F.lit(0)
+        for i, n in enumerate(part_sizes):
+            pos = pos * F.lit(n) + F.col(f"__pos{i}")
+        grid = grid.withColumn("__occ", pos.cast("long")).drop(
+            *[f"__pos{i}" for i in range(len(part_sizes))]
+        )
 
     # mark presence explicitly: a present group whose aggregate is
     # legitimately NULL must NOT be replaced by fill_value — fill is

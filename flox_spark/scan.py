@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flox_spark.dtypes import arith_input, arith_restore, is_float_type, is_missing, to_skip
-from flox_spark.aggregations import SCANS
+from flox_spark.aggregations import SCANS, Scan, ScanContext
 
 __all__ = ["groupby_scan"]
 
@@ -27,13 +27,14 @@ __all__ = ["groupby_scan"]
 def groupby_scan(
     df: DataFrame,
     *by: str,
-    func: str,
+    func: str | Scan,
     value: str,
     order_by: str,
     alias: str | None = None,
     dtype: object = None,
     engine: str | None = None,
     method: str | None = None,
+    finalize_kwargs: dict | None = None,
 ) -> DataFrame:
     """Grouped scan with flox semantics (flox/scan.py:101-315).
     ``engine``/``method`` accepted for flox call-site compatibility
@@ -60,10 +61,17 @@ def groupby_scan(
     Returns ``df`` with one added column (default name = func), the
     original row set and order preserved — flox returns an array of
     the input shape (flox/scan.py:300-315).
+
+    ``func`` may also be a custom ``Scan`` spec (the escape hatch
+    mirroring flox's public ``Scan`` dataclass,
+    flox/aggregations.py:715-737): its ``build`` receives a
+    ``ScanContext`` with the group window and returns the window
+    Column.
     """
-    if func not in SCANS:
+    custom = isinstance(func, Scan)
+    if not custom and func not in SCANS:
         raise ValueError(f"unknown scan {func!r}; valid: {SCANS}")
-    out = alias or func
+    out = alias or (func.name if custom else func)
     if dtype is not None:
         from flox_spark.core import _spark_type
 
@@ -76,6 +84,15 @@ def groupby_scan(
     w = Window.partitionBy(*by).orderBy(order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     expr: Column
+    if custom:
+        w_fwd = Window.partitionBy(*by).orderBy(order_by).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        ctx = ScanContext(
+            value=v, v_skip=v_skip, missing=missing, dt=vdt,
+            window=w, window_fwd=w_fwd, kwargs=dict(finalize_kwargs or {}),
+        )
+        return df.withColumn(out, func.build(ctx))
     if func == "cumsum":
         av, _ = arith_input(v_skip, vdt)
         run = F.sum(av).over(w)

@@ -157,3 +157,65 @@ def test_scan_dtype_override(spark):
     assert dict(out.dtypes)["nancumsum"] == "double"
     got = [r["nancumsum"] for r in out.orderBy("idx").collect()]
     assert got == [1.5, 4.0, 7.5]
+
+
+def test_custom_scan_cummedian(spark):
+    # the custom-Scan escape hatch (mirror of flox's public Scan
+    # dataclass, flox/aggregations.py:715-737): a user-defined running
+    # median over the group window
+    from pyspark.sql import functions as F
+    from flox_spark import Scan, groupby_scan
+
+    cummedian = Scan(
+        "cummedian", lambda c: F.percentile(c.v_skip, F.lit(0.5)).over(c.window)
+    )
+    pdf = pd.DataFrame({
+        "idx": range(6),
+        "k": [0, 0, 0, 1, 1, 1],
+        "v": [1.0, 3.0, 2.0, 10.0, np.nan, 30.0],
+    })
+    res = groupby_scan(
+        spark.createDataFrame(pdf), "k", func=cummedian, value="v", order_by="idx"
+    )
+    got = {r["idx"]: r["cummedian"] for r in res.collect()}
+    assert got[0] == 1.0 and got[1] == 2.0 and got[2] == 2.0
+    assert got[3] == 10.0 and got[4] == 10.0 and got[5] == 20.0
+
+
+def test_custom_scan_forward_window_and_kwargs(spark):
+    from pyspark.sql import functions as F
+    from flox_spark import Scan, groupby_scan
+
+    # next non-missing value scaled by a user kwarg: exercises
+    # window_fwd and finalize_kwargs
+    nxt = Scan(
+        "next_scaled",
+        lambda c: F.first(c.v_skip, ignorenulls=True).over(c.window_fwd)
+        * F.lit(c.kwargs.get("scale", 1.0)),
+    )
+    pdf = pd.DataFrame({
+        "idx": range(4), "k": [0, 0, 0, 0], "v": [np.nan, 2.0, np.nan, 4.0],
+    })
+    res = groupby_scan(
+        spark.createDataFrame(pdf), "k", func=nxt, value="v", order_by="idx",
+        finalize_kwargs={"scale": 10.0},
+    )
+    got = [r["next_scaled"] for r in res.orderBy("idx").collect()]
+    assert got == [20.0, 20.0, 40.0, 40.0]
+
+
+def test_complex_dtype_rejected_loudly(spark):
+    # Spark has no complex type; the reference reduces complex arrays
+    # (reference tests/strategies.py:83-99) — the engine must reject
+    # the request with a clear error, not an obscure cast failure
+    from flox_spark import groupby_reduce
+
+    pdf = pd.DataFrame({"k": [0, 1], "v": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(TypeError, match="complex"):
+        groupby_reduce(df, "k", func="nansum", value="v", dtype="complex128")
+    with pytest.raises(TypeError, match="complex"):
+        groupby_scan(
+            df.withColumn("idx", df.v), "k", func="cumsum", value="v",
+            order_by="idx", dtype=np.complex64,
+        )

@@ -396,3 +396,56 @@ def test_bin_column_closed_left_width_bucket_path(spark):
         i = np.digitize([x], breaks, right=False)[0] - 1
         want.append(int(i) if 0 <= i < len(breaks) - 1 and x < breaks[-1] else None)
     assert got == want
+
+
+def test_sort_false_occurrence_order_matches_reference(spark):
+    # flox sort=False returns groups in FIRST-OCCURRENCE order
+    # (pd.factorize(sort=False), flox/factorize.py:96); the engine
+    # reproduces it when order_by defines row order
+    lab = np.array([7, 3, 7, 9, 1, 3, 9, 1, 5])
+    v = np.arange(len(lab), dtype=np.float64)
+    want, groups = flox_gr(v, lab, func="nansum", engine="flox", sort=False)
+    pdf = pd.DataFrame({"idx": np.arange(len(lab)), "k": lab, "v": v})
+    res = groupby_reduce(
+        spark.createDataFrame(pdf), "k", func="nansum", value="v",
+        sort=False, order_by="idx",
+    ).collect()
+    assert [r["k"] for r in res] == [int(g) for g in groups]  # 7,3,9,1,5
+    for r, w in zip(res, want):
+        assert r["nansum"] == pytest.approx(float(w), rel=1e-12)
+
+
+def test_sort_false_declared_expected_keeps_given_order(spark):
+    # with declared expected_groups, flox sort=False keeps the
+    # DECLARED order (searchsorted unsort, flox/factorize.py:85-93)
+    lab = np.array([1, 5, 3, 1, 3])
+    v = np.ones(len(lab))
+    expected = [5, 1, 9, 3]  # deliberately unsorted, with an absent 9
+    want, groups = flox_gr(
+        v, lab, func="nansum", engine="flox", sort=False,
+        expected_groups=np.array(expected), fill_value=0.0,
+    )
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    res = groupby_reduce(
+        spark.createDataFrame(pdf), "k", func="nansum", value="v",
+        sort=False, expected_groups=expected, fill_value=0.0,
+    ).collect()
+    assert [r["k"] for r in res] == [int(g) for g in groups] == expected
+    for r, w in zip(res, want):
+        assert r["nansum"] == pytest.approx(float(w), rel=1e-12)
+
+
+def test_sort_false_occurrence_order_mode_and_median(spark):
+    # the multi-stage strategies (mode two-stage, quantile) attach the
+    # occurrence position via a separate aggregate + join
+    from flox_spark import set_options
+
+    lab = np.array([4, 2, 4, 8, 2, 8, 8])
+    v = np.array([1.0, 2.0, 1.0, 3.0, 2.0, 3.0, 4.0])
+    pdf = pd.DataFrame({"idx": np.arange(len(lab)), "k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    res = groupby_reduce(df, "k", func="nanmode", value="v", sort=False, order_by="idx").collect()
+    assert [r["k"] for r in res] == [4, 2, 8]
+    with set_options(quantile_impl="refine"):
+        res = groupby_reduce(df, "k", func="nanmedian", value="v", sort=False, order_by="idx").collect()
+    assert [r["k"] for r in res] == [4, 2, 8]
