@@ -568,6 +568,36 @@ def q_quantile_sort(s, d):
     return out.withColumn("p90_price", F.round("p90_price", 6))
 
 
+def q_quantile_refine(s, d):
+    # the medium-scale exact quantile (approx-bracket + candidate
+    # collect, two scans, zero data-sized shuffles) must produce the
+    # identical p90 — driver evidence for the quantile_impl="refine"
+    # strategy (auto-chosen from plan stats at real scale), same
+    # oracle SQL as "quantile"
+    from flox_spark import set_options
+
+    with set_options(quantile_impl="refine"):
+        out = _q_reduce(
+            "nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p90_price",
+            finalize_kwargs={"q": 0.9},
+        )(s, d)
+    return out.withColumn("p90_price", F.round("p90_price", 6))
+
+
+def q_binned_left(s, d):
+    # left-closed IntervalIndex bins (closed='left'): the reference
+    # digitizes by expect.closed_right (flox/factorize.py:57-76);
+    # edge values on the breaks discriminate [10,20) from (10,20]
+    import pandas as pd
+
+    iv = pd.IntervalIndex.from_breaks([0.0, 10.0, 20.0, 30.0, 51.0], closed="left")
+    out = _q_reduce(
+        "nanmean", "lineitem", ["l_quantity"], "l_extendedprice", "mean_price",
+        expected_groups=iv, fill_value=0.0,
+    )(s, d)
+    return out.withColumn("mean_price", F.round("mean_price", 4))
+
+
 def q_sample_weighted(s, d):
     # Efraimidis-Spirakis weighted draw (P proportional to n_chars),
     # deterministic hash uniforms — same ln(u)/w ranking in DuckDB
@@ -1167,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
+        "quantile_refine": q_quantile_refine,
+        "binned_left": q_binned_left,
         "simhash_xx": q_simhash_xx,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -1287,6 +1319,25 @@ def oracle_sql() -> dict[str, str]:
         "quantile": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
+        "quantile_refine": """
+            SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "binned_left": """
+            WITH binned AS (
+              SELECT CASE
+                       WHEN l_quantity >= 0 AND l_quantity < 10 THEN 0
+                       WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1
+                       WHEN l_quantity >= 20 AND l_quantity < 30 THEN 2
+                       WHEN l_quantity >= 30 AND l_quantity < 51 THEN 3
+                     END AS l_quantity_bin,
+                     l_extendedprice
+              FROM lineitem)
+            SELECT b.l_quantity_bin,
+                   round(coalesce(m, 0.0), 4) AS mean_price
+            FROM (VALUES (0), (1), (2), (3)) b(l_quantity_bin)
+            LEFT JOIN (SELECT l_quantity_bin, avg(l_extendedprice) AS m
+                       FROM binned WHERE l_quantity_bin IS NOT NULL
+                       GROUP BY l_quantity_bin) g USING (l_quantity_bin)""",
         "quantile_sort": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
