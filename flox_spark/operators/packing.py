@@ -16,8 +16,12 @@ the distributed design is two-level:
   batches keeps the cross-batch waste to partially-filled bins only,
   and the efficiency test pins the realized bound.
 - **zero shuffles**: bin ids are made globally unique by prefixing
-  ``spark_partition_id``.  An optional ``repartition`` fan-out first
-  balances skewed inputs (that one exchange is the only one).
+  the task's partition id, read from ``TaskContext`` INSIDE the
+  Python worker — not via a ``spark_partition_id()`` projection,
+  which evaluates to 0 for every row on LocalRelation inputs
+  (driver-side local data) and silently collided bins across tasks.
+  An optional ``repartition`` fan-out first balances skewed inputs
+  (that one exchange is the only one).
 
 Docs exceeding the budget get a singleton bin and ``oversize=true``
 (callers chunk or drop them).  The operator is an iterative
@@ -45,24 +49,43 @@ def pack_sequences(
     token_col: str = "n_tokens",
     budget: int = 2048,
     repartition: int | None = None,
+    strategy: str = "first_fit",
 ) -> DataFrame:
     """Assign each row a ``bin_id`` such that each bin's token sum is
     <= ``budget`` (singleton oversize rows excepted, flagged).
+
+    ``strategy``: ``"first_fit"`` (FFD — place in the first open bin
+    that fits) or ``"best_fit"`` (BFD — place in the TIGHTEST open bin
+    that fits; same 11/9 OPT + 1 worst case, usually fewer
+    partially-filled bins because placements do not fragment the loose
+    bins first).  Both are decreasing (batch sorted desc by tokens)
+    and share bins across the partition's batches.
 
     Adds ``bin_id`` (long, globally unique) and ``oversize``
     (boolean).  Row set and values are otherwise unchanged."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if strategy not in ("first_fit", "best_fit"):
+        raise ValueError(f"strategy must be first_fit|best_fit, got {strategy!r}")
+    best = strategy == "best_fit"
     work = df.repartition(repartition) if repartition else df
-    work = work.withColumn("__pid", F.spark_partition_id())
 
     out_schema = StructType(list(work.schema.fields))
     out_schema = out_schema.add("bin_id", LongType()).add("oversize", "boolean")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bins are shared across the partition's batches; each batch
-        # is packed (FFD within the batch) and emitted immediately
-        remaining: list[int] = []
+        # is packed (first/best-fit-decreasing within the batch) and
+        # emitted immediately.  Residual capacities live in a numpy
+        # array so each placement is one vectorized compare over the
+        # open bins instead of a Python scan.
+        import numpy as np
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        rem = np.empty(1024, dtype=np.int64)
+        n_bins = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -79,21 +102,34 @@ def pack_sequences(
             for idx in order:
                 t = int(pdf.at[idx, token_col])
                 if t > budget:
-                    remaining.append(0)  # singleton, no residual capacity
-                    bin_of.at[idx] = len(remaining) - 1
+                    if n_bins == len(rem):
+                        rem = np.resize(rem, 2 * len(rem))
+                    rem[n_bins] = 0  # singleton, no residual capacity
+                    bin_of.at[idx] = n_bins
                     oversize.at[idx] = True
+                    n_bins += 1
                     continue
-                for i, cap in enumerate(remaining):
-                    if cap >= t:
-                        remaining[i] = cap - t
-                        bin_of.at[idx] = i
-                        break
+                i = -1
+                if n_bins:
+                    d = rem[:n_bins] - t
+                    ok = d >= 0
+                    if ok.any():
+                        if best:
+                            d2 = np.where(ok, d, np.iinfo(np.int64).max)
+                            i = int(d2.argmin())
+                        else:
+                            i = int(ok.argmax())
+                if i >= 0:
+                    rem[i] -= t
+                    bin_of.at[idx] = i
                 else:
-                    remaining.append(budget - t)
-                    bin_of.at[idx] = len(remaining) - 1
-            pid = int(pdf["__pid"].iloc[0])
+                    if n_bins == len(rem):
+                        rem = np.resize(rem, 2 * len(rem))
+                    rem[n_bins] = budget - t
+                    bin_of.at[idx] = n_bins
+                    n_bins += 1
             pdf["bin_id"] = pid * _PID_STRIDE + bin_of
             pdf["oversize"] = oversize
             yield pdf
 
-    return work.mapInPandas(pack, out_schema).drop("__pid")
+    return work.mapInPandas(pack, out_schema)

@@ -1,5 +1,6 @@
 import math
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -105,3 +106,34 @@ def test_packing_streams_batches_with_shared_bins(spark):
     # 4 docs of 500 fit a 2048 bin; 120 docs -> exactly 30 bins even
     # though each Arrow batch holds only 7 docs
     assert len(bins) == 30
+
+
+def test_pack_best_fit_invariants(spark):
+    # BFD: same correctness invariants as FFD (budget respected, every
+    # doc placed once, oversize flagged), comparable bin count
+    rng = np.random.default_rng(23)
+    n = 400
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "n_tokens": rng.integers(1, 1500, n),
+    })
+    pdf.loc[:2, "n_tokens"] = 3000  # oversize
+    df = spark.createDataFrame(pdf)
+    results = {}
+    for strat in ("first_fit", "best_fit"):
+        out = pack_sequences(df, budget=2048, strategy=strat).toPandas()
+        assert len(out) == n and out["doc_id"].nunique() == n
+        sums = out[~out["oversize"]].groupby("bin_id")["n_tokens"].sum()
+        assert (sums <= 2048).all(), strat
+        assert out["oversize"].sum() == 3
+        assert (out.loc[out["oversize"], "n_tokens"] > 2048).all()
+        results[strat] = out["bin_id"].nunique()
+    # BFD never fragments loose bins first; on random loads its bin
+    # count is within a bin or two of FFD either way
+    assert abs(results["best_fit"] - results["first_fit"]) <= 3, results
+
+
+def test_pack_strategy_validated(spark):
+    pdf = pd.DataFrame({"doc_id": [1], "n_tokens": [10]})
+    with pytest.raises(ValueError, match="strategy"):
+        pack_sequences(spark.createDataFrame(pdf), budget=10, strategy="worst_fit")
