@@ -1,4 +1,5 @@
 from flox_spark.sources.io import (
+    compact_files,
     load_table,
     read_csv,
     read_json,
@@ -9,6 +10,7 @@ from flox_spark.sources.io import (
 )
 
 __all__ = [
+    "compact_files",
     "load_table",
     "read_csv",
     "read_json",

@@ -92,17 +92,95 @@ def write_partitioned(
     mode: str = "overwrite",
     fmt: str = "parquet",
     max_records_per_file: int | None = None,
+    cluster_by: list[str] | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Sink: (optionally hive-partitioned) columnar write.  Partition
     columns become directory prefixes -> downstream reads get
     partition pruning for free.  ``max_records_per_file`` bounds file
-    size without an extra repartition pass."""
+    size without an extra repartition pass.
+
+    Lakehouse-style knobs (the Delta/Iceberg table-layout levers,
+    expressed on plain files):
+
+    - ``cluster_by``: sort rows WITHIN each write task on these
+      columns before writing (``sortWithinPartitions`` — no extra
+      exchange).  Parquet row-group min/max statistics then become
+      selective for point/range predicates on those columns — the
+      poor man's Z-ORDER/OPTIMIZE clustering, and the single biggest
+      read-side lever after partitioning at 100 TB.
+    - ``dynamic_overwrite``: with ``mode="overwrite"`` +
+      ``partition_by``, replace ONLY the partitions present in ``df``
+      instead of truncating the whole table root (Spark's
+      ``partitionOverwriteMode=dynamic`` — the idempotent
+      backfill/refresh pattern; static overwrite of a 100 TB table to
+      refresh one day is an outage).  Session conf is restored after
+      the write.
+    """
+    spark = df.sparkSession
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     w = df.write.mode(mode).format(fmt)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.save(path)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = None
+    if dynamic_overwrite:
+        try:
+            old = spark.conf.get(conf_key, "STATIC")
+            spark.conf.set(conf_key, "dynamic")
+        except Exception:
+            old = None
+    try:
+        w.save(path)
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 << 20,
+    fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
+    staging_suffix: str = "__compacting",
+) -> int:
+    """Small-file compaction: rewrite a file table so each output file
+    is ~``target_file_bytes`` (the OPTIMIZE/rewrite_data_files analog
+    for plain parquet).  Small files are the classic slow killer of a
+    100 TB lake — footer-per-file planning cost and task-per-file
+    scheduling grow with file COUNT, not bytes.
+
+    Mechanics: the output file count is derived from the scan's
+    plan-size statistics (no data pass); the rewrite is one
+    round-robin exchange (plus the optional ``cluster_by`` in-task
+    sort) into a STAGING directory, then a filesystem-level swap
+    (delete original, rename staging) — never a read-and-overwrite of
+    the same path (undefined in Spark) and never a cluster-memory
+    materialization of the table.  The swap is not transactional
+    (delete..rename window); layer a table format (Delta/Iceberg) on
+    top when concurrent readers need snapshot isolation.  Returns the
+    target file count."""
+    from flox_spark.plans.util import estimate_size_bytes
+
+    df = spark.read.format(fmt).load(path)
+    size = estimate_size_bytes(df)
+    n_files = max(1, -(-(size or 0) // max(1, target_file_bytes)))
+    out = df.repartition(n_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    staging = path.rstrip("/") + staging_suffix
+    out.write.mode("overwrite").format(fmt).save(staging)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
+    fs.delete(HPath(path), True)
+    fs.rename(HPath(staging), HPath(path))
+    return n_files
 
 
 def write_bucketed_table(

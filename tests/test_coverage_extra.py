@@ -273,3 +273,65 @@ def test_recommend_shuffle_partitions_unknown_stats(spark):
     df = spark.range(10)
     n = recommend_shuffle_partitions(df)
     assert n >= 1
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    # dynamic partition overwrite replaces ONLY the partitions present
+    # in the incoming frame (the idempotent backfill pattern); static
+    # overwrite would truncate the whole table root
+    from flox_spark.sources import write_partitioned
+
+    path = str(tmp_path / "dyn")
+    base = pd.DataFrame({"day": ["a", "a", "b"], "v": [1, 2, 3]})
+    write_partitioned(spark.createDataFrame(base), path, partition_by=["day"])
+    refresh = pd.DataFrame({"day": ["b", "b"], "v": [30, 31]})
+    write_partitioned(
+        spark.createDataFrame(refresh), path, partition_by=["day"],
+        dynamic_overwrite=True,
+    )
+    got = spark.read.parquet(path).toPandas().sort_values(["day", "v"])
+    assert list(got["v"]) == [1, 2, 30, 31]  # day=a survived, day=b replaced
+    # conf restored after the write
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).upper() == "STATIC"
+
+
+def test_write_partitioned_cluster_by_rowgroup_stats(spark, tmp_path):
+    # cluster_by sorts within each write task: every produced parquet
+    # file is internally sorted on the cluster column, so row-group
+    # min/max stats prune range predicates
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flox_spark.sources import write_partitioned
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"x": rng.permutation(10_000), "v": np.arange(10_000)})
+    path = str(tmp_path / "clustered")
+    write_partitioned(spark.createDataFrame(pdf), path, cluster_by=["x"])
+    files = glob.glob(path + "/*.parquet")
+    assert files
+    for f in files:
+        xs = pq.read_table(f, columns=["x"])["x"].to_numpy()
+        assert (np.diff(xs) >= 0).all(), f  # sorted within the file
+
+
+def test_compact_files(spark, tmp_path):
+    import glob
+
+    from flox_spark.sources import compact_files
+
+    path = str(tmp_path / "frag")
+    pdf = pd.DataFrame({"a": np.arange(5000), "b": np.arange(5000) % 7})
+    # fragment: one file per of 32 partitions
+    spark.createDataFrame(pdf).repartition(32).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 16
+    n = compact_files(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(path + "/*.parquet")
+    assert n == 1 and len(after) == 1
+    got = spark.read.parquet(path).toPandas().sort_values("a").reset_index(drop=True)
+    assert len(got) == 5000 and (got["a"] == np.arange(5000)).all()
+    assert not glob.glob(path + "__compacting*")  # staging cleaned up
