@@ -1,5 +1,6 @@
 from flox_spark.streaming.stream import (
     groupby_reduce_stream,
+    groupby_reduce_stream_salted,
     groupby_session_stream,
     stream_dedup_exact,
 )
@@ -10,6 +11,7 @@ from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neard
 
 __all__ = [
     "groupby_reduce_stream",
+    "groupby_reduce_stream_salted",
     "groupby_session_stream",
     "stream_dedup_exact",
     "stream_ffill",

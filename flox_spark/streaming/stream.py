@@ -122,3 +122,89 @@ def groupby_session_stream(
         *by,
         out_name,
     )
+
+
+def groupby_reduce_stream_salted(
+    df: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    n_salt: int = 32,
+    alias: str | None = None,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Salted streaming reduction — the unbounded twin of
+    ``groupby_reduce_salted`` for skewed keys.
+
+    A plain streaming aggregation hashes state by (window, keys): one
+    hot key concentrates every update of its window on ONE state-store
+    partition, serializing the hot path.  This spreads it exactly like
+    the batch salt: stage 1 aggregates partials per
+    (window, keys, salt) — n_salt parallel state entries per hot
+    (window, key) — and stage 2 merges the partials with the same
+    EXACT algebraic combines the batch path uses
+    (``flox_spark.salting._specs``), as a chained tumbling-window
+    aggregation (Spark >= 3.4 supports re-windowing an aggregated
+    stream's window column; both stages run in one query, append
+    mode).
+
+    The salt must be DETERMINISTIC per row (retries must re-salt a row
+    identically for exactly-once sinks): it hashes ``salt_on``
+    (default: the time column + the value column).  Funcs:
+    ``flox_spark.salting.SALTABLE``.  Tumbling windows only — a slide
+    would need every pane's partials kept separate through the chain.
+    """
+    from flox_spark.dtypes import is_float_type, is_missing, to_skip
+    from flox_spark.salting import SALTABLE, _specs
+
+    if func not in SALTABLE:
+        raise ValueError(f"salted streaming reduction supports {SALTABLE}, got {func!r}")
+    from pyspark.sql.types import BooleanType, NumericType
+
+    vdt = df.schema[value].dataType
+    if not isinstance(vdt, (NumericType, BooleanType)):
+        raise ValueError(
+            f"salted reduction supports numeric/bool values, got {vdt.simpleString()!r}"
+        )
+    out = alias or func
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    if is_float_type(vdt):
+        v_raw = F.col(value)
+        v_skip = to_skip(F.col(value), vdt)
+    elif isinstance(vdt, BooleanType):
+        v_raw = F.col(value).cast("long")
+        v_skip = v_raw
+    else:
+        v_raw = F.col(value)
+        v_skip = F.col(value)
+    poison = is_missing(F.col(value), vdt)
+
+    salt_cols = salt_on or [time_col, value]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
+
+    p_build, m_build = _specs(is_float_type(vdt), vdt)[func]
+    partials = {k: c.alias(f"__p_{k}") for k, c in p_build(v_skip, v_raw, poison).items()}
+
+    win = F.window(F.col(time_col), window)
+    stage1 = (
+        work.withWatermark(time_col, watermark)
+        .withColumn("__salt", salt)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by], F.col("__salt"))
+        .agg(*partials.values())
+    )
+    merged = (
+        stage1.groupBy(F.window(F.col("__w"), window).alias("__w2"), *[F.col(b) for b in by])
+        .agg(m_build(lambda k: F.col(f"__p_{k}")).alias(out))
+    )
+    return merged.select(
+        F.col("__w2.start").alias("window_start"),
+        F.col("__w2.end").alias("window_end"),
+        *by,
+        out,
+    )
