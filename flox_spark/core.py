@@ -503,6 +503,10 @@ def groupby_reduce(
             result,
             [*key_cols, *(["q"] if qlist is not None else [])],
             declared_card,
+            # only the agg strategy's final stage (the percentile
+            # buffer merge) is worth materializing before the range
+            # sort; for sort/refine the checkpoint cost measured equal
+            # to the sampling re-run it saves
             heavy=(qfam and quantile_impl == "agg"),
         )
     elif "__occ" in result.columns:

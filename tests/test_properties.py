@@ -243,3 +243,30 @@ def test_salted_equals_plain_property(spark, func, data):
             assert x == pytest.approx(y, rel=1e-12, abs=1e-12), (func, g)
         else:
             assert x == y, (func, g)
+
+
+@given(data=arrays(), q=st.floats(0.0, 1.0), acc=st.sampled_from([64, 512, 10000]))
+@ex
+def test_quantile_refine_matches_numpy_property(spark, data, q, acc):
+    # the refine bracket math must be exact for ANY q/accuracy/data —
+    # including duplicate-heavy and all-NaN groups (small n exercises
+    # the collect-all cutoff; tiny accuracies exercise the bracket)
+    from flox_spark import set_options
+
+    v, lab = data
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    with set_options(quantile_impl="refine", approx_quantile_accuracy=acc):
+        res = groupby_reduce(
+            df, "k", func="nanquantile", value="v", finalize_kwargs={"q": q}
+        ).collect()
+    got = {r["k"]: r["nanquantile"] for r in res}
+    for g in np.unique(lab):
+        vals = v[lab == g]
+        vals = vals[~np.isnan(vals)]
+        want = float(np.quantile(vals, q)) if len(vals) else None
+        gv = got[int(g)]
+        if want is None:
+            assert gv is None or math.isnan(gv), (g, gv)
+        else:
+            assert gv == pytest.approx(want, rel=1e-12, abs=1e-12), (g, q, acc, gv, want)
