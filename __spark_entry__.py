@@ -598,6 +598,19 @@ def q_binned_left(s, d):
     return out.withColumn("mean_price", F.round("mean_price", 4))
 
 
+def q_resample(s, d):
+    # time-bucketed reduction (xarray resample analog; reference's
+    # dominant downstream workload, flox/xarray.py:73-516): 6h buckets
+    # via exact epoch arithmetic, one aggregation pass
+    from flox_spark import resample_reduce
+
+    out = resample_reduce(
+        _t(s, d, "events"), "ts", "6h",
+        aggs={"n": ("count", "value"), "sv": ("nansum", "value")},
+    )
+    return out.withColumn("sv", F.round("sv", 6))
+
+
 def q_sample_weighted(s, d):
     # Efraimidis-Spirakis weighted draw (P proportional to n_chars),
     # deterministic hash uniforms — same ln(u)/w ranking in DuckDB
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
+        "resample": q_resample,
         "quantile_refine": q_quantile_refine,
         "binned_left": q_binned_left,
         "simhash_xx": q_simhash_xx,
@@ -1319,6 +1333,13 @@ def oracle_sql() -> dict[str, str]:
         "quantile": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
+        "resample": """
+            SELECT TIMESTAMP '1970-01-01'
+                     + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT))
+                     AS ts_bucket,
+                   count(value) AS n,
+                   round(sum(value), 6) AS sv
+            FROM events GROUP BY ts_bucket ORDER BY ts_bucket""",
         "quantile_refine": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -1,0 +1,119 @@
+"""``resample_reduce`` — time-bucketed grouped reduction.
+
+The reference's dominant real-world workload is xarray
+``resample``/``groupby`` over time coordinates (its ASV benchmarks are
+climatology shapes; xarray lowers resample to flox groupby_reduce over
+datetime-derived labels, reference flox/xarray.py:73-516).  This is
+that surface as a first-class table API: a pandas-style frequency
+string becomes a bucket column, then the shared
+``groupby_reduce_multi`` pass does the rest — ONE aggregation, all
+codegen.
+
+Bucketing strategies, both pure projections (no UDF, no shuffle of
+their own):
+
+- fixed-width frequencies (seconds/minutes/hours/days/weeks): exact
+  epoch arithmetic — ``floor((micros - origin) / step) * step`` on
+  int64 microseconds, O(1) per row for ANY multiple (``15min``,
+  ``6h``, ``2w``);
+- calendar frequencies (month/quarter/year): ``date_trunc``
+  (multiples > 1 are rejected loudly — a "3mo" bucket is not
+  expressible as a fixed truncation and silently approximating it
+  would corrupt results).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["resample_reduce", "time_bucket"]
+
+# pandas-style aliases -> (kind, seconds-per-unit | trunc-unit)
+_FIXED = {
+    "s": 1, "sec": 1, "second": 1,
+    "min": 60, "t": 60, "minute": 60,
+    "h": 3600, "hr": 3600, "hour": 3600,
+    "d": 86400, "day": 86400,
+    "w": 604800, "week": 604800,
+}
+_CALENDAR = {
+    "mo": "month", "m": "month", "month": "month", "ms": "month",
+    "q": "quarter", "quarter": "quarter",
+    "y": "year", "a": "year", "year": "year", "ys": "year",
+}
+
+
+def _parse_freq(freq: str) -> tuple[str, int]:
+    m = re.fullmatch(r"\s*(\d*)\s*([a-zA-Z]+)\s*", freq)
+    if not m:
+        raise ValueError(f"unparseable freq {freq!r}; want e.g. '15min', '1h', '1d', '1mo'")
+    n = int(m.group(1) or 1)
+    unit = m.group(2).lower()
+    if n <= 0:
+        raise ValueError(f"freq multiple must be positive, got {freq!r}")
+    if unit in _FIXED:
+        return "fixed", n * _FIXED[unit]
+    if unit in _CALENDAR:
+        if n != 1:
+            raise ValueError(
+                f"calendar freq multiples are not supported ({freq!r}): "
+                f"'3{unit}' is not a fixed truncation; resample at "
+                f"'1{unit}' and re-aggregate, or use a fixed-width freq"
+            )
+        return _CALENDAR[unit], 0
+    raise ValueError(f"unknown freq unit {unit!r} in {freq!r}")
+
+
+def time_bucket(col: Column, freq: str, origin: str = "1970-01-01") -> Column:
+    """The bucket-start timestamp for ``col`` at ``freq`` — a pure
+    projection usable anywhere (including Structured Streaming
+    groupers).  ``origin`` anchors fixed-width buckets (e.g. weekly
+    buckets starting Monday: pass a Monday)."""
+    kind, step = _parse_freq(freq)
+    if kind != "fixed":
+        return F.date_trunc(kind, col)
+    step_us = F.lit(step * 1_000_000).cast("long")
+    org = F.unix_micros(F.lit(origin).cast("timestamp"))
+    us = F.unix_micros(col.cast("timestamp"))
+    # floor-div toward -inf on longs (pre-origin timestamps bucket left)
+    d = us - org
+    q = (d - F.pmod(d, step_us)) / step_us  # exact: d - pmod is a multiple
+    return F.timestamp_micros((q.cast("long") * step_us + org).cast("long"))
+
+
+def resample_reduce(
+    df: DataFrame,
+    time_col: str,
+    freq: str,
+    aggs: dict[str, tuple[str, str] | dict],
+    by: Sequence[str] = (),
+    bucket_col: str | None = None,
+    sort: bool = True,
+    origin: str = "1970-01-01",
+    **kw: Any,
+) -> DataFrame:
+    """Resample ``df`` on ``time_col`` at ``freq`` and reduce.
+
+    ``aggs`` has ``groupby_reduce_multi`` shape:
+    ``{out_name: (func, value_col)}`` or dicts with finalize_kwargs.
+    Extra groupers in ``by`` nest inside each bucket (the
+    climatology-by-station shape).  The bucket column (default
+    ``{time_col}_bucket``) holds the bucket-START timestamp, matching
+    pandas/xarray resample labels with ``label='left'`` (their
+    default) and ``origin='epoch'``.
+
+    One aggregation pass: the bucket is a projection, the groupBy
+    shuffles once on (bucket, *by) — at 100 TB the same shape as any
+    keyed aggregation, with AQE handling the (usually mild) bucket
+    skew."""
+    from flox_spark.core import groupby_reduce_multi
+
+    out_name = bucket_col or f"{time_col}_bucket"
+    if out_name in df.columns:
+        raise ValueError(f"bucket column {out_name!r} already exists; pass bucket_col=")
+    work = df.withColumn(out_name, time_bucket(F.col(time_col), freq, origin))
+    return groupby_reduce_multi(work, out_name, *by, aggs=aggs, sort=sort, **kw)
