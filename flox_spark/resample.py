@@ -79,10 +79,13 @@ def time_bucket(col: Column, freq: str, origin: str = "1970-01-01") -> Column:
     step_us = F.lit(step * 1_000_000).cast("long")
     org = F.unix_micros(F.lit(origin).cast("timestamp"))
     us = F.unix_micros(col.cast("timestamp"))
-    # floor-div toward -inf on longs (pre-origin timestamps bucket left)
+    # bucket start = origin + floor((us-origin)/step)*step, computed
+    # WITHOUT the division: d - pmod(d, step) is exactly that multiple,
+    # in pure long arithmetic (a long/long `/` in Spark is double
+    # division — inexact past 2^53, i.e. microsecond epochs beyond
+    # ~2255).  pmod keeps pre-origin timestamps bucketing left.
     d = us - org
-    q = (d - F.pmod(d, step_us)) / step_us  # exact: d - pmod is a multiple
-    return F.timestamp_micros((q.cast("long") * step_us + org).cast("long"))
+    return F.timestamp_micros(org + d - F.pmod(d, step_us))
 
 
 def resample_reduce(
