@@ -33,6 +33,28 @@ def _build_expr(df: DataFrame, func: str | Aggregation, value: str, fk: dict | N
             f"{agg.name} needs a total order or multiple passes — not available "
             "on an unbounded stream; use the batch engine on a sink table"
         )
+    if agg.name in ("median", "nanmedian", "quantile", "nanquantile"):
+        # exact quantile state would buffer EVERY value of every open
+        # (window, key) in the state store — unbounded.  Streaming
+        # quantiles therefore always use the mergeable
+        # percentile_approx sketch (bounded state); warn when the
+        # session options ask for exact so the accuracy change is loud.
+        from flox_spark.options import OPTIONS, set_options
+
+        if not OPTIONS["approx_quantile"]:
+            import warnings
+
+            warnings.warn(
+                f"streaming {agg.name} uses percentile_approx (mergeable "
+                "sketch state, bounded); exact quantiles need the batch "
+                "engine on a sink table",
+                stacklevel=3,
+            )
+        with set_options(approx_quantile=True):
+            ctx = AggContext(
+                value=F.col(value), dt=df.schema[value].dataType, kwargs=dict(fk or {})
+            )
+            return agg.build(ctx)
     ctx = AggContext(value=F.col(value), dt=df.schema[value].dataType, kwargs=dict(fk or {}))
     return agg.build(ctx)
 

@@ -83,3 +83,69 @@ def test_salted_stream_equals_batch(spark, func):
             assert g is None or np.isnan(g), (key, g, w)
         else:
             assert g == pytest.approx(w, rel=1e-12), (key, g, w)
+
+
+def test_stream_quantile_uses_sketch_and_matches_batch_approx(spark):
+    """Windowed streaming quantile: bounded sketch state, equal to the
+    batch percentile_approx over the same windows."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from flox_spark.streaming import groupby_reduce_stream
+
+    rng = np.random.default_rng(5)
+    n = 200
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n),
+        "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 7200, n)],
+        "v": rng.normal(size=n) * 10,
+    }).sort_values("ts").reset_index(drop=True)
+    flush = pd.DataFrame({"k": [99], "ts": [base + dt.timedelta(days=2)], "v": [0.0]})
+
+    tmp = tempfile.mkdtemp(prefix="flox_qstream_")
+    try:
+        for i, b in enumerate([pdf, flush]):
+            spark.createDataFrame(b).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+            time.sleep(1.1)
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = groupby_reduce_stream(
+                stream, "k", func="nanquantile", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+                finalize_kwargs={"q": 0.9},
+            )
+        assert any("sketch" in str(w.message) for w in rec)
+        q = (
+            out.writeStream.format("memory").queryName("flox_qstream")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["k"]): r["nanquantile"]
+            for r in spark.sql("SELECT * FROM flox_qstream").collect()
+            if r["k"] != 99
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    from flox_spark.options import OPTIONS
+
+    acc = OPTIONS["approx_quantile_accuracy"]
+    want_rows = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.percentile_approx("v", 0.9, acc).alias("p"))
+        .collect()
+    )
+    want = {(r["w"]["start"], r["k"]): r["p"] for r in want_rows}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], rel=1e-12), key
