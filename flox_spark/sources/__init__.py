@@ -7,6 +7,7 @@ from flox_spark.sources.io import (
     read_stream_table,
     write_bucketed_table,
     write_partitioned,
+    write_table,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "read_stream_table",
     "write_bucketed_table",
     "write_partitioned",
+    "write_table",
 ]

@@ -202,6 +202,72 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+_TABLE_FORMATS = {
+    # format -> (marker class, enabling package hint)
+    "delta": (
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        "io.delta:delta-spark_2.13 (+ spark.sql.extensions="
+        "io.delta.sql.DeltaSparkSessionExtension)",
+    ),
+    "iceberg": (
+        "org.apache.iceberg.spark.SparkCatalog",
+        "org.apache.iceberg:iceberg-spark-runtime (+ a configured "
+        "spark.sql.catalog.* Iceberg catalog)",
+    ),
+}
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
+    **options: str,
+) -> None:
+    """Format-dispatching sink: ``parquet``/``orc``/``csv``/``json``
+    natively, ``delta``/``iceberg`` when their connector jars are on
+    the session's classpath.  The table-format check happens BEFORE
+    the write job so a missing connector fails fast with the enabling
+    package named, instead of a ClassNotFoundException from inside a
+    launched job.  Layout knobs are shared with ``write_partitioned``
+    (clustered in-task sort, dynamic partition overwrite)."""
+    fmt_l = fmt.lower()
+    if fmt_l in _TABLE_FORMATS:
+        marker, hint = _TABLE_FORMATS[fmt_l]
+        jvm = df.sparkSession._jvm
+        try:
+            jvm.java.lang.Class.forName(marker)
+        except Exception:
+            raise RuntimeError(
+                f"table format {fmt!r} needs its connector on the Spark "
+                f"classpath: add {hint}. This session does not have it."
+            ) from None
+    spark = df.sparkSession
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
+    w = df.write.mode(mode).format(fmt_l)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = None
+    if dynamic_overwrite:
+        try:
+            old = spark.conf.get(conf_key, "STATIC")
+            spark.conf.set(conf_key, "dynamic")
+        except Exception:
+            old = None
+    try:
+        w.save(path)
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

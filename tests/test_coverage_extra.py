@@ -335,3 +335,18 @@ def test_compact_files(spark, tmp_path):
     got = spark.read.parquet(path).toPandas().sort_values("a").reset_index(drop=True)
     assert len(got) == 5000 and (got["a"] == np.arange(5000)).all()
     assert not glob.glob(path + "__compacting*")  # staging cleaned up
+
+
+def test_write_table_formats(spark, tmp_path):
+    from flox_spark.sources import write_table
+
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "wt")
+    write_table(df, path, fmt="parquet", partition_by=["k"])
+    assert spark.read.parquet(path).count() == 2
+    # missing connectors fail fast with the enabling package named,
+    # BEFORE any job launches
+    for fmt, hint in (("delta", "delta-spark"), ("iceberg", "iceberg-spark")):
+        with pytest.raises(RuntimeError, match=hint):
+            write_table(df, str(tmp_path / fmt), fmt=fmt)
