@@ -18,9 +18,23 @@ Per iteration (the classic two phases):
             before its exchange, so the one shuffle per iteration is
             centroid-sized, not data-sized
 
-Each iteration's centroid frame is materialized
-(``materialize_shared``) — an iterative DataFrame loop otherwise
-compounds the lineage into an exponentially deep plan.
+Two loop drivers, identical math:
+
+- ``driver loop`` (default when k*dim <= ~1M values): the k*dim
+  (cluster, pos, mean) rows — centroid-sized, never data-sized — are
+  collected per iteration and the next iteration's packed-centroid
+  row is rebuilt as a one-row LocalRelation.  ONE Spark job per
+  iteration (the mean aggregate), no per-iteration checkpoint or
+  broadcast-build job; this is what every production k-means
+  (including Spark MLlib's) does, and the driver traffic is bounded
+  by k*dim*8 bytes regardless of input size.  It also enables a free
+  ``tol`` early stop (max centroid shift computed driver-side).
+- ``plan loop`` (huge k*dim): the original fully-lazy loop — each
+  iteration's centroid frame stays a DataFrame, materialized
+  (``materialize_shared``) so the iterative lineage doesn't compound
+  into an exponentially deep plan, and broadcast-joined into the next
+  assignment.  Nothing larger than the centroid table ever reaches
+  the driver.
 
 Initialization is deterministic: the k rows with the smallest
 ``md5(id || seed)`` — a reproducible uniform draw (same rule as
@@ -103,6 +117,12 @@ def assign_clusters(
     )
 
 
+# above this many k*dim values the per-iteration centroid collect /
+# LocalRelation rebuild stops being "tiny" (8 MB of doubles) and the
+# fully-lazy plan loop takes over
+_DRIVER_LOOP_MAX_VALUES = 1 << 20
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -110,12 +130,19 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iter: int = 5,
     seed: str = "0",
+    tol: float | None = None,
+    driver_loop: bool | None = None,
 ) -> DataFrame:
     """Fit k centroids; returns a k-row DataFrame (__cid, centroid).
 
     ``max_iter`` Lloyd iterations from the deterministic hash-draw
     init.  Empty clusters keep their previous centroid (standard
-    Lloyd degeneracy handling)."""
+    Lloyd degeneracy handling).  ``tol``: stop early once the max
+    centroid coordinate shift drops below it (driver loop only —
+    checking convergence in the plan loop would cost an extra action
+    per iteration, the opposite of what the loop optimizes for).
+    ``driver_loop``: force the per-iteration centroid-collect loop on
+    or off; default picks by k*dim (see module docstring)."""
     base = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
@@ -135,8 +162,17 @@ def kmeans_fit(
     centroids = seeds.select(
         (F.row_number().over(w) - 1).alias("__cid"), F.col("__v").alias("centroid")
     )
-    centroids = materialize_shared(centroids)
 
+    if driver_loop is None:
+        # the vector dim isn't in the schema; size the decision on k
+        # alone with a conservative per-vector dim allowance of 4096 —
+        # any real embedding column passes at sane k (k=256, dim=4096
+        # is still only 8 MB of centroid doubles per iteration)
+        driver_loop = k * 4096 <= _DRIVER_LOOP_MAX_VALUES
+    if driver_loop:
+        return _kmeans_driver_loop(base, centroids, k, max_iter, tol)
+
+    centroids = materialize_shared(centroids)
     for _ in range(max_iter):
         # row-local fold assignment: a projection, not the
         # crossJoin-expand + groupBy(id) re-collapse (which cost a
@@ -165,3 +201,72 @@ def kmeans_fit(
             )
         )
     return centroids
+
+
+_PACKED_SCHEMA = "__cents array<struct<__cid:int,centroid:array<double>>>"
+
+
+def _kmeans_driver_loop(
+    base: DataFrame,
+    init_centroids: DataFrame,
+    k: int,
+    max_iter: int,
+    tol: float | None,
+) -> DataFrame:
+    """The centroid-sized driver loop: per iteration ONE Spark job —
+    the (cluster, pos, mean) aggregate, collected (k*dim rows, never
+    data-sized) and reassembled into the next packed-centroid
+    LocalRelation on the driver.  Compared to the plan loop this
+    drops the per-iteration localCheckpoint job and the broadcast
+    build over a checkpoint scan, roughly halving per-iteration
+    scheduling; the aggregate itself is the identical plan, so the
+    fitted centroids match the plan loop to float-reduction order."""
+    spark = base.sparkSession
+    cents: list = [None] * k
+    for r in init_centroids.collect():
+        cents[r["__cid"]] = list(r["centroid"])
+    # fewer than k distinct seed rows (input smaller than k): drop the
+    # unfilled tail, matching the plan loop's behavior of returning
+    # only the seeded clusters
+    cents = [c for c in cents if c is not None]
+
+    # AQE re-plans each exchange as its own sub-query — measured
+    # ~0.65 s of per-iteration scheduling on a centroid-sized shuffle
+    # it cannot improve (the partial aggregate already collapses each
+    # task to <= k*dim rows before the exchange; there is no skew or
+    # partition-count decision left to adapt).  Scope it off for the
+    # loop and restore on exit, tuned_shuffle-style.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(max_iter):
+            packed = spark.createDataFrame(
+                [([(i, c) for i, c in enumerate(cents)],)], schema=_PACKED_SCHEMA
+            )
+            rows = (
+                base.crossJoin(F.broadcast(packed))
+                .select(_nearest_cid("__v").alias("__cid"), "__v")
+                .select("__cid", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("__cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty clusters keep previous
+            for r in rows:
+                new_cents[r["__cid"]][r["pos"]] = r["m"]
+            if tol is not None:
+                shift = max(
+                    (abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)),
+                    default=0.0,
+                )
+                cents = new_cents
+                if shift <= tol:
+                    break
+            else:
+                cents = new_cents
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"
+    )

@@ -140,6 +140,32 @@ def test_assign_clusters_streaming(spark, blobs, tmp_path):
     assert got == want
 
 
+def test_kmeans_driver_and_plan_loops_match(spark, blobs):
+    # the driver loop (per-iteration centroid collect, the default at
+    # sane k) and the fully-lazy plan loop run the identical
+    # assignment + mean plans; fitted centroids must agree to float
+    # reduction order
+    a = sorted(map(tuple, kmeans_fit(blobs, k=3, max_iter=3, driver_loop=True).collect()))
+    b = sorted(map(tuple, kmeans_fit(blobs, k=3, max_iter=3, driver_loop=False).collect()))
+    assert len(a) == len(b) == 3
+    for (cid1, c1), (cid2, c2) in zip(a, b):
+        assert cid1 == cid2
+        assert c1 == pytest.approx(c2, rel=1e-9)
+
+
+def test_kmeans_tol_early_stop(spark, blobs):
+    # two tight blobs converge after 1-2 iterations; tol must stop the
+    # loop early with the same centroids a long run would reach, and
+    # restore the session's AQE setting on exit
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    a = sorted(map(tuple, kmeans_fit(blobs, k=2, max_iter=50, tol=1e-9).collect()))
+    b = sorted(map(tuple, kmeans_fit(blobs, k=2, max_iter=8).collect()))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    for (cid1, c1), (cid2, c2) in zip(a, b):
+        assert cid1 == cid2
+        assert c1 == pytest.approx(c2, rel=1e-9)
+
+
 def test_kmeans_fit_loop_has_no_data_sized_exchange(spark, blobs):
     # the Lloyd assign step is the packed-centroid row-local fold, not
     # crossJoin-expand + groupBy(id): no hash exchange on the point id
@@ -149,7 +175,10 @@ def test_kmeans_fit_loop_has_no_data_sized_exchange(spark, blobs):
     old = OPTIONS["diamond_materialize"]
     OPTIONS["diamond_materialize"] = "none"  # keep the full lineage visible
     try:
-        cents = kmeans_fit(blobs, k=2, max_iter=2)
+        # driver_loop=False: the plan loop is the one whose lineage
+        # can hide a data-sized exchange (the driver loop's output is
+        # a LocalRelation with no lineage to check)
+        cents = kmeans_fit(blobs, k=2, max_iter=2, driver_loop=False)
         plan = cents._jdf.queryExecution().executedPlan().toString()
     finally:
         OPTIONS["diamond_materialize"] = old
