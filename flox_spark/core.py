@@ -811,12 +811,14 @@ def _choose_quantile_impl(work: DataFrame) -> str:
       Spark's ``percentile`` ObjectHashAggregate.  Fastest single-pass
       plan, but it buffers every group's values in an in-memory map,
       so it is only chosen when the WHOLE input provably fits.
-    - medium input (<= ``quantile_refine_max_bytes``): ``"refine"`` —
-      exact two-scan approx-bracket + candidate-collect
-      (``_quantile_refine``).  Worst-case per-group memory is
-      ~6*rows/accuracy values even if ONE group holds the entire
-      input (64 GB input, accuracy 1e4 -> ~5M candidate doubles,
-      ~38 MB), so no regime of group sizes can OOM it.
+    - medium input (<= ``quantile_refine_max_bytes``, default 1 TB):
+      ``"refine"`` — exact two-scan approx-bracket + candidate-collect
+      (``_quantile_refine``).  The sketch accuracy adapts to the
+      input size (~sqrt(rows), ``_refine_accuracy``), balancing the
+      pass-1 sketch against the pass-2 candidate collect so
+      worst-case per-group memory grows as O(sqrt(n)*log n) even if
+      ONE group holds the entire input — no regime of group sizes
+      can OOM it inside the zone.
     - large or unknown input: ``"sort"`` — spillable sort + streaming
       rank (``_quantile_sort``); the always-safe plan whose cost is a
       full shuffle of the values."""
@@ -833,6 +835,40 @@ def _choose_quantile_impl(work: DataFrame) -> str:
     if size <= OPTIONS["quantile_refine_max_bytes"]:
         return "refine"
     return "sort"
+
+
+_REFINE_ACC_MAX = 262_144
+
+
+def _refine_accuracy(work: DataFrame) -> int:
+    """Size-adaptive sketch accuracy for the refine strategy.
+
+    Refine's worst-case per-group memory has two opposing terms in
+    the accuracy ``a``: the pass-1 GK sketch holds O(a*log(n/a))
+    samples while the pass-2 candidate collect holds ~6n/a values
+    (one group owning all n input rows is the worst case).  A fixed
+    accuracy therefore caps the safe input size: at the 1e4 default,
+    n = 7e10 rows means 4e7 collected candidates (~0.3 GB) per task.
+    Balancing the two terms puts the optimum near sqrt(6n) — total
+    per-group memory grows as O(sqrt(n) * log n) instead of O(n),
+    which is what extends the refine zone into the terabyte range:
+    at the 262144 cap and n = 7e10 (a ~1 TB single group), the
+    candidates are ~1.6e6 values (~13 MB) and the sketch ~5e6
+    samples (~80 MB) — bounded either way.  Small inputs keep the
+    configured floor (sqrt(6n) < 1e4 until n ~ 1.7e7), so nothing
+    changes at test scale.  Rows are estimated from plan-stats bytes
+    at 16 B/row — only the order of magnitude matters here."""
+    floor = int(OPTIONS["approx_quantile_accuracy"])
+    from flox_spark.plans.util import estimate_size_bytes
+
+    return _refine_accuracy_for_bytes(estimate_size_bytes(work), floor)
+
+
+def _refine_accuracy_for_bytes(size: int | None, floor: int) -> int:
+    if size is None:
+        return floor
+    est_rows = max(1, size // 16)
+    return max(floor, min(int((6 * est_rows) ** 0.5), _REFINE_ACC_MAX))
 
 
 def _quantile_refine(
@@ -865,8 +901,11 @@ def _quantile_refine(
     Scale shape: both aggregates are map-side-combined hash aggs on
     the group keys; the join is a broadcast of a |groups|-row frame;
     the input is scanned twice (no materialization — at 100 TB a
-    second columnar scan is far cheaper than caching).  Returns the
-    same shape as the aggregate path (scalar double or per-q array).
+    second columnar scan is far cheaper than caching).  The sketch
+    accuracy adapts to the input size (``_refine_accuracy``:
+    ~sqrt(rows), capped), which bounds worst-case per-group memory at
+    O(sqrt(n)*log n) across the whole refine zone.  Returns the same
+    shape as the aggregate path (scalar double or per-q array).
     """
     from flox_spark.aggregations import _nan_sentinel
     from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
@@ -878,7 +917,7 @@ def _quantile_refine(
     is_vec = isinstance(qv_arg, (list, tuple))
     qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
 
-    acc = int(OPTIONS["approx_quantile_accuracy"])
+    acc = _refine_accuracy(work)
     slack = 3.0 / acc
     # below this size a group's values are collected outright (exact,
     # bounded); above it the bracket's rank-error margin 3n/acc >= 1.5

@@ -37,10 +37,12 @@ OPTIONS: dict[str, Any] = {
     # "auto" thresholds (bytes, from the optimized plan's stats):
     # inputs <= agg_max run "agg"; <= refine_max run "refine"; larger
     # or unknown run "sort".  refine's worst case is ONE group holding
-    # the whole input: 64 GB / accuracy 1e4 -> ~5M collected
-    # candidates (~38 MB) — still bounded.
+    # the whole input; its sketch accuracy scales as ~sqrt(rows)
+    # (core._refine_accuracy), so per-group memory grows as
+    # O(sqrt(n)*log n) — at the 1 TB zone edge that is ~13 MB of
+    # collected candidates + ~80 MB of sketch, bounded either way.
     "quantile_agg_max_bytes": 16 << 20,
-    "quantile_refine_max_bytes": 64 << 30,
+    "quantile_refine_max_bytes": 1 << 40,
     # sort=True outputs whose DECLARED expected-groups grid is at most
     # this many rows are sorted in one post-shuffle task
     # (repartition(1).sortWithinPartitions — no range-exchange sampling

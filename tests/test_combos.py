@@ -309,6 +309,25 @@ def test_quantile_auto_impl_selection(spark):
         assert _choose_quantile_impl(df) == "agg"  # explicit wins
 
 
+def test_refine_accuracy_scales_with_input_size():
+    # the refine strategy's sketch accuracy follows ~sqrt(6*rows)
+    # between the configured floor and the hard cap — the balance
+    # point of pass-1 sketch memory vs pass-2 candidate count
+    # (core._refine_accuracy docstring)
+    from flox_spark.core import _REFINE_ACC_MAX, _refine_accuracy_for_bytes
+
+    floor = 10_000
+    assert _refine_accuracy_for_bytes(None, floor) == floor  # stats-less
+    assert _refine_accuracy_for_bytes(1 << 20, floor) == floor  # tiny input
+    # 64 GB at 16 B/row -> 4e9 rows -> sqrt(2.4e10) ~ 1.5e5
+    mid = _refine_accuracy_for_bytes(64 << 30, floor)
+    assert 100_000 < mid < _REFINE_ACC_MAX
+    # 1 TB hits the cap
+    assert _refine_accuracy_for_bytes(1 << 40, floor) == _REFINE_ACC_MAX
+    # a huge floor wins over the computed value
+    assert _refine_accuracy_for_bytes(64 << 30, 500_000) == 500_000
+
+
 def test_quantile_refine_adversarial_distributions(spark):
     # distributions that stress the refine path's bracket logic: point
     # masses AT the approx bounds (ties), two heavy masses, constant
