@@ -611,6 +611,33 @@ def q_resample(s, d):
     return out.withColumn("sv", F.round("sv", 6))
 
 
+def q_rolling_time(s, d):
+    # per-user trailing-1h window aggregates — pandas rolling("1h")
+    # semantics, the left-open (t-1h, t] frame; one WindowExec, one
+    # exchange for both aggregates (flox_spark/rolling.py)
+    from flox_spark import groupby_rolling
+
+    out = groupby_rolling(
+        _t(s, d, "events"), "user_id", order_by="ts",
+        aggs={"n_1h": ("count", "value"), "s_1h": ("sum", "value")},
+        window="1h",
+    )
+    return out.select("event_id", "n_1h", F.round("s_1h", 6).alias("s_1h"))
+
+
+def q_rolling_rows(s, d):
+    # 5-row trailing mean per user, ordered by the unique event id
+    # (ROWS frames are tie-order-dependent; a unique order key makes
+    # the result deterministic on both engines)
+    from flox_spark import groupby_rolling
+
+    out = groupby_rolling(
+        _t(s, d, "events"), "user_id", order_by="event_id",
+        aggs={"m5": ("mean", "value")}, window=5,
+    )
+    return out.select("event_id", F.round("m5", 6).alias("m5"))
+
+
 def q_sample_weighted(s, d):
     # Efraimidis-Spirakis weighted draw (P proportional to n_chars),
     # deterministic hash uniforms — same ln(u)/w ranking in DuckDB
@@ -1210,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
+        "rolling_time": q_rolling_time,
+        "rolling_rows": q_rolling_rows,
         "resample": q_resample,
         "quantile_refine": q_quantile_refine,
         "binned_left": q_binned_left,
@@ -1333,6 +1362,18 @@ def oracle_sql() -> dict[str, str]:
         "quantile": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag""",
+        "rolling_time": """
+            SELECT event_id,
+                   count(value) OVER w AS n_1h,
+                   round(sum(value) OVER w, 6) AS s_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+        "rolling_rows": """
+            SELECT event_id, round(avg(value) OVER w, 6) AS m5
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "resample": """
             SELECT TIMESTAMP '1970-01-01'
                      + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT))

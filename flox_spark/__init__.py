@@ -17,6 +17,7 @@ blockwise rechunk) is ported — Catalyst/AQE plays that role.
 from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, Scan, ScanContext, pandas_aggregation
 from flox_spark.core import bin_column, groupby_reduce, groupby_reduce_multi
 from flox_spark.resample import resample_reduce, time_bucket
+from flox_spark.rolling import groupby_rolling
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
@@ -35,6 +36,7 @@ __all__ = [
     "standardize",
     "groupby_scan",
     "groupby_scan_blocked",
+    "groupby_rolling",
     "Aggregation",
     "pandas_aggregation",
     "REDUCTIONS",
