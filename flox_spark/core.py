@@ -508,6 +508,7 @@ def groupby_reduce(
             # sort; for sort/refine the checkpoint cost measured equal
             # to the sampling re-run it saves
             heavy=(qfam and quantile_impl == "agg"),
+            input_df=work,
         )
     elif "__occ" in result.columns:
         # flox sort=False order: first occurrence (or the declared
@@ -536,7 +537,11 @@ def _declared_cardinality(isbin_t: tuple, expected_t: tuple) -> int | None:
 
 
 def _sorted_output(
-    result: DataFrame, sort_cols: list[str], declared_card: int | None, heavy: bool
+    result: DataFrame,
+    sort_cols: list[str],
+    declared_card: int | None,
+    heavy: bool,
+    input_df: DataFrame | None = None,
 ) -> DataFrame:
     """The final ``sort=True`` ordering, costed by output shape.
 
@@ -551,13 +556,19 @@ def _sorted_output(
       in one post-shuffle task with NO sampling pass and no range
       exchange (the upstream aggregate keeps full parallelism; only
       the group-cardinality-sized result funnels to one task).
+    - unknown cardinality, but the INPUT's plan-stats size is at most
+      ``single_partition_sort_input_max_bytes``: the output (<= one
+      row per input row) provably fits one sort task too — same
+      single-partition plan.  At 100 TB the stats exceed the bound
+      and this branch never fires.
     - declared grid larger: the range sort IS the right distributed
       plan; warn (SCALE.md) that sorting that many groups adds a
       whole-result exchange the caller can skip with ``sort=False``.
-    - unknown cardinality: keep the classic range sort, but when the
-      final aggregate is the buffering kind (``heavy``), materialize
-      the group-sized result first so the sampling pass reads the
-      materialization instead of re-running the aggregate."""
+    - unknown cardinality over a big/stats-less input: keep the
+      classic range sort, but when the final aggregate is the
+      buffering kind (``heavy``), materialize the group-sized result
+      first so the sampling pass reads the materialization instead of
+      re-running the aggregate."""
     if declared_card is not None:
         if declared_card <= OPTIONS["single_partition_sort_max"]:
             return result.repartition(1).sortWithinPartitions(*sort_cols)
@@ -570,6 +581,12 @@ def _sorted_output(
             stacklevel=3,
         )
         return result.orderBy(*sort_cols)
+    if input_df is not None:
+        from flox_spark.plans.util import estimate_size_bytes
+
+        in_size = estimate_size_bytes(input_df)
+        if in_size is not None and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]:
+            return result.repartition(1).sortWithinPartitions(*sort_cols)
     if heavy:
         from flox_spark.plans.util import materialize_shared
 
@@ -689,7 +706,8 @@ def groupby_reduce_multi(
         result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
     if sort:
         result = _sorted_output(
-            result, key_cols, _declared_cardinality(isbin_t, expected_t), heavy=False
+            result, key_cols, _declared_cardinality(isbin_t, expected_t),
+            heavy=False, input_df=work,
         )
     elif "__occ" in result.columns:
         oc = F.col("__occ").asc_nulls_last()

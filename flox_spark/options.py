@@ -49,6 +49,12 @@ OPTIONS: dict[str, Any] = {
     # pass); larger declared grids keep the distributed range sort and
     # warn (see SCALE.md / core._sorted_output).
     "single_partition_sort_max": 100_000,
+    # With no declared grid the output cardinality is unknown, but it
+    # is bounded by the input's row count: inputs whose plan-stats
+    # size is at most this many bytes also take the single-task sort
+    # (their whole output provably fits one sort task).  At 100 TB the
+    # stats blow past this and the distributed range sort runs.
+    "single_partition_sort_input_max_bytes": 256 << 20,
     # How self-join diamond DAGs materialize their shared frame:
     # "local_checkpoint" (default): faster, auto-cleaned by the
     # ContextCleaner when dereferenced, but stored only on executors —
@@ -66,6 +72,7 @@ _VALIDATORS = {
     "quantile_agg_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "quantile_refine_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "single_partition_sort_max": lambda v: isinstance(v, int) and v >= 0,
+    "single_partition_sort_input_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
 }
 
