@@ -584,6 +584,21 @@ def q_quantile_refine(s, d):
     return out.withColumn("p90_price", F.round("p90_price", 6))
 
 
+def q_quantile_refine2(s, d):
+    # the big-scale exact quantile (two-level bracket: one extra
+    # narrowing scan between the sketch and the candidate collect,
+    # three scans, zero data-sized shuffles) must also produce the
+    # identical p90 — driver evidence for quantile_impl="refine2"
+    from flox_spark import set_options
+
+    with set_options(quantile_impl="refine2"):
+        out = _q_reduce(
+            "nanquantile", "lineitem", ["l_returnflag"], "l_extendedprice", "p90_price",
+            finalize_kwargs={"q": 0.9},
+        )(s, d)
+    return out.withColumn("p90_price", F.round("p90_price", 6))
+
+
 def q_binned_left(s, d):
     # left-closed IntervalIndex bins (closed='left'): the reference
     # digitizes by expect.closed_right (flox/factorize.py:57-76);
@@ -1241,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows": q_rolling_rows,
         "resample": q_resample,
         "quantile_refine": q_quantile_refine,
+        "quantile_refine2": q_quantile_refine2,
         "binned_left": q_binned_left,
         "simhash_xx": q_simhash_xx,
         "sessionize": q_sessionize,
@@ -1382,6 +1398,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sv
             FROM events GROUP BY ts_bucket ORDER BY ts_bucket""",
         "quantile_refine": """
+            SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "quantile_refine2": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
         "binned_left": """

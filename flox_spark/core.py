@@ -435,8 +435,11 @@ def groupby_reduce(
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
     elif qfam and quantile_impl == "sort":
         result = _quantile_sort(work, key_cols, ctx, agg, out_name, min_count, fill_value)
-    elif qfam and quantile_impl == "refine":
-        result = _quantile_refine(work, key_cols, ctx, agg, out_name, min_count, fill_value)
+    elif qfam and quantile_impl in ("refine", "refine2"):
+        result = _quantile_refine(
+            work, key_cols, ctx, agg, out_name, min_count, fill_value,
+            two_level=(quantile_impl == "refine2"),
+        )
     else:
         expr = agg.build(ctx)
         if min_count is not None and min_count > 0:
@@ -658,7 +661,7 @@ def groupby_reduce_multi(
             raise ValueError(f"func {agg.name!r} requires order_by=")
         if (
             agg.name in ("median", "nanmedian", "quantile", "nanquantile")
-            and OPTIONS["quantile_impl"] in ("sort", "refine")
+            and OPTIONS["quantile_impl"] in ("sort", "refine", "refine2")
             and not OPTIONS["approx_quantile"]
         ):
             # the sort/refine strategies need their own multi-stage
@@ -837,7 +840,16 @@ def _choose_quantile_impl(work: DataFrame) -> str:
       worst-case per-group memory grows as O(sqrt(n)*log n) even if
       ONE group holds the entire input — no regime of group sizes
       can OOM it inside the zone.
-    - large or unknown input: ``"sort"`` — spillable sort + streaming
+    - big input (<= ``quantile_refine2_max_bytes``, default 64 TB):
+      ``"refine2"`` — the same exact bracket-and-collect with one
+      extra narrowing scan (``_narrow_quantile_brackets``): instead of
+      collecting the level-1 bracket's ~6n/acc candidates outright, a
+      second GK sketch over ONLY the in-bracket values shrinks the
+      bracket by another ~grid/6 factor before the collect, keeping
+      the candidate set in the low megabytes even when one group owns
+      a 64 TB input.  Cost: three scans instead of two, still zero
+      data-sized shuffles.
+    - larger or unknown input: ``"sort"`` — spillable sort + streaming
       rank (``_quantile_sort``); the always-safe plan whose cost is a
       full shuffle of the values."""
     impl = OPTIONS["quantile_impl"]
@@ -852,6 +864,8 @@ def _choose_quantile_impl(work: DataFrame) -> str:
         return "agg"
     if size <= OPTIONS["quantile_refine_max_bytes"]:
         return "refine"
+    if size <= OPTIONS["quantile_refine2_max_bytes"]:
+        return "refine2"
     return "sort"
 
 
@@ -889,6 +903,121 @@ def _refine_accuracy_for_bytes(size: int | None, floor: int) -> int:
     return max(floor, min(int((6 * est_rows) ** 0.5), _REFINE_ACC_MAX))
 
 
+_REFINE_CUTOFF_FLOOR = 1024
+# level-2 narrowing constants: the sub-sketch is queried at GRID+1
+# uniform fractions of the level-1 bracket's population; PAD grid
+# cells on each side absorb the sketch's rank error (error n2/ACC is
+# under one grid cell once n2 > GRID*GRID/ACC — smaller n2 takes the
+# collect-outright fallback long before that)
+_REFINE2_GRID = 256
+_REFINE2_ACC = 10_000
+_REFINE2_PAD = 2
+
+
+def _narrow_quantile_brackets(
+    work2: DataFrame,
+    bounds: DataFrame,
+    key_cols: list[str],
+    qlist: list[float],
+    cutoff: int,
+    skipna: bool,
+) -> DataFrame:
+    """Level-2 bracket narrowing for ``quantile_impl="refine2"``.
+
+    One extra scan between the level-1 sketch and the candidate
+    collect: per group and per q, count the values below the level-1
+    bracket (fixing the target's rank WITHIN the bracket) and sketch
+    ONLY the in-bracket values at ``_REFINE2_GRID``+1 uniform
+    fractions.  The refined bracket is the pair of grid values
+    adjacent to the within-bracket target rank, padded by
+    ``_REFINE2_PAD`` grid cells to absorb the sketch's rank error —
+    so the collect pass gathers ~n2*(2*PAD+2)/GRID values instead of
+    all n2 = ~6n/acc, a further ~GRID/6 shrink that keeps the collect
+    in the low megabytes at a 64 TB single group.
+
+    Exactness: the level-1 guarantee (count(v < blo1) <= floor-rank
+    and ceil-rank < count(v <= bhi1)) is preserved by construction —
+    the refined lo sits at a within-bracket rank <= the target floor
+    rank (or degrades to blo1 when the target is at/below the
+    bracket), and symmetrically for hi.  Groups whose bracket
+    population n2 is at most ``cutoff`` skip the narrowing (the
+    collect of n2 values is already bounded); level-1 collect-all
+    groups pass through as NULL brackets untouched.
+    """
+    G = _REFINE2_GRID
+    pad = _REFINE2_PAD
+    grid = F.array(*[F.lit(jj / G) for jj in range(G + 1)])
+    j = work2.select(*key_cols, "__qv").join(F.broadcast(bounds), key_cols)
+    small = F.col("__n") <= F.lit(cutoff)
+    exprs = [F.first("__n").alias("__n")]
+    if not skipna:
+        exprs.append(F.first("__poison").alias("__poison"))
+    for i in range(len(qlist)):
+        vlo = F.col(f"__blo_{i}")
+        vhi = F.col(f"__bhi_{i}")
+        use_all = small | vlo.isNull()
+        in_mid = ~use_all & (F.col("__qv") > vlo) & (F.col("__qv") < vhi)
+        exprs += [
+            F.sum(
+                F.when(~use_all & (F.col("__qv") < vlo), 1).otherwise(0)
+            ).alias(f"__c1lt_{i}"),
+            F.sum(
+                F.when(~use_all & (F.col("__qv") == vlo), 1).otherwise(0)
+            ).alias(f"__c1eq_{i}"),
+            F.sum(F.when(in_mid, 1).otherwise(0)).alias(f"__n2_{i}"),
+            F.percentile_approx(
+                F.when(in_mid, F.col("__qv")), grid, F.lit(_REFINE2_ACC)
+            ).alias(f"__S_{i}"),
+            F.first(vlo).alias(f"__b1lo_{i}"),
+            F.first(vhi).alias(f"__b1hi_{i}"),
+        ]
+    g = j.groupBy(*key_cols).agg(*exprs)
+
+    out = [*key_cols, "__n"] + ([] if skipna else ["__poison"])
+    for i, q in enumerate(qlist):
+        n = F.col("__n")
+        n2 = F.col(f"__n2_{i}")
+        # ANSI-safe denominator: the branches below only read it when
+        # n2 > cutoff >= 1, but Spark may still typecheck/evaluate
+        # eagerly under codegen fusion
+        n2d = F.greatest(n2, F.lit(1))
+        clt, ceq = F.col(f"__c1lt_{i}"), F.col(f"__c1eq_{i}")
+        b1lo, b1hi = F.col(f"__b1lo_{i}"), F.col(f"__b1hi_{i}")
+        t = (n - F.lit(1)) * F.lit(q)
+        tf = F.floor(t).cast("long")
+        tc = F.ceil(t).cast("long")
+        rf = tf - clt - ceq  # target floor rank within the bracket
+        rc = F.least(tc - clt - ceq, n2 - F.lit(1))
+        jlo = F.greatest(
+            F.lit(0), (F.lit(G) * rf / n2d).cast("long") - F.lit(pad)
+        )
+        jhi = F.least(
+            F.lit(G), F.ceil(F.lit(G) * rc / n2d).cast("long") + F.lit(pad)
+        )
+        # rank-overflow guards: with many duplicates AT a bracket
+        # edge, the target rank can sit entirely below (rf <= rc < 0,
+        # value IS blo1) or above (n2 <= rf <= rc, value IS bhi1) the
+        # strict-interior population; degrade the bracket to the edge
+        # value so the collect pass resolves it from counts alone and
+        # the grid index stays in [1, G+1]
+        blo2 = (
+            F.when(b1lo.isNull(), F.lit(None))  # level-1 collect-all
+            .when(n2 <= F.lit(cutoff), b1lo)  # bracket already small
+            .when(rf < F.lit(0), b1lo)  # target at/below blo1
+            .when(rf >= n2, b1hi)  # target at/above bhi1
+            .otherwise(F.element_at(f"__S_{i}", (jlo + F.lit(1)).cast("int")))
+        )
+        bhi2 = (
+            F.when(b1lo.isNull(), F.lit(None))
+            .when(n2 <= F.lit(cutoff), b1hi)
+            .when(tc - clt - ceq < F.lit(0), b1lo)  # target at/below blo1
+            .when(tc - clt - ceq >= n2, b1hi)  # target at/above bhi1
+            .otherwise(F.element_at(f"__S_{i}", (jhi + F.lit(1)).cast("int")))
+        )
+        out += [blo2.alias(f"__blo_{i}"), bhi2.alias(f"__bhi_{i}")]
+    return g.select(*out)
+
+
 def _quantile_refine(
     work: DataFrame,
     key_cols: list[str],
@@ -897,6 +1026,7 @@ def _quantile_refine(
     out_name: str,
     min_count: int | None,
     fill_value: Any,
+    two_level: bool = False,
 ) -> DataFrame:
     """Exact quantile via approx-bracket + candidate collection — the
     medium-scale path of ``_choose_quantile_impl``: two scans, zero
@@ -940,7 +1070,7 @@ def _quantile_refine(
     # below this size a group's values are collected outright (exact,
     # bounded); above it the bracket's rank-error margin 3n/acc >= 1.5
     # provably covers the target ranks
-    cutoff = max(1024, acc // 2)
+    cutoff = max(_REFINE_CUTOFF_FLOOR, acc // 2)
 
     av, _ = _ai(ctx.v_skip, ctx.dt)
     work2 = work.withColumn("__qv", av).withColumn("__miss", ctx.missing)
@@ -957,6 +1087,20 @@ def _quantile_refine(
     if not skipna:
         gaggs.append(F.bool_or("__miss").alias("__poison"))
     bounds = work2.groupBy(*key_cols).agg(*gaggs)
+    # name the per-q brackets: the collect pass reads __blo_i/__bhi_i
+    # regardless of whether they came straight from the level-1 sketch
+    # or through the level-2 narrowing scan
+    bsel = [*key_cols, "__n"] + ([] if skipna else ["__poison"])
+    for i in range(len(qlist)):
+        bsel += [
+            F.element_at("__pa", 2 * i + 1).alias(f"__blo_{i}"),
+            F.element_at("__pa", 2 * i + 2).alias(f"__bhi_{i}"),
+        ]
+    bounds = bounds.select(*bsel)
+    if two_level:
+        bounds = _narrow_quantile_brackets(
+            work2, bounds, key_cols, qlist, cutoff, skipna
+        )
 
     j = work2.select(*key_cols, "__qv").join(F.broadcast(bounds), key_cols)
     small = F.col("__n") <= F.lit(cutoff)
@@ -964,8 +1108,8 @@ def _quantile_refine(
     if not skipna:
         exprs.append(F.first("__poison").alias("__poison"))
     for i in range(len(qlist)):
-        vlo = F.element_at("__pa", 2 * i + 1)
-        vhi = F.element_at("__pa", 2 * i + 2)
+        vlo = F.col(f"__blo_{i}")
+        vhi = F.col(f"__bhi_{i}")
         use_all = small | vlo.isNull()
         in_mid = F.when(use_all, F.col("__qv").isNotNull()).otherwise(
             (F.col("__qv") > vlo) & (F.col("__qv") < vhi)

@@ -43,6 +43,12 @@ OPTIONS: dict[str, Any] = {
     # collected candidates + ~80 MB of sketch, bounded either way.
     "quantile_agg_max_bytes": 16 << 20,
     "quantile_refine_max_bytes": 1 << 40,
+    # inputs past refine_max but at most this take "refine2": the
+    # two-level bracket (one extra narrowing scan) whose collected
+    # candidate set shrinks by another ~grid/6 factor, extending the
+    # zero-data-shuffle exact-quantile zone to ~64 TB even when ONE
+    # group owns the whole input (see core._narrow_quantile_brackets).
+    "quantile_refine2_max_bytes": 1 << 46,
     # sort=True outputs whose DECLARED expected-groups grid is at most
     # this many rows are sorted in one post-shuffle task
     # (repartition(1).sortWithinPartitions — no range-exchange sampling
@@ -68,9 +74,10 @@ _VALIDATORS = {
     "approx_quantile": lambda v: isinstance(v, bool),
     "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
     "broadcast_reindex": lambda v: isinstance(v, bool),
-    "quantile_impl": lambda v: v in ("auto", "agg", "sort", "refine"),
+    "quantile_impl": lambda v: v in ("auto", "agg", "sort", "refine", "refine2"),
     "quantile_agg_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "quantile_refine_max_bytes": lambda v: isinstance(v, int) and v >= 0,
+    "quantile_refine2_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "single_partition_sort_max": lambda v: isinstance(v, int) and v >= 0,
     "single_partition_sort_input_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
