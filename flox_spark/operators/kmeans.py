@@ -205,6 +205,28 @@ def kmeans_fit(
 
 _PACKED_SCHEMA = "__cents array<struct<__cid:int,centroid:array<double>>>"
 
+# below this many k*dim values the per-iteration centroids are embedded
+# as a literal array expression instead of a broadcast LocalRelation:
+# same plan semantics (generated code is identical across iterations,
+# literals travel in the references array, so the codegen cache still
+# hits), but it skips the per-iteration relation build + broadcast
+# machinery — measured 0.71 s -> 0.43 s per iteration at sf0.1.  Past
+# the gate the expression tree would bloat analysis, so the broadcast
+# row takes over.
+_LITERAL_CENTROIDS_MAX_VALUES = 1 << 14
+
+
+def _literal_centroids(cents: list) -> "F.Column":
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
 
 def _kmeans_driver_loop(
     base: DataFrame,
@@ -238,14 +260,25 @@ def _kmeans_driver_loop(
     # loop and restore on exit, tuned_shuffle-style.
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the mean aggregate's reduce side only ever carries partially
+    # aggregated (cluster, pos) rows — <= k*dim per map task — so a
+    # handful of reduce tasks is right at ANY input scale; the stock
+    # shuffle partition count just schedules empty tasks per iteration
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    dim = len(cents[0]) if cents else 0
+    use_literal = k * dim <= _LITERAL_CENTROIDS_MAX_VALUES
     try:
         for _ in range(max_iter):
-            packed = spark.createDataFrame(
-                [([(i, c) for i, c in enumerate(cents)],)], schema=_PACKED_SCHEMA
-            )
+            if use_literal:
+                assigned = base.withColumn("__cents", _literal_centroids(cents))
+            else:
+                packed = spark.createDataFrame(
+                    [([(i, c) for i, c in enumerate(cents)],)], schema=_PACKED_SCHEMA
+                )
+                assigned = base.crossJoin(F.broadcast(packed))
             rows = (
-                base.crossJoin(F.broadcast(packed))
-                .select(_nearest_cid("__v").alias("__cid"), "__v")
+                assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
                 .select("__cid", F.posexplode("__v").alias("pos", "x"))
                 .groupBy("__cid", "pos")
                 .agg(F.avg("x").alias("m"))
@@ -266,6 +299,7 @@ def _kmeans_driver_loop(
                 cents = new_cents
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"
