@@ -599,6 +599,58 @@ def q_quantile_refine2(s, d):
     return out.withColumn("p90_price", F.round("p90_price", 6))
 
 
+def q_dedup_against(s, d):
+    # incremental cross-corpus dedup: odd-id "new batch" anti-joined
+    # against even-id "existing corpus" on the shared normalized
+    # fingerprint (operators/dedup.py content_fingerprint)
+    from flox_spark.operators import dedup_against
+
+    docs = _t(s, d, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_against(batch, ref).select("doc_id")
+
+
+def q_levenshtein_refine(s, d):
+    # edit-distance certification of candidate pairs (the precision
+    # stage after LSH recall); deterministic consecutive-id pairs so
+    # the oracle needs no LSH re-derivation, prefix-truncated texts
+    from flox_spark.operators import levenshtein_refine
+
+    docs = _t(s, d, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    out = levenshtein_refine(pairs, docs, max_dist=40, prefix_chars=48)
+    return out.select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
+def q_tfidf_top_terms(s, d):
+    # per-doc characteristic terms by tf*ln(N/df), top-2, ranked on
+    # the 6-decimal-rounded score so cross-engine ulp can't reorder
+    from flox_spark.operators import tfidf_top_terms
+
+    return tfidf_top_terms(_t(s, d, "documents"), k=2)
+
+
+def q_ngram_counts(s, d):
+    # corpus-wide 3-gram frequency table, top-50 (count desc, gram asc)
+    from flox_spark.operators import ngram_counts
+
+    return ngram_counts(_t(s, d, "documents"), n=3, top=50)
+
+
+def q_shard_stats(s, d):
+    # deterministic md5 shard assignment balance check: per-shard row
+    # count and total chars over 8 shards
+    from flox_spark.operators import shard_stats
+
+    return shard_stats(_t(s, d, "documents"), 8, size_col="n_chars")
+
+
 def q_binned_left(s, d):
     # left-closed IntervalIndex bins (closed='left'): the reference
     # digitizes by expect.closed_right (flox/factorize.py:57-76);
@@ -1252,6 +1304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
+        "dedup_against": q_dedup_against,
+        "levenshtein_refine": q_levenshtein_refine,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "ngram_counts": q_ngram_counts,
+        "shard_stats": q_shard_stats,
         "rolling_time": q_rolling_time,
         "rolling_rows": q_rolling_rows,
         "resample": q_resample,
@@ -1397,6 +1454,73 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n,
                    round(sum(value), 6) AS sv
             FROM events GROUP BY ts_bucket ORDER BY ts_bucket""",
+        "dedup_against": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+              FROM documents
+            )
+            SELECT b.doc_id FROM fp b
+            WHERE b.doc_id % 2 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM fp r WHERE r.doc_id % 2 = 0 AND r.f = b.f)""",
+        "levenshtein_refine": """
+            WITH p AS (
+              SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 2 = 0
+            )
+            SELECT p.id_a, p.id_b,
+                   levenshtein(left(da.text, 48), left(db.text, 48)) AS edit_dist
+            FROM p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            WHERE levenshtein(left(da.text, 48), left(db.text, 48)) <= 40""",
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM documents,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS u(t)
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+              FROM scored)
+            WHERE rn <= 2""",
+        "ngram_counts": """
+            WITH t AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT array_to_string(w[i:i+2], ' ') AS ngram
+              FROM t, unnest(range(1, len(w) - 1)) AS r(i)
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 50""",
+        "shard_stats": """
+            WITH s AS (
+              SELECT (('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                      % 8)::INT AS shard,
+                     n_chars
+              FROM documents
+            )
+            SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS total_size
+            FROM s GROUP BY shard ORDER BY shard""",
         "quantile_refine": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

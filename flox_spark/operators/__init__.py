@@ -8,17 +8,22 @@ from flox_spark.operators.text import (
     quality_score,
     language_id,
     fingerprint,
+    ngram_counts,
+    tfidf_top_terms,
 )
 from flox_spark.operators.dedup import (
+    dedup_against,
     dedup_clusters,
     dedup_exact,
     dedup_keep_representatives,
+    levenshtein_refine,
     minhash_signatures,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
 )
+from flox_spark.operators.sharding import assign_shards, shard_stats, write_shards
 from flox_spark.operators.asof import asof_join
 from flox_spark.operators.clean import (
     contamination_report,
@@ -114,4 +119,11 @@ __all__ = [
     "build_distinct_sketches",
     "rollup_distinct",
     "heavy_hitters",
+    "dedup_against",
+    "levenshtein_refine",
+    "ngram_counts",
+    "tfidf_top_terms",
+    "assign_shards",
+    "shard_stats",
+    "write_shards",
 ]

@@ -578,3 +578,87 @@ def dedup_keep_representatives(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus (incremental) dedup + pair refinement
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(text: Column) -> Column:
+    """The normalized-content fingerprint shared by ``dedup_exact``
+    and ``dedup_against``: md5 of whitespace-collapsed, lower-cased,
+    trimmed text.  One definition so batch-vs-batch and
+    batch-vs-corpus dedup can never silently diverge."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+
+
+def dedup_against(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop batch documents whose normalized
+    content already exists in a reference corpus (the "dedup the new
+    crawl against everything we already have" step every growing
+    training corpus needs).  Returns the surviving batch rows,
+    original columns intact.
+
+    Scale shape: the reference side is reduced to DISTINCT
+    fingerprints before the join (corpus-sized scan, fingerprint-sized
+    shuffle), then a LEFT ANTI hash join on the 16-byte fingerprint.
+    Catalyst broadcasts the fingerprint set when it is provably small;
+    a billion-document reference falls back to a plain shuffled anti
+    join, which is exactly the right plan at that size.  The batch is
+    scanned once; no pair expansion anywhere."""
+    ref_fp = reference.select(
+        content_fingerprint(F.col(text_col)).alias("__fp")
+    ).distinct()
+    return (
+        batch.withColumn("__fp", content_fingerprint(F.col(text_col)))
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
+def levenshtein_refine(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 20,
+    prefix_chars: int = 512,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Verify LSH candidate pairs with an edit-distance check: keep
+    pairs whose (prefix-truncated) texts are within ``max_dist``
+    Levenshtein edits, adding the distance as ``edit_dist``.  The
+    standard precision stage AFTER MinHash/SimHash recall — bucketing
+    finds "probably similar", edit distance certifies "actually
+    similar".
+
+    Scale shape: the quadratic primitive (Levenshtein is O(len_a *
+    len_b) per pair) is bounded two ways — it only ever runs on the
+    candidate-pair set (LSH-bucketed, never all-pairs), and both
+    sides are truncated to ``prefix_chars`` so one pair costs at most
+    prefix² character ops regardless of document length.  Text lookup
+    is two hash joins of the pair ids against the docs table, which
+    shuffle only (id, prefix) projections; no driver-side loops."""
+    texts = docs.select(
+        F.col(id_col), F.left(F.col(text_col), F.lit(prefix_chars)).alias("__t")
+    )
+    a = texts.select(F.col(id_col).alias(id_a), F.col("__t").alias("__ta"))
+    b = texts.select(F.col(id_col).alias(id_b), F.col("__t").alias("__tb"))
+    # the threshold form early-exits the DP once a row of the edit
+    # matrix exceeds max_dist (returns -1), turning the worst case
+    # from prefix² into prefix*max_dist per pair
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        pairs.join(a, id_a)
+        .join(b, id_b)
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= F.lit(0))
+        .drop("__ta", "__tb")
+    )

@@ -227,3 +227,98 @@ def quality_filter_report(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("outcome")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: tf-idf key terms, n-gram frequency table
+# ---------------------------------------------------------------------------
+
+# alnum-run tokenizer shared by tfidf/ngram corpus stats: lower-case,
+# split on any non-alphanumeric run, drop empties.  Deliberately
+# simpler than the BPE pre-tokenizer above — corpus stats want word
+# identity, not segmentation parity
+_WORD_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), _WORD_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (tf * ln(N/df)): the classic keyword/topic-proxy extraction used
+    for corpus exploration and domain balancing.  Returns
+    (id, term, score) rows, k per document, deterministically ordered
+    by (rounded score desc, term asc).
+
+    Scale shape: one explode + two hash aggregates (term frequency
+    per doc; document frequency per term — both map-side combined),
+    then a hash join of tf rows against the vocabulary-sized df table
+    (Catalyst broadcasts a small vocabulary on its own) and a per-doc
+    WindowGroupLimit top-k, so every task pre-trims to k rows per doc
+    before the final exchange.  The corpus row count N rides along as
+    a broadcast scalar, not a driver collect.  Ranking uses the score
+    ROUNDED to 6 decimals so float ulp differences can never reorder
+    ties across engines or partitionings; ties break on the term."""
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("__tf") * F.log(F.col("__n").cast("double") / F.col("__df")),
+                6,
+            ),
+        )
+    )
+    from flox_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        scored, id_col, value="score", k=k, tiebreak="term"
+    ).select(id_col, "term", "score")
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Corpus-wide word n-gram frequency table, the ``top`` most
+    frequent (count desc, ngram asc — fully deterministic).  The raw
+    material for contamination screens, boilerplate detection, and
+    repetition analysis at corpus level.
+
+    Scale shape: n-gram generation is a row-local array transform
+    (zero joins, zero UDFs), the count is one map-side-combined hash
+    aggregate keyed by the n-gram, and the global top-N compiles to
+    TakeOrderedAndProject — each task keeps its local top-N, the
+    driver merges P*N rows, never the full vocabulary."""
+    w = _words(F.col(text_col))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard docs
+    # shorter than n explicitly
+    grams = F.when(
+        F.size(w) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top)
+    )

@@ -1,0 +1,191 @@
+"""Cross-corpus dedup, pair refinement, corpus stats, sharding."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators import (
+    assign_shards,
+    dedup_against,
+    levenshtein_refine,
+    ngram_counts,
+    shard_stats,
+    tfidf_top_terms,
+    write_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"doc_id": "int64"})
+    )
+
+
+def test_dedup_against_drops_known_content(spark):
+    ref = _docs(spark, [(1, "the quick brown fox"), (2, "hello world")])
+    batch = _docs(
+        spark,
+        [
+            (10, "THE  quick   Brown fox "),  # normalized dup of ref 1
+            (11, "hello world"),  # exact dup of ref 2
+            (12, "something new entirely"),
+            (13, "hello worlds"),  # one char off => NOT a dup
+        ],
+    )
+    out = dedup_against(batch, ref)
+    assert sorted(r["doc_id"] for r in out.collect()) == [12, 13]
+    # surviving rows keep their original columns untouched
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_against_empty_reference_keeps_all(spark):
+    ref = spark.createDataFrame([], "doc_id long, text string")
+    batch = _docs(spark, [(1, "a"), (2, "b")])
+    assert dedup_against(batch, ref).count() == 2
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_refine_matches_python(spark):
+    texts = {
+        1: "the quick brown fox jumps",
+        2: "the quick brown fox jumped",
+        3: "a completely different sentence",
+        4: "the quick brown cat jumps",
+    }
+    docs = _docs(spark, list(texts.items()))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 4)], columns=["id_a", "id_b"]
+        ).astype("int64")
+    )
+    out = levenshtein_refine(pairs, docs, max_dist=5)
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out.collect()}
+    want = {
+        (a, b): _py_lev(texts[a], texts[b])
+        for a, b in [(1, 2), (1, 3), (1, 4), (2, 4)]
+        if _py_lev(texts[a], texts[b]) <= 5
+    }
+    assert got == want
+    assert (1, 3) not in got  # above threshold dropped
+
+
+def test_levenshtein_refine_prefix_truncation(spark):
+    # distance computed on the first prefix_chars only: long docs with
+    # identical prefixes count as distance 0
+    docs = _docs(spark, [(1, "abcd" + "x" * 50), (2, "abcd" + "y" * 50)])
+    pairs = spark.createDataFrame(pd.DataFrame([(1, 2)], columns=["id_a", "id_b"]).astype("int64"))
+    out = levenshtein_refine(pairs, docs, max_dist=0, prefix_chars=4).collect()
+    assert len(out) == 1 and out[0]["edit_dist"] == 0
+
+
+def test_tfidf_top_terms_exact(spark):
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+    )
+    out = tfidf_top_terms(docs, k=2)
+    got = {(r["doc_id"], r["term"]): r["score"] for r in out.collect()}
+    # idf: apple ln(3/1), banana ln(3/2), cherry ln(3/2), durian ln(3/1)
+    def s(tf, df):
+        return round(tf * math.log(3 / df), 6)
+
+    assert got[(1, "apple")] == pytest.approx(s(2, 1))
+    assert got[(1, "banana")] == pytest.approx(s(1, 2))
+    assert got[(3, "cherry")] == pytest.approx(s(2, 2))
+    assert got[(3, "durian")] == pytest.approx(s(1, 1))
+    # doc 2: both terms have equal score ln(3/2); tie broken by term asc
+    assert {(d, t) for (d, t) in got if d == 2} == {(2, "banana"), (2, "cherry")}
+    # k=2 per doc
+    counts = pd.Series([d for (d, _) in got]).value_counts()
+    assert (counts <= 2).all()
+
+
+def test_ngram_counts_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c"),
+            (2, "a b c d"),
+            (3, "zz"),  # shorter than n: contributes nothing
+        ],
+    )
+    out = ngram_counts(docs, n=3, top=10).collect()
+    got = [(r["ngram"], r["n_occurrences"]) for r in out]
+    # doc1: "a b c","b c a","c a b","a b c"; doc2: "a b c","b c d"
+    assert got[0] == ("a b c", 3)
+    assert dict(got) == {"a b c": 3, "b c a": 1, "c a b": 1, "b c d": 1}
+    # deterministic full order: count desc then ngram asc
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_assign_shards_deterministic_and_in_range(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(500)])
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 8).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(docs.repartition(13), 8).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert set(a.values()) <= set(range(8))
+    c = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 8, seed="1").collect()}
+    assert a != c  # seed changes the draw
+    x = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(docs, 8, hash_impl="xxhash64").collect()
+    }
+    assert set(x.values()) <= set(range(8))
+
+
+def test_shard_stats_totals(spark):
+    docs = _docs(spark, [(i, "x" * (i % 7)) for i in range(300)]).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    st = shard_stats(docs, 4, size_col="n_chars").collect()
+    assert sum(r["n_rows"] for r in st) == 300
+    assert sum(r["total_size"] for r in st) == sum(i % 7 for i in range(300))
+    assert [r["shard"] for r in st] == sorted(r["shard"] for r in st)
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) <= set(
+        range(4)
+    )
+    # shard column matches assign_shards exactly
+    want = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 4).collect()}
+    got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+    assert got == want
+    # one data file per shard directory (single writer task per shard)
+    import glob
+
+    for d in glob.glob(path + "/shard=*"):
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+
+def test_assign_shards_validates_n(spark):
+    docs = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_shards(docs, 0)
