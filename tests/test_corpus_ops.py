@@ -189,3 +189,22 @@ def test_assign_shards_validates_n(spark):
     docs = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError, match="n_shards"):
         assign_shards(docs, 0)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_ops_plan_shapes(spark):
+    # the scale-critical physical choices, pinned: tfidf's per-doc
+    # top-k must map-side pre-trim (WindowGroupLimit), ngram top-N
+    # must be a distributed partial top-N (TakeOrderedAndProject, not
+    # a global sort), and dedup_against's small fingerprint set must
+    # broadcast into a LeftAnti hash join
+    docs = _docs(spark, [(i, f"some text number {i} with words") for i in range(50)])
+    assert "WindowGroupLimit" in _plan(tfidf_top_terms(docs, k=2))
+    assert "TakeOrderedAndProject" in _plan(ngram_counts(docs))
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    p = _plan(dedup_against(batch, ref))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
