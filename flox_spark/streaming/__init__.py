@@ -2,6 +2,7 @@ from flox_spark.streaming.stream import (
     groupby_reduce_stream,
     groupby_reduce_stream_salted,
     groupby_session_stream,
+    stream_dedup_against,
     stream_dedup_exact,
 )
 from flox_spark.streaming.stateful import stream_ffill
@@ -13,6 +14,7 @@ __all__ = [
     "groupby_reduce_stream",
     "groupby_reduce_stream_salted",
     "groupby_session_stream",
+    "stream_dedup_against",
     "stream_dedup_exact",
     "stream_ffill",
     "minhash_band_keys",

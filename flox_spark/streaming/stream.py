@@ -111,13 +111,43 @@ def stream_dedup_exact(
     without one, state grows with distinct content (exact forever-
     dedup, bounded by content cardinality).
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    out = df.withColumn("fp", F.md5(norm))
+    from flox_spark.operators.dedup import content_fingerprint
+
+    out = df.withColumn("fp", content_fingerprint(F.col(text_col)))
     if time_col is not None:
         # dropDuplicatesWithinWatermark: state entries expire once
         # older than the watermark horizon (bounded state)
         return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["fp"])
     return out.dropDuplicates(["fp"])
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_against``: drop
+    incoming documents whose normalized content already exists in a
+    STATIC reference corpus (dedup the live crawl against everything
+    already ingested).
+
+    Spark-first: this is a stream-static LEFT ANTI join on the shared
+    ``content_fingerprint`` — the static side's distinct-fingerprint
+    table is planned per micro-batch like any batch anti join
+    (broadcast when small), and the stream side needs NO state at all:
+    cross-batch memory lives in the reference table, not the state
+    store.  Compose with ``stream_dedup_exact`` upstream to also
+    dedup within the stream itself."""
+    from flox_spark.operators.dedup import content_fingerprint
+
+    ref_fp = reference.select(
+        content_fingerprint(F.col(text_col)).alias("__fp")
+    ).distinct()
+    return (
+        stream.withColumn("__fp", content_fingerprint(F.col(text_col)))
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
 
 
 def groupby_session_stream(

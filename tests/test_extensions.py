@@ -389,3 +389,43 @@ def test_session_stream_equals_batch_sessions(spark):
         assert len(want) == 4  # a: 2 sessions, b: 2 sessions
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_against_static_reference(spark):
+    # stream-static anti join: content already in the static reference
+    # is dropped from every micro-batch; the stream needs no state
+    tmp = tempfile.mkdtemp(prefix="flox_sagainst_")
+    try:
+        ref = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [100, 101], "text": ["known doc one", "known doc two"]})
+        )
+        f0 = pd.DataFrame({"doc_id": [0, 1], "text": ["KNOWN  doc one", "fresh alpha"]})
+        f1 = pd.DataFrame({"doc_id": [2, 3], "text": ["known doc two", "fresh beta"]})
+        spark.createDataFrame(f0).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        import time as _time
+
+        _time.sleep(1.1)
+        spark.createDataFrame(f1).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        from flox_spark.streaming import stream_dedup_against
+
+        out = stream_dedup_against(stream, ref)
+        q = (
+            out.writeStream.format("memory").queryName("flox_sagainst")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM flox_sagainst").collect())
+        assert kept == [1, 3]  # 0 and 2 are (normalized) matches of the reference
+        # batch twin produces the identical survivor set on the union
+        from flox_spark.operators import dedup_against
+
+        batch_all = spark.createDataFrame(pd.concat([f0, f1], ignore_index=True))
+        want = sorted(r["doc_id"] for r in dedup_against(batch_all, ref).collect())
+        assert kept == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
