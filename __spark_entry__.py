@@ -651,6 +651,30 @@ def q_shard_stats(s, d):
     return shard_stats(_t(s, d, "documents"), 8, size_col="n_chars")
 
 
+def q_minhash_against(s, d):
+    # cross-corpus near-dup probe: odd-id batch vs even-id reference,
+    # bucket-membership semi join (no pair expansion)
+    from flox_spark.operators import minhash_against
+
+    docs = _t(s, d, "documents")
+    return minhash_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def q_dedup_lines(s, d):
+    # corpus-level first-occurrence span dedup at word granularity
+    # (the synthetic docs have no newlines, so words stand in for
+    # lines; the operator is the same plan either way)
+    from flox_spark.operators import dedup_lines
+
+    out = dedup_lines(
+        _t(s, d, "documents"), sep_re="\\s+", joiner=" ", min_chars=4
+    )
+    return out.select("doc_id", "text_clean")
+
+
 def q_binned_left(s, d):
     # left-closed IntervalIndex bins (closed='left'): the reference
     # digitizes by expect.closed_right (flox/factorize.py:57-76);
@@ -1035,7 +1059,7 @@ sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
 SELECT doc_id, band, bkey FROM ({bands})"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_cte() -> str:
     mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
     bands = "\nUNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
@@ -1046,9 +1070,26 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({bands})
+bands AS ({bands})"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_bands_cte()
+        + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+    )
+
+
+def _minhash_against_oracle() -> str:
+    return (
+        _minhash_bands_cte()
+        + """
+SELECT DISTINCT a.doc_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"""
+    )
 
 
 def _simhash_oracle() -> str:
@@ -1309,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "ngram_counts": q_ngram_counts,
         "shard_stats": q_shard_stats,
+        "minhash_against": q_minhash_against,
+        "dedup_lines": q_dedup_lines,
         "rolling_time": q_rolling_time,
         "rolling_rows": q_rolling_rows,
         "resample": q_resample,
@@ -1521,6 +1564,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS total_size
             FROM s GROUP BY shard ORDER BY shard""",
+        "minhash_against": _minhash_against_oracle(),
+        "dedup_lines": """
+            WITH lines AS (
+              SELECT doc_id, w[i] AS line, i AS pos
+              FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                    FROM documents) t,
+                   unnest(range(1, len(w) + 1)) AS r(i)
+            ),
+            ranked AS (
+              SELECT doc_id, line, pos,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM lines
+            ),
+            kept AS (
+              SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean
+              FROM ranked
+              WHERE length(trim(line)) < 4 OR rn = 1
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)""",
         "quantile_refine": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -12,11 +12,13 @@ from flox_spark.operators.text import (
     tfidf_top_terms,
 )
 from flox_spark.operators.dedup import (
+    band_buckets,
     dedup_against,
     dedup_clusters,
     dedup_exact,
     dedup_keep_representatives,
     levenshtein_refine,
+    minhash_against,
     minhash_signatures,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -28,6 +30,7 @@ from flox_spark.operators.asof import asof_join
 from flox_spark.operators.clean import (
     contamination_report,
     decontaminate,
+    dedup_lines,
     normalize_whitespace,
     redact_pii,
     remove_boilerplate_lines,
@@ -119,8 +122,11 @@ __all__ = [
     "build_distinct_sketches",
     "rollup_distinct",
     "heavy_hitters",
+    "band_buckets",
     "dedup_against",
+    "dedup_lines",
     "levenshtein_refine",
+    "minhash_against",
     "ngram_counts",
     "tfidf_top_terms",
     "assign_shards",

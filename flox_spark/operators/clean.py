@@ -21,10 +21,10 @@ frame is (distinct lines)-sized; the reassembly groupBy carries
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
+__all__ = ["dedup_lines", "normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
 
 # portable across Java regex and RE2 (no lookaround)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -106,6 +106,58 @@ def remove_boilerplate_lines(
         .agg(
             F.concat_ws(
                 "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line").alias("l")))
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias(out)
+        )
+    )
+    return df.join(kept, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_re: str = "\n",
+    joiner: str = "\n",
+    min_chars: int = 10,
+    out: str = "text_clean",
+) -> DataFrame:
+    """Corpus-level line dedup (the C4-style span rule, at line
+    granularity): every line of at least ``min_chars`` trimmed
+    characters that occurs more than once ANYWHERE in the corpus is
+    kept only at its first occurrence — smallest (doc id, position) —
+    and removed everywhere else.  Shorter lines pass through
+    untouched.  ``sep_re`` is the split regex, ``joiner`` the
+    reassembly separator (separator runs are normalized to it); every
+    input doc survives, reduced to "" when nothing remains.
+
+    Scale shape: one explode, one line-keyed window (row_number over
+    (id, pos) — the shuffle is by line content, uniform unless the
+    corpus is one repeated line), one group-by-doc reassembly.  All
+    data-sized steps are single-pass; no self-joins, no driver
+    collects."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.length(F.trim(F.col("line"))) < F.lit(min_chars))
+            | (F.col("__rn") == 1)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                joiner,
                 F.transform(
                     F.array_sort(
                         F.collect_list(F.struct(F.col("pos"), F.col("line").alias("l")))

@@ -168,6 +168,71 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """(id, band, bkey) LSH bucket rows: the signature split into
+    ``bands`` bands of ``num_hashes/bands`` rows, each hashed to one
+    bucket key.  The shared front half of ``minhash_candidates``
+    (within-corpus self-join) and ``minhash_against`` (cross-corpus
+    membership probe)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_key(hash_impl, [F.col(f"mh{b * r + j}") for j in range(r)]).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def minhash_against(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Cross-corpus NEAR-dup flagging: the distinct batch ids whose
+    MinHash signature shares any LSH band bucket with any reference
+    document — ``dedup_against``'s recall-oriented sibling for the
+    "new crawl vs existing corpus" step when exact fingerprints are
+    too strict.
+
+    Scale shape: there is NO pair expansion at all — the reference
+    side collapses to its DISTINCT (band, bkey) set before a LEFT
+    SEMI join (existence is the question, so no ``max_bucket`` cap is
+    even needed; a degenerate mega-bucket costs one row here).  Both
+    sides are one shingle+min aggregation each; the join shuffles
+    bucket keys, never documents.  Drop flagged ids with a left-anti
+    join against this result, or route them to ``levenshtein_refine``
+    for certification."""
+    bb = band_buckets(batch, id_col, text_col, num_hashes, bands, shingle_k, hash_impl)
+    rb = band_buckets(
+        reference, id_col, text_col, num_hashes, bands, shingle_k, hash_impl
+    ).select("band", "bkey").distinct()
+    return bb.join(rb, ["band", "bkey"], "left_semi").select(id_col).distinct()
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,19 +256,8 @@ def minhash_candidates(
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
         )
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                band_key(hash_impl, [F.col(f"mh{b * r + j}") for j in range(r)]).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    buckets = band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_k, hash_impl
     )
     buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     # the self-join is a diamond DAG: without materializing, Spark

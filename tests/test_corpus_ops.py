@@ -208,3 +208,62 @@ def test_new_ops_plan_shapes(spark):
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     p = _plan(dedup_against(batch, ref))
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_minhash_against_flags_near_dups(spark):
+    from flox_spark.operators import minhash_against, minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ref = _docs(spark, [(100, base), (101, "completely unrelated reference text here")])
+    batch = _docs(
+        spark,
+        [
+            (1, base.replace("today", "tomorrow")),  # near-dup of ref 100
+            (2, "a totally different new document about spark plans"),
+            (3, base),  # exact dup of ref 100
+        ],
+    )
+    flagged = sorted(r["doc_id"] for r in minhash_against(batch, ref).collect())
+    assert 3 in flagged  # identical signature must always share all bands
+    assert 2 not in flagged
+    # consistency with the within-corpus candidate generator: flagging
+    # batch-vs-ref equals pairs restricted to (batch, ref) on the union
+    uni = batch.union(ref)
+    pairs = minhash_candidates(uni).collect()
+    want = sorted(
+        {r["id_a"] for r in pairs if r["id_b"] >= 100 and r["id_a"] < 100}
+        | {r["id_b"] for r in pairs if r["id_a"] >= 100 and r["id_b"] < 100}
+    )
+    assert flagged == want
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from flox_spark.operators import dedup_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "unique opening line\nshared sentence here\nok"),
+            (2, "shared sentence here\nanother unique line\nok"),
+            (3, "shared sentence here"),
+        ],
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in dedup_lines(docs, min_chars=5).collect()}
+    # doc 1 owns the first occurrence (smallest id); "ok" is under
+    # min_chars and passes through everywhere
+    assert out[1] == "unique opening line\nshared sentence here\nok"
+    assert out[2] == "another unique line\nok"
+    assert out[3] == ""  # reduced to nothing but still present
+
+
+def test_dedup_lines_word_granularity(spark):
+    from flox_spark.operators import dedup_lines
+
+    docs = _docs(spark, [(1, "alpha beta alpha"), (2, "beta gamma")])
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in dedup_lines(docs, sep_re="\\s+", joiner=" ", min_chars=4).collect()
+    }
+    # within-doc repeats also dedup (first position wins)
+    assert out[1] == "alpha beta"
+    assert out[2] == "gamma"
