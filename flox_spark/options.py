@@ -41,7 +41,13 @@ OPTIONS: dict[str, Any] = {
     # (core._refine_accuracy), so per-group memory grows as
     # O(sqrt(n)*log n) — at the 1 TB zone edge that is ~13 MB of
     # collected candidates + ~80 MB of sketch, bounded either way.
-    "quantile_agg_max_bytes": 16 << 20,
+    # measured crossover (sf sweep, warm, p90-by-returnflag): at
+    # ~0.3 MB the one-pass percentile aggregate wins on fixed costs
+    # (0.33 s vs refine's 0.65 s), by ~3 MB the ObjectHashAggregate's
+    # per-value buffering already loses (1.81 s vs 1.24 s) — the
+    # buffer insert cost scales with rows, refine's extra scan is
+    # nearly free.  1 MB splits the measured bracket.
+    "quantile_agg_max_bytes": 1 << 20,
     "quantile_refine_max_bytes": 1 << 40,
     # inputs past refine_max but at most this take "refine2": the
     # two-level bracket (one extra narrowing scan) whose collected
