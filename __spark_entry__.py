@@ -1561,9 +1561,16 @@ def oracle_sql() -> dict[str, str]:
                       % 8)::INT AS shard,
                      n_chars
               FROM documents
+            ),
+            agg AS (
+              SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS total_size
+              FROM s GROUP BY shard
             )
-            SELECT shard, count(*) AS n_rows, sum(n_chars)::BIGINT AS total_size
-            FROM s GROUP BY shard ORDER BY shard""",
+            SELECT g.shard::INT AS shard,
+                   coalesce(a.n_rows, 0) AS n_rows,
+                   coalesce(a.total_size, 0) AS total_size
+            FROM range(8) AS g(shard) LEFT JOIN agg a ON a.shard = g.shard
+            ORDER BY 1""",
         "minhash_against": _minhash_against_oracle(),
         "dedup_lines": """
             WITH lines AS (

@@ -47,9 +47,8 @@ def dedup_exact(
     """Exact duplicate groups by normalized-text fingerprint: one row
     per distinct content with the representative (min id) and the
     duplicate count.  ``keep='first'`` semantics."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return (
-        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        df.select(content_fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -252,10 +251,6 @@ def minhash_candidates(
     between a join and an outage; dropped buckets mean "everything
     here is near-identical", which callers handle via dedup_exact.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
-        )
     buckets = band_buckets(
         df, id_col, text_col, num_hashes, bands, shingle_k, hash_impl
     )

@@ -251,6 +251,11 @@ def _kmeans_driver_loop(
     # unfilled tail, matching the plan loop's behavior of returning
     # only the seeded clusters
     cents = [c for c in cents if c is not None]
+    if not cents:
+        # empty input: no seeds were drawn — return the empty centroid
+        # frame without entering the loop (an empty literal array has
+        # no element type and would fail analysis in the fold)
+        return spark.createDataFrame([], schema="__cid int, centroid array<double>")
 
     # AQE re-plans each exchange as its own sub-query — measured
     # ~0.65 s of per-iteration scheduling on a centroid-sized shuffle
@@ -258,6 +263,12 @@ def _kmeans_driver_loop(
     # task to <= k*dim rows before the exchange; there is no skew or
     # partition-count decision left to adapt).  Scope it off for the
     # loop and restore on exit, tuned_shuffle-style.
+    # CAVEAT: both confs are session-scoped for the loop's duration
+    # (restored in the finally) — a concurrent thread launching a
+    # data-sized shuffle on the same SparkSession during the fit would
+    # inherit the 4-partition setting.  The trainer loop assumes it
+    # owns the session while iterating, like every conf-scoping helper
+    # here (tuned_shuffle, write_table's dynamic-overwrite toggle).
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     # the mean aggregate's reduce side only ever carries partially
@@ -266,7 +277,7 @@ def _kmeans_driver_loop(
     # shuffle partition count just schedules empty tasks per iteration
     old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    dim = len(cents[0]) if cents else 0
+    dim = len(cents[0])
     use_literal = k * dim <= _LITERAL_CENTROIDS_MAX_VALUES
     try:
         for _ in range(max_iter):

@@ -79,12 +79,22 @@ def shard_stats(
 ) -> DataFrame:
     """Per-shard row count (and total ``size_col`` when given) —
     the balance check before an export.  One map-side-combined
-    aggregate over n_shards groups."""
+    aggregate over n_shards groups, right-joined against the full
+    shard range so EMPTY shards report 0 explicitly (an absent row
+    would hide exactly the imbalance signal this check exists to
+    surface)."""
     sharded = assign_shards(df, n_shards, id_col, seed, "shard", hash_impl)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("total_size"))
-    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    got = sharded.groupBy("shard").agg(*aggs)
+    grid = df.sparkSession.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    out = grid.join(got, "shard", "left").withColumn(
+        "n_rows", F.coalesce(F.col("n_rows"), F.lit(0))
+    )
+    if size_col is not None:
+        out = out.withColumn("total_size", F.coalesce(F.col("total_size"), F.lit(0)))
+    return out.orderBy("shard")
 
 
 def write_shards(

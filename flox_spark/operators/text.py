@@ -267,7 +267,14 @@ def tfidf_top_terms(
     a broadcast scalar, not a driver collect.  Ranking uses the score
     ROUNDED to 6 decimals so float ulp differences can never reorder
     ties across engines or partitionings; ties break on the term."""
-    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
+    from flox_spark.plans.util import materialize_shared
+
+    # the exploded token frame feeds BOTH the tf and df aggregates (a
+    # diamond): materialize so the tokenize+explode runs once, not
+    # once per side (same rewrite as minhash_candidates' bucket frame)
+    toks = materialize_shared(
+        df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = toks.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))

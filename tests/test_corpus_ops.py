@@ -267,3 +267,15 @@ def test_dedup_lines_word_granularity(spark):
     # within-doc repeats also dedup (first position wins)
     assert out[1] == "alpha beta"
     assert out[2] == "gamma"
+
+
+def test_shard_stats_reports_empty_shards(spark):
+    docs = _docs(spark, [(1, "one doc only")])
+    st = shard_stats(docs, 16, size_col=None)
+    rows = st.collect()
+    assert len(rows) == 16  # every shard present
+    assert sum(r["n_rows"] for r in rows) == 1
+    assert sorted(r["shard"] for r in rows) == list(range(16))
+    st2 = shard_stats(docs.withColumn("n_chars", F.length("text").cast("long")), 16, size_col="n_chars").collect()
+    assert sum(r["total_size"] for r in st2) == 12
+    assert all(r["total_size"] == 0 for r in st2 if r["n_rows"] == 0)

@@ -190,3 +190,10 @@ def test_kmeans_fit_loop_has_no_data_sized_exchange(spark, blobs):
     )
     for x, y in zip(a, b):
         assert x == pytest.approx(y, rel=1e-12)
+
+
+def test_kmeans_empty_input_returns_empty_centroids(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kmeans_fit(empty, k=2)
+    assert out.count() == 0
+    assert out.columns == ["__cid", "centroid"]
