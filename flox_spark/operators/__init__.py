@@ -38,7 +38,7 @@ from flox_spark.operators.clean import (
 from flox_spark.operators.funnel import funnel_conversion, funnel_path
 from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
 from flox_spark.operators.packing import pack_sequences
-from flox_spark.operators.pipeline import ann_recall, dedup_documents
+from flox_spark.operators.pipeline import ann_recall, curate_corpus, dedup_documents
 from flox_spark.operators.topk import grouped_topk
 from flox_spark.operators.sampling import (
     sample_bernoulli,
@@ -88,6 +88,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_signatures",
     "ann_recall",
+    "curate_corpus",
     "asof_join",
     "assign_clusters",
     "dedup_documents",

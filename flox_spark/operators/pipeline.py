@@ -26,7 +26,7 @@ from flox_spark.operators.similarity import (
     ivf_topk,
 )
 
-__all__ = ["dedup_documents", "ann_recall"]
+__all__ = ["curate_corpus", "dedup_documents", "ann_recall"]
 
 
 def dedup_documents(
@@ -127,3 +127,74 @@ def ann_recall(
             F.round(F.avg(F.col("__hit").cast("double")), 6).alias("recall_at_k"),
         )
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality: dict | None = None,
+    reference: DataFrame | None = None,
+    dedup: str | None = "minhash",
+    dedup_kw: dict | None = None,
+    benchmarks: DataFrame | None = None,
+    decontaminate_kw: dict | None = None,
+    n_shards: int | None = None,
+    seed: str = "0",
+) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end corpus curation pipeline in one call, composed
+    entirely from the oracle-checked stage operators:
+
+    1. quality filter (``quality``: threshold kwargs for
+       ``annotate_quality_filter``; ``{}`` for defaults, None skips)
+    2. cross-corpus exact dedup against an existing ``reference``
+       corpus (``dedup_against``; None skips)
+    3. within-corpus dedup (``dedup``: exact/minhash/simhash/
+       embedding -> ``dedup_documents``; None skips)
+    4. benchmark decontamination (``benchmarks`` frame ->
+       ``decontaminate``; None skips)
+    5. deterministic shard assignment (``n_shards`` -> ``shard``
+       column via ``assign_shards``; None skips)
+
+    Returns ``(curated, report)``: the curated frame (original
+    columns, plus ``shard`` when sharded) and a lazy per-stage report
+    frame ``(stage_order, stage, n_docs)``.  The report re-evaluates
+    each stage's lineage when collected — one corpus pass per stage —
+    so collect it for audits, not in the hot path; the curated frame
+    itself stays a single composed plan."""
+    from flox_spark.operators.clean import decontaminate
+    from flox_spark.operators.dedup import dedup_against
+    from flox_spark.operators.sharding import assign_shards
+    from flox_spark.operators.text import quality_filter
+
+    stages: list[tuple[str, DataFrame]] = [("input", df)]
+    cur = df
+    if quality is not None:
+        cur = quality_filter(cur, text_col=text_col, **quality)
+        stages.append(("quality", cur))
+    if reference is not None:
+        cur = dedup_against(cur, reference, id_col=id_col, text_col=text_col)
+        stages.append(("dedup_against", cur))
+    if dedup is not None:
+        cur = dedup_documents(
+            cur, method=dedup, id_col=id_col, text_col=text_col, **(dedup_kw or {})
+        )
+        stages.append(("dedup", cur))
+    if benchmarks is not None:
+        cur = decontaminate(
+            cur, benchmarks, id_col=id_col, text_col=text_col,
+            **(decontaminate_kw or {}),
+        )
+        stages.append(("decontaminate", cur))
+    if n_shards is not None:
+        cur = assign_shards(cur, n_shards, id_col=id_col, seed=seed)
+
+    report = None
+    for i, (name, frame) in enumerate(stages):
+        one = frame.agg(
+            F.lit(i).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        report = one if report is None else report.unionByName(one)
+    return cur, report.orderBy("stage_order")

@@ -109,3 +109,49 @@ def test_dedup_simhash_degenerate_bucket_capped(spark):
     # with the cap above the bucket size the join dedups them to one
     kept2 = dedup_documents(df, method="simhash", max_bucket=None).count()
     assert kept2 == 1
+
+
+def test_curate_corpus_stages_and_report(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from flox_spark.operators import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array(range(8), dtype="int64"),
+        "text": [
+            "tiny",                                   # dropped by quality (min_tokens)
+            base,                                     # survives everything
+            base,                                     # exact dup of 1 -> dropped by dedup
+            "already known reference content here today",  # in reference -> dedup_against
+            "some benchmark question appears here verbatim for the eval set",  # contaminated
+            "a perfectly fine unique document about spark physical plans",
+            "another good document discussing the shuffle partitioning strategy",
+            "yet another clean document on broadcast joins and skew",
+        ],
+    }))
+    reference = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([100], dtype="int64"),
+        "text": ["Already  KNOWN reference content here today"],  # normalized match
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([200], dtype="int64"),
+        "text": ["some benchmark question appears here verbatim for the eval set"],
+    }))
+    curated, report = curate_corpus(
+        docs,
+        quality={"min_tokens": 3, "min_stop_ratio": 0.0},
+        reference=reference,
+        dedup="exact",
+        benchmarks=bench,
+        decontaminate_kw={"method": "exact"},
+        n_shards=4,
+    )
+    ids = sorted(r["doc_id"] for r in curated.collect())
+    assert ids == [1, 5, 6, 7]
+    assert "shard" in curated.columns
+    assert set(r["shard"] for r in curated.collect()) <= set(range(4))
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep == {"input": 8, "quality": 7, "dedup_against": 6, "dedup": 5, "decontaminate": 4}
+    order = [r["stage"] for r in report.collect()]
+    assert order == ["input", "quality", "dedup_against", "dedup", "decontaminate"]
