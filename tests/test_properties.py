@@ -270,3 +270,63 @@ def test_quantile_refine_matches_numpy_property(spark, data, q, acc):
             assert gv is None or math.isnan(gv), (g, gv)
         else:
             assert gv == pytest.approx(want, rel=1e-12, abs=1e-12), (g, q, acc, gv, want)
+
+
+@st.composite
+def quantile_cases(draw):
+    # distributions chosen to stress the refine bracket math: heavy
+    # point masses (rank-overflow guards), tiny spreads, mixed NaN
+    n = draw(st.integers(30, 400))
+    kind = draw(st.sampled_from(["uniform", "pointmass", "twolevel", "tiny_spread"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    if kind == "uniform":
+        v = rng.uniform(-100, 100, n)
+    elif kind == "pointmass":
+        # ~3/4 identical values, the rest spread: stresses the
+        # duplicate-at-bracket-edge rank-overflow guards
+        v = np.full(n, 3.25)
+        v[: n // 4] = rng.uniform(-10, 10, n // 4)
+    elif kind == "twolevel":
+        v = np.where(rng.random(n) < 0.5, 1.0, 2.0)
+    else:
+        v = 5.0 + rng.uniform(0, 1e-9, n)
+    if draw(st.booleans()):
+        v = v.copy()
+        v[rng.random(n) < 0.15] = np.nan
+    k = rng.integers(0, draw(st.integers(1, 4)), n)
+    q = draw(st.sampled_from([0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0]))
+    return pd.DataFrame({"k": k.astype("int64"), "v": v}), q
+
+
+@ex
+@given(quantile_cases())
+def test_refine2_property_matches_numpy(spark, case):
+    # the two-level bracket (forced into its narrow branch by tiny
+    # accuracy/cutoff) must reproduce numpy linear interpolation on
+    # arbitrary distributions, per group, NaNs skipped
+    import flox_spark.core as core
+    from flox_spark import set_options
+
+    pdf, q = case
+    df = spark.createDataFrame(pdf)
+    orig_acc, orig_floor = core._refine_accuracy, core._REFINE_CUTOFF_FLOOR
+    core._refine_accuracy = lambda work: 32
+    core._REFINE_CUTOFF_FLOOR = 4
+    try:
+        with set_options(quantile_impl="refine2"):
+            got = {
+                r["k"]: r["nanquantile"]
+                for r in groupby_reduce(
+                    df, "k", func="nanquantile", value="v", finalize_kwargs={"q": q}
+                ).collect()
+            }
+    finally:
+        core._refine_accuracy, core._REFINE_CUTOFF_FLOOR = orig_acc, orig_floor
+    for k, grp in pdf.groupby("k")["v"]:
+        vals = grp.dropna().to_numpy()
+        want = float(np.quantile(vals, q)) if len(vals) else None
+        g = got[k]
+        if want is None:
+            assert g is None or (isinstance(g, float) and math.isnan(g))
+        else:
+            assert g == pytest.approx(want, rel=1e-12, abs=1e-12), (k, q, g, want)
