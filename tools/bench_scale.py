@@ -120,6 +120,57 @@ def kmeans_scaling(spark, quick: bool) -> dict:
     return out
 
 
+def synth_docs(spark, n: int):
+    """Deterministic word-soup documents (~40 words each) built from
+    spark.range — no testdata dependency, scales to any n."""
+    word = lambda j: F.concat(
+        F.lit("w"), ((F.col("id") * (1103515245 + j) + 12345 * j) % 500).cast("string")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(j) for j in range(40)]).alias("text"),
+    )
+
+
+def corpus_scaling(spark, quick: bool) -> dict:
+    """10x-data wall ratios for the corpus operators: all are
+    single-pass explode+aggregate (or window) plans, so the ratio
+    should stay well under 10 at these sizes (fixed overhead) and
+    approach ~10 only when data-proportional work dominates."""
+    from flox_spark.operators import (
+        dedup_against,
+        dedup_lines,
+        minhash_against,
+        ngram_counts,
+        tfidf_top_terms,
+    )
+
+    small_n, big_n = (20_000, 200_000) if quick else (60_000, 600_000)
+    cases = {
+        "tfidf_top_terms": lambda d: tfidf_top_terms(d, k=2),
+        "ngram_counts": lambda d: ngram_counts(d, n=3, top=50),
+        "dedup_lines_words": lambda d: dedup_lines(
+            d, sep_re="\\s+", joiner=" ", min_chars=2
+        ),
+        "dedup_against_selfhalf": lambda d: dedup_against(
+            d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+        ),
+        "minhash_against_selfhalf": lambda d: minhash_against(
+            d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+        ),
+    }
+    out = {}
+    for name, fn in cases.items():
+        t_small = min(force(fn(synth_docs(spark, small_n))) for _ in range(2))
+        t_big = min(force(fn(synth_docs(spark, big_n))) for _ in range(2))
+        out[name] = {
+            "small_s": t_small,
+            "big_s": t_big,
+            "wall_ratio_for_10x_data": round(t_big / max(t_small, 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("bench_scale")
@@ -128,6 +179,7 @@ def main() -> None:
         "scan_crossover": scan_crossover(spark, quick),
         "reduction_scaling": reduction_scaling(spark, quick),
         "kmeans_scaling": kmeans_scaling(spark, quick),
+        "corpus_scaling": corpus_scaling(spark, quick),
     }
     print(json.dumps(result, indent=2))
 
