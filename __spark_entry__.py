@@ -651,6 +651,50 @@ def q_shard_stats(s, d):
     return shard_stats(_t(s, d, "documents"), 8, size_col="n_chars")
 
 
+def q_scan_shift(s, d):
+    # pandas GroupBy.shift parity: lag within group (scan registry)
+    df = _t(s, d, "events")
+    out = groupby_scan(df, "user_id", func="shift", value="value", order_by="event_id")
+    return out.select(
+        "event_id", "user_id", F.round(F.col("shift"), 6).alias("shifted")
+    )
+
+
+def q_scan_diff(s, d):
+    # pandas GroupBy.diff parity: v - lag(v) within group
+    df = _t(s, d, "events")
+    out = groupby_scan(df, "user_id", func="diff", value="value", order_by="event_id")
+    return out.select("event_id", "user_id", F.round(F.col("diff"), 6).alias("dv"))
+
+
+def q_rank_avg(s, d):
+    # pandas GroupBy.rank(method='average'): window rank + tie-size
+    # count, one exchange
+    from flox_spark import groupby_rank
+
+    out = groupby_rank(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_extendedprice"
+    )
+    return out.select("l_orderkey", "l_linenumber", F.col("rank").alias("rnk"))
+
+
+def q_pivot_sum(s, d):
+    # wide grouped aggregation with DECLARED pivot values (no hidden
+    # distinct-collect job)
+    from flox_spark import groupby_pivot
+
+    out = groupby_pivot(
+        _t(s, d, "lineitem"), "l_returnflag",
+        pivot="l_linestatus", value="l_quantity", values=["F", "O"],
+        func="nansum",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("F"), 4).alias("sum_f"),
+        F.round(F.col("O"), 4).alias("sum_o"),
+    )
+
+
 def q_minhash_against(s, d):
     # cross-corpus near-dup probe: odd-id batch vs even-id reference,
     # bucket-membership semi join (no pair expansion)
@@ -1352,6 +1396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "minhash_against": q_minhash_against,
         "dedup_lines": q_dedup_lines,
+        "scan_shift": q_scan_shift,
+        "scan_diff": q_scan_diff,
+        "rank_avg": q_rank_avg,
+        "pivot_sum": q_pivot_sum,
         "rolling_time": q_rolling_time,
         "rolling_rows": q_rolling_rows,
         "resample": q_resample,
@@ -1571,6 +1619,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.total_size, 0) AS total_size
             FROM range(8) AS g(shard) LEFT JOIN agg a ON a.shard = g.shard
             ORDER BY 1""",
+        "scan_shift": """
+            SELECT event_id, user_id,
+                   round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)
+                     AS shifted
+            FROM events""",
+        "scan_diff": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)
+                     AS dv
+            FROM events""",
+        "rank_avg": """
+            SELECT l_orderkey, l_linenumber,
+                   rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                     AS rnk
+            FROM lineitem""",
+        "pivot_sum": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS sum_f,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS sum_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
         "minhash_against": _minhash_against_oracle(),
         "dedup_lines": """
             WITH lines AS (

@@ -21,11 +21,15 @@ from flox_spark.rolling import groupby_rolling
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
+from flox_spark.pivot import groupby_pivot
+from flox_spark.rank import groupby_rank
 from flox_spark.transform import groupby_apply, groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
 from flox_spark.salting import groupby_reduce_salted
 
 __all__ = [
+    "groupby_pivot",
+    "groupby_rank",
     "groupby_reduce",
     "bin_column",
     "groupby_reduce_multi",

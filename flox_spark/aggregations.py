@@ -412,6 +412,8 @@ SCANS: tuple[str, ...] = (
     "nancumprod",
     "cummax",
     "cummin",
+    "shift",
+    "diff",
 )
 
 

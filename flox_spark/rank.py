@@ -1,0 +1,89 @@
+"""``groupby_rank`` — per-group value ranks with pandas semantics.
+
+Beyond the reference's surface (flox has no rank; pandas
+``GroupBy.rank`` is the everyday analog).  One window pass: rank
+variants are compositions of ``rank()``/``dense_rank()``/
+``row_number()`` and a tie-size count over the (keys, value)
+partition — all streaming window aggregates after ONE hash exchange
+on the group keys, no joins, no UDFs.
+
+Missing handling follows pandas ``na_option``: ``"keep"`` gives
+missing rows a NULL rank (they are sorted after every ranked row so
+they cannot perturb real ranks), ``"top"``/``"bottom"`` rank them as
+one tied block before/after all values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flox_spark.dtypes import arith_input, is_missing
+
+__all__ = ["groupby_rank"]
+
+_METHODS = ("average", "min", "max", "dense", "first")
+
+
+def groupby_rank(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    method: str = "average",
+    ascending: bool = True,
+    na_option: str = "keep",
+    order_by: str | None = None,
+    out: str = "rank",
+) -> DataFrame:
+    """Add a ``rank`` column: the ``value``'s rank within its group.
+
+    ``method``: ``average`` (mean of the tie block's min/max rank,
+    pandas default), ``min``, ``max``, ``dense``, or ``first``
+    (occurrence order — requires ``order_by`` because tables have no
+    intrinsic row order).  ``ascending=False`` ranks the largest
+    value 1.  Output is double (pandas returns float64).
+    """
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+    if na_option not in ("keep", "top", "bottom"):
+        raise ValueError(f"na_option must be keep|top|bottom, got {na_option!r}")
+    if method == "first" and order_by is None:
+        raise ValueError(
+            "method='first' ranks ties by occurrence order, which a table "
+            "does not have — pass order_by="
+        )
+    vdt = df.schema[value].dataType
+    v = F.col(value)
+    missing = is_missing(v, vdt)
+    av, _ = arith_input(v, vdt)
+
+    # missing rows sort into their own block: after everything for
+    # 'keep'/'bottom', before everything for 'top'
+    mkey = F.when(missing, F.lit(0 if na_option == "top" else 2)).otherwise(F.lit(1))
+    vord = F.when(missing, F.lit(None)).otherwise(av)
+    order: list[Column] = [mkey.asc(), vord.asc() if ascending else vord.desc()]
+    if order_by is not None:
+        order.append(F.col(order_by).asc())
+    w = Window.partitionBy(*by).orderBy(*order)
+
+    if method == "first":
+        expr = F.row_number().over(w).cast("double")
+    elif method == "dense":
+        expr = F.dense_rank().over(w).cast("double")
+    else:
+        base = F.rank().over(w).cast("double")
+        if method == "min":
+            expr = base
+        else:
+            # tie-block size: rows sharing (group, missing-block,
+            # value); arith view keeps datetime/bool comparable
+            wt = Window.partitionBy(*by, mkey, vord)
+            cnt = F.count(F.lit(1)).over(wt).cast("double")
+            if method == "max":
+                expr = base + cnt - F.lit(1.0)
+            else:  # average
+                expr = base + (cnt - F.lit(1.0)) / F.lit(2.0)
+
+    if na_option == "keep":
+        expr = F.when(missing, F.lit(None)).otherwise(expr)
+    return df.withColumn(out, expr)

@@ -141,6 +141,34 @@ def groupby_scan(
     elif func == "bfill":
         w_fwd = Window.partitionBy(*by).orderBy(order_by).rowsBetween(Window.currentRow, Window.unboundedFollowing)
         expr = F.first(v_skip, ignorenulls=True).over(w_fwd)
+    elif func in ("shift", "diff"):
+        # pandas GroupBy.shift/diff parity (beyond the reference's
+        # SCANS): lag/lead needs an UNFRAMED ordered window.  Rows
+        # with no lag partner (group head for positive periods) are
+        # NULL — the table-engine missing value — for every dtype;
+        # pandas would upcast ints to float and emit NaN there, which
+        # a typed column engine deliberately does not do.
+        periods = int((finalize_kwargs or {}).get("periods", 1))
+        w_ord = Window.partitionBy(*by).orderBy(order_by)
+        lagged = (
+            F.lag(v, periods).over(w_ord)
+            if periods >= 0
+            else F.lead(v, -periods).over(w_ord)
+        )
+        if func == "shift":
+            expr = lagged
+        else:
+            av, _ = arith_input(v, vdt)
+            lv, _ = arith_input(lagged, vdt)
+            expr = av - lv
+            from flox_spark.dtypes import is_datetime_type, is_timedelta_type
+
+            if is_datetime_type(vdt) or is_timedelta_type(vdt):
+                # datetime diff yields an interval-like long of
+                # microseconds, surfaced as day-time interval
+                expr = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), expr / F.lit(1e6))
+            elif vdt.simpleString() == "float":
+                expr = expr.cast("float")
     else:  # pragma: no cover
         raise AssertionError(func)
 

@@ -1,0 +1,119 @@
+"""groupby_rank / groupby_pivot / shift-diff scans vs pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_pivot, groupby_rank, groupby_scan
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "v": rng.integers(0, 20, n).astype(float),  # many ties
+            "t": np.arange(n),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.1, "v"] = np.nan
+    return pdf
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_rank_matches_pandas(spark, frame, method, ascending):
+    df = spark.createDataFrame(frame)
+    kw = {"order_by": "t"} if method == "first" else {}
+    got = (
+        groupby_rank(df, "k", value="v", method=method, ascending=ascending, **kw)
+        .toPandas()
+        .sort_values("t")["rank"]
+        .to_numpy(float)
+    )
+    want = frame.groupby("k")["v"].rank(method=method, ascending=ascending).to_numpy(float)
+    assert np.allclose(got, want, equal_nan=True)
+
+
+@pytest.mark.parametrize("na_option", ["top", "bottom"])
+def test_rank_na_option(spark, frame, na_option):
+    df = spark.createDataFrame(frame)
+    got = (
+        groupby_rank(df, "k", value="v", na_option=na_option)
+        .toPandas()
+        .sort_values("t")["rank"]
+        .to_numpy(float)
+    )
+    want = frame.groupby("k")["v"].rank(na_option=na_option).to_numpy(float)
+    assert np.allclose(got, want, equal_nan=True)
+
+
+def test_rank_first_requires_order(spark, frame):
+    df = spark.createDataFrame(frame)
+    with pytest.raises(ValueError, match="order_by"):
+        groupby_rank(df, "k", value="v", method="first")
+
+
+@pytest.mark.parametrize("periods", [1, 2, -1])
+def test_shift_diff_match_pandas(spark, frame, periods):
+    df = spark.createDataFrame(frame)
+    for func, pfn in (("shift", "shift"), ("diff", "diff")):
+        got = (
+            groupby_scan(
+                df, "k", func=func, value="v", order_by="t",
+                finalize_kwargs={"periods": periods},
+            )
+            .toPandas()
+            .sort_values("t")[func]
+            .to_numpy(float)
+        )
+        want = getattr(frame.groupby("k")["v"], pfn)(periods).to_numpy(float)
+        assert np.allclose(got, want, equal_nan=True), (func, periods)
+
+
+def test_shift_int_head_is_null(spark):
+    # typed-column semantics: integer shift keeps the long dtype with
+    # NULL heads (pandas would upcast to float64 + NaN)
+    pdf = pd.DataFrame({"k": [0, 0], "v": pd.array([4, 5], dtype="int64"), "t": [0, 1]})
+    out = groupby_scan(
+        spark.createDataFrame(pdf), "k", func="shift", value="v", order_by="t"
+    )
+    assert dict(out.dtypes)["shift"] == "bigint"
+    rows = {r["t"]: r["shift"] for r in out.collect()}
+    assert rows == {0: None, 1: 4}
+
+
+def test_pivot_matches_pandas(spark, frame):
+    pdf = frame.assign(c=(frame["t"] % 3).map({0: "a", 1: "b", 2: "c"}))
+    df = spark.createDataFrame(pdf)
+    got = (
+        groupby_pivot(df, "k", pivot="c", value="v", values=["a", "b", "c"], func="nansum")
+        .toPandas()
+        .set_index("k")
+    )
+    want = pdf.pivot_table(index="k", columns="c", values="v", aggfunc="sum")
+    for c in ("a", "b", "c"):
+        assert np.allclose(got[c].to_numpy(float), want[c].to_numpy(float), equal_nan=True)
+
+
+def test_pivot_fill_and_undeclared_value_dropped(spark):
+    pdf = pd.DataFrame({"k": [0, 0, 1], "c": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]})
+    out = groupby_pivot(
+        spark.createDataFrame(pdf), "k", pivot="c", value="v",
+        values=["x", "z"], func="nansum", fill_value=0.0,
+    ).collect()
+    rows = {r["k"]: (r["x"], r["z"]) for r in out}
+    assert rows == {0: (1.0, 0.0), 1: (3.0, 0.0)}  # 'y' dropped, 'z' filled
+
+
+def test_pivot_rejects_multistage(spark):
+    pdf = pd.DataFrame({"k": [0], "c": ["x"], "v": [1.0]})
+    with pytest.raises(ValueError, match="multi-stage"):
+        groupby_pivot(
+            spark.createDataFrame(pdf), "k", pivot="c", value="v",
+            values=["x"], func="nanmode",
+        )
