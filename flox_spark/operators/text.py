@@ -312,7 +312,12 @@ def ngram_counts(
     aggregate keyed by the n-gram, and the global top-N compiles to
     TakeOrderedAndProject — each task keeps its local top-N, the
     driver merges P*N rows, never the full vocabulary."""
-    w = _words(F.col(text_col))
+    # STAGE the tokenized array in its own projection (the
+    # minhash_bands lesson, SCALE.md): inlining _words into the
+    # per-position slice transform re-evaluates the split for every
+    # gram — measured 4.5 s vs 0.9 s at sf0.1
+    w = F.col("__w")
+    staged = df.select(_words(F.col(text_col)).alias("__w"))
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard docs
     # shorter than n explicitly
     grams = F.when(
@@ -323,7 +328,7 @@ def ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        staged.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
