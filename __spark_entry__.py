@@ -695,6 +695,44 @@ def q_pivot_sum(s, d):
     )
 
 
+def q_corr_pearson(s, d):
+    # per-group pearson + sample covariance + pair count in ONE
+    # hash aggregate (try_divide co-moment form, ANSI-safe)
+    from flox_spark import groupby_corr
+
+    out = groupby_corr(
+        _t(s, d, "lineitem"), "l_returnflag",
+        x="l_quantity", y="l_extendedprice", with_cov=True,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("corr", 9).alias("corr"),
+        F.round("cov", 6).alias("cov"),
+        "n_pairs",
+    )
+
+
+def q_corr_spearman(s, d):
+    # spearman = pearson of within-group average ranks (composes
+    # groupby_rank); tie-aware like pandas/scipy
+    from flox_spark import groupby_corr
+
+    out = groupby_corr(
+        _t(s, d, "lineitem"), "l_returnflag",
+        x="l_quantity", y="l_extendedprice", method="spearman",
+    )
+    return out.select("l_returnflag", F.round("corr", 9).alias("corr"))
+
+
+def q_twa(s, d):
+    # time-weighted average of a step series per user (TimescaleDB
+    # time_weight LOCF analog): lead-window durations, one shuffle
+    from flox_spark import time_weighted_mean
+
+    out = time_weighted_mean(_t(s, d, "events"), "user_id", value="value", ts="ts")
+    return out.select("user_id", F.round("twa", 6).alias("twa"))
+
+
 def q_minhash_against(s, d):
     # cross-corpus near-dup probe: odd-id batch vs even-id reference,
     # bucket-membership semi join (no pair expansion)
@@ -1400,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_diff": q_scan_diff,
         "rank_avg": q_rank_avg,
         "pivot_sum": q_pivot_sum,
+        "corr_pearson": q_corr_pearson,
+        "corr_spearman": q_corr_spearman,
+        "twa": q_twa,
         "rolling_time": q_rolling_time,
         "rolling_rows": q_rolling_rows,
         "resample": q_resample,
@@ -1619,6 +1660,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.total_size, 0) AS total_size
             FROM range(8) AS g(shard) LEFT JOIN agg a ON a.shard = g.shard
             ORDER BY 1""",
+        "corr_pearson": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 9) AS corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS cov,
+                   count(*) AS n_pairs
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "corr_spearman": """
+            WITH r AS (
+              SELECT l_returnflag,
+                     rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                       AS rx,
+                     rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                       AS ry
+              FROM lineitem
+            )
+            SELECT l_returnflag, round(corr(rx, ry), 9) AS corr
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "twa": """
+            WITH d AS (
+              SELECT user_id, value,
+                     (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                      - epoch_us(ts))::DOUBLE AS dur
+              FROM events
+            )
+            SELECT user_id, round(sum(value * dur) / sum(dur), 6) AS twa
+            FROM d GROUP BY user_id ORDER BY user_id""",
         "scan_shift": """
             SELECT event_id, user_id,
                    round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)

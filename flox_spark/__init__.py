@@ -16,7 +16,8 @@ blockwise rechunk) is ported — Catalyst/AQE plays that role.
 
 from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, Scan, ScanContext, pandas_aggregation
 from flox_spark.core import bin_column, groupby_reduce, groupby_reduce_multi
-from flox_spark.resample import resample_reduce, time_bucket
+from flox_spark.corr import groupby_corr
+from flox_spark.resample import resample_reduce, time_bucket, time_weighted_mean
 from flox_spark.rolling import groupby_rolling
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
@@ -28,8 +29,10 @@ from flox_spark.weighted import groupby_reduce_weighted
 from flox_spark.salting import groupby_reduce_salted
 
 __all__ = [
+    "groupby_corr",
     "groupby_pivot",
     "groupby_rank",
+    "time_weighted_mean",
     "groupby_reduce",
     "bin_column",
     "groupby_reduce_multi",

@@ -27,10 +27,10 @@ from __future__ import annotations
 import re
 from typing import Any, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_reduce", "time_bucket"]
+__all__ = ["resample_reduce", "time_bucket", "time_weighted_mean"]
 
 # pandas-style aliases -> (kind, seconds-per-unit | trunc-unit)
 _FIXED = {
@@ -120,3 +120,38 @@ def resample_reduce(
         raise ValueError(f"bucket column {out_name!r} already exists; pass bucket_col=")
     work = df.withColumn(out_name, time_bucket(F.col(time_col), freq, origin))
     return groupby_reduce_multi(work, out_name, *by, aggs=aggs, sort=sort, **kw)
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    ts: str,
+    out: str = "twa",
+    sort: bool = True,
+) -> DataFrame:
+    """Per-group time-weighted average for IRREGULARLY sampled step
+    series (the TimescaleDB ``time_weight('LOCF')`` analog): each
+    sample holds until the next one, so its weight is the gap to the
+    next timestamp and the result is integral / total-span.  The last
+    sample carries zero weight; groups with fewer than two non-missing
+    samples yield NULL (no span to integrate over).  Rows with a
+    missing value are excluded before weighting (their time span
+    accrues to the previous sample, LOCF-style).
+
+    Scale shape: one hash exchange on the group keys, one sorted
+    window pass for ``lead(ts)``, one map-side-combined aggregate —
+    the same single-shuffle profile as ``groupby_scan``.
+    """
+    from flox_spark.dtypes import is_missing
+
+    vdt = df.schema[value].dataType
+    work = df.filter(~is_missing(F.col(value), vdt))
+    w = Window.partitionBy(*by).orderBy(ts)
+    micros = F.unix_micros(F.col(ts))
+    dur = (F.lead(micros).over(w) - micros).cast("double")
+    work = work.withColumn("__dur", dur)
+    result = work.groupBy(*by).agg(
+        (F.sum(F.col(value) * F.col("__dur")) / F.sum("__dur")).alias(out)
+    )
+    return result.orderBy(*by) if sort else result
