@@ -75,14 +75,24 @@ def groupby_rank(
         if method == "min":
             expr = base
         else:
-            # tie-block size: rows sharing (group, missing-block,
-            # value); arith view keeps datetime/bool comparable
-            wt = Window.partitionBy(*by, mkey, vord)
-            cnt = F.count(F.lit(1)).over(wt).cast("double")
+            # the tie block's MAX rank from a REVERSED-order rank over
+            # the SAME partitioning: max_r = n - rank_desc + 1.  All
+            # three window specs hash-partition on the group keys
+            # alone, so the whole rank computes after ONE exchange
+            # (the reversed spec adds a second in-partition sort, not
+            # a shuffle); partitioning the tie count by (keys, value)
+            # instead would cost a second data-sized exchange.
+            rev: list[Column] = [
+                mkey.desc(),
+                vord.desc() if ascending else vord.asc(),
+            ]
+            w_rev = Window.partitionBy(*by).orderBy(*rev)
+            n_part = F.count(F.lit(1)).over(Window.partitionBy(*by))
+            max_r = (n_part - F.rank().over(w_rev) + F.lit(1)).cast("double")
             if method == "max":
-                expr = base + cnt - F.lit(1.0)
+                expr = max_r
             else:  # average
-                expr = base + (cnt - F.lit(1.0)) / F.lit(2.0)
+                expr = (base + max_r) / F.lit(2.0)
 
     if na_option == "keep":
         expr = F.when(missing, F.lit(None)).otherwise(expr)

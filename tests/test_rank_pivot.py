@@ -117,3 +117,15 @@ def test_pivot_rejects_multistage(spark):
             spark.createDataFrame(pdf), "k", pivot="c", value="v",
             values=["x"], func="nanmode",
         )
+
+
+def test_rank_single_exchange_plan(spark, frame):
+    # average/max tie handling must come from the reversed-order rank
+    # over the SAME group-key partitioning — one hash exchange total,
+    # never a second (keys, value)-partitioned shuffle
+    df = spark.createDataFrame(frame)
+    p = (
+        groupby_rank(df, "k", value="v", method="average")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1
