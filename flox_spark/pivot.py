@@ -38,11 +38,14 @@ def groupby_pivot(
     func: str = "nansum",
     fill_value: Any = None,
     sort: bool = True,
+    finalize_kwargs: dict | None = None,
 ) -> DataFrame:
     """One row per group, one column per declared ``values`` entry:
     ``func`` of ``value`` over the rows where ``pivot`` equals that
     entry.  Groups with no rows for an entry get NULL (or
-    ``fill_value``).  Column names are the stringified entries."""
+    ``fill_value``).  Column names are the stringified entries.
+    ``finalize_kwargs`` reach the reduction exactly as in
+    ``groupby_reduce`` (q= for quantile, ddof= for var/std)."""
     if func not in REDUCTIONS:
         raise ValueError(f"unknown reduction {func!r}")
     agg = REDUCTIONS[func]
@@ -52,7 +55,8 @@ def groupby_pivot(
             "into a pivot aggregate; pivot the long groupby_reduce output instead"
         )
     ctx = AggContext(
-        value=F.col(value), dt=df.schema[value].dataType, idx=None, kwargs={}
+        value=F.col(value), dt=df.schema[value].dataType, idx=None,
+        kwargs=dict(finalize_kwargs or {}),
     )
     out = df.groupBy(*by).pivot(pivot, list(values)).agg(agg.build(ctx))
     if fill_value is not None:

@@ -62,7 +62,10 @@ def groupby_rank(
     mkey = F.when(missing, F.lit(0 if na_option == "top" else 2)).otherwise(F.lit(1))
     vord = F.when(missing, F.lit(None)).otherwise(av)
     order: list[Column] = [mkey.asc(), vord.asc() if ascending else vord.desc()]
-    if order_by is not None:
+    if method == "first" and order_by is not None:
+        # occurrence order resolves ties ONLY for method='first';
+        # appending it for average/min/dense would split every tie
+        # block into distinct ranks
         order.append(F.col(order_by).asc())
     w = Window.partitionBy(*by).orderBy(*order)
 

@@ -151,7 +151,14 @@ def time_weighted_mean(
     micros = F.unix_micros(F.col(ts))
     dur = (F.lead(micros).over(w) - micros).cast("double")
     work = work.withColumn("__dur", dur)
-    result = work.groupBy(*by).agg(
-        (F.sum(F.col(value) * F.col("__dur")) / F.sum("__dur")).alias(out)
+    got = work.groupBy(*by).agg(
+        # try_divide: a group whose samples share one timestamp has a
+        # zero total span — NULL, not an ANSI DIVIDE_BY_ZERO abort
+        F.try_divide(F.sum(F.col(value) * F.col("__dur")), F.sum("__dur")).alias(out)
     )
+    # groups whose every value is missing were dropped by the
+    # pre-filter; restore them with a NULL result so the output keys
+    # always equal the input's group-key set (group-cardinality join)
+    keys = df.select(*by).distinct()
+    result = keys.join(got, list(by), "left")
     return result.orderBy(*by) if sort else result

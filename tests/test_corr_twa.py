@@ -141,3 +141,30 @@ def test_twa_constant_equals_value(spark):
     tdf = pd.DataFrame({"k": 0, "v": 7.25, "ts": ts})
     out = time_weighted_mean(spark.createDataFrame(tdf), "k", value="v", ts="ts").collect()
     assert out[0]["twa"] == pytest.approx(7.25)
+
+
+def test_twa_zero_span_and_all_missing_groups(spark):
+    # regression: identical timestamps (zero span) must give NULL, not
+    # an ANSI DIVIDE_BY_ZERO; an all-missing group must still be
+    # PRESENT in the output with a NULL result
+    tdf = pd.DataFrame(
+        {
+            "k": [0, 0, 1, 1, 2],
+            "v": [1.0, 2.0, np.nan, np.nan, 3.0],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:00",  # same instant: zero span
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:10",
+                    "2024-01-01 00:00",
+                ]
+            ),
+        }
+    )
+    rows = {
+        r["k"]: r["twa"]
+        for r in time_weighted_mean(spark.createDataFrame(tdf), "k", value="v", ts="ts").collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] is None and rows[1] is None and rows[2] is None

@@ -129,3 +129,32 @@ def test_rank_single_exchange_plan(spark, frame):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rank_order_by_does_not_split_ties(spark):
+    # regression: order_by is an occurrence tiebreak for 'first' ONLY;
+    # average/min/dense must keep pandas tie blocks even when it is
+    # passed
+    pdf = pd.DataFrame({"k": [0, 0, 0], "v": [5.0, 5.0, 7.0], "t": [0, 1, 2]})
+    df = spark.createDataFrame(pdf)
+    for method, want in (
+        ("average", [1.5, 1.5, 3.0]),
+        ("min", [1.0, 1.0, 3.0]),
+        ("dense", [1.0, 1.0, 2.0]),
+    ):
+        got = (
+            groupby_rank(df, "k", value="v", method=method, order_by="t")
+            .toPandas().sort_values("t")["rank"].tolist()
+        )
+        assert got == want, method
+
+
+def test_pivot_finalize_kwargs_reach_the_reduction(spark):
+    pdf = pd.DataFrame(
+        {"k": [0] * 6, "c": ["a"] * 3 + ["b"] * 3, "v": [1.0, 2.0, 10.0, 5.0, 6.0, 7.0]}
+    )
+    out = groupby_pivot(
+        spark.createDataFrame(pdf), "k", pivot="c", value="v", values=["a", "b"],
+        func="nanquantile", finalize_kwargs={"q": 0.0},
+    ).collect()[0]
+    assert out["a"] == 1.0 and out["b"] == 5.0  # q=0 == min, not the median
