@@ -667,6 +667,15 @@ def q_scan_diff(s, d):
     return out.select("event_id", "user_id", F.round(F.col("diff"), 6).alias("dv"))
 
 
+def q_pct_change(s, d):
+    # pandas GroupBy.pct_change parity: v / lag(v) - 1, NULL on zero lag
+    df = _t(s, d, "events")
+    out = groupby_scan(df, "user_id", func="pct_change", value="value", order_by="event_id")
+    return out.select(
+        "event_id", "user_id", F.round(F.col("pct_change"), 6).alias("pc")
+    )
+
+
 def q_rank_avg(s, d):
     # pandas GroupBy.rank(method='average'): window rank + tie-size
     # count, one exchange
@@ -1436,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
         "scan_diff": q_scan_diff,
+        "scan_pct_change": q_pct_change,
         "rank_avg": q_rank_avg,
         "pivot_sum": q_pivot_sum,
         "corr_pearson": q_corr_pearson,
@@ -1697,6 +1707,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)
                      AS dv
+            FROM events""",
+        "scan_pct_change": """
+            SELECT event_id, user_id,
+                   round(value / lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                         - 1, 6) AS pc
             FROM events""",
         "rank_avg": """
             SELECT l_orderkey, l_linenumber,

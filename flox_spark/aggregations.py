@@ -414,6 +414,7 @@ SCANS: tuple[str, ...] = (
     "cummin",
     "shift",
     "diff",
+    "pct_change",
 )
 
 

@@ -141,7 +141,7 @@ def groupby_scan(
     elif func == "bfill":
         w_fwd = Window.partitionBy(*by).orderBy(order_by).rowsBetween(Window.currentRow, Window.unboundedFollowing)
         expr = F.first(v_skip, ignorenulls=True).over(w_fwd)
-    elif func in ("shift", "diff"):
+    elif func in ("shift", "diff", "pct_change"):
         # pandas GroupBy.shift/diff parity (beyond the reference's
         # SCANS): lag/lead needs an UNFRAMED ordered window.  Rows
         # with no lag partner (group head for positive periods) are
@@ -157,6 +157,10 @@ def groupby_scan(
         )
         if func == "shift":
             expr = lagged
+        elif func == "pct_change":
+            # pandas GroupBy.pct_change: v / lag(v) - 1; a zero lag
+            # yields NULL via try_divide (ANSI-safe), not an abort
+            expr = F.try_divide(v.cast("double"), lagged.cast("double")) - F.lit(1.0)
         else:
             av, _ = arith_input(v, vdt)
             lv, _ = arith_input(lagged, vdt)

@@ -158,3 +158,17 @@ def test_pivot_finalize_kwargs_reach_the_reduction(spark):
         func="nanquantile", finalize_kwargs={"q": 0.0},
     ).collect()[0]
     assert out["a"] == 1.0 and out["b"] == 5.0  # q=0 == min, not the median
+
+
+def test_pct_change_matches_pandas(spark, frame):
+    df = spark.createDataFrame(frame)
+    got = (
+        groupby_scan(df, "k", func="pct_change", value="v", order_by="t")
+        .toPandas().sort_values("t")["pct_change"].to_numpy(float)
+    )
+    want = frame.groupby("k")["v"].pct_change(fill_method=None).to_numpy(float)
+    # zero-lag divisions: pandas gives inf, try_divide gives NULL —
+    # compare only where pandas is finite; NULL where pandas is inf/nan
+    finite = np.isfinite(want)
+    assert np.allclose(got[finite], want[finite], equal_nan=True)
+    assert np.all(~finite[np.isfinite(got)] == False)
