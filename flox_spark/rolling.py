@@ -57,6 +57,10 @@ _ROLLING_FUNCS = {
     "std": lambda v, w: F.stddev_samp(v).over(w),
     "first": lambda v, w: F.first(v, ignorenulls=True).over(w),
     "last": lambda v, w: F.last(v, ignorenulls=True).over(w),
+    # exact windowed median/quantile: the percentile aggregate buffers
+    # only the FRAME's values (bounded by the declared window width),
+    # so the groupby_reduce OOM concern does not apply here
+    "median": lambda v, w: F.percentile(v, F.lit(0.5)).over(w),
 }
 
 

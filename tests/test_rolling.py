@@ -123,3 +123,23 @@ def test_numeric_order_row_window(spark):
         .tolist()
     )
     assert got == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0]
+
+
+def test_rolling_median_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {"k": rng.integers(0, 3, 200), "v": rng.normal(size=200), "t": range(200)}
+    )
+    pdf.loc[rng.random(200) < 0.1, "v"] = np.nan
+    df = spark.createDataFrame(pdf)
+    got = (
+        groupby_rolling(df, "k", order_by="t", aggs={"m": ("median", "v")}, window=7)
+        .toPandas().sort_values("t")["m"].to_numpy()
+    )
+    want = (
+        pdf.groupby("k")["v"].rolling(7, min_periods=1).median()
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    assert np.allclose(got, want, equal_nan=True)
