@@ -1,6 +1,7 @@
 from flox_spark.streaming.stream import (
     groupby_reduce_stream,
     groupby_reduce_stream_salted,
+    groupby_corr_stream,
     groupby_session_stream,
     stream_dedup_against,
     stream_dedup_exact,
@@ -13,6 +14,7 @@ from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neard
 __all__ = [
     "groupby_reduce_stream",
     "groupby_reduce_stream_salted",
+    "groupby_corr_stream",
     "groupby_session_stream",
     "stream_dedup_against",
     "stream_dedup_exact",

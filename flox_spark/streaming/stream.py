@@ -93,6 +93,50 @@ def groupby_reduce_stream(
     )
 
 
+def groupby_corr_stream(
+    df: DataFrame,
+    *by: str,
+    x: str,
+    y: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    out: str = "corr",
+) -> DataFrame:
+    """Windowed per-group pearson correlation on an event-time stream
+    — the streaming twin of ``flox_spark.groupby_corr``.
+
+    Spark-first: the co-moment aggregates (``covar_pop``,
+    ``stddev_pop``) are natively MERGEABLE, so windowed streaming
+    state is three bounded running moments per (window, group) — no
+    custom state code, no value buffering.  The same try_divide form
+    as the batch operator keeps zero-variance windows NULL instead of
+    an ANSI abort.  Pairwise missing deletion matches batch: rows
+    where either side is missing are excluded."""
+    from flox_spark.dtypes import arith_input, is_missing
+
+    xdt, ydt = df.schema[x].dataType, df.schema[y].dataType
+    either = is_missing(F.col(x), xdt) | is_missing(F.col(y), ydt)
+    ax, _ = arith_input(F.col(x), xdt)
+    ay, _ = arith_input(F.col(y), ydt)
+    px = F.when(either, F.lit(None)).otherwise(ax)
+    py = F.when(either, F.lit(None)).otherwise(ay)
+    pearson = F.try_divide(F.covar_pop(px, py), F.stddev_pop(px) * F.stddev_pop(py))
+    win = F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    res = (
+        df.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(pearson.alias(out))
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        out,
+    )
+
+
 def stream_dedup_exact(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -168,3 +168,63 @@ def test_twa_zero_span_and_all_missing_groups(spark):
     }
     assert set(rows) == {0, 1, 2}
     assert rows[0] is None and rows[1] is None and rows[2] is None
+
+
+def test_streaming_corr_equals_batch(spark):
+    # windowed streaming pearson over a 2-batch file stream must equal
+    # the batch groupby_corr over the same windows (mergeable
+    # co-moment state — cross-batch merge exercised by the split)
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from flox_spark.streaming import groupby_corr_stream
+
+    rng = np.random.default_rng(11)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 2 * 3600, n), unit="s"),
+            "k": rng.integers(0, 3, n),
+            "x": rng.normal(size=n),
+            "y": rng.normal(size=n),
+        }
+    )
+    pdf["y"] += 0.5 * pdf["x"]
+    tmp = tempfile.mkdtemp(prefix="flox_scorr_")
+    try:
+        spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        _time.sleep(1.1)
+        spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        out = groupby_corr_stream(stream, "k", x="x", y="y", time_col="ts", window="1 hour")
+        q = (
+            out.writeStream.format("memory").queryName("flox_scorr")
+            .outputMode("complete").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["k"]): r["corr"]
+            for r in spark.sql("SELECT * FROM flox_scorr").collect()
+        }
+        # batch reference over the same derived windows
+        from flox_spark import groupby_corr
+
+        batch = spark.createDataFrame(pdf).withColumn(
+            "w", F.window("ts", "1 hour").start
+        )
+        want = {
+            (r["w"], r["k"]): r["corr"]
+            for r in groupby_corr(batch, "w", "k", x="x", y="y").collect()
+        }
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], rel=1e-9), key
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
