@@ -722,6 +722,20 @@ def groupby_reduce_multi(
     return result
 
 
+def _np_lerp(vf: Column, vc: Column, frac: Column) -> Column:
+    """numpy's two-sided linear interpolation (np.lib._function_base
+    _lerp): ``vf + frac*(vc-vf)`` for frac < 0.5, else
+    ``vc - (1-frac)*(vc-vf)``.  The switch is not cosmetic — at
+    frac -> 1 with large-magnitude endpoints the one-sided form
+    cancels catastrophically (found by the refine property test at
+    q = 1 - ulp over [0, -16385]: one-sided loses every significant
+    digit of the ~1e-12 result, the two-sided form is exact)."""
+    d = vc - vf
+    return F.when(
+        frac >= F.lit(0.5), vc - (F.lit(1.0) - frac) * d
+    ).otherwise(vf + frac * d)
+
+
 def _quantile_sort(
     work: DataFrame,
     key_cols: list[str],
@@ -793,7 +807,8 @@ def _quantile_sort(
         )
     )
     per_q = bounds.join(picked, [*key_cols, "__qi"], "left").withColumn(
-        "__val", F.col("__vlo") + (F.col("__t") - F.col("__tf")) * (F.col("__vhi") - F.col("__vlo"))
+        "__val",
+        _np_lerp(F.col("__vlo"), F.col("__vhi"), F.col("__t") - F.col("__tf")),
     )
 
     dtish = is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt)
@@ -1148,9 +1163,7 @@ def _quantile_refine(
 
         vf = val_at(tf).cast("double")
         vc = val_at(tc).cast("double")
-        val = F.when(
-            F.col("__n") > 0, vf + (t - tf) * (vc - vf)
-        )
+        val = F.when(F.col("__n") > 0, _np_lerp(vf, vc, t - tf))
         if dtish:
             val = arith_restore(val, ctx.dt)
         if not skipna:
