@@ -203,16 +203,22 @@ def write_bucketed_table(
 
 
 _TABLE_FORMATS = {
-    # format -> (marker class, enabling package hint)
+    # connector-gated format -> enabling package hint.  Availability
+    # is probed via DataSource.lookupDataSource — the same resolution
+    # the write itself would do, so the gate can never disagree with
+    # the engine (a bare Class.forName marker check can: stock Spark
+    # ships avro CLASSES without registering the data source)
     "delta": (
-        "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         "io.delta:delta-spark_2.13 (+ spark.sql.extensions="
-        "io.delta.sql.DeltaSparkSessionExtension)",
+        "io.delta.sql.DeltaSparkSessionExtension)"
     ),
     "iceberg": (
-        "org.apache.iceberg.spark.SparkCatalog",
         "org.apache.iceberg:iceberg-spark-runtime (+ a configured "
-        "spark.sql.catalog.* Iceberg catalog)",
+        "spark.sql.catalog.* Iceberg catalog)"
+    ),
+    "avro": (
+        "org.apache.spark:spark-avro_2.13 (external module, not "
+        "bundled with Spark)"
     ),
 }
 
@@ -236,10 +242,12 @@ def write_table(
     (clustered in-task sort, dynamic partition overwrite)."""
     fmt_l = fmt.lower()
     if fmt_l in _TABLE_FORMATS:
-        marker, hint = _TABLE_FORMATS[fmt_l]
-        jvm = df.sparkSession._jvm
+        hint = _TABLE_FORMATS[fmt_l]
+        s = df.sparkSession
         try:
-            jvm.java.lang.Class.forName(marker)
+            s._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                fmt_l, s._jsparkSession.sessionState().conf()
+            )
         except Exception:
             raise RuntimeError(
                 f"table format {fmt!r} needs its connector on the Spark "

@@ -347,6 +347,10 @@ def test_write_table_formats(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
     # missing connectors fail fast with the enabling package named,
     # BEFORE any job launches
-    for fmt, hint in (("delta", "delta-spark"), ("iceberg", "iceberg-spark")):
+    for fmt, hint in (
+        ("delta", "delta-spark"),
+        ("iceberg", "iceberg-spark"),
+        ("avro", "spark-avro"),
+    ):
         with pytest.raises(RuntimeError, match=hint):
             write_table(df, str(tmp_path / fmt), fmt=fmt)

@@ -172,3 +172,39 @@ def test_pct_change_matches_pandas(spark, frame):
     finite = np.isfinite(want)
     assert np.allclose(got[finite], want[finite], equal_nan=True)
     assert np.all(~finite[np.isfinite(got)] == False)
+
+
+def test_rank_property_vs_pandas(spark):
+    # randomized differential over all methods x na_options x orders:
+    # duplicate-heavy integer values maximize tie blocks
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = int(rng.integers(20, 120))
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, n),
+                "v": rng.integers(0, 6, n).astype(float),
+                "t": np.arange(n),
+            }
+        )
+        pdf.loc[rng.random(n) < 0.2, "v"] = np.nan
+        df = spark.createDataFrame(pdf)
+        for method in ("average", "min", "max", "dense", "first"):
+            for asc in (True, False):
+                for na in ("keep", "top", "bottom"):
+                    kw = {"order_by": "t"} if method == "first" else {}
+                    got = (
+                        groupby_rank(
+                            df, "k", value="v", method=method,
+                            ascending=asc, na_option=na, **kw,
+                        )
+                        .toPandas().sort_values("t")["rank"].to_numpy(float)
+                    )
+                    want = (
+                        pdf.groupby("k")["v"]
+                        .rank(method=method, ascending=asc, na_option=na)
+                        .to_numpy(float)
+                    )
+                    assert np.allclose(got, want, equal_nan=True), (
+                        trial, method, asc, na,
+                    )
