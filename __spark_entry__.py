@@ -668,9 +668,19 @@ def q_scan_diff(s, d):
 
 
 def q_pct_change(s, d):
-    # pandas GroupBy.pct_change parity: v / lag(v) - 1, NULL on zero lag
-    df = _t(s, d, "events")
-    out = groupby_scan(df, "user_id", func="pct_change", value="value", order_by="event_id")
+    # pandas GroupBy.pct_change parity: v / lag(v) - 1, NULL on zero
+    # lag.  The value is integerized to 1..37 on purpose: ratios p/q
+    # with q <= 37 can never sit exactly on a 6th-decimal rounding
+    # midpoint (that needs a 7-digit terminating expansion, i.e. a
+    # 2^a*5^b factor > 10^6's), so Spark's HALF_UP and DuckDB's
+    # binary rounding can never disagree — the raw double ratios DID
+    # hit a midpoint row at sf0.1 (8.0046875).  floor() before the
+    # int cast because Spark truncates double->long while DuckDB
+    # rounds.
+    df = _t(s, d, "events").withColumn(
+        "v37", F.pmod(F.floor("value").cast("long"), F.lit(37)) + F.lit(1)
+    )
+    out = groupby_scan(df, "user_id", func="pct_change", value="v37", order_by="event_id")
     return out.select(
         "event_id", "user_id", F.round(F.col("pct_change"), 6).alias("pc")
     )
@@ -1709,10 +1719,16 @@ def oracle_sql() -> dict[str, str]:
                      AS dv
             FROM events""",
         "scan_pct_change": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     ((floor(value)::BIGINT % 37) + 37) % 37 + 1 AS v37
+              FROM events
+            )
             SELECT event_id, user_id,
-                   round(value / lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                   round(v37::DOUBLE /
+                         lag(v37) OVER (PARTITION BY user_id ORDER BY event_id)
                          - 1, 6) AS pc
-            FROM events""",
+            FROM e""",
         "rank_avg": """
             SELECT l_orderkey, l_linenumber,
                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
