@@ -26,11 +26,12 @@ from flox_spark.pivot import groupby_pivot
 from flox_spark.rank import groupby_rank
 from flox_spark.transform import groupby_apply, groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
-from flox_spark.salting import groupby_reduce_salted
+from flox_spark.salting import diagnose_skew, groupby_reduce_salted
 
 __all__ = [
     "groupby_corr",
     "groupby_pivot",
+    "diagnose_skew",
     "groupby_rank",
     "time_weighted_mean",
     "groupby_reduce",

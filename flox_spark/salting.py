@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from flox_spark.dtypes import NAN, is_missing, to_skip
 
-__all__ = ["groupby_reduce_salted", "SALTABLE"]
+__all__ = ["diagnose_skew", "groupby_reduce_salted", "SALTABLE"]
 
 
 # func -> (partial aggs: dict[name, Column-builder], merge expr builder)
@@ -223,3 +223,45 @@ def groupby_reduce_salted(
         m_build(lambda n: F.col(f"__p_{n}")).alias(out)
     )
     return final.orderBy(*by) if sort else final
+
+
+def diagnose_skew(
+    df: DataFrame,
+    *by: str,
+    top: int = 10,
+    target_rows_per_task: int | None = None,
+) -> DataFrame:
+    """Pre-flight skew report for a planned groupBy/join on ``by``:
+    the ``top`` heaviest keys with their row counts, share of the
+    table, and the ``n_salt`` that would bound a reducer at roughly
+    ``target_rows_per_task`` rows (default: total/defaultParallelism —
+    an even share).  Feed the worst keys' ``suggested_n_salt`` to
+    ``groupby_reduce_salted``, or confirm AQE's skew-join handling is
+    enough and do nothing.
+
+    Cost: ONE map-side-combined count aggregate plus a distributed
+    top-N (TakeOrderedAndProject) — safe to run on the full 100 TB
+    input; nothing driver-sized except the ``top`` result rows."""
+    spark = df.sparkSession
+    counts = df.groupBy(*by).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    if target_rows_per_task is None:
+        par = spark.sparkContext.defaultParallelism
+        target_expr = F.greatest(
+            (F.col("__total") / F.lit(max(par, 1))).cast("long"), F.lit(1)
+        )
+    else:
+        target_expr = F.lit(int(target_rows_per_task))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *by,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.greatest(
+                F.ceil(F.col("n_rows") / target_expr).cast("int"), F.lit(1)
+            ).alias("suggested_n_salt"),
+        )
+        .orderBy(F.col("n_rows").desc(), *by)
+        .limit(top)
+    )

@@ -128,3 +128,23 @@ def test_salted_rejects_datetime(spark):
     pdf = pd.DataFrame({"k": [0], "v": pd.to_datetime(["2024-01-01"])})
     with pytest.raises(ValueError, match="numeric/bool"):
         groupby_reduce_salted(spark.createDataFrame(pdf), "k", func="max", value="v")
+
+
+def test_diagnose_skew_report(spark):
+    import numpy as np
+
+    # one hot key with 80% of rows
+    n = 1000
+    pdf = pd.DataFrame({"k": ["hot"] * 800 + [f"c{i}" for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    from flox_spark import diagnose_skew
+
+    rep = diagnose_skew(df, "k", top=3, target_rows_per_task=100).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["n_rows"] == 800
+    assert rep[0]["share"] == 0.8
+    assert rep[0]["suggested_n_salt"] == 8  # ceil(800/100)
+    assert all(r["suggested_n_salt"] == 1 for r in rep[1:])  # singletons
+    # plan: distributed top-N, no global sort of the key table
+    plan = diagnose_skew(df, "k", top=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
