@@ -714,6 +714,25 @@ def q_pivot_sum(s, d):
     )
 
 
+def q_table_diff(s, d):
+    # keyed snapshot diff: "old" = ids < 400, "new" = ids >= 100 with
+    # every 5th overlap doc's text uppercased — added/removed/changed
+    # in one full outer join
+    from flox_spark.operators import table_diff
+
+    docs = _t(s, d, "documents")
+    old = docs.filter(F.col("doc_id") < 400).select("doc_id", "text", "lang")
+    new = (
+        docs.filter(F.col("doc_id") >= 100)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text")).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    return table_diff(old, new, "doc_id")
+
+
 def q_corr_pearson(s, d):
     # per-group pearson + sample covariance + pair count in ONE
     # hash aggregate (try_divide co-moment form, ANSI-safe)
@@ -1458,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_pct_change": q_pct_change,
         "rank_avg": q_rank_avg,
         "pivot_sum": q_pivot_sum,
+        "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
         "corr_spearman": q_corr_spearman,
         "twa": q_twa,
@@ -1680,6 +1700,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.total_size, 0) AS total_size
             FROM range(8) AS g(shard) LEFT JOIN agg a ON a.shard = g.shard
             ORDER BY 1""",
+        "table_diff": """
+            WITH old AS (
+              SELECT doc_id, text, lang FROM documents WHERE doc_id < 400
+            ),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+                     lang
+              FROM documents WHERE doc_id >= 100
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL THEN ''
+                        ELSE concat_ws(',',
+                          CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END,
+                          CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END)
+                   END AS changed_cols
+            FROM old o FULL OUTER JOIN new n USING (doc_id)
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR o.text IS DISTINCT FROM n.text
+               OR o.lang IS DISTINCT FROM n.lang""",
         "corr_pearson": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 9) AS corr,

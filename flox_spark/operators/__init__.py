@@ -25,6 +25,7 @@ from flox_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
+from flox_spark.operators.diff import table_diff
 from flox_spark.operators.sharding import assign_shards, shard_stats, write_shards
 from flox_spark.operators.asof import asof_join
 from flox_spark.operators.clean import (
@@ -132,5 +133,6 @@ __all__ = [
     "tfidf_top_terms",
     "assign_shards",
     "shard_stats",
+    "table_diff",
     "write_shards",
 ]

@@ -279,3 +279,41 @@ def test_shard_stats_reports_empty_shards(spark):
     st2 = shard_stats(docs.withColumn("n_chars", F.length("text").cast("long")), 16, size_col="n_chars").collect()
     assert sum(r["total_size"] for r in st2) == 12
     assert all(r["total_size"] == 0 for r in st2 if r["n_rows"] == 0)
+
+
+def test_table_diff_statuses(spark):
+    from flox_spark.operators import table_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": ["a", "b", "c", None],
+            "lang": ["en", "en", "fr", "en"],
+        })
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": pd.array([2, 3, 4, 5], dtype="int64"),
+            "text": ["b", "C", None, "e"],  # 3 changed, 4 unchanged (null==null)
+            "lang": ["de", "fr", "en", "en"],  # 2 changed too
+        })
+    )
+    rows = {r["doc_id"]: (r["status"], r["changed_cols"]) for r in table_diff(old, new, "doc_id").collect()}
+    assert rows[1] == ("removed", "")
+    assert rows[5] == ("added", "")
+    assert rows[2] == ("changed", "lang")
+    assert rows[3] == ("changed", "text")
+    assert 4 not in rows  # unchanged omitted (null-safe equality)
+    withu = {r["doc_id"]: r["status"] for r in table_diff(old, new, "doc_id", include_unchanged=True).collect()}
+    assert withu[4] == "unchanged"
+
+
+def test_table_diff_compare_subset_and_validation(spark):
+    from flox_spark.operators import table_diff
+
+    old = spark.createDataFrame(pd.DataFrame({"k": pd.array([1], dtype="int64"), "a": [1.0], "b": [2.0]}))
+    new = spark.createDataFrame(pd.DataFrame({"k": pd.array([1], dtype="int64"), "a": [1.0], "b": [9.0]}))
+    # only compare 'a': the b change is invisible
+    assert table_diff(old, new, "k", compare=["a"]).count() == 0
+    with pytest.raises(ValueError, match="absent"):
+        table_diff(old, new, "k", compare=["zzz"])
