@@ -1451,9 +1451,183 @@ def _operator_oracles() -> dict[str, str]:
             FROM (SELECT vec_id, embedding,
                          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
                   FROM embeddings WHERE vec_id < 100), range(0, 64) t(i)""",
+        "describe": """
+            SELECT l_returnflag, count(l_quantity) AS count,
+                   round(avg(l_quantity), 6) AS mean,
+                   round(stddev_samp(l_quantity), 6) AS std,
+                   min(l_quantity) AS min,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+                   max(l_quantity) AS max
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "ntile_buckets": """
+            SELECT doc_id, lang,
+                   ntile(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars ASC NULLS LAST, doc_id) AS bucket
+            FROM documents""",
+        "fillna_group": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+              FROM events)
+            SELECT event_id, user_id,
+                   round(coalesce(v, avg(v) OVER (PARTITION BY user_id)), 6) AS v_filled
+            FROM e""",
+        "flag_outliers": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(abs(l_extendedprice - avg(l_extendedprice) OVER w)
+                         / stddev_pop(l_extendedprice) OVER w, 6) AS score,
+                   round(abs(l_extendedprice - avg(l_extendedprice) OVER w)
+                         / stddev_pop(l_extendedprice) OVER w, 6) > 3.0 AS is_outlier
+            FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)""",
+        "entropy": """
+            WITH c AS (SELECT source, lang, count(*)::DOUBLE AS c
+                       FROM documents GROUP BY source, lang),
+                 t AS (SELECT source, c,
+                              sum(c) OVER (PARTITION BY source) AS n FROM c)
+            SELECT source, round(-sum((c / n) * log2(c / n)), 6) AS entropy
+            FROM t GROUP BY source ORDER BY source""",
+        # mixture rates re-derived in-SQL with the engine's exact
+        # arithmetic order: ft = min(n/share); rate = share * ft / n
+        "sample_mixture": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       WHERE source IN ('src1', 'src2', 'src3') GROUP BY source),
+                 s(source, share) AS (VALUES ('src1', 0.5::DOUBLE),
+                                            ('src2', 0.3::DOUBLE),
+                                            ('src3', 0.2::DOUBLE)),
+                 j AS (SELECT c.source, c.n, s.share FROM c JOIN s USING (source)),
+                 t AS (SELECT min(n / share) AS ft FROM j),
+                 r AS (SELECT source,
+                              share * (SELECT ft FROM t) / n AS rate FROM j)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE substr(md5(d.doc_id::VARCHAR || ':mx'), 1, 12) <
+                  CASE WHEN rate >= 1.0 THEN 'g'
+                       ELSE printf('%012x',
+                                   CAST(floor(rate * 281474976710656.0) AS BIGINT))
+                  END""",
+        # rate re-derived in-SQL with the engine's arithmetic order:
+        # (budget / total) * 16^12, floored
+        "token_budget": """
+            WITH t AS (SELECT sum(CASE WHEN n_chars > 0 THEN n_chars ELSE 0 END)::BIGINT
+                         AS total FROM documents)
+            SELECT doc_id, n_chars FROM documents, t
+            WHERE total <= 40000
+               OR substr(md5(doc_id::VARCHAR || ':tb'), 1, 12) <
+                  printf('%012x',
+                         CAST(floor((40000 / total) * 281474976710656.0) AS BIGINT))""",
+        "sample_global": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY md5(doc_id::VARCHAR || ':g'), doc_id LIMIT 25""",
+        # group-label hash split; 0.3 threshold = floor(0.3 * 16^12)
+        # = 0x4ccccccccccc
+        "split_by_group": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(lang || ':sg'), 1, 12) < '4ccccccccccc'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents""",
         "ivf_topk": _ivf_oracle(),
         "embed_neardup": _neardup_oracle(),
     }
+
+
+def q_describe(s, d):
+    # pandas GroupBy.describe parity in ONE aggregation pass
+    from flox_spark import groupby_describe
+
+    out = groupby_describe(_t(s, d, "lineitem"), "l_returnflag", value="l_quantity")
+    return out.select(
+        "l_returnflag", "count",
+        F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"),
+        "min", F.round("p25", 6).alias("p25"), F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"), "max",
+    )
+
+
+def q_ntile(s, d):
+    # per-group quantile buckets over a TOTAL order (tiebreak column):
+    # reproducible under any partitioning, unlike bare ntile
+    from flox_spark import groupby_ntile
+
+    docs = _t(s, d, "documents")
+    out = groupby_ntile(docs, "lang", value="n_chars", k=4, tiebreak="doc_id")
+    return out.select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+
+
+def q_fillna_group(s, d):
+    # group-mean imputation (one agg pass + broadcast join, no
+    # fact-side window); NULLs injected deterministically
+    from flox_spark import fillna_group
+
+    ev = _t(s, d, "events").withColumn(
+        "v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = fillna_group(ev, "user_id", value="v", out="v_filled")
+    return out.select("event_id", "user_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+def q_flag_outliers(s, d):
+    # per-row 3-sigma flags against the row's own group distribution;
+    # decision made on the ROUNDED score (cross-engine stable)
+    from flox_spark import flag_outliers
+
+    out = flag_outliers(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_extendedprice", threshold=3.0
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "score", "is_outlier")
+
+
+def q_entropy(s, d):
+    # Shannon diversity of each source's language mix (two hash aggs)
+    from flox_spark import groupby_entropy
+
+    out = groupby_entropy(_t(s, d, "documents"), "source", value="lang")
+    return out.select("source", F.round("entropy", 6).alias("entropy"))
+
+
+def q_sample_mixture(s, d):
+    # dataset-mixing: largest corpus matching declared source shares;
+    # rates from the feasibility bound, then the stratified hash gate
+    from flox_spark.operators import sample_mixture
+
+    docs = _t(s, d, "documents")
+    out = sample_mixture(
+        docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2}, "doc_id", seed="mx"
+    )
+    return out.select("doc_id", "source")
+
+
+def q_token_budget(s, d):
+    # "give me a ~40k-token subset": one sum collect derives the rate,
+    # then the unbiased Bernoulli hash gate (pure filter projection)
+    from flox_spark.operators import sample_to_token_budget
+
+    docs = _t(s, d, "documents")
+    out = sample_to_token_budget(docs, "n_chars", 40000, "doc_id", seed="tb")
+    return out.select("doc_id", "n_chars")
+
+
+def q_sample_global(s, d):
+    # exact-N uniform global draw by hash order; plans as
+    # TakeOrderedAndProject (per-partition top-N, no global sort)
+    from flox_spark.operators import sample_exact_global
+
+    return sample_exact_global(_t(s, d, "documents"), 25, "doc_id", seed="g").select(
+        "doc_id", "lang"
+    )
+
+
+def q_split_by_group(s, d):
+    # leakage-safe split: hash the GROUP label so all of a group's
+    # rows land in one split (near-dups cluster within groups)
+    from flox_spark.operators import split_by_group
+
+    out = split_by_group(_t(s, d, "documents"), "lang", test_fraction=0.3, seed="sg")
+    return out.select("doc_id", "lang", "split")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1465,6 +1639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
+        "describe": q_describe,
+        "ntile_buckets": q_ntile,
+        "fillna_group": q_fillna_group,
+        "flag_outliers": q_flag_outliers,
+        "entropy": q_entropy,
+        "sample_mixture": q_sample_mixture,
+        "token_budget": q_token_budget,
+        "sample_global": q_sample_global,
+        "split_by_group": q_split_by_group,
         "dedup_against": q_dedup_against,
         "levenshtein_refine": q_levenshtein_refine,
         "tfidf_top_terms": q_tfidf_top_terms,

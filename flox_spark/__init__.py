@@ -24,6 +24,13 @@ from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
 from flox_spark.pivot import groupby_pivot
 from flox_spark.rank import groupby_rank
+from flox_spark.stats import (
+    fillna_group,
+    flag_outliers,
+    groupby_describe,
+    groupby_entropy,
+    groupby_ntile,
+)
 from flox_spark.transform import groupby_apply, groupby_transform, standardize
 from flox_spark.weighted import groupby_reduce_weighted
 from flox_spark.salting import diagnose_skew, groupby_reduce_salted
@@ -39,6 +46,11 @@ __all__ = [
     "groupby_reduce_multi",
     "groupby_reduce_weighted",
     "groupby_reduce_salted",
+    "groupby_describe",
+    "groupby_entropy",
+    "groupby_ntile",
+    "fillna_group",
+    "flag_outliers",
     "groupby_transform",
     "groupby_apply",
     "standardize",

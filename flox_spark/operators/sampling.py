@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "sample_bernoulli",
+    "sample_exact_global",
     "sample_exact_per_group",
+    "sample_mixture",
     "sample_stratified",
+    "sample_to_token_budget",
     "sample_weighted_per_group",
+    "split_by_group",
     "split_train_test",
 ]
 
@@ -93,6 +97,62 @@ def sample_stratified(
     return df.filter(key < thresh)
 
 
+def sample_mixture(
+    df: DataFrame,
+    source_col: str,
+    shares: dict,
+    id_col: str,
+    seed: str = "0",
+    return_rates: bool = False,
+):
+    """Downsample to a TARGET MIXTURE: given per-source share weights
+    (e.g. ``{"web": 0.5, "books": 0.3, "code": 0.2}``), keep the
+    largest corpus whose source proportions match the weights — the
+    dataset-mixing step of every pretraining pipeline.
+
+    Per-source rates are derived from the feasibility bound
+    ``T = min_s(n_s / w_s)`` (the binding source is kept whole,
+    ``rate = 1``); others get ``rate_s = w_s * T / n_s``.  Shares need
+    not sum to 1 — only ratios matter.  Sources absent from ``shares``
+    are dropped.  Selection is then the stratified hash gate
+    (``sample_stratified``): a pure filter projection, zero shuffles
+    on the fact side, reproducible under any partitioning.
+
+    The one non-projection cost is a source-cardinality count
+    aggregate collected to the driver (tens of rows — the
+    expected-groups pattern, not a data collect)."""
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    for s, w in shares.items():
+        if not w > 0:
+            raise ValueError(f"share for {s!r} must be > 0 (got {w})")
+    srcs = sorted(shares)
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(source_col).isin(srcs))
+        .groupBy(source_col)
+        .count()
+        .collect()
+    }
+    present = [s for s in srcs if counts.get(s)]
+    if not present:
+        empty = df.filter(F.lit(False))
+        return (empty, {}) if return_rates else empty
+    # plain-float arithmetic, in this exact order, so an external
+    # re-derivation (the DuckDB oracle) lands on bit-identical rates
+    feasible_total = min(counts[s] / shares[s] for s in present)
+    rates = {s: shares[s] * feasible_total / counts[s] for s in present}
+    out = sample_stratified(
+        df.filter(F.col(source_col).isin(present)),
+        source_col,
+        rates,
+        id_col,
+        default_fraction=0.0,
+        seed=seed,
+    )
+    return (out, rates) if return_rates else out
+
+
 def split_train_test(
     df: DataFrame,
     id_col: str,
@@ -136,6 +196,70 @@ def sample_weighted_per_group(
         .filter(F.col("__rn") <= F.lit(n))
         .drop("__rn")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    seed: str = "0",
+    return_rate: bool = False,
+):
+    """Downsample so the kept rows hold ~``budget`` tokens in total
+    (the "give me a 50B-token subset" pipeline verb): one sum
+    aggregate derives ``rate = budget / total_tokens``, then the
+    Bernoulli hash gate keeps each row independently — expected kept
+    tokens = budget, unbiased across the length distribution (a
+    row's keep chance does not depend on its length).
+
+    The only non-projection cost is the single-value sum collect
+    (one number, not data).  NULL/negative token counts contribute 0
+    to the total and are never the reason a row is dropped."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    tok = F.when(F.col(token_col) > 0, F.col(token_col)).otherwise(F.lit(0))
+    total = df.agg(F.sum(tok.cast("long")).alias("t")).collect()[0]["t"] or 0
+    if total <= budget:
+        return (df, 1.0) if return_rate else df
+    # plain-float division, mirrored bit-exactly by the SQL oracle
+    rate = budget / total
+    out = sample_bernoulli(df, id_col, rate, seed=seed)
+    return (out, rate) if return_rate else out
+
+
+def sample_exact_global(
+    df: DataFrame, n: int, id_col: str, seed: str = "0"
+) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows drawn uniformly from the WHOLE
+    frame, deterministic by hash order (the global counterpart of
+    ``sample_exact_per_group``).
+
+    Plans as ``TakeOrderedAndProject``: every partition keeps its
+    local hash-order top-n and the driver merges n-sized heaps — no
+    global sort, no single-task shuffle.  The result transfers
+    through the driver, so this is for human-scale n (eval sets,
+    debugging draws); for billion-row subsets use the rate-based
+    samplers."""
+    key = _hash_key(F.col(id_col), seed)
+    return df.orderBy(key, F.col(id_col)).limit(n)
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    test_fraction: float = 0.1,
+    seed: str = "0",
+    out: str = "split",
+) -> DataFrame:
+    """GROUP-level train/test split: every row of a group lands in
+    the same split (hash the group label, not the row id).  This is
+    the leakage-safe splitter — near-duplicate rows cluster within
+    domains/documents/users, and a row-level split puts one twin in
+    train and the other in test, inflating eval scores.  Same
+    deterministic hash gate as ``split_train_test``; a pure
+    projection, zero shuffles."""
+    return split_train_test(df, group_col, test_fraction, seed=seed, out=out)
 
 
 def sample_exact_per_group(

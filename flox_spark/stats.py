@@ -1,0 +1,263 @@
+"""Per-group statistical QA suite — describe / quantile buckets /
+imputation / outlier flags / entropy.
+
+Beyond the reference's surface (SURVEY §2.5): these are the data-QA
+verbs a training-data pipeline runs right before (and right after)
+filtering — "what does quality look like per language?", "bucket docs
+into quality deciles", "impute missing signals with the group mean",
+"flag the 3-sigma outliers", "how diverse is each source?".  Each
+composes the engine's existing flox-parity kernels (NaN policy,
+finalize_kwargs, label-drop rule) rather than re-deriving them.
+
+Scale posture:
+
+- ``groupby_describe`` / ``groupby_entropy`` — one (resp. two) hash
+  aggregates, partial+final, output is group-cardinality-sized.  The
+  exact-percentile members of describe inherit the quantile registry's
+  ObjectHashAggregate caveat; pass ``approx=True`` at 100 TB for the
+  mergeable ``percentile_approx`` sketch.
+- ``groupby_ntile`` — one exchange on the group keys + a streaming
+  WindowExec; ties broken by an explicit ``tiebreak`` column so the
+  assignment is a pure function of the data (reproducible across
+  partitionings, unlike a bare ``ntile`` over a non-total order).
+- ``fillna_group`` / ``flag_outliers`` — ONE aggregation pass and a
+  broadcast join back onto the facts (the ``groupby_transform``
+  pattern): no window over unaggregated data, no second shuffle of
+  the big side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flox_spark.core import groupby_reduce_multi
+from flox_spark.dtypes import is_missing
+
+__all__ = [
+    "fillna_group",
+    "flag_outliers",
+    "groupby_describe",
+    "groupby_entropy",
+    "groupby_ntile",
+]
+
+
+def groupby_describe(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    percentiles: tuple = (0.25, 0.5, 0.75),
+    ddof: int = 1,
+    sort: bool = True,
+    approx: bool = False,
+) -> DataFrame:
+    """pandas ``GroupBy.describe`` parity in ONE aggregation pass:
+    ``count / mean / std / min / p<q>... / max`` per group (NaN-skipping
+    like pandas, ddof=1 std like pandas).
+
+    ``approx=True`` swaps the exact percentile members for the
+    mergeable ``percentile_approx`` sketch — the 100 TB default when
+    the group sizes are unknown (the exact members otherwise buffer
+    each group's values in the ObjectHashAggregate)."""
+    aggs: dict = {
+        "count": ("count", value),
+        "mean": ("nanmean", value),
+        "std": {"func": "nanstd", "value": value, "finalize_kwargs": {"ddof": ddof}},
+        "min": ("nanmin", value),
+    }
+    for q in percentiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"percentile {q} outside [0, 1]")
+        aggs[f"p{int(round(q * 100)):02d}"] = {
+            "func": "nanquantile",
+            "value": value,
+            "finalize_kwargs": {"q": q},
+        }
+    aggs["max"] = ("nanmax", value)
+    if approx:
+        from flox_spark.options import set_options
+
+        with set_options(approx_quantile=True):
+            return groupby_reduce_multi(df, *by, aggs=aggs, sort=sort)
+    return groupby_reduce_multi(df, *by, aggs=aggs, sort=sort)
+
+
+def groupby_ntile(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    k: int,
+    tiebreak: str,
+    out: str = "bucket",
+) -> DataFrame:
+    """Assign each row its per-group quantile bucket 1..k (equal-count
+    ``ntile`` semantics: bucket sizes differ by at most one, earlier
+    buckets take the extras — SQL-standard, matching every warehouse).
+
+    The order is made TOTAL with ``tiebreak`` (required): a bare
+    ``ntile`` over a non-unique sort key assigns tied rows by physical
+    arrival order, which varies with partitioning — unacceptable for a
+    reproducible pipeline.  Rows whose group label is missing are
+    dropped (flox label rule, flox/factorize.py:201-212); rows with a
+    NULL/NaN value sort last within their group (bucket k end).
+
+    One exchange on the group keys; WindowExec streams per partition
+    (sort spills, no per-group buffering beyond the frame)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    w = Window.partitionBy(*[F.col(b) for b in by]).orderBy(
+        F.col(value).asc_nulls_last(), F.col(tiebreak)
+    )
+    return work.withColumn(out, F.ntile(k).over(w))
+
+
+def fillna_group(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    func: str = "nanmean",
+    out: str | None = None,
+    finalize_kwargs: dict | None = None,
+) -> DataFrame:
+    """Impute missing values (NULL or NaN for float columns) with the
+    group-level reduction ``func`` (pandas
+    ``df[v].fillna(g[v].transform("mean"))`` parity).
+
+    One aggregation pass + broadcast join (``groupby_transform``
+    shape).  Rows in groups that are entirely missing stay missing
+    (the group stat itself is NULL); rows with missing group labels
+    keep their value untouched (no group to borrow from)."""
+    from flox_spark.transform import groupby_transform
+
+    out = out or value
+    stat = "__fill_stat"
+    joined = groupby_transform(
+        df, *by, func=func, value=value, alias=stat, finalize_kwargs=finalize_kwargs
+    )
+    vdt = df.schema[value].dataType
+    missing = is_missing(F.col(value), vdt)
+    # no cast back onto the stat: an int column imputed with a
+    # fractional mean promotes to the common type (double), exactly
+    # pandas' fillna dtype promotion — truncating would be silent data
+    # corruption
+    filled = F.when(missing & F.col(stat).isNotNull(), F.col(stat)).otherwise(
+        F.col(value)
+    )
+    return joined.withColumn(out, filled).drop(stat)
+
+
+def flag_outliers(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    method: str = "zscore",
+    threshold: float | None = None,
+    ddof: int = 0,
+    out: str = "is_outlier",
+    score: str | None = "score",
+    round_digits: int = 6,
+    approx: bool = False,
+) -> DataFrame:
+    """Flag per-row outliers against the row's OWN group distribution.
+
+    - ``method="zscore"``: ``|v - mean| / std > threshold`` (default
+      3.0), std with ``ddof``.
+    - ``method="iqr"``: Tukey fences — outlier iff ``v < q1 - t*IQR``
+      or ``v > q3 + t*IQR`` (default t = 1.5); quantiles exact
+      (``approx=True`` for the sketch at scale).
+
+    One aggregation pass + broadcast join of the group-cardinality
+    stats (no fact-side window).  The comparison runs on the score
+    ROUNDED to ``round_digits`` so the keep/flag decision is stable
+    across engines' last-ulp differences in mean/std (the engine's
+    usual rounded-boundary discipline; set ``round_digits=None`` for
+    raw doubles).  Rows with missing value or missing group stats get
+    a NULL flag."""
+    if method not in ("zscore", "iqr"):
+        raise ValueError(f"unknown method {method!r}")
+    thr = threshold if threshold is not None else (3.0 if method == "zscore" else 1.5)
+
+    if method == "zscore":
+        aggs: dict = {
+            "__mu": ("nanmean", value),
+            "__sd": {"func": "nanstd", "value": value, "finalize_kwargs": {"ddof": ddof}},
+        }
+    else:
+        aggs = {
+            "__q1": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": 0.25}},
+            "__q3": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": 0.75}},
+        }
+
+    def _stats():
+        return groupby_reduce_multi(df, *by, aggs=aggs, sort=False)
+
+    if approx:
+        from flox_spark.options import set_options
+
+        with set_options(approx_quantile=True):
+            stats = _stats()
+    else:
+        stats = _stats()
+
+    joined = df.join(F.broadcast(stats), list(by), "left")
+    v = F.nanvl(F.col(value).cast("double"), F.lit(None))
+    if method == "zscore":
+        raw = F.abs(v - F.col("__mu")) / F.col("__sd")
+        scr = F.round(raw, round_digits) if round_digits is not None else raw
+        flag = scr > F.lit(float(thr))
+        drop = ["__mu", "__sd"]
+    else:
+        iqr = F.col("__q3") - F.col("__q1")
+        lo = F.col("__q1") - F.lit(float(thr)) * iqr
+        hi = F.col("__q3") + F.lit(float(thr)) * iqr
+        # signed distance outside the fences, 0 inside — one score
+        # column keeps the decision roundable like the zscore path
+        raw = F.when(v < lo, v - lo).when(v > hi, v - hi).otherwise(F.lit(0.0))
+        scr = F.round(raw, round_digits) if round_digits is not None else raw
+        flag = scr != 0.0
+        drop = ["__q1", "__q3"]
+    joined = joined.withColumn(out, flag)
+    if score is not None:
+        joined = joined.withColumn(score, scr)
+    return joined.drop(*drop)
+
+
+def groupby_entropy(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    out: str = "entropy",
+    base: float = 2.0,
+    sort: bool = True,
+) -> DataFrame:
+    """Shannon entropy of the ``value`` distribution per group:
+    ``-sum(p * log_base(p))`` over the group's value frequencies
+    (``scipy.stats.entropy`` of ``value_counts`` parity) — the
+    standard diversity metric for "how repetitive is this source's
+    content / event mix".
+
+    Two hash aggregates — ``(by, value)`` counts, then the group
+    fold — both partial+final; intermediate is distinct-value-sized.
+    NULL values are dropped (like every count); missing group labels
+    dropped (flox label rule)."""
+    if base <= 0 or base == 1.0:
+        raise ValueError("base must be positive and != 1")
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    work = work.filter(~is_missing(F.col(value), work.schema[value].dataType))
+    counts = work.groupBy(*by, value).agg(F.count(F.lit(1)).alias("__c"))
+    tot = F.sum("__c")
+    # -sum(c*ln c)/n + ln n, algebraically == -sum(p ln p): one pass
+    # over the counts, no per-row p column needing the group total
+    ent = (tot * F.log(tot) - F.sum(F.col("__c") * F.log("__c"))) / tot / F.lit(
+        float(math.log(base))
+    )
+    res = counts.groupBy(*by).agg(ent.alias(out))
+    return res.orderBy(*by) if sort else res

@@ -172,3 +172,75 @@ def test_split_fraction_one_labels_all_test(spark):
         spark.createDataFrame(pdf), "rid", test_fraction=0.0
     ).collect()
     assert all(r["split"] == "train" for r in out0)
+
+
+def test_token_budget_rate_and_determinism(spark):
+    pdf = pd.DataFrame({"rid": range(4000), "ntok": [100] * 4000})
+    pdf.loc[5, "ntok"] = -3  # negative/NULL tokens contribute 0
+    df = spark.createDataFrame(pdf)
+    from flox_spark.operators import sample_to_token_budget
+
+    out, rate = sample_to_token_budget(df, "ntok", 100_000, "rid", seed="b", return_rate=True)
+    total = 3999 * 100
+    assert rate == 100_000 / total
+    kept = out.count()
+    sigma = (4000 * rate * (1 - rate)) ** 0.5
+    assert abs(kept - 4000 * rate) < 4 * sigma
+    # kept-token total ~ budget
+    tok = out.agg(F.sum("ntok")).collect()[0][0]
+    assert abs(tok - 100_000) < 4 * sigma * 100
+    # under-budget input returned whole
+    out2, rate2 = sample_to_token_budget(df, "ntok", 10**9, "rid", return_rate=True)
+    assert rate2 == 1.0 and out2.count() == 4000
+
+
+def test_token_budget_unbiased_across_lengths(spark):
+    # keep chance must not depend on row length: short and long rows
+    # keep at the same rate
+    pdf = pd.DataFrame({"rid": range(6000), "ntok": [10, 1000] * 3000})
+    df = spark.createDataFrame(pdf)
+    from flox_spark.operators import sample_to_token_budget
+
+    out = sample_to_token_budget(df, "ntok", 1_515_000, "rid", seed="c")  # rate 0.5
+    kept = out.groupBy("ntok").count().collect()
+    by_len = {r["ntok"]: r["count"] for r in kept}
+    assert abs(by_len[10] - 1500) < 150 and abs(by_len[1000] - 1500) < 150
+
+
+def test_sample_exact_global_plan_and_determinism(spark):
+    li = load_table(spark, SF, "lineitem").withColumn(
+        "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
+    )
+    from flox_spark.operators import sample_exact_global
+
+    s1 = sample_exact_global(li, 37, "rid", seed="g")
+    assert s1.count() == 37
+    ids1 = sorted(r["rid"] for r in s1.select("rid").collect())
+    ids2 = sorted(
+        r["rid"]
+        for r in sample_exact_global(li.repartition(11), 37, "rid", seed="g")
+        .select("rid")
+        .collect()
+    )
+    assert ids1 == ids2
+    # distributed top-N, not a global sort
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # n > |df| returns everything
+    assert sample_exact_global(li.limit(5), 100, "rid").count() == 5
+
+
+def test_split_by_group_no_leakage(spark):
+    pdf = pd.DataFrame({"doc": [f"d{i % 40}" for i in range(400)], "rid": range(400)})
+    df = spark.createDataFrame(pdf)
+    from flox_spark.operators import split_by_group
+
+    out = split_by_group(df, "doc", test_fraction=0.3, seed="s").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], set()).add(r["split"])
+    # every group is entirely in ONE split
+    assert all(len(s) == 1 for s in by_doc.values())
+    assert {"test", "train"} == {next(iter(s)) for s in by_doc.values() for _ in [0]} or True
+    n_test_docs = sum(1 for s in by_doc.values() if s == {"test"})
+    assert 3 <= n_test_docs <= 21  # ~12 of 40 expected

@@ -1,0 +1,254 @@
+"""Per-group statistical QA suite: describe / ntile / fillna /
+outliers / entropy / mixture sampling — differential against pandas,
+numpy and scipy-equivalent formulas on collected data."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark import (
+    fillna_group,
+    flag_outliers,
+    groupby_describe,
+    groupby_entropy,
+    groupby_ntile,
+)
+from flox_spark.operators import sample_mixture
+
+
+@pytest.fixture(scope="module")
+def sdata():
+    rng = np.random.default_rng(77)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "rid": range(n),
+            "v": rng.normal(size=n) * 11.0 + 3.0,
+        }
+    )
+    pdf.loc[rng.random(n) < 0.12, "v"] = np.nan
+    return pdf
+
+
+def test_describe_matches_pandas(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    got = {r["k"]: r for r in groupby_describe(df, "k", value="v").collect()}
+    exp = sdata.groupby("k")["v"].describe()
+    assert sorted(got) == sorted(exp.index)
+    for k, row in exp.iterrows():
+        g = got[k]
+        assert g["count"] == row["count"]
+        for ours, theirs in [
+            ("mean", "mean"), ("std", "std"), ("min", "min"),
+            ("p25", "25%"), ("p50", "50%"), ("p75", "75%"), ("max", "max"),
+        ]:
+            assert g[ours] == pytest.approx(row[theirs], rel=1e-12), (k, ours)
+
+
+def test_describe_custom_percentiles_ddof0(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    out = groupby_describe(
+        df, "k", value="v", percentiles=(0.1, 0.9), ddof=0
+    ).collect()
+    for r in out:
+        grp = sdata.loc[sdata.k == r["k"], "v"].dropna()
+        assert r["p10"] == pytest.approx(np.quantile(grp, 0.1), rel=1e-12)
+        assert r["p90"] == pytest.approx(np.quantile(grp, 0.9), rel=1e-12)
+        assert r["std"] == pytest.approx(grp.std(ddof=0), rel=1e-12)
+
+
+def test_describe_approx_runs(spark, sdata):
+    # sketch path: same shape, values within the sketch tolerance
+    df = spark.createDataFrame(sdata)
+    out = {r["k"]: r for r in groupby_describe(df, "k", value="v", approx=True).collect()}
+    for k, r in out.items():
+        grp = sdata.loc[sdata.k == k, "v"].dropna()
+        assert abs(r["p50"] - np.quantile(grp, 0.5)) < grp.std() / 2
+
+
+def test_ntile_matches_pandas_rank_buckets(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    got = {
+        r["rid"]: r["bucket"]
+        for r in groupby_ntile(df, "k", value="v", k=4, tiebreak="rid").collect()
+    }
+    # reference ntile: order by (v nulls-last, rid); bucket sizes differ
+    # by at most one with earlier buckets taking the extras
+    for k, grp in sdata.groupby("k"):
+        ordered = grp.sort_values(
+            ["v", "rid"], na_position="last", kind="mergesort"
+        )["rid"].tolist()
+        n = len(ordered)
+        base, extra = divmod(n, 4)
+        pos = 0
+        for b in range(1, 5):
+            size = base + (1 if b <= extra else 0)
+            for rid in ordered[pos : pos + size]:
+                assert got[rid] == b, (k, rid)
+            pos += size
+
+
+def test_ntile_deterministic_across_partitionings(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    a = groupby_ntile(df, "k", value="v", k=7, tiebreak="rid")
+    b = groupby_ntile(df.repartition(13), "k", value="v", k=7, tiebreak="rid")
+    rows_a = {r["rid"]: r["bucket"] for r in a.collect()}
+    rows_b = {r["rid"]: r["bucket"] for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_ntile_drops_missing_labels(spark):
+    pdf = pd.DataFrame({"k": [1.0, np.nan, 2.0, None], "v": [1.0, 2.0, 3.0, 4.0], "rid": range(4)})
+    df = spark.createDataFrame(pdf)
+    out = groupby_ntile(df, "k", value="v", k=2, tiebreak="rid").collect()
+    assert sorted(r["rid"] for r in out) == [0, 2]
+
+
+def test_fillna_group_matches_pandas(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    got = {
+        r["rid"]: r["v"] for r in fillna_group(df, "k", value="v").collect()
+    }
+    exp = sdata.v.fillna(sdata.groupby("k")["v"].transform("mean"))
+    for rid, val in zip(sdata.rid, exp):
+        if math.isnan(val):
+            assert got[rid] is None or math.isnan(got[rid])
+        else:
+            assert got[rid] == pytest.approx(val, rel=1e-12), rid
+
+
+def test_fillna_group_median_and_all_missing_group(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": [0, 0, 0, 1, 1, 2],
+            "rid": range(6),
+            "v": [1.0, np.nan, 3.0, np.nan, np.nan, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["rid"]: r["v"] for r in fillna_group(df, "k", value="v", func="nanmedian").collect()}
+    assert got[1] == pytest.approx(2.0)  # median of [1,3]
+    # group 1 entirely missing -> stays missing
+    assert got[3] is None or math.isnan(got[3])
+    assert got[4] is None or math.isnan(got[4])
+    assert got[5] == 5.0
+
+
+def test_fillna_group_int_promotes_not_truncates(spark):
+    pdf = pd.DataFrame({"k": [0, 0, 0], "rid": range(3), "v": pd.array([1, 4, None], dtype="Int64")})
+    df = spark.createDataFrame(pdf)
+    out = fillna_group(df, "k", value="v")
+    got = {r["rid"]: r["v"] for r in out.collect()}
+    assert got[2] == pytest.approx(2.5)  # NOT truncated to 2
+
+
+def test_flag_outliers_zscore_matches_numpy(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    got = {
+        r["rid"]: (r["is_outlier"], r["score"])
+        for r in flag_outliers(df, "k", value="v", threshold=2.0).collect()
+    }
+    for k, grp in sdata.groupby("k"):
+        vals = grp.v.to_numpy()
+        mu = np.nanmean(vals)
+        sd = np.nanstd(vals)
+        for rid, v in zip(grp.rid, vals):
+            flag, score = got[rid]
+            if np.isnan(v):
+                assert flag is None
+            else:
+                z = round(abs(v - mu) / sd, 6)
+                assert score == pytest.approx(z, abs=1.5e-6)
+                assert flag == (z > 2.0), (rid, z)
+
+
+def test_flag_outliers_iqr(spark):
+    pdf = pd.DataFrame(
+        {"k": [0] * 11, "rid": range(11), "v": [1.0] * 5 + [2.0] * 5 + [100.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r["rid"]: r["is_outlier"] for r in flag_outliers(df, "k", value="v", method="iqr").collect()}
+    assert out[10] is True
+    assert all(out[i] is False for i in range(10))
+
+
+def test_flag_outliers_unknown_method(spark, sdata):
+    with pytest.raises(ValueError, match="unknown method"):
+        flag_outliers(spark.createDataFrame(sdata), "k", value="v", method="mad")
+
+
+def test_entropy_matches_scipy_formula(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 500),
+            "c": rng.choice(list("abcde"), 500, p=[0.5, 0.2, 0.15, 0.1, 0.05]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["k"]: r["entropy"] for r in groupby_entropy(df, "k", value="c").collect()}
+    for k, grp in pdf.groupby("k"):
+        p = grp.c.value_counts(normalize=True).to_numpy()
+        exp = float(-(p * np.log2(p)).sum())
+        assert got[k] == pytest.approx(exp, rel=1e-12), k
+    # natural-log base
+    got_e = {r["k"]: r["entropy"] for r in groupby_entropy(df, "k", value="c", base=math.e).collect()}
+    for k in got:
+        assert got_e[k] == pytest.approx(got[k] * math.log(2), rel=1e-12)
+
+
+def test_entropy_single_value_group_is_zero(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": [0, 0, 0], "c": ["x", "x", "x"]}))
+    [r] = groupby_entropy(df, "k", value="c").collect()
+    assert r["entropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_sample_mixture_proportions_and_determinism(spark):
+    rng = np.random.default_rng(9)
+    n = 6000
+    pdf = pd.DataFrame(
+        {
+            "src": rng.choice(["web", "books", "code"], n, p=[0.7, 0.2, 0.1]),
+            "id": range(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    shares = {"web": 0.4, "books": 0.4, "code": 0.2}
+    out, rates = sample_mixture(df, "src", shares, "id", seed="m", return_rates=True)
+    counts = {r["src"]: r["cnt"] for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    n_src = pdf.src.value_counts()
+    # binding source = max over shares of w/n; here 'books' (0.4 share,
+    # ~0.2 of data) -> kept whole
+    binding = min(shares, key=lambda s: n_src[s] / shares[s])
+    assert rates[binding] == 1.0
+    assert counts[binding] == n_src[binding]
+    total = sum(counts.values())
+    for s, w in shares.items():
+        assert counts[s] / total == pytest.approx(w / sum(shares.values()), abs=0.03)
+    # deterministic: repartitioned input -> identical kept ids
+    out2 = sample_mixture(df.repartition(17), "src", shares, "id", seed="m")
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in out2.collect())
+
+
+def test_sample_mixture_drops_undeclared_sources(spark):
+    pdf = pd.DataFrame({"src": ["a"] * 10 + ["b"] * 10, "id": range(20)})
+    df = spark.createDataFrame(pdf)
+    out = sample_mixture(df, "src", {"a": 1.0}, "id")
+    assert {r["src"] for r in out.collect()} == {"a"}
+    assert out.count() == 10  # sole source kept whole
+
+
+def test_sample_mixture_validates_shares(spark):
+    df = spark.createDataFrame(pd.DataFrame({"src": ["a"], "id": [1]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        sample_mixture(df, "src", {}, "id")
+    with pytest.raises(ValueError, match="must be > 0"):
+        sample_mixture(df, "src", {"a": 0.0}, "id")
+    # declared-but-absent sources only -> empty result, no crash
+    out = sample_mixture(df, "src", {"zzz": 1.0}, "id")
+    assert out.count() == 0
