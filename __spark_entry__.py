@@ -1451,6 +1451,21 @@ def _operator_oracles() -> dict[str, str]:
             FROM (SELECT vec_id, embedding,
                          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
                   FROM embeddings WHERE vec_id < 100), range(0, 64) t(i)""",
+        "scd2": """
+            WITH chg AS (
+              SELECT user_id, event_type, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS prev
+              FROM events),
+            runs AS (
+              SELECT user_id, event_type, event_id AS valid_from
+              FROM chg WHERE prev IS DISTINCT FROM event_type)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) IS NULL AS is_current
+            FROM runs""",
         "describe": """
             SELECT l_returnflag, count(l_quantity) AS count,
                    round(avg(l_quantity), 6) AS mean,
@@ -1630,14 +1645,30 @@ def q_split_by_group(s, d):
     return out.select("doc_id", "lang", "split")
 
 
+def q_scd2(s, d):
+    # SCD2 history: compress each user's event_type change log into
+    # validity intervals (two windows over ONE shuffle)
+    from flox_spark.operators import scd2_history
+
+    ev = _t(s, d, "events")
+    return scd2_history(
+        ev.select("user_id", "event_id", "event_type"),
+        "user_id", order_by="event_id", attrs=["event_type"],
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for driver-coverage rotation: the harness checks a prefix
-    # window of this dict, so entries never driver-verified in rounds
-    # 1-3 come first (33 queries: sampling, sessions, funnel, kmeans,
-    # asof/range joins, weighted, profile, decontaminate, ...), then
-    # the four last seen in round 1, then the regularly-checked rest.
-    # All 90 pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
-    # of window position.
+    # Ordered for driver-coverage rotation: the harness checks a
+    # 50-query prefix of this dict, so the window is packed with ONE
+    # row per never-driver-verified operator family (round-4 stats/
+    # sampling additions first, then the round-4 corpus/scan/rank/corr
+    # operators, then the r1-r3 families that never landed in a
+    # harness window: sessions, sampling, asof, funnel, kmeans, range
+    # join, sketches, profile, clean, salting, weighted).  Same-family
+    # twins (scan_diff/pct_change, corr_spearman, nunique_plain,
+    # quantile_refine2, ...) sit just past the window.  All 121 pass
+    # tools/check_oracle.py at sf0.001/0.01/0.1 regardless of window
+    # position.
     return {
         "describe": q_describe,
         "ntile_buckets": q_ntile,
@@ -1648,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "sample_global": q_sample_global,
         "split_by_group": q_split_by_group,
+        "scd2": q_scd2,
         "dedup_against": q_dedup_against,
         "levenshtein_refine": q_levenshtein_refine,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1656,51 +1688,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_against": q_minhash_against,
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
-        "scan_diff": q_scan_diff,
-        "scan_pct_change": q_pct_change,
         "rank_avg": q_rank_avg,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
-        "corr_spearman": q_corr_spearman,
         "twa": q_twa,
         "rolling_time": q_rolling_time,
-        "rolling_rows": q_rolling_rows,
         "resample": q_resample,
         "quantile_refine": q_quantile_refine,
-        "quantile_refine2": q_quantile_refine2,
         "binned_left": q_binned_left,
-        "simhash_xx": q_simhash_xx,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
-        "sample_bernoulli": q_sample_bernoulli,
         "sample_group": q_sample_group,
-        "sample_weighted": q_sample_weighted,
         "quantile_sort": q_quantile_sort,
         "transform_mean": q_transform_mean,
-        "sample_stratified": q_sample_stratified,
-        "split_train_test": q_split_train_test,
         "asof_join": q_asof_join,
         "minhash_bands": q_minhash_bands,
         "pack_sequences": q_pack_sequences,
         "grouped_topk": q_grouped_topk,
         "nunique": q_nunique,
-        "nunique_plain": q_nunique_plain,
         "redact_pii": q_redact_pii,
         "boilerplate": q_boilerplate,
         "funnel": q_funnel,
-        "funnel_path": q_funnel_path,
         "kmeans": q_kmeans,
         "range_join": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "distinct_rollup": q_distinct_rollup,
         "chunk_docs": q_chunk_docs,
-        "embed_pool": q_embed_pool,
         "profile": q_profile,
         "quality_report": q_quality_report,
         "decontaminate": q_decontaminate,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
+        "sample_weighted": q_sample_weighted,
+        "scan_diff": q_scan_diff,
+        "scan_pct_change": q_pct_change,
+        "corr_spearman": q_corr_spearman,
+        "rolling_rows": q_rolling_rows,
+        "quantile_refine2": q_quantile_refine2,
+        "simhash_xx": q_simhash_xx,
+        "sample_bernoulli": q_sample_bernoulli,
+        "sample_stratified": q_sample_stratified,
+        "split_train_test": q_split_train_test,
+        "nunique_plain": q_nunique_plain,
+        "funnel_path": q_funnel_path,
+        "embed_pool": q_embed_pool,
         "weighted_var": q_weighted_var,
         "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,

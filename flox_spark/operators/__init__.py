@@ -26,6 +26,7 @@ from flox_spark.operators.dedup import (
     simhash_signatures,
 )
 from flox_spark.operators.diff import table_diff
+from flox_spark.operators.scd import scd2_history
 from flox_spark.operators.sharding import assign_shards, shard_stats, write_shards
 from flox_spark.operators.asof import asof_join
 from flox_spark.operators.clean import (
@@ -141,6 +142,7 @@ __all__ = [
     "tfidf_top_terms",
     "assign_shards",
     "shard_stats",
+    "scd2_history",
     "table_diff",
     "write_shards",
 ]
