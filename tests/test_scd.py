@@ -98,3 +98,37 @@ def test_scd2_validation_and_null_order(spark):
         scd2_history(df, "k", order_by="ts", attrs=[])
     out = scd2_history(df, "k", order_by="ts", attrs=["v"]).collect()
     assert len(out) == 1 and out[0]["v"] == "a"  # NULL-ts row dropped
+
+
+def test_scd2_reconstruction_invariant(spark, log):
+    # joining each original observation back against the history on
+    # valid_from <= ts < valid_to must recover its own attrs exactly —
+    # the defining property of an SCD2 table
+    df = spark.createDataFrame(log)
+    hist = scd2_history(df, "k", order_by="ts", attrs=["status", "tier"])
+    import pyspark.sql.functions as F
+
+    joined = df.alias("o").join(
+        hist.alias("h"),
+        (F.col("o.k") == F.col("h.k"))
+        & (F.col("o.ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("o.ts") < F.col("h.valid_to"))),
+        "left",
+    )
+    n = df.count()
+    assert joined.count() == n  # exactly one interval per observation
+    mismatches = joined.filter(
+        ~F.col("o.status").eqNullSafe(F.col("h.status"))
+        | ~F.col("o.tier").eqNullSafe(F.col("h.tier"))
+    ).count()
+    assert mismatches == 0
+    # intervals within a key never overlap and abut exactly
+    import collections
+    runs = collections.defaultdict(list)
+    for r in hist.collect():
+        runs[r["k"]].append((r["valid_from"], r["valid_to"]))
+    for k, iv in runs.items():
+        iv.sort()
+        for (f1, t1), (f2, _) in zip(iv, iv[1:]):
+            assert t1 == f2, (k, t1, f2)
+        assert iv[-1][1] is None
