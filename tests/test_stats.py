@@ -252,3 +252,40 @@ def test_sample_mixture_validates_shares(spark):
     # declared-but-absent sources only -> empty result, no crash
     out = sample_mixture(df, "src", {"zzz": 1.0}, "id")
     assert out.count() == 0
+
+
+def test_ntile_property_invariants(spark):
+    # randomized invariants: per group, bucket sizes differ by <= 1
+    # (earlier buckets take extras) and assignment is monotone in the
+    # (value, tiebreak) total order — heavy ties included
+    rng = np.random.default_rng(123)
+    n = 700
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "rid": range(n),
+            "v": rng.integers(0, 9, n).astype(float),  # many ties
+        }
+    )
+    pdf.loc[rng.random(n) < 0.05, "v"] = np.nan
+    df = spark.createDataFrame(pdf)
+    for k in (1, 3, 8):
+        rows = groupby_ntile(df, "k", value="v", k=k, tiebreak="rid").collect()
+        by_grp = {}
+        for r in rows:
+            by_grp.setdefault(r["k"], []).append(r)
+        for g, grp in by_grp.items():
+            sizes = pd.Series([r["bucket"] for r in grp]).value_counts()
+            assert set(sizes.index) <= set(range(1, k + 1))
+            assert sizes.max() - sizes.min() <= 1
+            # earlier buckets never smaller than later ones
+            ordered_sizes = [sizes.get(b, 0) for b in range(1, k + 1)]
+            assert all(a >= b for a, b in zip(ordered_sizes, ordered_sizes[1:]))
+            # monotone along the total order (NaN/NULL sorts last)
+            def order_key(r):
+                missing = r["v"] is None or math.isnan(r["v"])
+                return (missing, 0.0 if missing else r["v"], r["rid"])
+
+            srt = sorted(grp, key=order_key)
+            buckets = [r["bucket"] for r in srt]
+            assert buckets == sorted(buckets), (g, k)
