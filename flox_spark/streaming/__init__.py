@@ -2,6 +2,7 @@ from flox_spark.streaming.stream import (
     groupby_reduce_stream,
     groupby_reduce_stream_salted,
     groupby_corr_stream,
+    groupby_entropy_stream,
     groupby_session_stream,
     stream_dedup_against,
     stream_dedup_exact,
@@ -15,6 +16,7 @@ __all__ = [
     "groupby_reduce_stream",
     "groupby_reduce_stream_salted",
     "groupby_corr_stream",
+    "groupby_entropy_stream",
     "groupby_session_stream",
     "stream_dedup_against",
     "stream_dedup_exact",

@@ -304,3 +304,57 @@ def groupby_reduce_stream_salted(
         *by,
         out,
     )
+
+
+def groupby_entropy_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    base: float = 2.0,
+    out: str = "entropy",
+) -> DataFrame:
+    """Windowed per-group Shannon entropy on an event-time stream —
+    the streaming twin of ``flox_spark.groupby_entropy``.
+
+    Entropy needs per-value counts first, so this is a CHAINED
+    tumbling-window aggregation (Spark >= 3.4 multi-stateful-operator
+    support, same pattern as the salted twin): stage 1 keeps one
+    bounded count per (window, group, distinct value) — state is
+    distinct-value-sized, never row-sized — and stage 2 re-windows the
+    closed counts and folds ``(t*ln t - sum(c*ln c)) / t / ln(base)``,
+    the same single-pass algebraic form as batch.  Tumbling windows
+    only; append mode."""
+    import math as _math
+
+    if base <= 0 or base == 1.0:
+        raise ValueError("base must be positive and != 1")
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    work = work.filter(~is_missing(F.col(value), work.schema[value].dataType))
+
+    win = F.window(F.col(time_col), window)
+    stage1 = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by], F.col(value))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = F.sum("__c")
+    ent = (tot * F.log(tot) - F.sum(F.col("__c") * F.log("__c"))) / tot / F.lit(
+        float(_math.log(base))
+    )
+    stage2 = (
+        stage1.groupBy(F.window(F.col("__w"), window).alias("__w2"), *[F.col(b) for b in by])
+        .agg(ent.alias(out))
+    )
+    return stage2.select(
+        F.col("__w2.start").alias("window_start"),
+        F.col("__w2.end").alias("window_end"),
+        *by,
+        out,
+    )
