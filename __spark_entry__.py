@@ -1504,7 +1504,9 @@ def _operator_oracles() -> dict[str, str]:
             SELECT source, round(-sum((c / n) * log2(c / n)), 6) AS entropy
             FROM t GROUP BY source ORDER BY source""",
         # mixture rates re-derived in-SQL with the engine's exact
-        # arithmetic order: ft = min(n/share); rate = share * ft / n
+        # arithmetic order: ft = min(n/share); binding source(s)
+        # clamped to exactly 1.0 (mirrors sample_mixture's kept-whole
+        # guarantee); rate = share * ft / n otherwise
         "sample_mixture": """
             WITH c AS (SELECT source, count(*) AS n FROM documents
                        WHERE source IN ('src1', 'src2', 'src3') GROUP BY source),
@@ -1514,7 +1516,9 @@ def _operator_oracles() -> dict[str, str]:
                  j AS (SELECT c.source, c.n, s.share FROM c JOIN s USING (source)),
                  t AS (SELECT min(n / share) AS ft FROM j),
                  r AS (SELECT source,
-                              share * (SELECT ft FROM t) / n AS rate FROM j)
+                              CASE WHEN n / share = (SELECT ft FROM t) THEN 1.0
+                                   ELSE share * (SELECT ft FROM t) / n
+                              END AS rate FROM j)
             SELECT d.doc_id, d.source
             FROM documents d JOIN r ON d.source = r.source
             WHERE substr(md5(d.doc_id::VARCHAR || ':mx'), 1, 12) <

@@ -135,13 +135,36 @@ def sample_mixture(
         .collect()
     }
     present = [s for s in srcs if counts.get(s)]
+    absent = [s for s in srcs if not counts.get(s)]
+    if absent:
+        # declared-but-empty sources make the requested mixture
+        # infeasible as stated; surface it loudly (the bound below is
+        # renormalized over the PRESENT sources only)
+        import warnings
+
+        warnings.warn(
+            f"sample_mixture: declared sources with zero rows {absent}; "
+            "the feasibility bound and output mixture are renormalized "
+            "over the present sources only",
+            stacklevel=2,
+        )
     if not present:
         empty = df.filter(F.lit(False))
         return (empty, {}) if return_rates else empty
     # plain-float arithmetic, in this exact order, so an external
-    # re-derivation (the DuckDB oracle) lands on bit-identical rates
+    # re-derivation (the DuckDB oracle) lands on bit-identical rates.
+    # Binding source(s) — those achieving the min — are clamped to
+    # exactly 1.0 ("kept whole" as documented): the round-trip
+    # shares[s] * (counts[s]/shares[s]) / counts[s] is not guaranteed
+    # to land on 1.0 in floating point, and 0.999... would drop a
+    # max-hash sliver of the binding corpus
     feasible_total = min(counts[s] / shares[s] for s in present)
-    rates = {s: shares[s] * feasible_total / counts[s] for s in present}
+    rates = {
+        s: 1.0
+        if counts[s] / shares[s] == feasible_total
+        else shares[s] * feasible_total / counts[s]
+        for s in present
+    }
     out = sample_stratified(
         df.filter(F.col(source_col).isin(present)),
         source_col,

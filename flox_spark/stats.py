@@ -71,7 +71,18 @@ def groupby_describe(
     for q in percentiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"percentile {q} outside [0, 1]")
-        aggs[f"p{int(round(q * 100)):02d}"] = {
+        # collision-free labels: integral percents keep the classic
+        # p25/p50/p75 names; fractional ones carry their decimals
+        # (0.125 -> p12_5) so e.g. (0.125, 0.13) cannot silently
+        # overwrite each other in the aggs dict
+        pct = q * 100
+        if float(pct).is_integer():
+            label = f"p{int(pct):02d}"
+        else:
+            label = "p" + f"{pct:.10g}".replace(".", "_")
+        if label in aggs:
+            raise ValueError(f"duplicate percentile label {label!r} (q={q})")
+        aggs[label] = {
             "func": "nanquantile",
             "value": value,
             "finalize_kwargs": {"q": q},
@@ -217,8 +228,20 @@ def flag_outliers(
         lo = F.col("__q1") - F.lit(float(thr)) * iqr
         hi = F.col("__q3") + F.lit(float(thr)) * iqr
         # signed distance outside the fences, 0 inside — one score
-        # column keeps the decision roundable like the zscore path
-        raw = F.when(v < lo, v - lo).when(v > hi, v - hi).otherwise(F.lit(0.0))
+        # column keeps the decision roundable like the zscore path.
+        # Validity gated FIRST: a missing value or missing group stats
+        # must yield a NULL score/flag (like the zscore branch, whose
+        # NULL propagates through the arithmetic), not fall through the
+        # when() chain to the otherwise(0.0) "inside the fences" case.
+        raw = (
+            F.when(
+                v.isNull() | lo.isNull() | hi.isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(v < lo, v - lo)
+            .when(v > hi, v - hi)
+            .otherwise(F.lit(0.0))
+        )
         scr = F.round(raw, round_digits) if round_digits is not None else raw
         flag = scr != 0.0
         drop = ["__q1", "__q3"]

@@ -289,3 +289,73 @@ def test_ntile_property_invariants(spark):
             srt = sorted(grp, key=order_key)
             buckets = [r["bucket"] for r in srt]
             assert buckets == sorted(buckets), (g, k)
+
+
+def test_flag_outliers_iqr_null_value_and_all_null_group(spark):
+    # ADVICE r4: the IQR branch must NULL-flag rows with a missing
+    # value or missing group stats (all-NULL group), like zscore does,
+    # instead of falling through to score=0.0 / is_outlier=False
+    pdf = pd.DataFrame(
+        {
+            "k": [0] * 6 + [1] * 3,
+            "rid": range(9),
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0, np.nan, np.nan, np.nan, np.nan],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["rid"]: r for r in flag_outliers(df, "k", value="v", method="iqr").collect()}
+    assert rows[4]["is_outlier"] is True
+    # NULL value in a healthy group -> NULL flag and NULL score
+    assert rows[5]["is_outlier"] is None and rows[5]["score"] is None
+    # all-NULL group: stats are NULL -> every row NULL-flagged
+    for rid in (6, 7, 8):
+        assert rows[rid]["is_outlier"] is None and rows[rid]["score"] is None
+
+
+def test_describe_fractional_percentile_labels_no_collision(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    out = groupby_describe(df, "k", value="v", percentiles=(0.125, 0.13)).collect()
+    cols = out[0].asDict()
+    assert "p12_5" in cols and "p13" in cols
+    for r in out:
+        grp = sdata.loc[sdata.k == r["k"], "v"].dropna()
+        assert r["p12_5"] == pytest.approx(np.quantile(grp, 0.125), rel=1e-12)
+        assert r["p13"] == pytest.approx(np.quantile(grp, 0.13), rel=1e-12)
+
+
+def test_describe_duplicate_percentile_raises(spark, sdata):
+    df = spark.createDataFrame(sdata)
+    with pytest.raises(ValueError, match="duplicate percentile"):
+        groupby_describe(df, "k", value="v", percentiles=(0.25, 0.25))
+
+
+def test_sample_mixture_binding_source_clamped_to_one(spark):
+    # ADVICE r4: shares[s] * (n/shares[s]) / n does not round-trip to
+    # 1.0 for every share (0.41 with n=4 lands at 0.999...); the
+    # binding source must be clamped to exactly 1.0 and kept whole
+    pdf = pd.DataFrame(
+        {"src": ["a"] * 4 + ["b"] * 100, "id": range(104)}
+    )
+    df = spark.createDataFrame(pdf)
+    assert 0.41 * (4 / 0.41) / 4 < 1.0  # the FP undershoot this guards
+    out, rates = sample_mixture(
+        df, "src", {"a": 0.41, "b": 0.1}, "id", return_rates=True
+    )
+    assert rates["a"] == 1.0
+    assert out.filter(F.col("src") == "a").count() == 4
+
+
+def test_sample_mixture_warns_on_absent_declared_source(spark):
+    import warnings
+
+    pdf = pd.DataFrame({"src": ["a"] * 10, "id": range(10)})
+    df = spark.createDataFrame(pdf)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out, rates = sample_mixture(
+            df, "src", {"a": 0.5, "zzz": 0.5}, "id", return_rates=True
+        )
+        assert any("zero rows" in str(x.message) for x in w)
+    # mixture renormalized over present sources: sole source kept whole
+    assert rates == {"a": 1.0}
+    assert out.count() == 10
