@@ -352,7 +352,7 @@ def q_dedup_exact(s, d):
 
 
 def q_minhash_pairs(s, d):
-    return minhash_candidates(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None)
+    return minhash_candidates(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None, hash_impl="md5")
 
 
 def q_minhash_pairs_xx(s, d):
@@ -372,14 +372,14 @@ def q_jaccard_pairs(s, d):
 
 
 def q_simhash(s, d):
-    return simhash_signatures(_t(s, d, "documents"), hex_chars=8)
+    return simhash_signatures(_t(s, d, "documents"), hex_chars=8, hash_impl="md5")
 
 
 def q_simhash_pairs(s, d):
     # banded hamming-distance pairing over simhash signatures
     from flox_spark.operators import simhash_pairs
 
-    return simhash_pairs(_t(s, d, "documents"), max_hamming=3, bands=4, max_bucket=None)
+    return simhash_pairs(_t(s, d, "documents"), max_hamming=3, bands=4, max_bucket=None, hash_impl="md5")
 
 
 def q_simhash_xx(s, d):
@@ -394,7 +394,8 @@ def q_minhash_clusters(s, d):
     from flox_spark.operators import dedup_clusters
 
     pairs = minhash_candidates(
-        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None
+        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None,
+        hash_impl="md5",
     )
     return dedup_clusters(pairs)
 
@@ -648,7 +649,7 @@ def q_shard_stats(s, d):
     # count and total chars over 8 shards
     from flox_spark.operators import shard_stats
 
-    return shard_stats(_t(s, d, "documents"), 8, size_col="n_chars")
+    return shard_stats(_t(s, d, "documents"), 8, size_col="n_chars", hash_impl="md5")
 
 
 def q_scan_shift(s, d):
@@ -780,6 +781,7 @@ def q_minhash_against(s, d):
     return minhash_against(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
+        hash_impl="md5",
     )
 
 
@@ -1162,35 +1164,47 @@ def q_minhash_bands(s, d):
     # shingle/md5 math in DuckDB
     from flox_spark.streaming import minhash_band_keys
 
-    return minhash_band_keys(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3)
+    return minhash_band_keys(_t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, hash_impl="md5")
+
+
+# universal-hash minhash (mirrors operators/dedup._minhash_halves +
+# minhash_min_exprs): ONE md5 per shingle, halved into two 32-bit
+# ints; seed i's hash is (h1 + i*h2) % p, p the smallest prime > 2^32
+_MINHASH_P = 4294967311
+
+
+def _minhash_sigs_sql() -> str:
+    mins = ", ".join(
+        f"min((h1 + {i} * h2) % {_MINHASH_P}) AS mh{i}" for i in range(16)
+    )
+    return f"""hp AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 FROM sh),
+sigs AS (SELECT doc_id, {mins} FROM hp GROUP BY doc_id)"""
+
+
+def _minhash_bands_sql() -> str:
+    return "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * 4 + j}::VARCHAR" for j in range(4)),
+        )
+        for b in range(4)
+    )
 
 
 def _minhash_bands_oracle() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
-    bands = "\nUNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
-            b=b, concat=" || '|' || ".join(f"mh{b * 4 + j}" for j in range(4))
-        )
-        for b in range(4)
-    )
     return f"""
 WITH {_SHINGLES_CTE},
-sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
-SELECT doc_id, band, bkey FROM ({bands})"""
+{_minhash_sigs_sql()}
+SELECT doc_id, band, bkey FROM ({_minhash_bands_sql()})"""
 
 
 def _minhash_bands_cte() -> str:
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
-    bands = "\nUNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM sigs".format(
-            b=b, concat=" || '|' || ".join(f"mh{b * 4 + j}" for j in range(4))
-        )
-        for b in range(4)
-    )
     return f"""
 WITH {_SHINGLES_CTE},
-sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({bands})"""
+{_minhash_sigs_sql()},
+bands AS ({_minhash_bands_sql()})"""
 
 
 def _minhash_oracle() -> str:

@@ -200,7 +200,7 @@ def contamination_report(
     (doc, shingle) pair first — ~25% slower even at sf0.1, and the
     gap grows with corpus size since that shuffle is corpus-sized
     while the survivors are benchmark-sized.)  No UDFs."""
-    from flox_spark.operators.dedup import _shingle_expr
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
     from flox_spark.plans import ensure_parallelism
 
     btc = bench_text_col or text_col
@@ -213,19 +213,25 @@ def contamination_report(
     # joined on longs) was built and MEASURED 2.5x slower at n=13:
     # n interpreted try_element_at calls per window lose to one native
     # slice+concat_ws, and the join volume saving never pays for it.
+    # Tokens are STAGED in their own select (see _word_tokens): the
+    # inline form re-splits per shingle — measured ~40% of the cost.
     bench_sh = (
-        benchmark.select(
-            F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle")
-        )
+        benchmark.select(_word_tokens(F.col(btc)).alias("__t"))
+        .select(F.explode(_shingles_from_tokens(F.col("__t"), n)).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
-    corp_sh = ensure_parallelism(corpus).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(_shingle_expr(F.col(text_col), n, "word"))
-        ).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    corp_sh = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), _word_tokens(F.col(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_shingles_from_tokens(F.col("__t"), n))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -275,22 +281,24 @@ def decontaminate(
         # doc ids replaces the per-doc count aggregate (and shingle
         # generation skips the array_distinct pass: duplicates cannot
         # change "at least one hit")
-        from flox_spark.operators.dedup import _shingle_expr
+        from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
         from flox_spark.plans import ensure_parallelism
 
         btc = bench_text_col or text_col
         bench_sh = (
-            benchmark.select(
-                F.explode(_shingle_expr(F.col(btc), n, "word")).alias("shingle")
+            benchmark.select(_word_tokens(F.col(btc)).alias("__t"))
+            .select(
+                F.explode(_shingles_from_tokens(F.col("__t"), n)).alias("shingle")
             )
             .filter(F.col("shingle") != "")
             .distinct()
         )
         hits = (
             ensure_parallelism(corpus)
+            .select(F.col(id_col), _word_tokens(F.col(text_col)).alias("__t"))
             .select(
                 F.col(id_col),
-                F.explode(_shingle_expr(F.col(text_col), n, "word")).alias("shingle"),
+                F.explode(_shingles_from_tokens(F.col("__t"), n)).alias("shingle"),
             )
             .filter(F.col("shingle") != "")
             .join(F.broadcast(bench_sh), "shingle", "left_semi")

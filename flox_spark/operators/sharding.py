@@ -57,7 +57,7 @@ def assign_shards(
     id_col: str = "doc_id",
     seed: str = "0",
     out: str = "shard",
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Add a deterministic shard id in ``[0, n_shards)`` — a pure
     function of (id, seed), independent of partitioning and row
@@ -75,7 +75,7 @@ def shard_stats(
     id_col: str = "doc_id",
     size_col: str | None = None,
     seed: str = "0",
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Per-shard row count (and total ``size_col`` when given) —
     the balance check before an export.  One map-side-combined
@@ -103,7 +103,7 @@ def write_shards(
     n_shards: int,
     id_col: str = "doc_id",
     seed: str = "0",
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
     format: str = "parquet",
 ) -> None:
     """Export to ``path/shard=K/`` directories, one writer task per

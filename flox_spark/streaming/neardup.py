@@ -42,7 +42,7 @@ def minhash_band_keys(
     bands: int = 4,
     shingle_k: int = 3,
     extra_cols: list[str] | None = None,
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Row-local (id, band, bkey) rows — no shuffle, no state; works
     identically on batch and streaming frames.  Equal to the batch
@@ -71,27 +71,33 @@ def minhash_band_keys(
         from flox_spark.plans import ensure_parallelism
 
         df = ensure_parallelism(df)
-    base = df.select(
-        F.col(id_col),
-        *extra,
-        _shingle_expr(F.col(text_col), shingle_k, "word").alias("__sh"),
+    from flox_spark.operators.dedup import (
+        _minhash_halves,
+        _shingles_from_tokens,
+        _word_tokens,
+        minhash_min_exprs,
+        minhash_seed_cols,
     )
 
-    if hash_impl not in ("md5", "xxhash64"):
-        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
-
-    def mh(i: int) -> Column:
-        # closure factory, NOT a defaulted-param lambda: PySpark treats
-        # a two-arg lambda as the (element, index) form
-        def hash_one(s: Column) -> Column:
-            if hash_impl == "xxhash64":
-                return F.xxhash64(F.lit(i), s)
-            return F.md5(F.concat(F.lit(f"{i}:"), s))
-
-        return F.array_min(F.transform(F.col("__sh"), hash_one))
-
+    hp = _minhash_halves(hash_impl)  # validates hash_impl
+    base = df.select(
+        F.col(id_col), *extra, _word_tokens(F.col(text_col)).alias("__t")
+    )
     base = base.select(
-        F.col(id_col), *extra, *[mh(i).alias(f"__mh{i}") for i in range(num_hashes)]
+        F.col(id_col),
+        *extra,
+        _shingles_from_tokens(F.col("__t"), shingle_k).alias("__sh"),
+    )
+    base = base.select(
+        F.col(id_col), *extra, F.transform(F.col("__sh"), hp).alias("__hp")
+    )
+    base = base.select(
+        F.col(id_col), *extra, *minhash_min_exprs("__hp", num_hashes)
+    )
+    base = base.select(
+        F.col(id_col),
+        *extra,
+        *minhash_seed_cols("__mins", num_hashes, prefix="__mh"),
     )
     from flox_spark.operators.dedup import band_key
 
@@ -117,7 +123,7 @@ def stream_minhash_neardup(
     bands: int = 4,
     shingle_k: int = 3,
     order_col: str | None = None,
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Streaming near-dup flags: one output row per (doc, band) with
     the band bucket's first-seen representative.

@@ -20,7 +20,7 @@ def test_rowlocal_equals_batch_buckets(spark):
     # shingles), hence identical band keys
     docs = load_table(spark, SF, "documents")
     r = 16 // 4
-    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3, hash_impl="md5")
     batch_keys = sigs.select(
         "doc_id",
         F.explode(
@@ -39,7 +39,12 @@ def test_rowlocal_equals_batch_buckets(spark):
     ).select("doc_id", "bb.band", "bb.bkey")
     a = sorted(map(tuple, batch_keys.collect()))
     b = sorted(
-        map(tuple, minhash_band_keys(docs, num_hashes=16, bands=4, shingle_k=3).collect())
+        map(
+            tuple,
+            minhash_band_keys(
+                docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="md5"
+            ).collect(),
+        )
     )
     assert a == b
 
@@ -134,3 +139,54 @@ def test_bands_divisibility_rejected(spark):
         minhash_band_keys(docs, num_hashes=16, bands=5)
     with pytest.raises(ValueError, match="divide evenly"):
         minhash_candidates(docs, num_hashes=16, bands=5)
+
+
+def test_rowlocal_equals_batch_buckets_xxhash64_default(spark):
+    # same equality under the production default (xxhash64): the
+    # streaming row-local banding and the batch band_buckets must
+    # agree bucket-for-bucket
+    from flox_spark.operators.dedup import band_buckets
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, band_buckets(docs, num_hashes=16, bands=4, shingle_k=3).collect()))
+    b = sorted(
+        map(tuple, minhash_band_keys(docs, num_hashes=16, bands=4, shingle_k=3).collect())
+    )
+    assert a == b
+
+
+def test_minhash_universal_hash_matches_hashlib(spark):
+    # md5-mode signature re-derived in pure Python: ONE md5 per
+    # shingle, halves h1/h2 from hex chars [0:8) and [8:16), seed i's
+    # value = (h1 + i*h2) % 4294967311, min over shingles
+    import hashlib
+
+    from flox_spark.operators.dedup import MINHASH_P, minhash_signatures
+
+    texts = {
+        10: "the quick brown fox jumps over the lazy dog",
+        11: "pack my box with five dozen liquor jugs",
+        12: "ab",  # shorter than k -> whole text is the one shingle
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    got = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(4)]
+        for r in minhash_signatures(
+            spark.createDataFrame(pdf), num_hashes=4, shingle_k=3, hash_impl="md5"
+        ).collect()
+    }
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        if len(toks) >= 3:
+            shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        else:
+            shingles = [" ".join(toks)]
+        exp = []
+        for i in range(4):
+            vals = []
+            for s in shingles:
+                h = hashlib.md5(s.encode()).hexdigest()
+                h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+                vals.append((h1 + i * h2) % MINHASH_P)
+            exp.append(min(vals))
+        assert got[doc_id] == exp, doc_id
