@@ -97,11 +97,128 @@ def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     return out
 
 
+_HEX = "0123456789abcdef"
+
+
+def sniff_format(content) -> F.Column:
+    """Magic-byte container sniff as a pure binary projection: the
+    first bytes of the blob, hex-compared against the classic
+    signatures.  Codegen-friendly (hex + substring + when-chain), no
+    UDF — run it on 100 TB of blobs before deciding what to decode."""
+    content = F.col(content) if isinstance(content, str) else content
+    head = F.lower(F.hex(F.substring(content, 1, 12)))
+    return (
+        F.when(head.startswith("89504e470d0a1a0a"), F.lit("png"))
+        .when(head.startswith("ffd8ff"), F.lit("jpeg"))
+        .when(head.startswith("474946383761"), F.lit("gif"))
+        .when(head.startswith("474946383961"), F.lit("gif"))
+        .when(
+            head.startswith("52494646") & (F.substring(head, 17, 8) == "57415645"),
+            F.lit("wav"),
+        )
+        .when(head.startswith("52494646"), F.lit("riff"))
+        .when(F.substring(head, 9, 8) == "66747970", F.lit("mp4"))
+        .when(head.startswith("25504446"), F.lit("pdf"))
+        .when(head.startswith("1f8b"), F.lit("gzip"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def _be32(content, offset: int) -> F.Column:
+    """Big-endian uint32 at 1-based byte ``offset`` of a binary column
+    (hex + conv — the declarative header-parse primitive)."""
+    return F.conv(F.hex(F.substring(content, offset, 4)), 16, 10).cast("long")
+
+
+def _le16(content, offset: int) -> F.Column:
+    lo = F.conv(F.hex(F.substring(content, offset, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(content, offset + 1, 1)), 16, 10).cast("long")
+    return lo + hi * 256
+
+
+def header_dims(content) -> F.Column:
+    """(width, height) parsed from the container header — PNG's IHDR
+    big-endian pair at bytes 17..24, GIF's little-endian pair at
+    7..10 — NULLs when the format carries no dims here.  Pure
+    substring/conv projections (the ``sample_frames`` pattern)."""
+    content = F.col(content) if isinstance(content, str) else content
+    fmt = sniff_format(content)
+    return F.struct(
+        F.when(fmt == "png", _be32(content, 17))
+        .when(fmt == "gif", _le16(content, 7))
+        .cast("int")
+        .alias("width"),
+        F.when(fmt == "png", _be32(content, 21))
+        .when(fmt == "gif", _le16(content, 9))
+        .cast("int")
+        .alias("height"),
+    )
+
+
+def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> DataFrame:
+    """The DECLARATIVE feature row — every member a binary Column
+    projection, zero UDFs, whole-stage codegen:
+
+    - ``n_bytes``: octet_length
+    - ``format``: magic-byte sniff (``sniff_format``)
+    - ``width``/``height``: header-parsed dims (``header_dims``)
+    - ``feature``: the deterministic sha256 expansion (one F.sha2 per
+      blob + dim byte decodes) — identical to ``_fake_feature``'s
+      first digest round, hence dim <= 32
+
+    This is the 100 TB default: only a real learned encoder needs the
+    Arrow hatch (``extract_features``), and even then the cheap
+    members should come from THIS path, not ride through Python."""
+    if dim > 32:
+        raise ValueError(
+            "declarative sha256 expansion yields at most 32 bytes; "
+            f"dim={dim} needs the extract_features Arrow path"
+        )
+    from flox_spark.plans import ensure_parallelism
+
+    content = F.col("content")
+    dims = header_dims(content)
+    # the sha2 digest is STAGED in its own select and consumed by ONE
+    # transform-over-sequence: 16 inline copies (a plain array() of
+    # per-byte selects) get re-inlined by CollapseProject and the hash
+    # re-runs per element — observed as 18 sha2 nodes in the plan.
+    # The HOF consumer keeps the staged alias intact (the same
+    # discipline as the shingle pipeline).  ensure_parallelism fans a
+    # single-file scan out to all cores BEFORE the CPU-bound hashing.
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.octet_length(content).cast("long").alias("n_bytes"),
+        sniff_format(content).alias("format"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        F.lower(F.sha2(content, 256)).alias("__hx"),
+    )
+    hx = F.col("__hx")
+    feature = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10) / 128.0 - 1.0
+        ).cast("float"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        feature.alias("feature"),
+    )
+
+
 def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> DataFrame:
     """Feature-extract every blob via an Arrow-batched ``mapInPandas``
     pass — the real plumbing for any per-blob Python/C++ model.  The
     UDF sees pandas batches of (id, content) and yields (id, n_bytes,
-    feature) batches; Spark handles distribution/recovery."""
+    feature) batches; Spark handles distribution/recovery.
+
+    NOTE: for the members that DON'T need a model (byte length,
+    format sniff, header dims, the deterministic fake encoder) use
+    ``media_features`` — a pure projection with no Arrow transfer."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
