@@ -146,7 +146,16 @@ def kmeans_fit(
     base = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
-    base = materialize_shared(base)
+    if driver_loop is None:
+        driver_loop_resolved = k * 4096 <= _DRIVER_LOOP_MAX_VALUES
+    else:
+        driver_loop_resolved = driver_loop
+    if not driver_loop_resolved:
+        # the plan loop references base max_iter+1 times through an
+        # ever-deeper lineage: checkpoint once.  The driver loop skips
+        # this — each of its (few) jobs just re-scans the immutable
+        # source, saving the materialize job entirely
+        base = materialize_shared(base)
 
     # orderBy().limit(k) compiles to TakeOrderedAndProject (distributed
     # partial top-k per partition), NOT a single-task global sort; the
@@ -163,13 +172,12 @@ def kmeans_fit(
         (F.row_number().over(w) - 1).alias("__cid"), F.col("__v").alias("centroid")
     )
 
-    if driver_loop is None:
-        # the vector dim isn't in the schema; size the decision on k
-        # alone with a conservative per-vector dim allowance of 4096 —
-        # any real embedding column passes at sane k (k=256, dim=4096
-        # is still only 8 MB of centroid doubles per iteration)
-        driver_loop = k * 4096 <= _DRIVER_LOOP_MAX_VALUES
-    if driver_loop:
+    # driver_loop default sized on k alone with a conservative
+    # per-vector dim allowance of 4096 (the vector dim isn't in the
+    # schema) — any real embedding column passes at sane k (k=256,
+    # dim=4096 is still only 8 MB of centroid doubles per iteration);
+    # resolved above so the materialize decision could see it
+    if driver_loop_resolved:
         return _kmeans_driver_loop(base, centroids, k, max_iter, tol)
 
     centroids = materialize_shared(centroids)
@@ -242,20 +250,16 @@ def _kmeans_driver_loop(
     drops the per-iteration localCheckpoint job and the broadcast
     build over a checkpoint scan, roughly halving per-iteration
     scheduling; the aggregate itself is the identical plan, so the
-    fitted centroids match the plan loop to float-reduction order."""
+    fitted centroids match the plan loop to float-reduction order.
+
+    The INIT collect is fused into the first iteration's job: one
+    union'd collect returns both the seed centroids (src = -1 rows)
+    and the first mean aggregate (src = 0 rows), where the assignment
+    consumes the seed frame through the packed-centroid broadcast —
+    so a max_iter=1 fit is ONE Spark job end-to-end instead of three
+    (materialize + seed collect + iteration)."""
     spark = base.sparkSession
-    cents: list = [None] * k
-    for r in init_centroids.collect():
-        cents[r["__cid"]] = list(r["centroid"])
-    # fewer than k distinct seed rows (input smaller than k): drop the
-    # unfilled tail, matching the plan loop's behavior of returning
-    # only the seeded clusters
-    cents = [c for c in cents if c is not None]
-    if not cents:
-        # empty input: no seeds were drawn — return the empty centroid
-        # frame without entering the loop (an empty literal array has
-        # no element type and would fail analysis in the fold)
-        return spark.createDataFrame([], schema="__cid int, centroid array<double>")
+    cents: list = []
 
     # AQE re-plans each exchange as its own sub-query — measured
     # ~0.65 s of per-iteration scheduling on a centroid-sized shuffle
@@ -277,27 +281,71 @@ def _kmeans_driver_loop(
     # shuffle partition count just schedules empty tasks per iteration
     old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    dim = len(cents[0])
-    use_literal = k * dim <= _LITERAL_CENTROIDS_MAX_VALUES
+    use_literal = False
     try:
-        for _ in range(max_iter):
-            if use_literal:
-                assigned = base.withColumn("__cents", _literal_centroids(cents))
-            else:
-                packed = spark.createDataFrame(
-                    [([(i, c) for i, c in enumerate(cents)],)], schema=_PACKED_SCHEMA
+        for it in range(max(max_iter, 0)):
+            if it == 0:
+                # fused first job: assignment reads the seed frame via
+                # the packed broadcast; the union carries the seed
+                # values out so empty clusters (and the literal pack
+                # for iteration 2) need no separate init collect
+                assigned = base.crossJoin(_packed_centroids(init_centroids))
+                means = (
+                    assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
+                    .select("__cid", F.posexplode("__v").alias("pos", "x"))
+                    .groupBy("__cid", "pos")
+                    .agg(F.avg("x").alias("m"))
+                    .select(F.lit(0).alias("src"), "__cid", "pos", "m")
                 )
-                assigned = base.crossJoin(F.broadcast(packed))
-            rows = (
-                assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
-                .select("__cid", F.posexplode("__v").alias("pos", "x"))
-                .groupBy("__cid", "pos")
-                .agg(F.avg("x").alias("m"))
-                .collect()
-            )
-            new_cents = [list(c) for c in cents]  # empty clusters keep previous
-            for r in rows:
-                new_cents[r["__cid"]][r["pos"]] = r["m"]
+                seed_rows = init_centroids.select(
+                    F.lit(-1).alias("src"),
+                    "__cid",
+                    F.posexplode("centroid").alias("pos", "m"),
+                )
+                rows = seed_rows.unionAll(means).collect()
+                seed_vals: dict = {}
+                mean_vals: dict = {}
+                for r in rows:
+                    (seed_vals if r["src"] == -1 else mean_vals)[
+                        (r["__cid"], r["pos"])
+                    ] = r["m"]
+                if not seed_vals:
+                    # empty input: no seeds were drawn
+                    return spark.createDataFrame(
+                        [], schema="__cid int, centroid array<double>"
+                    )
+                # fewer than k distinct seed rows (input smaller than
+                # k): only the seeded clusters exist, matching the
+                # plan loop
+                cids = sorted({c for c, _ in seed_vals})
+                cid_ix = {c: i for i, c in enumerate(cids)}
+                dim = max(p for _, p in seed_vals) + 1
+                use_literal = len(cids) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
+                cents = [
+                    [seed_vals[(c, p)] for p in range(dim)] for c in cids
+                ]
+                new_cents = [list(c) for c in cents]
+                for (c, p), m in mean_vals.items():
+                    new_cents[cid_ix[c]][p] = m
+            else:
+                if use_literal:
+                    assigned = base.withColumn("__cents", _literal_centroids(cents))
+                else:
+                    packed = spark.createDataFrame(
+                        [([(i, c) for i, c in enumerate(cents)],)],
+                        schema=_PACKED_SCHEMA,
+                    )
+                    assigned = base.crossJoin(F.broadcast(packed))
+                rows = (
+                    assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
+                    .select("__cid", F.posexplode("__v").alias("pos", "x"))
+                    .groupBy("__cid", "pos")
+                    .agg(F.avg("x").alias("m"))
+                    .collect()
+                )
+                new_cents = [list(c) for c in cents]  # empty keep previous
+                for r in rows:
+                    new_cents[r["__cid"]][r["pos"]] = r["m"]
             if tol is not None:
                 shift = max(
                     (abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)),
@@ -308,6 +356,22 @@ def _kmeans_driver_loop(
                     break
             else:
                 cents = new_cents
+        if max_iter <= 0:
+            # no iterations requested: the init centroids ARE the fit
+            rows = init_centroids.select(
+                "__cid", F.posexplode("centroid").alias("pos", "m")
+            ).collect()
+            if not rows:
+                return spark.createDataFrame(
+                    [], schema="__cid int, centroid array<double>"
+                )
+            by_cid: dict = {}
+            for r in rows:
+                by_cid.setdefault(r["__cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                [vals[p] for p in range(len(vals))]
+                for _, vals in sorted(by_cid.items())
+            ]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
