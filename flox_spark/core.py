@@ -1242,12 +1242,23 @@ def _reindex_expected(
     grid: DataFrame | None = None
     grid_card: float = 1.0  # exact when all expected are declared
     part_sizes: list[int] = []
+    # CartesianProductExec schedules nLeft x nRight tasks: tiny
+    # declared parts arrive from createDataFrame/range sliced across
+    # defaultParallelism, so an unclamped 2-key grid ran 32x32 = 1024
+    # near-empty tasks (observed at sf0.01).  Declared parts are
+    # group-cardinality-sized — collapse each to ONE partition below
+    # this bound; past it (a deliberately huge declared grid) keep the
+    # slices for build parallelism.
+    _GRID_PART_COALESCE_MAX = 1 << 16
     for i, kc in enumerate(key_cols):
         exp = expected_t[i]
         if exp is None:
             # observed cardinality unknown at plan time: contributes no
-            # factor — the heuristic only trips on DECLARED huge grids
+            # factor — the heuristic only trips on DECLARED huge grids.
+            # Left unclamped: a high-cardinality observed grouper needs
+            # its post-shuffle parallelism in the grid build.
             part = result.select(kc).distinct()
+            n_part = None
         elif isbin_t[i]:
             nbins = len(exp) - 1
             part = spark.range(nbins).select(F.col("id").cast("int").alias(kc))
@@ -1255,6 +1266,7 @@ def _reindex_expected(
                 part = part.withColumn(f"__pos{i}", F.col(kc).cast("long"))
                 part_sizes.append(nbins)
             grid_card *= nbins
+            n_part = nbins
         else:
             kdt = result.schema[kc].dataType
             if with_pos:
@@ -1268,6 +1280,9 @@ def _reindex_expected(
                     [(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}"
                 )
             grid_card *= len(exp)
+            n_part = len(exp)
+        if n_part is not None and n_part <= _GRID_PART_COALESCE_MAX:
+            part = part.coalesce(1)
         grid = part if grid is None else grid.crossJoin(part)
     if with_pos:
         pos: Column = F.lit(0)

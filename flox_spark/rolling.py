@@ -58,9 +58,22 @@ _ROLLING_FUNCS = {
     "first": lambda v, w: F.first(v, ignorenulls=True).over(w),
     "last": lambda v, w: F.last(v, ignorenulls=True).over(w),
     # exact windowed median/quantile: the percentile aggregate buffers
-    # only the FRAME's values (bounded by the declared window width),
-    # so the groupby_reduce OOM concern does not apply here
+    # only the FRAME's values (bounded by the declared window width) —
+    # fine for ordinary windows, but window=100k x a hot group is the
+    # same per-evaluation buffering hazard the quantile registry
+    # escaped; pass approx=True past the measured crossover
+    # (SCALE.md: exact stays competitive through ~1k-row frames, the
+    # KLL sketch wins beyond)
     "median": lambda v, w: F.percentile(v, F.lit(0.5)).over(w),
+}
+
+# approx=True swaps the buffering members for their mergeable-sketch
+# twins (bounded memory per frame evaluation regardless of window
+# width) — the 100 TB default for giant windows, mirroring
+# groupby_describe's approx flag
+_ROLLING_FUNCS_APPROX = {
+    **_ROLLING_FUNCS,
+    "median": lambda v, w: F.percentile_approx(v, F.lit(0.5), F.lit(10000)).over(w),
 }
 
 
@@ -71,14 +84,19 @@ def groupby_rolling(
     aggs: dict[str, tuple[str, str]],
     window: int | str,
     min_periods: int = 1,
+    approx: bool = False,
 ) -> DataFrame:
     """Append rolling-aggregate columns to ``df`` (row count preserved
     — a transform, like ``groupby_scan``).
 
     ``aggs``: ``{out_name: (func, value_col)}`` with funcs from
-    count/sum/mean/min/max/var/std/first/last.  ``window``: int row
-    count or fixed-width duration string.  ``min_periods``: windows
-    holding fewer than this many non-missing values yield NULL.
+    count/sum/mean/min/max/var/std/first/last/median.  ``window``: int
+    row count or fixed-width duration string.  ``min_periods``:
+    windows holding fewer than this many non-missing values yield
+    NULL.  ``approx``: swap buffering members (median) for their
+    sketch twins — use for giant windows (the exact percentile
+    buffers each frame's values per evaluation; see SCALE.md's
+    measured crossover).
 
     Ties on the order column: a row-count window takes an arbitrary
     but partition-stable subset of the tied rows (SQL ROWS frame
@@ -121,11 +139,12 @@ def groupby_rolling(
     # projections defeat Catalyst's CollapseWindow), re-sorting the
     # partition once per agg; a single projection puts all same-spec
     # window expressions into one WindowExec
+    funcs = _ROLLING_FUNCS_APPROX if approx else _ROLLING_FUNCS
     new_cols: list[Column] = []
     for out_name, (func, value) in aggs.items():
-        if func not in _ROLLING_FUNCS:
+        if func not in funcs:
             raise ValueError(
-                f"unknown rolling func {func!r}; valid: {sorted(_ROLLING_FUNCS)}"
+                f"unknown rolling func {func!r}; valid: {sorted(funcs)}"
             )
         vdt = df.schema[value].dataType
         v: Column = F.col(value)
@@ -133,7 +152,7 @@ def groupby_rolling(
             # NaN -> NULL so SQL aggregates skip it (nan* semantics,
             # dtypes.to_skip's rule)
             v = F.when(~F.isnan(v), v)
-        expr = _ROLLING_FUNCS[func](v, w)
+        expr = funcs[func](v, w)
         if min_periods > 1:
             present = F.count(v).over(w)
             expr = F.when(present >= F.lit(min_periods), expr)

@@ -49,7 +49,15 @@ def groupby_reduce_weighted(
     ddof_note: None = None,
 ) -> DataFrame:
     """Weighted grouped reduction.  ``func`` may be any of
-    sum/mean/var/std/count or the nan-skipping ``nan*`` variant."""
+    sum/mean/var/std/count or the nan-skipping ``nan*`` variant.
+
+    Precision caveat (the salting module's 2^53 note, mirrored): the
+    value column is routed through DOUBLE (w*v products need fractional
+    arithmetic), so int64 values beyond 2^53 round to the nearest
+    representable double before summing — bit-identical to
+    xarray's ``.weighted().sum()`` (numpy float64 dot) but NOT exact
+    integer arithmetic.  Property-pinned in
+    ``tests/test_weighted.py::test_weighted_sum_past_2_53_matches_numpy_float64``."""
     skipna = func.startswith("nan")
     base = func[3:] if skipna else func
     if base not in _FUNCS:

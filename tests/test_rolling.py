@@ -143,3 +143,36 @@ def test_rolling_median_matches_pandas(spark):
         .reset_index(level=0, drop=True).sort_index().to_numpy()
     )
     assert np.allclose(got, want, equal_nan=True)
+
+
+def test_rolling_median_approx_plan_and_accuracy(spark):
+    # approx=True must (a) swap the exact frame-buffering percentile
+    # for the KLL sketch in the plan — the giant-window OOM guard —
+    # and (b) stay close to the exact result at the default accuracy
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame(
+        {"k": rng.integers(0, 3, n), "t": np.arange(n), "v": rng.normal(size=n)}
+    )
+    df = spark.createDataFrame(pdf)
+    exact = groupby_rolling(
+        df, "k", order_by="t", aggs={"med": ("median", "v")}, window=50
+    )
+    approx = groupby_rolling(
+        df, "k", order_by="t", aggs={"med": ("median", "v")}, window=50, approx=True
+    )
+    plan_a = approx._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in plan_a or "percentile_approx" in plan_a
+    assert "ObjectHashAggregate" not in plan_a
+    plan_e = exact._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" not in plan_e and "percentile_approx" not in plan_e
+    e = {r["t"]: r["med"] for r in exact.collect()}
+    a = {r["t"]: r["med"] for r in approx.collect()}
+    assert set(e) == set(a)
+    # KLL at accuracy=10000 on 50-row frames is exact up to rank
+    # rounding: allow a small quantile-neighborhood tolerance
+    diffs = [abs(e[t] - a[t]) for t in e]
+    # rank rounding can land a frame's sketch on a neighboring order
+    # statistic; on N(0,1) data adjacent ranks in a 50-row frame can
+    # sit ~1 apart at the tails
+    assert np.median(diffs) < 0.1 and max(diffs) < 2.0

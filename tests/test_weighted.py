@@ -138,3 +138,26 @@ def test_weighted_var_offset_stability(spark, offset, base):
         if base == "std":
             want = math.sqrt(want)
         assert got[g] == pytest.approx(want, rel=1e-9), (base, offset, g)
+
+
+def test_weighted_sum_past_2_53_matches_numpy_float64(spark):
+    # int64 values beyond 2^53 round through double (weights force
+    # fractional arithmetic) — the result must equal numpy's float64
+    # dot product (the xarray .weighted().sum() reference behavior),
+    # NOT exact integer arithmetic.  Pins the documented caveat.
+    big = (1 << 53) + 1  # not representable as double
+    vals = np.array([big, big, 7], dtype=np.int64)
+    wts = np.array([1.0, 0.5, 2.0])
+    pdf = pd.DataFrame({"k": [0, 0, 0], "v": vals, "w": wts})
+    out = groupby_reduce_weighted(
+        spark.createDataFrame(pdf), "k", func="sum", value="v", weights="w"
+    ).collect()
+    expected = float(np.dot(vals.astype(np.float64), wts))
+    assert out[0]["sum"] == expected
+    # and the rounding is real: float64(2^53+1) == 2^53, so the dot
+    # understates the exact rational sum by exactly 1.5 here
+    from fractions import Fraction
+
+    exact = Fraction(big) * 1 + Fraction(big) * Fraction(1, 2) + 7 * 2
+    assert Fraction(expected) != exact
+    assert float(exact - Fraction(expected)) == 1.5
