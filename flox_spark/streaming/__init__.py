@@ -2,7 +2,9 @@ from flox_spark.streaming.stream import (
     groupby_reduce_stream,
     groupby_reduce_stream_salted,
     groupby_corr_stream,
+    groupby_describe_stream,
     groupby_entropy_stream,
+    outlier_fences_stream,
     groupby_session_stream,
     stream_dedup_against,
     stream_dedup_exact,
@@ -16,7 +18,9 @@ __all__ = [
     "groupby_reduce_stream",
     "groupby_reduce_stream_salted",
     "groupby_corr_stream",
+    "groupby_describe_stream",
     "groupby_entropy_stream",
+    "outlier_fences_stream",
     "groupby_session_stream",
     "stream_dedup_against",
     "stream_dedup_exact",

@@ -358,3 +358,154 @@ def groupby_entropy_stream(
         *by,
         out,
     )
+
+
+def groupby_describe_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    percentiles: tuple = (0.25, 0.5, 0.75),
+    ddof: int = 1,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Windowed per-group ``describe`` on an event-time stream — the
+    streaming twin of ``flox_spark.groupby_describe(approx=True)``:
+    count / mean / std / min / p<q>... / max per (window, group), the
+    natural monitoring surface for a live ingest pipeline ("what does
+    quality look like per language, hour by hour?").
+
+    Spark-first: every member is a natively MERGEABLE aggregate —
+    count/avg/stddev/min/max are algebraic, and the percentile members
+    use the ``percentile_approx`` KLL sketch (merge-able streaming
+    state, bounded by ``accuracy``) — so windowed state is a handful
+    of moments plus one sketch per (window, group), never value
+    buffering.  Exact percentiles are deliberately NOT offered here:
+    they would buffer every value in state (the same hazard the batch
+    ``approx=`` flag guards), and a drifting stream wants the sketch
+    anyway.  NaN values are skipped (nan* policy); labels reuse the
+    batch operator's collision-free scheme."""
+    from flox_spark.dtypes import is_float_type, is_missing
+
+    vdt = df.schema[value].dataType
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.col(value)
+    if is_float_type(vdt):
+        v = F.when(~F.isnan(v), v)
+
+    aggs = [
+        F.count(v).alias("count"),
+        F.avg(v).alias("mean"),
+        (F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)).alias("std"),
+        F.min(v).alias("min"),
+    ]
+    if ddof not in (0, 1):
+        raise ValueError("streaming describe supports ddof 0 or 1")
+    seen: set = set()
+    for q in percentiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"percentile {q} outside [0, 1]")
+        pct = q * 100
+        if float(pct).is_integer():
+            label = f"p{int(pct):02d}"
+        else:
+            label = "p" + f"{pct:.10g}".replace(".", "_")
+        if label in seen:
+            raise ValueError(f"duplicate percentile label {label!r} (q={q})")
+        seen.add(label)
+        aggs.append(
+            F.percentile_approx(v, F.lit(float(q)), F.lit(accuracy)).alias(label)
+        )
+    aggs.append(F.max(v).alias("max"))
+
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(*aggs)
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        *[a for a in res.columns if a not in ("__w", *by)],
+    )
+
+
+def outlier_fences_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    method: str = "zscore",
+    threshold: float | None = None,
+    ddof: int = 0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Windowed per-group outlier FENCES on an event-time stream — the
+    monitoring twin of ``flox_spark.flag_outliers``: one row per
+    closed (window, group) with the acceptance interval [lo, hi]
+    (zscore: mean +- t*std; iqr: Tukey fences from the approx
+    quartiles).
+
+    Per-ROW streaming flags are deliberately not computed here: they
+    would need each row to wait for its own window's statistics (a
+    stream-stream join on the unfinished window).  The scalable
+    pattern is this fences stream + a stream-static (or next-window)
+    join: flag row r against the LAST CLOSED window's fences — the
+    standard production monitor, one stateless join, no added state."""
+    if method not in ("zscore", "iqr"):
+        raise ValueError(f"unknown method {method!r}")
+    thr = threshold if threshold is not None else (3.0 if method == "zscore" else 1.5)
+    from flox_spark.dtypes import is_float_type, is_missing
+
+    vdt = df.schema[value].dataType
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.col(value)
+    if is_float_type(vdt):
+        v = F.when(~F.isnan(v), v)
+
+    if method == "zscore":
+        mu = F.avg(v)
+        sd = F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)
+        lo = (mu - F.lit(float(thr)) * sd).alias("lo")
+        hi = (mu + F.lit(float(thr)) * sd).alias("hi")
+    else:
+        q1 = F.percentile_approx(v, F.lit(0.25), F.lit(accuracy))
+        q3 = F.percentile_approx(v, F.lit(0.75), F.lit(accuracy))
+        iqr = q3 - q1
+        lo = (q1 - F.lit(float(thr)) * iqr).alias("lo")
+        hi = (q3 + F.lit(float(thr)) * iqr).alias("hi")
+
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(lo, hi, F.count(v).alias("n"))
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        "lo",
+        "hi",
+        "n",
+    )

@@ -1,0 +1,131 @@
+"""Streaming windowed describe + outlier fences: equality vs the
+batch operators over the same tumbling windows at watermark close."""
+
+import datetime as dt
+import shutil
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark import flag_outliers, groupby_describe
+from flox_spark.streaming import groupby_describe_stream, outlier_fences_stream
+
+
+def _stream_run(spark, tmp, batches, build):
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+        time.sleep(1.1)
+    schema = spark.read.parquet(f"{tmp}/in/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/*")
+    )
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flox_desc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("SELECT * FROM flox_desc_stream").collect()
+
+
+def _fixture():
+    rng = np.random.default_rng(23)
+    n = 500
+    base = dt.datetime(2024, 5, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n),
+            "ts": [
+                base + dt.timedelta(seconds=int(s))
+                for s in rng.integers(0, 2 * 3600, n)
+            ],
+            "v": rng.normal(size=n) * 5.0 + 1.0,
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    pdf.loc[rng.random(n) < 0.1, "v"] = np.nan
+    flush = pd.DataFrame(
+        {"k": [99], "ts": [base + dt.timedelta(days=2)], "v": [0.0]}
+    )
+    return pdf, [pdf.iloc[:250], pdf.iloc[250:], flush]
+
+
+def test_describe_stream_equals_batch_approx(spark):
+    pdf, batches = _fixture()
+    tmp = tempfile.mkdtemp(prefix="flox_desc_stream_")
+    try:
+        rows = _stream_run(
+            spark, tmp, batches,
+            lambda s: groupby_describe_stream(
+                s, "k", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+            ),
+        )
+        got = {
+            (r["window_start"], r["k"]): r
+            for r in rows
+            if r["k"] != 99
+        }
+        # batch reference (approx=True so the percentile members use
+        # the same KLL sketch at the same default accuracy)
+        bdf = spark.createDataFrame(pdf).withColumn(
+            "w", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        exp = {
+            (r["w"], r["k"]): r
+            for r in groupby_describe(bdf, "w", "k", value="v", approx=True).collect()
+        }
+        assert set(got) == set(exp)
+        for key, er in exp.items():
+            gr = got[key]
+            for c in ("count", "mean", "std", "min", "p25", "p50", "p75", "max"):
+                assert gr[c] == pytest.approx(er[c], rel=1e-9, abs=1e-9), (key, c)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_outlier_fences_stream_match_batch_stats(spark):
+    pdf, batches = _fixture()
+    tmp = tempfile.mkdtemp(prefix="flox_fence_stream_")
+    try:
+        rows = _stream_run(
+            spark, tmp, batches,
+            lambda s: outlier_fences_stream(
+                s, "k", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+                method="zscore", threshold=2.0,
+            ),
+        )
+        got = {(r["window_start"], r["k"]): r for r in rows if r["k"] != 99}
+        # derive expected fences from pandas per (window, group)
+        w = pdf.assign(w=pdf.ts.dt.floor("h"))
+        for (ws, k), grp in w.groupby(["w", "k"]):
+            mu = grp.v.mean()
+            sd = grp.v.std(ddof=0)
+            r = got[(ws.to_pydatetime(), k)]
+            assert r["lo"] == pytest.approx(mu - 2 * sd, rel=1e-9), (ws, k)
+            assert r["hi"] == pytest.approx(mu + 2 * sd, rel=1e-9), (ws, k)
+            assert r["n"] == grp.v.notna().sum()
+        # the fences bound exactly the rows batch flag_outliers flags
+        one = w[(w.w == w.w.min())]
+        bdf = spark.createDataFrame(one)
+        flags = flag_outliers(bdf, "w", "k", value="v", threshold=2.0).collect()
+        for fr in flags:
+            key = (fr["w"].replace(tzinfo=None) if fr["w"].tzinfo else fr["w"], fr["k"])
+            if key not in got or fr["is_outlier"] is None:
+                continue
+            r = got[key]
+            inside = r["lo"] - 1e-9 <= fr["v"] <= r["hi"] + 1e-9
+            assert fr["is_outlier"] == (not inside), (key, fr["v"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
