@@ -171,8 +171,49 @@ def corpus_scaling(spark, quick: bool) -> dict:
     return out
 
 
+def r5_scaling(spark, quick: bool) -> dict:
+    """10x-data wall ratios for the round-5 reworked operators
+    (universal-hash minhash banding, single-fold simhash, declarative
+    media features) — all zero-exchange projections (plus the banding
+    explode), so the ratio should approach data-proportional ~10 only
+    as fixed overhead amortizes."""
+    from flox_spark.operators.dedup import simhash_signatures
+    from flox_spark.operators.multimodal import media_features
+    from flox_spark.streaming import minhash_band_keys
+
+    small_n, big_n = (20_000, 200_000) if quick else (60_000, 600_000)
+
+    def media(d):
+        return d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+
+    cases = {
+        "minhash_bands_xx": lambda d: minhash_band_keys(d),
+        "minhash_bands_md5": lambda d: minhash_band_keys(d, hash_impl="md5"),
+        "simhash_xx": lambda d: simhash_signatures(d),
+        "simhash_md5": lambda d: simhash_signatures(d, hash_impl="md5"),
+        "media_features": lambda d: media_features(media(d)),
+    }
+    out = {}
+    for name, fn in cases.items():
+        t_small = min(force(fn(synth_docs(spark, small_n))) for _ in range(2))
+        t_big = min(force(fn(synth_docs(spark, big_n))) for _ in range(2))
+        out[name] = {
+            "small_s": t_small,
+            "big_s": t_big,
+            "wall_ratio_for_10x_data": round(t_big / max(t_small, 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--r5" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"r5": r5_scaling(spark, quick)}, indent=2))
+        return
     spark = get_spark("bench_scale")
     force(synth_events(spark, 10_000, 10).groupBy("k").count())  # warm
     result = {
