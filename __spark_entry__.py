@@ -543,6 +543,30 @@ def q_media_sniff(s, d):
     )
 
 
+def q_perplexity(s, d):
+    # CCNet-style bigram-LM self-perplexity: add-1-smoothed word
+    # bigram model trained on the corpus itself, exp(-mean log P) per
+    # doc; broadcast count joins, vocab-sized model
+    from flox_spark.operators import doc_perplexity
+
+    out = doc_perplexity(_t(s, d, "documents"))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("ppl", 6).alias("ppl")
+    )
+
+
+def q_perplexity_filter(s, d):
+    # the filtering decision: train on even-id docs (the "clean
+    # reference"), drop odd-id docs the model finds too surprising
+    from flox_spark.operators import perplexity_filter
+
+    docs = _t(s, d, "documents")
+    kept = perplexity_filter(
+        docs, max_ppl=30.0, reference=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return kept.select("doc_id")
+
+
 def q_sessionize(s, d):
     # gap-based session ids: one hash shuffle + streaming window pass
     from flox_spark.operators import sessionize
@@ -940,6 +964,33 @@ def q_asof_join(s, d):
 
 
 # ---- oracle SQL generators for the operator queries -----------------------
+
+
+def _ppl_cte(train_where: str = "") -> str:
+    """Bigram-LM perplexity CTE chain (mirrors operators/lm.py):
+    tokens -> bigram occurrences -> count model over the TRAINING
+    subset (``train_where``) -> per-doc mean log-prob ``sc``."""
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+bg0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+          ELSE [] END) AS p FROM toks),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0 WHERE p.w1 != '' AND p.w2 != ''),
+tbg AS (SELECT * FROM bg {train_where}),
+big AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS V FROM (SELECT w1 AS w FROM tbg UNION ALL SELECT w2 FROM tbg)),
+sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+              avg(ln((coalesce(g.c, 0) + 1.0) / (coalesce(x.c1, 0) + 1.0 * (SELECT V FROM voc)))) AS mlp
+       FROM bg b LEFT JOIN big g USING (w1, w2) LEFT JOIN ctx x USING (w1)
+       GROUP BY b.doc_id)"""
+
+
+_PPL_CTE = _ppl_cte()
+_PPL_FILTER_SQL = _ppl_cte("WHERE doc_id % 2 = 0") + """
+SELECT d.doc_id
+FROM documents d LEFT JOIN sc USING (doc_id)
+WHERE sc.mlp IS NULL OR round(exp(-sc.mlp), 6) <= 30.0"""
 
 _EN_SW = "'the','a','of','and','is','to','in','that','it','for'"
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1477,6 +1528,13 @@ def _operator_oracles() -> dict[str, str]:
                      + strpos('0123456789abcdef', substr(sha256(text), 2*i + 2, 1)) - 1)
                     / 128.0 - 1.0)::DOUBLE AS feat_value
             FROM documents, range(0, 16) t(i)""",
+        # bigram-LM perplexity, re-derived in-SQL with the engine's
+        # exact formula: add-1 smoothing over the joint vocabulary,
+        # ln((c+k)/(c1+k*V)), exp(-mean) per doc
+        "perplexity": _PPL_CTE + """
+SELECT d.doc_id, sc.n_bigrams, round(exp(-sc.mlp), 6) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
+        "perplexity_filter": _PPL_FILTER_SQL,
         # ground truth computed ARITHMETICALLY (header layout sizes +
         # the same width/height formulas the Spark side packs into the
         # synthetic PNG/GIF headers) — a true round-trip check of the
@@ -1771,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_var": q_weighted_var,
         "frame_sample": q_frame_sample,
         "media_sniff": q_media_sniff,
+        "perplexity": q_perplexity,
+        "perplexity_filter": q_perplexity_filter,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bands": q_minhash_bands,
         "minhash_against": q_minhash_against,

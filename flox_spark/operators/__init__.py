@@ -39,6 +39,7 @@ from flox_spark.operators.clean import (
 )
 from flox_spark.operators.funnel import funnel_conversion, funnel_path
 from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
+from flox_spark.operators.lm import doc_perplexity, perplexity_filter, train_bigram_lm
 from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.pipeline import ann_recall, curate_corpus, dedup_documents
 from flox_spark.operators.topk import grouped_topk
@@ -102,6 +103,9 @@ __all__ = [
     "funnel_path",
     "grouped_topk",
     "kmeans_fit",
+    "doc_perplexity",
+    "perplexity_filter",
+    "train_bigram_lm",
     "normalize_whitespace",
     "contamination_report",
     "decontaminate",

@@ -1,0 +1,125 @@
+"""Bigram-LM perplexity: differential against a pure-Python
+re-derivation, NULL policy, model reuse, filter semantics, and the
+broadcast plan shape."""
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flox_spark.operators import doc_perplexity, perplexity_filter, train_bigram_lm
+
+DOCS = {
+    0: "the cat sat on the mat",
+    1: "the dog sat on the log",
+    2: "the cat sat on the mat again and again",
+    3: "zzz qqq xxx yyy www vvv",  # out-of-distribution
+    4: "single",  # one token -> no bigrams
+    5: "",  # empty -> no bigrams
+}
+
+
+def _py_ppl(texts: dict, train_ids=None, k: float = 1.0) -> dict:
+    def bigrams(t):
+        toks = [w for w in t.lower().strip().split() if w != ""]
+        return [
+            (a, b)
+            for a, b in zip(toks, toks[1:])
+            if a != "" and b != ""
+        ]
+
+    train = [i for i in texts if train_ids is None or i in train_ids]
+    tbg = [bg for i in train for bg in bigrams(texts[i])]
+    big = Counter(tbg)
+    ctx = Counter(a for a, _ in tbg)
+    vocab = {w for p in tbg for w in p}
+    V = len(vocab)
+    out = {}
+    for i, t in texts.items():
+        bgs = bigrams(t)
+        if not bgs:
+            out[i] = (None, None)
+            continue
+        lps = [
+            math.log((big.get(p, 0) + k) / (ctx.get(p[0], 0) + k * V)) for p in bgs
+        ]
+        out[i] = (len(bgs), math.exp(-sum(lps) / len(lps)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pdf = pd.DataFrame({"doc_id": list(DOCS), "text": list(DOCS.values())})
+    return spark.createDataFrame(pdf)
+
+
+def test_self_perplexity_matches_python(spark, docs_df):
+    got = {r["doc_id"]: r for r in doc_perplexity(docs_df).collect()}
+    exp = _py_ppl(DOCS)
+    assert set(got) == set(exp)
+    for i, (n, ppl) in exp.items():
+        if n is None:
+            assert got[i]["n_bigrams"] is None and got[i]["ppl"] is None, i
+        else:
+            assert got[i]["n_bigrams"] == n, i
+            assert got[i]["ppl"] == pytest.approx(ppl, rel=1e-12), i
+
+
+def test_reference_model_scores_ood_higher(spark, docs_df):
+    ref = docs_df.filter(F.col("doc_id") <= 2)
+    got = {r["doc_id"]: r["ppl"] for r in doc_perplexity(docs_df, reference=ref).collect()}
+    exp = _py_ppl(DOCS, train_ids={0, 1, 2})
+    for i, (_, ppl) in exp.items():
+        if ppl is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(ppl, rel=1e-12), i
+    # the out-of-distribution doc must look most surprising
+    scored = {i: p for i, p in got.items() if p is not None}
+    assert max(scored, key=scored.get) == 3
+
+
+def test_model_reuse_equals_inline_training(spark, docs_df):
+    ref = docs_df.filter(F.col("doc_id") <= 2)
+    model = train_bigram_lm(ref)
+    a = sorted(map(tuple, doc_perplexity(docs_df, reference=ref).collect()))
+    b = sorted(map(tuple, doc_perplexity(docs_df, model=model).collect()))
+    assert a == b
+
+
+def test_perplexity_filter_keeps_null_and_below(spark, docs_df):
+    ref = docs_df.filter(F.col("doc_id") <= 2)
+    exp = _py_ppl(DOCS, train_ids={0, 1, 2})
+    thr = 6.0  # between the in-distribution ppls (~4-5) and the OOD doc (9.0)
+    expected_keep = {
+        i for i, (_, p) in exp.items() if p is None or round(p, 6) <= thr
+    }
+    kept = {
+        r["doc_id"]
+        for r in perplexity_filter(docs_df, max_ppl=thr, reference=ref).collect()
+    }
+    assert kept == expected_keep
+    assert 4 in kept and 5 in kept  # no-evidence docs never dropped
+    assert 3 not in kept  # the OOD doc is the one filtered
+
+
+def test_smooth_k_validation(spark, docs_df):
+    with pytest.raises(ValueError, match="smooth_k"):
+        doc_perplexity(docs_df, smooth_k=0.0)
+
+
+def test_score_joins_broadcastable(spark, docs_df):
+    # with the hint forced, both count joins must be broadcast hash
+    # joins and the corpus side never sort-merge-shuffles; the default
+    # (no hint) leaves the same decision to AQE's runtime sizes
+    plan = (
+        doc_perplexity(docs_df, broadcast_model=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # bigram + context joins
+    assert "SortMergeJoin" not in plan
