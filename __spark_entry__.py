@@ -567,6 +567,25 @@ def q_perplexity_filter(s, d):
     return kept.select("doc_id")
 
 
+def q_semdedup_pairs(s, d):
+    # SemDeDup: k-means cells (deterministic seed assignment,
+    # max_iter=0 so the oracle can re-derive it) + exact cosine
+    # within cells only — cluster-pruned, never all-pairs
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(s, d, "embeddings")
+    return semantic_dedup_pairs(emb, k=4, threshold=0.4, max_iter=0)
+
+
+def q_semdedup(s, d):
+    # the decision step: connected components over the pair graph,
+    # keep the minimum id per semantic group
+    from flox_spark.operators.similarity import semantic_dedup
+
+    emb = _t(s, d, "embeddings")
+    return semantic_dedup(emb, k=4, threshold=0.4, max_iter=0).select("vec_id")
+
+
 def q_sessionize(s, d):
     # gap-based session ids: one hash shuffle + streaming window pass
     from flox_spark.operators import sessionize
@@ -1397,6 +1416,56 @@ def _lsh_sig_sql(emb: str) -> str:
     return bits
 
 
+def _semdedup_cte() -> str:
+    # mirrors semantic_dedup_pairs(max_iter=0): the kmeans seed draw
+    # and nearest-seed assignment (same CTEs as the kmeans oracle),
+    # then exact cosine WITHIN each cell
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH RECURSIVE sub AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':0')) - 1 AS cid,
+         embedding
+  FROM sub ORDER BY md5(vec_id::VARCHAR || ':0') LIMIT 4
+), scored AS (
+  SELECT e.vec_id, s.cid, e.embedding,
+         list_sum(list_transform(range(0, 64),
+           i -> (e.embedding[i+1]::DOUBLE - s.embedding[i+1]::DOUBLE)
+              * (e.embedding[i+1]::DOUBLE - s.embedding[i+1]::DOUBLE))) AS d
+  FROM sub e, seeds s
+), best AS (
+  SELECT vec_id, cid, embedding FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+  FROM best a JOIN best b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)"""
+
+
+def _semdedup_pairs_oracle() -> str:
+    return (
+        _semdedup_cte()
+        + """
+SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM p WHERE sim >= 0.4"""
+    )
+
+
+def _semdedup_oracle() -> str:
+    return (
+        _semdedup_cte()
+        + """,
+e AS (SELECT id_a AS u, id_b AS v FROM p WHERE sim >= 0.4
+      UNION SELECT id_b, id_a FROM p WHERE sim >= 0.4),
+reach(u, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+drops AS (SELECT u FROM reach GROUP BY u HAVING min(r) != u)
+SELECT vec_id FROM sub WHERE vec_id NOT IN (SELECT u FROM drops)"""
+    )
+
+
 def _neardup_oracle() -> str:
     bands = "\nUNION ALL ".join(
         f"SELECT vec_id, {b} AS band, substr(sig, {b * 4 + 1}, 4) AS bkey FROM sigs" for b in range(4)
@@ -1535,6 +1604,8 @@ def _operator_oracles() -> dict[str, str]:
 SELECT d.doc_id, sc.n_bigrams, round(exp(-sc.mlp), 6) AS ppl
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
         "perplexity_filter": _PPL_FILTER_SQL,
+        "semdedup_pairs": _semdedup_pairs_oracle(),
+        "semdedup": _semdedup_oracle(),
         # ground truth computed ARITHMETICALLY (header layout sizes +
         # the same width/height formulas the Spark side packs into the
         # synthetic PNG/GIF headers) — a true round-trip check of the
@@ -1831,6 +1902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup": q_semdedup,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bands": q_minhash_bands,
         "minhash_against": q_minhash_against,

@@ -40,6 +40,7 @@ from flox_spark.operators.clean import (
 from flox_spark.operators.funnel import funnel_conversion, funnel_path
 from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
 from flox_spark.operators.lm import doc_perplexity, perplexity_filter, train_bigram_lm
+from flox_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
 from flox_spark.operators.packing import pack_sequences
 from flox_spark.operators.pipeline import ann_recall, curate_corpus, dedup_documents
 from flox_spark.operators.topk import grouped_topk
@@ -106,6 +107,8 @@ __all__ = [
     "doc_perplexity",
     "perplexity_filter",
     "train_bigram_lm",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "normalize_whitespace",
     "contamination_report",
     "decontaminate",

@@ -366,3 +366,107 @@ def quantize_embeddings_int8(
         )
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-pruned semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 4,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    max_iter: int = 0,
+    max_cluster: int | None = 10000,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs: k-means cluster the embeddings
+    (coarse quantizer — near-duplicates land in the same cell), then
+    exact-cosine only WITHIN each cluster.  Output (id_a, id_b,
+    cos_sim) with id_a < id_b and cosine >= threshold.
+
+    Scale shape: the pair expansion is cluster-bucketed, never
+    all-pairs — the same pruning idea as IVF search and MinHash
+    banding, and exactly the published SemDeDup recipe (cluster with
+    k-means, deduplicate within cells).  ``max_cluster`` caps
+    degenerate cells before the self-join (the quadratic guard);
+    recall is bounded by the quantizer like any SemDeDup run — raise
+    ``k`` for finer cells or pass trained ``centroids``.
+
+    ``centroids``: reuse a fitted (cid, centroid) frame; otherwise a
+    ``kmeans_fit(max_iter=...)`` model is trained inline
+    (``max_iter=0`` = the deterministic hash-draw seeds, fully
+    oracle-reproducible)."""
+    from flox_spark.operators.dedup import cap_buckets
+    from flox_spark.operators.kmeans import _nearest_cid, _packed_centroids, kmeans_fit
+    from flox_spark.plans.util import materialize_shared
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    )
+    assigned = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(_packed_centroids(cents))
+        .withColumn("__cl", _nearest_cid(vec_col))
+        .select(F.col(id_col), F.col(vec_col), F.col("__cl"))
+    )
+    assigned = cap_buckets(assigned, ["__cl"], max_cluster)
+    # the self-join is a diamond: materialize so assignment (a k*dim
+    # fold per row) runs once, not once per side
+    assigned = materialize_shared(assigned)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (
+        _norm(F.col(f"a.{vec_col}"), dim) * _norm(F.col(f"b.{vec_col}"), dim)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__cl") == F.col("b.__cl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= F.lit(float(threshold)))
+    )
+    out_sim = (
+        F.round(F.col("__sim"), round_to) if round_to is not None else F.col("__sim")
+    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        out_sim.alias("cos_sim"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    max_iter: int = 0,
+    max_cluster: int | None = 10000,
+) -> DataFrame:
+    """SemDeDup decision step: drop all but one representative (the
+    minimum id, via connected components over the pair graph) from
+    every group of semantically near-duplicate embeddings.  Returns
+    the surviving rows of ``df`` unchanged."""
+    from flox_spark.operators.dedup import dedup_clusters
+
+    pairs = semantic_dedup_pairs(
+        df, k, threshold, id_col, vec_col, dim, centroids, max_iter, max_cluster,
+        round_to=None,
+    )
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drops, [id_col], "left_anti")
