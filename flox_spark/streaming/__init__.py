@@ -2,6 +2,7 @@ from flox_spark.streaming.stream import (
     groupby_reduce_stream,
     groupby_reduce_stream_salted,
     groupby_corr_stream,
+    doc_perplexity_stream,
     groupby_describe_stream,
     groupby_entropy_stream,
     outlier_fences_stream,
@@ -18,6 +19,7 @@ __all__ = [
     "groupby_reduce_stream",
     "groupby_reduce_stream_salted",
     "groupby_corr_stream",
+    "doc_perplexity_stream",
     "groupby_describe_stream",
     "groupby_entropy_stream",
     "outlier_fences_stream",

@@ -509,3 +509,71 @@ def outlier_fences_stream(
         "hi",
         "n",
     )
+
+
+def doc_perplexity_stream(
+    df: DataFrame,
+    model,
+    time_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    smooth_k: float = 1.0,
+) -> DataFrame:
+    """Score a document STREAM against a static, pre-trained bigram
+    LM (``operators.lm.train_bigram_lm`` output) — the live twin of
+    ``doc_perplexity`` for "score the crawl as it lands".
+
+    Spark-first shape: bigram explode is stateless, the count lookups
+    are STREAM-STATIC joins (stateless — the model side is a static
+    frame), and the only stateful operator is the per-(window, doc)
+    mean aggregate, closed by the watermark.  Docs without bigrams
+    don't appear (a stream can't left-join against its own absent
+    rows); batch parity for scored docs is exact."""
+    if smooth_k <= 0:
+        raise ValueError(f"smooth_k must be > 0, got {smooth_k}")
+    bigrams, contexts, vocab = model
+    # the batch _doc_bigrams keeps only (id, w1, w2); the stream needs
+    # the event time threaded through for the windowed aggregate, so
+    # the same construction is inlined with time_col carried along
+    toks = df.withWatermark(time_col, watermark).select(
+        F.col(id_col), F.col(time_col), F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.col("__t")[i].alias("w1"), F.col("__t")[i + 1].alias("w2")
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        toks.select(F.col(id_col), F.col(time_col), F.explode(pairs).alias("p"))
+        .select(id_col, time_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    joined = (
+        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(contexts), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    k = F.lit(float(smooth_k))
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + k)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("V"))
+    )
+    win = F.window(F.col(time_col), window)
+    res = joined.groupBy(win.alias("__w"), F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.exp(-F.avg(logp)).alias("ppl"),
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        id_col,
+        "n_bigrams",
+        "ppl",
+    )
