@@ -794,6 +794,30 @@ def q_rank_avg(s, d):
     return out.select("l_orderkey", "l_linenumber", F.col("rank").alias("rnk"))
 
 
+def q_rank_pct(s, d):
+    # pandas GroupBy.rank(pct=True): average-rank divided by the
+    # group's non-missing row count
+    from flox_spark import groupby_rank
+
+    out = groupby_rank(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_extendedprice", pct=True
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("rank", 9).alias("rnk_pct")
+    )
+
+
+def q_value_counts(s, d):
+    # pandas GroupBy.value_counts(normalize=True): per-(group, value)
+    # within-group proportions
+    from flox_spark import groupby_value_counts
+
+    out = groupby_value_counts(
+        _t(s, d, "documents"), "source", value="lang", normalize=True
+    )
+    return out.select("source", "lang", F.round("count", 9).alias("share"))
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -1952,6 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
         "rank_avg": q_rank_avg,
+        "rank_pct": q_rank_pct,
+        "value_counts": q_value_counts,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2206,6 +2232,19 @@ def oracle_sql() -> dict[str, str]:
                          lag(v37) OVER (PARTITION BY user_id ORDER BY event_id)
                          - 1, 6) AS pc
             FROM e""",
+        "rank_pct": """
+            SELECT l_orderkey, l_linenumber,
+                   round((rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                          + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0)
+                         / count(l_extendedprice) OVER (PARTITION BY l_returnflag), 9)
+                     AS rnk_pct
+            FROM lineitem""",
+        "value_counts": """
+            WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+                       WHERE lang IS NOT NULL GROUP BY source, lang)
+            SELECT source, lang,
+                   round(n / (sum(n) OVER (PARTITION BY source)), 9) AS share
+            FROM c""",
         "rank_avg": """
             SELECT l_orderkey, l_linenumber,
                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)

@@ -29,6 +29,7 @@ from flox_spark.stats import (
     flag_outliers,
     groupby_describe,
     groupby_entropy,
+    groupby_value_counts,
     groupby_ntile,
 )
 from flox_spark.transform import groupby_apply, groupby_transform, standardize
@@ -48,6 +49,7 @@ __all__ = [
     "groupby_reduce_salted",
     "groupby_describe",
     "groupby_entropy",
+    "groupby_value_counts",
     "groupby_ntile",
     "fillna_group",
     "flag_outliers",

@@ -34,6 +34,7 @@ def groupby_rank(
     na_option: str = "keep",
     order_by: str | None = None,
     out: str = "rank",
+    pct: bool = False,
 ) -> DataFrame:
     """Add a ``rank`` column: the ``value``'s rank within its group.
 
@@ -42,6 +43,12 @@ def groupby_rank(
     (occurrence order — requires ``order_by`` because tables have no
     intrinsic row order).  ``ascending=False`` ranks the largest
     value 1.  Output is double (pandas returns float64).
+
+    ``pct=True`` divides by the number of RANKED rows in the group
+    (pandas parity: with ``na_option="keep"`` missing rows are
+    unranked and excluded from the divisor; with top/bottom they are
+    ranked and included).  For ``method="dense"`` pandas divides by
+    the number of distinct ranked values, not rows — matched here.
     """
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
@@ -99,4 +106,33 @@ def groupby_rank(
 
     if na_option == "keep":
         expr = F.when(missing, F.lit(None)).otherwise(expr)
-    return df.withColumn(out, expr)
+    if not pct:
+        return df.withColumn(out, expr)
+
+    # pct divisors (pandas parity, probed empirically):
+    #   non-dense: the number of RANKED rows (keep excludes missing,
+    #   top/bottom include them)
+    #   dense: the HIGHEST dense rank assigned to a ranked row (keep:
+    #   distinct non-missing values; top/bottom: distinct values plus
+    #   the missing block).  dense_rank is staged as a column so the
+    #   partition-max composes in the same WindowExec chain (no new
+    #   exchange — both specs partition on the group keys alone).
+    grp = Window.partitionBy(*by)
+    if method == "dense":
+        staged = df.withColumn(out, expr).withColumn(
+            "__dr", F.dense_rank().over(w)
+        )
+        max_all = F.max("__dr").over(grp).cast("double")
+        if na_option == "keep":
+            # missing rows sort last for keep, so the top block is the
+            # missing block whenever one exists — exclude it
+            any_missing = F.max(missing.cast("int")).over(grp).cast("double")
+            denom = max_all - any_missing
+        else:
+            denom = max_all
+        return staged.withColumn(out, F.col(out) / denom).drop("__dr")
+    if na_option == "keep":
+        denom = F.sum((~missing).cast("long")).over(grp).cast("double")
+    else:
+        denom = F.count(F.lit(1)).over(grp).cast("double")
+    return df.withColumn(out, expr / denom)

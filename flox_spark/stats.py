@@ -38,6 +38,7 @@ from flox_spark.dtypes import is_missing
 
 __all__ = [
     "fillna_group",
+    "groupby_value_counts",
     "flag_outliers",
     "groupby_describe",
     "groupby_entropy",
@@ -284,3 +285,41 @@ def groupby_entropy(
     )
     res = counts.groupBy(*by).agg(ent.alias(out))
     return res.orderBy(*by) if sort else res
+
+
+def groupby_value_counts(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    normalize: bool = False,
+    dropna: bool = True,
+    out: str = "count",
+) -> DataFrame:
+    """pandas ``GroupBy.value_counts`` parity: one row per
+    (group, distinct value) with its count — or its within-group
+    proportion (``normalize=True``).  Missing group labels are dropped
+    (flox label rule); ``dropna`` controls whether missing VALUES get
+    their own row (pandas default drops them).
+
+    Plan: one hash aggregate to the (group, value) counts, then the
+    group total as a window over the distinct-value-sized counts frame
+    — the second pass never touches fact-sized data.  No ordering is
+    imposed (relational output); sort by ``count`` descending for the
+    pandas presentation."""
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    vdt = work.schema[value].dataType
+    if dropna:
+        work = work.filter(~is_missing(F.col(value), vdt))
+    else:
+        # NaN and NULL are the same missing value: canonicalize so
+        # they count as ONE row, like pandas' NaN
+        work = work.withColumn(
+            value, F.when(~is_missing(F.col(value), vdt), F.col(value))
+        )
+    counts = work.groupBy(*by, value).agg(F.count(F.lit(1)).alias(out))
+    if not normalize:
+        return counts
+    tot = F.sum(out).over(Window.partitionBy(*[F.col(b) for b in by]))
+    return counts.withColumn(out, (F.col(out) / tot).cast("double"))

@@ -208,3 +208,73 @@ def test_rank_property_vs_pandas(spark):
                     assert np.allclose(got, want, equal_nan=True), (
                         trial, method, asc, na,
                     )
+
+
+@pytest.mark.parametrize("na_option", ["keep", "top", "bottom"])
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+def test_rank_pct_matches_pandas(spark, na_option, method):
+    rng = np.random.default_rng(13)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "rid": range(n),
+            # heavy ties + missing
+            "v": rng.choice([1.0, 2.0, 2.0, 3.0, np.nan], n),
+        }
+    )
+    from flox_spark import groupby_rank
+
+    kw = dict(method=method, na_option=na_option, pct=True)
+    if method == "first":
+        got_df = groupby_rank(
+            spark.createDataFrame(pdf), "k", value="v", order_by="rid", **kw
+        )
+    else:
+        got_df = groupby_rank(spark.createDataFrame(pdf), "k", value="v", **kw)
+    got = {r["rid"]: r["rank"] for r in got_df.collect()}
+    exp = pdf.groupby("k")["v"].rank(**kw)
+    for rid, e in zip(pdf.rid, exp):
+        g = got[rid]
+        if np.isnan(e):
+            assert g is None, (rid, method, na_option)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (rid, method, na_option)
+
+
+def test_value_counts_matches_pandas(spark):
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n),
+            "v": rng.choice(["a", "b", "c", None], n, p=[0.5, 0.3, 0.15, 0.05]),
+        }
+    )
+    from flox_spark import groupby_value_counts
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["k"], r["v"]): r["count"]
+        for r in groupby_value_counts(df, "k", value="v").collect()
+    }
+    exp = pdf.groupby("k")["v"].value_counts()
+    assert got == {(k, v): c for (k, v), c in exp.items()}
+    # normalized
+    gotn = {
+        (r["k"], r["v"]): r["count"]
+        for r in groupby_value_counts(df, "k", value="v", normalize=True).collect()
+    }
+    expn = pdf.groupby("k")["v"].value_counts(normalize=True)
+    for key, p in expn.items():
+        assert gotn[key] == pytest.approx(p, rel=1e-12), key
+    # dropna=False keeps one missing row per group (pandas NaN row)
+    gotna = {
+        (r["k"], r["v"]): r["count"]
+        for r in groupby_value_counts(df, "k", value="v", dropna=False).collect()
+    }
+    expna = pdf.groupby("k")["v"].value_counts(dropna=False)
+    assert gotna == {
+        (k, None if (isinstance(v, float) and np.isnan(v)) or v is None else v): c
+        for (k, v), c in expna.items()
+    }

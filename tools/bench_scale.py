@@ -214,6 +214,23 @@ def main() -> None:
         spark = get_spark("bench_scale")
         print(json.dumps({"r5": r5_scaling(spark, quick)}, indent=2))
         return
+    if "--r5big" in sys.argv:
+        # 100x point: 60k -> 6M synthetic docs, single-shot
+        from flox_spark.operators.dedup import simhash_signatures
+        from flox_spark.streaming import minhash_band_keys
+
+        spark = get_spark("bench_scale")
+        out = {}
+        for name, fn in {
+            "minhash_bands_xx": lambda d: minhash_band_keys(d),
+            "simhash_xx": lambda d: simhash_signatures(d),
+        }.items():
+            t_small = force(fn(synth_docs(spark, 60_000)))
+            t_big = force(fn(synth_docs(spark, 6_000_000)))
+            out[name] = {"60k_s": t_small, "6M_s": t_big,
+                         "wall_ratio_for_100x_data": round(t_big / max(t_small, 1e-9), 2)}
+        print(json.dumps({"r5_100x": out}, indent=2))
+        return
     spark = get_spark("bench_scale")
     force(synth_events(spark, 10_000, 10).groupBy("k").count())  # warm
     result = {
