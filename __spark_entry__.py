@@ -818,6 +818,22 @@ def q_value_counts(s, d):
     return out.select("source", "lang", F.round("count", 9).alias("share"))
 
 
+def q_skew(s, d):
+    # pandas GroupBy.skew parity via anchor-shifted power sums
+    from flox_spark import groupby_skew
+
+    out = groupby_skew(_t(s, d, "lineitem"), "l_returnflag", value="l_quantity")
+    return out.select("l_returnflag", F.round("skew", 9).alias("skew"))
+
+
+def q_kurtosis(s, d):
+    # pandas GroupBy.kurt parity (bias-corrected excess kurtosis)
+    from flox_spark import groupby_kurtosis
+
+    out = groupby_kurtosis(_t(s, d, "lineitem"), "l_returnflag", value="l_quantity")
+    return out.select("l_returnflag", F.round("kurt", 9).alias("kurt"))
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -1977,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_shift": q_scan_shift,
         "rank_avg": q_rank_avg,
         "rank_pct": q_rank_pct,
+        "skew": q_skew,
+        "kurtosis": q_kurtosis,
         "value_counts": q_value_counts,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
@@ -2232,6 +2250,48 @@ def oracle_sql() -> dict[str, str]:
                          lag(v37) OVER (PARTITION BY user_id ORDER BY event_id)
                          - 1, 6) AS pc
             FROM e""",
+        "skew": """
+            WITH a AS (SELECT l_returnflag AS k, l_quantity::DOUBLE AS v,
+                              min(l_quantity::DOUBLE) OVER (PARTITION BY l_returnflag) AS anc
+                       FROM lineitem),
+                 m AS (SELECT k, count(v)::DOUBLE AS n,
+                              sum(v - anc) AS s1, sum((v-anc)*(v-anc)) AS s2,
+                              sum((v-anc)*(v-anc)*(v-anc)) AS s3,
+                              sum((v-anc)*(v-anc)*(v-anc)*(v-anc)) AS s4
+                       FROM a GROUP BY k),
+                 c AS (SELECT k, n, s1/n AS mu,
+                              s2/n - (s1/n)*(s1/n) AS m2,
+                              s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                              s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+                                - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+                       FROM m)
+            SELECT k AS l_returnflag,
+                   CASE WHEN n >= 3 AND m2 > 0 THEN
+                     round((n*n/((n-1)*(n-2))) * (m3*n/n) / pow(m2*n/(n-1), 1.5), 9)
+                   END AS skew
+            FROM c ORDER BY k""",
+        "kurtosis": """
+            WITH a AS (SELECT l_returnflag AS k, l_quantity::DOUBLE AS v,
+                              min(l_quantity::DOUBLE) OVER (PARTITION BY l_returnflag) AS anc
+                       FROM lineitem),
+                 m AS (SELECT k, count(v)::DOUBLE AS n,
+                              sum(v - anc) AS s1, sum((v-anc)*(v-anc)) AS s2,
+                              sum((v-anc)*(v-anc)*(v-anc)) AS s3,
+                              sum((v-anc)*(v-anc)*(v-anc)*(v-anc)) AS s4
+                       FROM a GROUP BY k),
+                 c AS (SELECT k, n, s1/n AS mu,
+                              s2/n - (s1/n)*(s1/n) AS m2,
+                              s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                              s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+                                - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+                       FROM m)
+            SELECT k AS l_returnflag,
+                   CASE WHEN n >= 4 AND m2 > 0 THEN
+                     round(n*(n+1)/((n-1)*(n-2)*(n-3)) * (m4*n)
+                             / ((m2*n/(n-1))*(m2*n/(n-1)))
+                           - 3*(n-1)*(n-1)/((n-2)*(n-3)), 9)
+                   END AS kurt
+            FROM c ORDER BY k""",
         "rank_pct": """
             SELECT l_orderkey, l_linenumber,
                    round((rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)

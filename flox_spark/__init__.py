@@ -29,6 +29,8 @@ from flox_spark.stats import (
     flag_outliers,
     groupby_describe,
     groupby_entropy,
+    groupby_kurtosis,
+    groupby_skew,
     groupby_value_counts,
     groupby_ntile,
 )
@@ -49,6 +51,8 @@ __all__ = [
     "groupby_reduce_salted",
     "groupby_describe",
     "groupby_entropy",
+    "groupby_kurtosis",
+    "groupby_skew",
     "groupby_value_counts",
     "groupby_ntile",
     "fillna_group",

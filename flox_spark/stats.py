@@ -39,6 +39,8 @@ from flox_spark.dtypes import is_missing
 __all__ = [
     "fillna_group",
     "groupby_value_counts",
+    "groupby_skew",
+    "groupby_kurtosis",
     "flag_outliers",
     "groupby_describe",
     "groupby_entropy",
@@ -323,3 +325,86 @@ def groupby_value_counts(
         return counts
     tot = F.sum(out).over(Window.partitionBy(*[F.col(b) for b in by]))
     return counts.withColumn(out, (F.col(out) / tot).cast("double"))
+
+
+def _moment_sums(df: DataFrame, by: tuple, value: str):
+    """(work, n, s1..s4): anchor-shifted power sums per group — the
+    raw ingredients of skew/kurtosis in ONE aggregation pass.  Values
+    are shifted by the group minimum first (same stability trick as
+    weighted var: the anchor window partitions on the group keys, so
+    Catalyst plans one exchange reused by window + aggregate); raw
+    unshifted power sums of large-magnitude data lose all precision
+    in the 3rd/4th powers."""
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.col(value).cast("double")
+    # the cast makes every input double: NaN -> NULL so the sums skip
+    # it (nan* policy), NULL already skips
+    v = F.when(~F.isnan(v), v)
+    anchor = F.min(v).over(Window.partitionBy(*[F.col(b) for b in by]))
+    work = work.withColumn("__sx", v - anchor)
+    s = F.col("__sx")
+    return work, [
+        F.count(s).alias("__n"),
+        F.sum(s).alias("__s1"),
+        F.sum(s * s).alias("__s2"),
+        F.sum(s * s * s).alias("__s3"),
+        F.sum(s * s * s * s).alias("__s4"),
+    ]
+
+
+def groupby_skew(
+    df: DataFrame, *by: str, value: str, out: str = "skew", sort: bool = True
+) -> DataFrame:
+    """Per-group sample skewness — pandas ``GroupBy.skew`` parity
+    (adjusted Fisher-Pearson: ``n/((n-1)(n-2)) * sum((x-mean)^3)/s^3``
+    with the ddof=1 std; NULL for n < 3 or zero variance).  Missing
+    values skipped (nan* policy).  One hash aggregate over
+    anchor-shifted power sums (shift-invariant statistic)."""
+    work, sums = _moment_sums(df, by, value)
+    agg = work.groupBy(*[F.col(b) for b in by]).agg(*sums)
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1") / n
+    # central moments from shifted power sums
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
+    s2 = m2 * n / (n - 1)  # ddof=1 variance
+    skew = (
+        (n * n / ((n - 1) * (n - 2)))
+        * (m3 * n / n)
+        / F.pow(s2, F.lit(1.5))
+    )
+    expr = F.when((F.col("__n") >= 3) & (m2 > 0), skew)
+    res = agg.select(*[F.col(b) for b in by], expr.alias(out))
+    return res.orderBy(*by) if sort else res
+
+
+def groupby_kurtosis(
+    df: DataFrame, *by: str, value: str, out: str = "kurt", sort: bool = True
+) -> DataFrame:
+    """Per-group sample excess kurtosis — pandas ``GroupBy.kurt``
+    parity (bias-corrected:
+    ``n(n+1)/((n-1)(n-2)(n-3)) * sum((x-mean)^4)/s^4
+    - 3(n-1)^2/((n-2)(n-3))``; NULL for n < 4 or zero variance).
+    Missing values skipped.  Same one-pass shifted-moment plan as
+    ``groupby_skew``."""
+    work, sums = _moment_sums(df, by, value)
+    agg = work.groupBy(*[F.col(b) for b in by]).agg(*sums)
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m4 = (
+        F.col("__s4") / n
+        - 4 * mu * F.col("__s3") / n
+        + 6 * mu * mu * F.col("__s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    s2 = m2 * n / (n - 1)
+    kurt = (
+        n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (m4 * n) / (s2 * s2)
+        - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    )
+    expr = F.when((F.col("__n") >= 4) & (m2 > 0), kurt)
+    res = agg.select(*[F.col(b) for b in by], expr.alias(out))
+    return res.orderBy(*by) if sort else res

@@ -359,3 +359,46 @@ def test_sample_mixture_warns_on_absent_declared_source(spark):
     # mixture renormalized over present sources: sole source kept whole
     assert rates == {"a": 1.0}
     assert out.count() == 10
+
+
+def test_skew_kurtosis_match_pandas(spark):
+    rng = np.random.default_rng(19)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            # large offset: catches naive unshifted power-sum loss
+            "v": rng.normal(3.0, 2.0, n) ** 2 + 1e8,
+        }
+    )
+    pdf.loc[rng.random(n) < 0.1, "v"] = np.nan
+    from flox_spark import groupby_kurtosis, groupby_skew
+
+    df = spark.createDataFrame(pdf)
+    gs = {r["k"]: r["skew"] for r in groupby_skew(df, "k", value="v").collect()}
+    gk = {r["k"]: r["kurt"] for r in groupby_kurtosis(df, "k", value="v").collect()}
+    es = pdf.groupby("k")["v"].skew()
+    ek = pdf.groupby("k")["v"].apply(lambda x: x.kurt())
+    for k in gs:
+        assert gs[k] == pytest.approx(es[k], abs=1e-6), k
+        assert gk[k] == pytest.approx(ek[k], abs=1e-6), k
+
+
+def test_skew_kurtosis_degenerate_groups(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["two"] * 2 + ["three"] * 3 + ["const"] * 6,
+            "v": [1.0, 2.0] + [1.0, 2.0, 4.0] + [5.0] * 6,
+        }
+    )
+    from flox_spark import groupby_kurtosis, groupby_skew
+
+    df = spark.createDataFrame(pdf)
+    gs = {r["k"]: r["skew"] for r in groupby_skew(df, "k", value="v").collect()}
+    gk = {r["k"]: r["kurt"] for r in groupby_kurtosis(df, "k", value="v").collect()}
+    assert gs["two"] is None  # n < 3
+    assert gk["three"] is None  # n < 4
+    assert gs["const"] is None and gk["const"] is None  # zero variance
+    assert gs["three"] == pytest.approx(
+        pd.Series([1.0, 2.0, 4.0]).skew(), rel=1e-12
+    )
