@@ -834,6 +834,19 @@ def q_kurtosis(s, d):
     return out.select("l_returnflag", F.round("kurt", 9).alias("kurt"))
 
 
+def q_upsample_ffill(s, d):
+    # per-user regular 6h grid with LOCF carry (xarray/pandas
+    # resample().ffill() analog): group bounds -> exploded sequence
+    # grid -> per-bucket latest obs -> unbounded ignorenulls window
+    from flox_spark import resample_upsample
+
+    out = resample_upsample(
+        _t(s, d, "events"), "user_id", time_col="ts", value="value",
+        freq="6h", method="ffill",
+    )
+    return out.select("user_id", "ts", F.round("value", 6).alias("value"))
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -1996,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew": q_skew,
         "kurtosis": q_kurtosis,
         "value_counts": q_value_counts,
+        "upsample_ffill": q_upsample_ffill,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2292,6 +2306,28 @@ def oracle_sql() -> dict[str, str]:
                            - 3*(n-1)*(n-1)/((n-2)*(n-3)), 9)
                    END AS kurt
             FROM c ORDER BY k""",
+        "upsample_ffill": """
+            WITH o AS (
+              SELECT user_id,
+                     TIMESTAMP '1970-01-01'
+                       + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)) AS bk,
+                     epoch_us(ts) AS us, value::DOUBLE AS v
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+            ), ob AS (
+              SELECT user_id, bk, max(struct_pack(us := us, v := v)) AS lastsv
+              FROM o GROUP BY user_id, bk
+            ), bounds AS (
+              SELECT user_id, min(bk) AS lo, max(bk) AS hi FROM ob GROUP BY user_id
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bk
+              FROM bounds
+            )
+            SELECT g.user_id, g.bk AS ts,
+                   round(last_value(ob.lastsv.v IGNORE NULLS)
+                           OVER (PARTITION BY g.user_id ORDER BY g.bk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+            FROM grid g LEFT JOIN ob ON ob.user_id = g.user_id AND ob.bk = g.bk""",
         "rank_pct": """
             SELECT l_orderkey, l_linenumber,
                    round((rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)

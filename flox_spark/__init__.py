@@ -17,7 +17,12 @@ blockwise rechunk) is ported — Catalyst/AQE plays that role.
 from flox_spark.aggregations import Aggregation, REDUCTIONS, SCANS, Scan, ScanContext, pandas_aggregation
 from flox_spark.core import bin_column, groupby_reduce, groupby_reduce_multi
 from flox_spark.corr import groupby_corr
-from flox_spark.resample import resample_reduce, time_bucket, time_weighted_mean
+from flox_spark.resample import (
+    resample_reduce,
+    resample_upsample,
+    time_bucket,
+    time_weighted_mean,
+)
 from flox_spark.rolling import groupby_rolling
 from flox_spark.scan import groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
@@ -70,6 +75,7 @@ __all__ = [
     "set_options",
     "get_options",
     "resample_reduce",
+    "resample_upsample",
     "time_bucket",
     "Scan",
     "ScanContext",

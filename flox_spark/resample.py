@@ -30,7 +30,7 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_reduce", "time_bucket", "time_weighted_mean"]
+__all__ = ["resample_reduce", "resample_upsample", "time_bucket", "time_weighted_mean"]
 
 # pandas-style aliases -> (kind, seconds-per-unit | trunc-unit)
 _FIXED = {
@@ -162,3 +162,112 @@ def time_weighted_mean(
     keys = df.select(*by).distinct()
     result = keys.join(got, list(by), "left")
     return result.orderBy(*by) if sort else result
+
+
+def resample_upsample(
+    df: DataFrame,
+    *by: str,
+    time_col: str,
+    value: str,
+    freq: str,
+    method: str = "ffill",
+    origin: str = "1970-01-01",
+    out: str | None = None,
+) -> DataFrame:
+    """UPSAMPLE to a regular per-group time grid — the xarray/pandas
+    ``resample(...).ffill() / .bfill() / .interpolate()`` analog for
+    irregular series.  Output: one row per (group, grid timestamp)
+    from the group's first to last bucket inclusive, with the value
+
+    - ``ffill``: last observation at-or-before the grid point (LOCF)
+    - ``bfill``: first observation at-or-after it
+    - ``linear``: time-proportional interpolation between the
+      bracketing observations (exact at observation points; NULL
+      before the first / after the last observation)
+
+    Spark-first plan, no per-group loops:
+
+    1. group bounds: one aggregate -> (min_bucket, max_bucket), a
+       group-cardinality frame
+    2. grid: ``explode(sequence(lo, hi, interval))`` over the bounds
+       frame — grid-sized, generated distributively, never collected
+    3. per-bucket last/first observation: one aggregate of the facts
+       (max/min of a (ts, value) struct — deterministic tie-break:
+       the LATEST row wins ffill, the EARLIEST wins bfill, ties on
+       the timestamp resolved by value to stay partition-stable)
+    4. grid LEFT JOIN observed buckets + an unbounded window
+       last/first(ignorenulls) carry — the scan-family LOCF
+
+    Every stage is bucket- or group-sized except the single fact-side
+    aggregate; the join keys are (group, bucket) so AQE broadcasts
+    the observed side when small.  Fixed-width freqs only (a calendar
+    month is not a fixed interval — same rule as resample_reduce)."""
+    if method not in ("ffill", "bfill", "linear"):
+        raise ValueError(f"method must be ffill|bfill|linear, got {method!r}")
+    kind, step = _parse_freq(freq)
+    if kind != "fixed":
+        raise ValueError(
+            f"upsampling needs a fixed-width freq, got {freq!r} "
+            "(same rule as groupby_rolling time windows)"
+        )
+    out = out or value
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    bucket = time_bucket(F.col(time_col), freq, origin)
+    vdt = work.schema[value].dataType
+    v = F.col(value).cast("double")
+    v = F.when(~F.isnan(v), v)
+    obs_base = work.select(
+        *[F.col(b) for b in by],
+        bucket.alias("__bk"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__us"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    # per-bucket representative observation (latest for ffill/linear's
+    # left side, earliest for bfill/linear's right side)
+    last_s = F.max(F.struct(F.col("__us"), F.col("__v"))).alias("__last")
+    first_s = F.min(F.struct(F.col("__us"), F.col("__v"))).alias("__first")
+    obs = obs_base.groupBy(*[F.col(b) for b in by], F.col("__bk")).agg(
+        last_s, first_s
+    )
+
+    bounds = obs.groupBy(*[F.col(b) for b in by]).agg(
+        F.min("__bk").alias("__lo"), F.max("__bk").alias("__hi")
+    )
+    step_expr = F.expr(f"INTERVAL {step} SECOND")
+    grid = bounds.select(
+        *[F.col(b) for b in by],
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias("__bk"),
+    )
+    g = grid.join(obs, [*by, "__bk"], "left")
+
+    w_prev = (
+        Window.partitionBy(*[F.col(b) for b in by])
+        .orderBy(F.col("__bk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*[F.col(b) for b in by])
+        .orderBy(F.col("__bk"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last(F.col("__last"), ignorenulls=True).over(w_prev)
+    nxt = F.first(F.col("__first"), ignorenulls=True).over(w_next)
+    if method == "ffill":
+        expr = prev["__v"]
+    elif method == "bfill":
+        expr = nxt["__v"]
+    else:
+        gap = (nxt["__us"] - prev["__us"]).cast("double")
+        tpos = (F.unix_micros(F.col("__bk")) - prev["__us"]).cast("double")
+        frac = F.try_divide(tpos, gap)
+        expr = F.when(
+            F.col("__last").isNotNull(), F.col("__last")["__v"]
+        ).otherwise(prev["__v"] + (nxt["__v"] - prev["__v"]) * frac)
+    return g.select(
+        *[F.col(b) for b in by], F.col("__bk").alias(time_col), expr.alias(out)
+    )

@@ -91,3 +91,99 @@ def test_time_bucket_pre_epoch(spark):
     df = spark.createDataFrame(pdf)
     got = df.select(time_bucket(F.col("ts"), "1h").alias("b")).collect()[0]["b"]
     assert got == dt.datetime(1969, 12, 31, 23, 0, 0)
+
+
+def test_upsample_ffill_bfill_match_pandas(spark):
+    # one observation per bucket, exactly on grid points: pandas
+    # asfreq + ffill/bfill is the reference
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for h, v in [(0, 1.0), (6, 2.0), (24, 5.0), (30, 6.0)]:
+            rows.append((k, base + dt.timedelta(hours=h + (0 if k == "a" else 6)), v))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    df = spark.createDataFrame(pdf)
+    from flox_spark import resample_upsample
+
+    for method, pd_op in [("ffill", "ffill"), ("bfill", "bfill")]:
+        got = {
+            (r["k"], r["ts"]): r["v"]
+            for r in resample_upsample(
+                df, "k", time_col="ts", value="v", freq="6h", method=method
+            ).collect()
+        }
+        exp = {}
+        for k, grp in pdf.groupby("k"):
+            ser = grp.set_index("ts")["v"].resample("6h")
+            ser = ser.asfreq().ffill() if pd_op == "ffill" else ser.asfreq().bfill()
+            for t, v in ser.items():
+                exp[(k, t.to_pydatetime())] = v
+        assert got == exp, method
+
+
+def test_upsample_linear_time_proportional(spark):
+    # observations NOT on grid points: interpolation is proportional
+    # to real observation times, exact at observation buckets
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 2,
+            "ts": [base, base + dt.timedelta(hours=24)],
+            "v": [0.0, 24.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    from flox_spark import resample_upsample
+
+    got = {
+        r["ts"]: r["v"]
+        for r in resample_upsample(
+            df, "k", time_col="ts", value="v", freq="6h", method="linear"
+        ).collect()
+    }
+    for h in (0, 6, 12, 18, 24):
+        assert got[base + dt.timedelta(hours=h)] == pytest.approx(float(h)), h
+
+
+def test_upsample_multi_obs_bucket_takes_latest(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 3,
+            "ts": [base, base + dt.timedelta(hours=1), base + dt.timedelta(hours=12)],
+            "v": [1.0, 99.0, 3.0],
+        }
+    )
+    from flox_spark import resample_upsample
+
+    got = {
+        r["ts"]: r["v"]
+        for r in resample_upsample(
+            spark.createDataFrame(pdf), "k", time_col="ts", value="v",
+            freq="6h", method="ffill",
+        ).collect()
+    }
+    # bucket 00:00 holds two obs -> the 01:00 row (latest) wins; the
+    # empty 06:00 bucket carries it forward
+    assert got[base] == 99.0
+    assert got[base + dt.timedelta(hours=6)] == 99.0
+    assert got[base + dt.timedelta(hours=12)] == 3.0
+
+
+def test_upsample_rejects_calendar_freq(spark):
+    import datetime as dt
+
+    pdf = pd.DataFrame({"k": ["a"], "ts": [dt.datetime(2024, 1, 1)], "v": [1.0]})
+    from flox_spark import resample_upsample
+
+    with pytest.raises(ValueError, match="fixed-width"):
+        resample_upsample(
+            spark.createDataFrame(pdf), "k", time_col="ts", value="v",
+            freq="1mo",
+        )
