@@ -847,6 +847,23 @@ def q_upsample_ffill(s, d):
     return out.select("user_id", "ts", F.round("value", 6).alias("value"))
 
 
+def q_label_encode(s, d):
+    # deterministic dense category ids (sort order of the value) +
+    # broadcast encode join
+    from flox_spark.operators import label_encode
+
+    enc, _ = label_encode(_t(s, d, "documents"), "lang")
+    return enc.select("doc_id", "lang", F.col("lang_id").cast("long").alias("lang_id"))
+
+
+def q_frequency_encode(s, d):
+    # replace-with-frequency categorical encoding
+    from flox_spark.operators import frequency_encode
+
+    out = frequency_encode(_t(s, d, "documents"), "source")
+    return out.select("doc_id", "source", F.round("source_freq", 9).alias("source_freq"))
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -2010,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kurtosis": q_kurtosis,
         "value_counts": q_value_counts,
         "upsample_ffill": q_upsample_ffill,
+        "label_encode": q_label_encode,
+        "frequency_encode": q_frequency_encode,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2328,6 +2347,17 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY g.user_id ORDER BY g.bk
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
             FROM grid g LEFT JOIN ob ON ob.user_id = g.user_id AND ob.bk = g.bk""",
+        "label_encode": """
+            WITH m AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lang_id
+                       FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL))
+            SELECT d.doc_id, d.lang, m.lang_id
+            FROM documents d LEFT JOIN m USING (lang)""",
+        "frequency_encode": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       WHERE source IS NOT NULL GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   round(c.n / (SELECT sum(n) FROM c), 9) AS source_freq
+            FROM documents d LEFT JOIN c USING (source)""",
         "rank_pct": """
             SELECT l_orderkey, l_linenumber,
                    round((rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)

@@ -39,6 +39,7 @@ from flox_spark.operators.clean import (
 )
 from flox_spark.operators.funnel import funnel_conversion, funnel_path
 from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
+from flox_spark.operators.encode import frequency_encode, label_encode
 from flox_spark.operators.lm import doc_perplexity, perplexity_filter, train_bigram_lm
 from flox_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
 from flox_spark.operators.packing import pack_sequences
@@ -107,6 +108,8 @@ __all__ = [
     "doc_perplexity",
     "perplexity_filter",
     "train_bigram_lm",
+    "frequency_encode",
+    "label_encode",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "normalize_whitespace",
