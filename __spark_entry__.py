@@ -864,6 +864,18 @@ def q_frequency_encode(s, d):
     return out.select("doc_id", "source", F.round("source_freq", 9).alias("source_freq"))
 
 
+def q_ewm_mean(s, d):
+    # pandas GroupBy.ewm parity via the Arrow hatch (sequential
+    # recurrence, not window-expressible -> no SQL oracle; rows-only
+    # driver check + pandas-differential pytest, like pack_sequences)
+    from flox_spark import groupby_ewm
+
+    out = groupby_ewm(
+        _t(s, d, "events"), "user_id", value="value", order_by="ts", span=20
+    )
+    return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -2029,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_ffill": q_upsample_ffill,
         "label_encode": q_label_encode,
         "frequency_encode": q_frequency_encode,
+        "ewm_mean": q_ewm_mean,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,

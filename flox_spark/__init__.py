@@ -24,7 +24,7 @@ from flox_spark.resample import (
     time_weighted_mean,
 )
 from flox_spark.rolling import groupby_rolling
-from flox_spark.scan import groupby_scan
+from flox_spark.scan import groupby_ewm, groupby_scan
 from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
 from flox_spark.pivot import groupby_pivot
@@ -65,6 +65,7 @@ __all__ = [
     "groupby_transform",
     "groupby_apply",
     "standardize",
+    "groupby_ewm",
     "groupby_scan",
     "groupby_scan_blocked",
     "groupby_rolling",

@@ -177,3 +177,66 @@ def groupby_scan(
         raise AssertionError(func)
 
     return df.withColumn(out, expr)
+
+
+def groupby_ewm(
+    df,
+    *by: str,
+    value: str,
+    order_by: str,
+    alpha: float | None = None,
+    halflife: float | None = None,
+    span: float | None = None,
+    func: str = "mean",
+    adjust: bool = True,
+    ignore_na: bool = False,
+    out: str | None = None,
+):
+    """Per-group exponentially weighted mean/std/var — pandas
+    ``GroupBy.ewm`` parity, including ``adjust`` and ``ignore_na``.
+
+    The EWM recurrence (y_t = f(y_{t-1}, x_t)) is inherently
+    sequential per group and NOT window-expressible (a windowed
+    formulation needs w^-t terms that overflow doubles past a few
+    hundred rows), so this is a deliberate ``applyInPandas`` hatch:
+    each group streams through Arrow once and pandas' own ewm kernel
+    runs — bit-identical to pandas by construction.  Same scale
+    caveat as every per-group sequential op (a group must fit one
+    worker's memory; the blocked-scan remedy does not apply to a
+    non-associative recurrence), and the same legitimacy as the
+    packing operator's hatch (SURVEY §2.6).
+
+    Exactly one of ``alpha`` / ``halflife`` / ``span``; ``func``:
+    mean | var | std (pandas ddof=1 ewm variance)."""
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    if sum(x is not None for x in (alpha, halflife, span)) != 1:
+        raise ValueError("pass exactly one of alpha=, halflife=, span=")
+    if func not in ("mean", "var", "std"):
+        raise ValueError(f"func must be mean|var|std, got {func!r}")
+    out = out or f"ewm_{func}"
+    kw = (
+        {"alpha": alpha}
+        if alpha is not None
+        else {"halflife": halflife}
+        if halflife is not None
+        else {"span": span}
+    )
+
+    in_fields = [f for f in df.schema.fields if f.name in (*by, order_by, value)]
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+    schema = ", ".join(schema_parts + [f"`{out}` double"])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        ew = pdf[value].ewm(adjust=adjust, ignore_na=ignore_na, **kw)
+        res = getattr(ew, func)()
+        keep = pdf[[c for c in pdf.columns if c in {*by, order_by, value}]].copy()
+        keep[out] = res.to_numpy()
+        return keep
+
+    from flox_spark.transform import groupby_apply
+
+    return groupby_apply(
+        df.select(*[f.name for f in in_fields]), *by, fn=fn, schema=schema
+    )

@@ -1,0 +1,80 @@
+"""groupby_ewm: pandas-exact differential across parameterizations
+(the applyInPandas hatch is pandas by construction, so the test's job
+is the wiring — ordering, label rule, NaN pass-through, options)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_ewm
+
+
+@pytest.fixture(scope="module")
+def tdata():
+    rng = np.random.default_rng(9)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n).astype("int64"),
+            "t": np.arange(n, dtype="int64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.15, "v"] = np.nan
+    pdf.loc[rng.random(n) < 0.05, "k"] = None
+    return pdf
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+@pytest.mark.parametrize("ignore_na", [True, False])
+def test_ewm_mean_matches_pandas(spark, tdata, adjust, ignore_na):
+    df = spark.createDataFrame(tdata)
+    got = {
+        (r["k"], r["t"]): r["ewm_mean"]
+        for r in groupby_ewm(
+            df, "k", value="v", order_by="t", alpha=0.3,
+            adjust=adjust, ignore_na=ignore_na,
+        ).collect()
+    }
+    work = tdata.dropna(subset=["k"]).sort_values("t")
+    exp = work.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=adjust, ignore_na=ignore_na).mean()
+    )
+    assert len(got) == len(work)
+    for (k, t), e in zip(zip(work.k, work.t), exp):
+        g = got[(k, t)]
+        if np.isnan(e):
+            assert g is None or np.isnan(g), (k, t)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, t)
+
+
+@pytest.mark.parametrize("func", ["var", "std"])
+def test_ewm_var_std_match_pandas(spark, tdata, func):
+    df = spark.createDataFrame(tdata)
+    got = {
+        (r["k"], r["t"]): r[f"ewm_{func}"]
+        for r in groupby_ewm(
+            df, "k", value="v", order_by="t", span=10, func=func
+        ).collect()
+    }
+    work = tdata.dropna(subset=["k"]).sort_values("t")
+    exp = work.groupby("k")["v"].transform(
+        lambda s: getattr(s.ewm(span=10), func)()
+    )
+    for (k, t), e in zip(zip(work.k, work.t), exp):
+        g = got[(k, t)]
+        if np.isnan(e):
+            assert g is None or np.isnan(g), (k, t)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, t)
+
+
+def test_ewm_validates_params(spark, tdata):
+    df = spark.createDataFrame(tdata)
+    with pytest.raises(ValueError, match="exactly one"):
+        groupby_ewm(df, "k", value="v", order_by="t")
+    with pytest.raises(ValueError, match="exactly one"):
+        groupby_ewm(df, "k", value="v", order_by="t", alpha=0.5, span=3)
+    with pytest.raises(ValueError, match="func"):
+        groupby_ewm(df, "k", value="v", order_by="t", alpha=0.5, func="median")
