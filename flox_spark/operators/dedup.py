@@ -166,10 +166,20 @@ def doc_shingles(
             F.col(id_col),
             F.explode(_shingles_from_tokens(F.col("__t"), k)).alias("shingle"),
         ).distinct()
-    return (
-        df.select(F.col(id_col), F.explode(_shingle_expr(F.col(text_col), k, unit)).alias("shingle"))
-        .distinct()
+    # char unit: stage the normalized text too — an inline
+    # lower(trim()) inside the substr lambda re-normalizes the whole
+    # string once per character position (the same trap the word
+    # branch's token staging closes)
+    staged = df.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__c"))
+    t = F.col("__c")
+    n = F.length(t)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - k + 1), lambda i: t.substr(i, F.lit(k))
     )
+    expr = F.when(n >= k, shingles).otherwise(F.array(t))
+    return staged.select(
+        F.col(id_col), F.explode(expr).alias("shingle")
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------
