@@ -876,6 +876,20 @@ def q_ewm_mean(s, d):
     return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
 
 
+def q_winsorize(s, d):
+    # per-group quantile clipping (robust-features step): exact
+    # [p05, p95] fences, broadcast-joined; rounded output
+    from flox_spark import winsorize_group
+
+    out = winsorize_group(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_extendedprice",
+        lower=0.05, upper=0.95, out="v_w",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("v_w", 6).alias("v_w")
+    )
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -2042,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": q_label_encode,
         "frequency_encode": q_frequency_encode,
         "ewm_mean": q_ewm_mean,
+        "winsorize": q_winsorize,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2371,6 +2386,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source,
                    round(c.n / (SELECT sum(n) FROM c), 9) AS source_freq
             FROM documents d LEFT JOIN c USING (source)""",
+        "winsorize": """
+            WITH q AS (SELECT l_returnflag,
+                              quantile_cont(l_extendedprice, 0.05) AS lo,
+                              quantile_cont(l_extendedprice, 0.95) AS hi
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l_orderkey, l_linenumber,
+                   round(least(greatest(l_extendedprice::DOUBLE, lo), hi), 6) AS v_w
+            FROM lineitem JOIN q USING (l_returnflag)""",
         "rank_pct": """
             SELECT l_orderkey, l_linenumber,
                    round((rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)

@@ -37,6 +37,7 @@ from flox_spark.stats import (
     groupby_kurtosis,
     groupby_skew,
     groupby_value_counts,
+    winsorize_group,
     groupby_ntile,
 )
 from flox_spark.transform import groupby_apply, groupby_transform, standardize
@@ -59,6 +60,7 @@ __all__ = [
     "groupby_kurtosis",
     "groupby_skew",
     "groupby_value_counts",
+    "winsorize_group",
     "groupby_ntile",
     "fillna_group",
     "flag_outliers",

@@ -1246,10 +1246,12 @@ def _reindex_expected(
     # declared parts arrive from createDataFrame/range sliced across
     # defaultParallelism, so an unclamped 2-key grid ran 32x32 = 1024
     # near-empty tasks (observed at sf0.01).  Declared parts are
-    # group-cardinality-sized — collapse each to ONE partition below
-    # this bound; past it (a deliberately huge declared grid) keep the
-    # slices for build parallelism.
-    _GRID_PART_COALESCE_MAX = 1 << 16
+    # group-cardinality-sized — collapse each to ONE partition while
+    # the ACCUMULATED grid stays below this bound; past it (a
+    # deliberately huge declared grid — e.g. two 64k-value keys would
+    # otherwise build 4B rows in one task) keep the slices so the
+    # cartesian build stays parallel.
+    _GRID_COALESCE_MAX_CARD = 1 << 20
     for i, kc in enumerate(key_cols):
         exp = expected_t[i]
         if exp is None:
@@ -1281,7 +1283,7 @@ def _reindex_expected(
                 )
             grid_card *= len(exp)
             n_part = len(exp)
-        if n_part is not None and n_part <= _GRID_PART_COALESCE_MAX:
+        if n_part is not None and grid_card <= _GRID_COALESCE_MAX_CARD:
             part = part.coalesce(1)
         grid = part if grid is None else grid.crossJoin(part)
     if with_pos:

@@ -41,6 +41,7 @@ __all__ = [
     "groupby_value_counts",
     "groupby_skew",
     "groupby_kurtosis",
+    "winsorize_group",
     "flag_outliers",
     "groupby_describe",
     "groupby_entropy",
@@ -408,3 +409,48 @@ def groupby_kurtosis(
     expr = F.when((F.col("__n") >= 4) & (m2 > 0), kurt)
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res
+
+
+def winsorize_group(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip each row's value to its OWN group's [q_lower, q_upper]
+    quantile interval (scipy ``winsorize`` / the robust-features
+    pre-processing step).  Missing values pass through untouched; the
+    quantiles are exact (``approx=True`` for the sketch at scale).
+
+    One aggregation pass + broadcast join (the ``groupby_transform``
+    shape) — no fact-side window."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    out = out or value
+    aggs = {
+        "__wlo": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": lower}},
+        "__whi": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": upper}},
+    }
+
+    def _stats():
+        return groupby_reduce_multi(df, *by, aggs=aggs, sort=False)
+
+    if approx:
+        from flox_spark.options import set_options
+
+        with set_options(approx_quantile=True):
+            stats = _stats()
+    else:
+        stats = _stats()
+    joined = df.join(F.broadcast(stats), list(by), "left")
+    v = F.col(value)
+    vd = F.nanvl(v.cast("double"), F.lit(None))
+    clipped = F.least(F.greatest(vd, F.col("__wlo")), F.col("__whi"))
+    expr = F.when(
+        vd.isNotNull() & F.col("__wlo").isNotNull() & F.col("__whi").isNotNull(),
+        clipped,
+    ).otherwise(v.cast("double"))
+    return joined.withColumn(out, expr).drop("__wlo", "__whi")

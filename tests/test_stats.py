@@ -402,3 +402,30 @@ def test_skew_kurtosis_degenerate_groups(spark):
     assert gs["three"] == pytest.approx(
         pd.Series([1.0, 2.0, 4.0]).skew(), rel=1e-12
     )
+
+
+def test_winsorize_matches_numpy(spark, sdata):
+    from flox_spark import winsorize_group
+
+    df = spark.createDataFrame(sdata)
+    got = {
+        r["rid"]: r["v_w"]
+        for r in winsorize_group(
+            df, "k", value="v", lower=0.1, upper=0.9, out="v_w"
+        ).collect()
+    }
+    for k, grp in sdata.groupby("k"):
+        vals = grp.v.dropna()
+        lo, hi = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+        for rid, v in zip(grp.rid, grp.v):
+            if np.isnan(v):
+                assert got[rid] is None or np.isnan(got[rid]), rid
+            else:
+                assert got[rid] == pytest.approx(min(max(v, lo), hi), rel=1e-12), rid
+
+
+def test_winsorize_validates_bounds(spark, sdata):
+    from flox_spark import winsorize_group
+
+    with pytest.raises(ValueError, match="lower"):
+        winsorize_group(spark.createDataFrame(sdata), "k", value="v", lower=0.9, upper=0.1)
