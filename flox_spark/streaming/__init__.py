@@ -5,6 +5,8 @@ from flox_spark.streaming.stream import (
     doc_perplexity_stream,
     groupby_describe_stream,
     groupby_entropy_stream,
+    groupby_kurtosis_stream,
+    groupby_skew_stream,
     outlier_fences_stream,
     groupby_session_stream,
     stream_dedup_against,
@@ -22,6 +24,8 @@ __all__ = [
     "doc_perplexity_stream",
     "groupby_describe_stream",
     "groupby_entropy_stream",
+    "groupby_kurtosis_stream",
+    "groupby_skew_stream",
     "outlier_fences_stream",
     "groupby_session_stream",
     "stream_dedup_against",

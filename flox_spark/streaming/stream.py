@@ -577,3 +577,89 @@ def doc_perplexity_stream(
         "n_bigrams",
         "ppl",
     )
+
+
+def groupby_skew_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    out: str = "skew",
+) -> DataFrame:
+    """Windowed per-group sample skewness (pandas bias-corrected) on
+    an event-time stream — the streaming twin of
+    ``flox_spark.groupby_skew``.
+
+    Spark-first: the population moment aggregates (``skewness`` =
+    m3/m2^1.5) are natively MERGEABLE streaming state; the pandas
+    adjustment ``G1 = g1 * sqrt(n(n-1))/(n-2)`` is a projection on
+    the closed window.  NULL for n < 3 / zero variance (Spark's
+    skewness yields NULL when m2 = 0, matching the batch guard)."""
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.nanvl(F.col(value).cast("double"), F.lit(None))
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(F.skewness(v).alias("__g1"), F.count(v).alias("__n"))
+    )
+    n = F.col("__n").cast("double")
+    g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        F.when(F.col("__n") >= 3, g1).alias(out),
+    )
+
+
+def groupby_kurtosis_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    out: str = "kurt",
+) -> DataFrame:
+    """Windowed per-group excess kurtosis (pandas bias-corrected) —
+    the streaming twin of ``flox_spark.groupby_kurtosis``.  Spark's
+    ``kurtosis`` (population excess g2 = m4/m2^2 - 3) is mergeable
+    state; the pandas adjustment
+    ``G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))`` closes the window."""
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.nanvl(F.col(value).cast("double"), F.lit(None))
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(F.kurtosis(v).alias("__g2"), F.count(v).alias("__n"))
+    )
+    n = F.col("__n").cast("double")
+    g2 = ((n + 1) * F.col("__g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        F.when(F.col("__n") >= 4, g2).alias(out),
+    )

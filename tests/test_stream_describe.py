@@ -129,3 +129,52 @@ def test_outlier_fences_stream_match_batch_stats(spark):
             assert fr["is_outlier"] == (not inside), (key, fr["v"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_skew_kurtosis_stream_equal_batch(spark):
+    pdf, batches = _fixture()
+    from flox_spark import groupby_kurtosis, groupby_skew
+    from flox_spark.streaming import groupby_kurtosis_stream, groupby_skew_stream
+
+    tmp = tempfile.mkdtemp(prefix="flox_sk_stream_")
+    try:
+        rows_s = _stream_run(
+            spark, tmp + "/s", [b.copy() for b in batches],
+            lambda s: groupby_skew_stream(
+                s, "k", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+            ),
+        )
+        rows_k = _stream_run(
+            spark, tmp + "/k", [b.copy() for b in batches],
+            lambda s: groupby_kurtosis_stream(
+                s, "k", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+            ),
+        )
+        got_s = {(r["window_start"], r["k"]): r["skew"] for r in rows_s if r["k"] != 99}
+        got_k = {(r["window_start"], r["k"]): r["kurt"] for r in rows_k if r["k"] != 99}
+        bdf = spark.createDataFrame(pdf).withColumn(
+            "w", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        exp_s = {
+            (r["w"], r["k"]): r["skew"]
+            for r in groupby_skew(bdf, "w", "k", value="v").collect()
+        }
+        exp_k = {
+            (r["w"], r["k"]): r["kurt"]
+            for r in groupby_kurtosis(bdf, "w", "k", value="v").collect()
+        }
+        assert set(got_s) == set(exp_s) and set(got_k) == set(exp_k)
+        for key in exp_s:
+            if exp_s[key] is None:
+                assert got_s[key] is None, key
+            else:
+                assert got_s[key] == pytest.approx(exp_s[key], abs=1e-7), key
+        for key in exp_k:
+            if exp_k[key] is None:
+                assert got_k[key] is None, key
+            else:
+                assert got_k[key] == pytest.approx(exp_k[key], abs=1e-7), key
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
