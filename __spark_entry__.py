@@ -890,6 +890,30 @@ def q_winsorize(s, d):
     )
 
 
+def q_minhash_estimate(s, d):
+    # signature-agreement Jaccard estimate for deterministic
+    # consecutive-id pairs (the cheap verify step between LSH recall
+    # and exact certification)
+    from flox_spark.operators import minhash_jaccard_estimate
+
+    docs = _t(s, d, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    out = minhash_jaccard_estimate(docs, pairs, hash_impl="md5")
+    return out.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q_k_anonymity(s, d):
+    # privacy QA: (lang, source) combinations too small to release
+    from flox_spark.operators import k_anonymity_report
+
+    return k_anonymity_report(_t(s, d, "documents"), ["lang", "source"], k=5)
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -2057,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_encode": q_frequency_encode,
         "ewm_mean": q_ewm_mean,
         "winsorize": q_winsorize,
+        "minhash_estimate": q_minhash_estimate,
+        "k_anonymity": q_k_anonymity,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2386,6 +2412,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source,
                    round(c.n / (SELECT sum(n) FROM c), 9) AS source_freq
             FROM documents d LEFT JOIN c USING (source)""",
+        "minhash_estimate": f"""
+WITH {_SHINGLES_CTE},
+{_minhash_sigs_sql()},
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id % 2 = 0)
+SELECT pr.id_a, pr.id_b,
+       round(({" + ".join(f"(sa.mh{i} = sb.mh{i})::INT" for i in range(16))}) / 16.0, 6) AS jaccard_est
+FROM pr JOIN sigs sa ON sa.doc_id = pr.id_a JOIN sigs sb ON sb.doc_id = pr.id_b""",
+        "k_anonymity": """
+            SELECT lang, source, count(*) AS group_size
+            FROM documents GROUP BY lang, source HAVING count(*) < 5""",
         "winsorize": """
             WITH q AS (SELECT l_returnflag,
                               quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -19,6 +19,7 @@ from flox_spark.operators.dedup import (
     dedup_keep_representatives,
     levenshtein_refine,
     minhash_against,
+    minhash_jaccard_estimate,
     minhash_signatures,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -33,6 +34,7 @@ from flox_spark.operators.clean import (
     contamination_report,
     decontaminate,
     dedup_lines,
+    k_anonymity_report,
     normalize_whitespace,
     redact_pii,
     remove_boilerplate_lines,
@@ -91,6 +93,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_keep_representatives",
+    "minhash_jaccard_estimate",
     "minhash_signatures",
     "minhash_candidates",
     "ngram_jaccard_pairs",
@@ -146,6 +149,7 @@ __all__ = [
     "band_buckets",
     "dedup_against",
     "dedup_lines",
+    "k_anonymity_report",
     "levenshtein_refine",
     "minhash_against",
     "ngram_counts",

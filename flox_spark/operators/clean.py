@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_lines", "normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
+__all__ = ["dedup_lines", "k_anonymity_report", "normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
 
 # portable across Java regex and RE2 (no lookaround)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -310,3 +310,29 @@ def decontaminate(
         corpus, benchmark, id_col, text_col, n, bench_text_col
     ).filter(F.col("n_shared") >= min_shared).select(id_col)
     return corpus.join(hits, id_col, "left_anti")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy QA: the quasi-identifier combinations whose group size
+    is below ``k`` — the rows a k-anonymity release would need to
+    suppress or generalize.  Output: one row per violating combination
+    with its ``group_size`` (NULL components are a combination value
+    like any other: a NULL birth-year still identifies).
+
+    One hash aggregate over the quasi-identifier tuple + a
+    group-cardinality-sized filter — the fact table is touched once.
+    Join the output back (left_semi on the identifiers) to extract the
+    violating ROWS, or left_anti to keep the releasable subset."""
+    if not quasi_identifiers:
+        raise ValueError("need at least one quasi-identifier column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k=1 is vacuous), got {k}")
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

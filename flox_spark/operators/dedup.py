@@ -853,3 +853,52 @@ def levenshtein_refine(
         .filter(F.col("edit_dist") >= F.lit(0))
         .drop("__ta", "__tb")
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    hash_impl: str = "xxhash64",
+    out: str = "jaccard_est",
+) -> DataFrame:
+    """Estimate the Jaccard similarity of candidate pairs from
+    signature agreement: the fraction of equal MinHash slots is an
+    unbiased estimator of J(a, b) — the cheap verification step
+    between LSH recall and exact certification (``levenshtein_refine``
+    / ``ngram_jaccard_pairs`` compute the real thing at higher cost).
+
+    Output: (id_a, id_b, <out>) with the estimate in [0, 1] at
+    granularity 1/num_hashes.  Two broadcast-or-shuffle joins of the
+    pair list against the signature frame; signatures are computed
+    once (row-local, zero exchanges) and shared by both sides via
+    materialization."""
+    from flox_spark.plans.util import materialize_shared
+
+    sigs = materialize_shared(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    eq = None
+    for i in range(num_hashes):
+        e = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        eq = e if eq is None else eq + e
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (eq / F.lit(float(num_hashes))).alias(out),
+        )
+    )

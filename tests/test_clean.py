@@ -264,3 +264,24 @@ def test_quality_filter_rejects_column_collisions(spark):
         _pd.DataFrame([(0, "x", True)], columns=["doc_id", "text", "keep"]))
     with pytest.raises(ValueError, match="already exist"):
         annotate_quality_filter(df)
+
+
+def test_k_anonymity_report(spark):
+    pdf = pd.DataFrame(
+        {
+            "age": [30] * 6 + [40] * 2 + [50],
+            "zip": ["111"] * 6 + ["222"] * 2 + [None],
+        }
+    )
+    from flox_spark.operators import k_anonymity_report
+
+    out = {
+        (r["age"], r["zip"]): r["group_size"]
+        for r in k_anonymity_report(spark.createDataFrame(pdf), ["age", "zip"], k=5).collect()
+    }
+    # the 6-row combo is releasable; the 2-row and the NULL-zip combos violate
+    assert out == {(40, "222"): 2, (50, None): 1}
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        k_anonymity_report(spark.createDataFrame(pdf), [], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_report(spark.createDataFrame(pdf), ["age"], k=1)

@@ -498,3 +498,19 @@ def test_simhash_pairs_rejects_hamming_ge_bands(spark, docs):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_minhash_jaccard_estimate(spark, docs):
+    from flox_spark.operators import minhash_jaccard_estimate
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 0], "id_b": [1, 4]})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_jaccard_estimate(docs, pairs, num_hashes=16).collect()
+    }
+    assert got[(0, 1)] == 1.0  # exact duplicates agree on every slot
+    assert got[(0, 4)] < 0.5  # unrelated docs mostly disagree
+    # estimate granularity is 1/num_hashes
+    assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in got.values())
