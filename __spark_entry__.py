@@ -2386,7 +2386,8 @@ def oracle_sql() -> dict[str, str]:
                        + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)) AS bk,
                      epoch_us(ts) AS us, value::DOUBLE AS v
               FROM events
-              WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+              WHERE user_id IS NOT NULL
+                AND value IS NOT NULL AND NOT isnan(value::DOUBLE)
             ), ob AS (
               SELECT user_id, bk, max(struct_pack(us := us, v := v)) AS lastsv
               FROM o GROUP BY user_id, bk
@@ -2441,7 +2442,8 @@ FROM pr JOIN sigs sa ON sa.doc_id = pr.id_a JOIN sigs sb ON sb.doc_id = pr.id_b"
             FROM lineitem""",
         "value_counts": """
             WITH c AS (SELECT source, lang, count(*) AS n FROM documents
-                       WHERE lang IS NOT NULL GROUP BY source, lang)
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY source, lang)
             SELECT source, lang,
                    round(n / (sum(n) OVER (PARTITION BY source)), 9) AS share
             FROM c""",
