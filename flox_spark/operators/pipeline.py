@@ -139,6 +139,8 @@ def curate_corpus(
     dedup_kw: dict | None = None,
     benchmarks: DataFrame | None = None,
     decontaminate_kw: dict | None = None,
+    max_ppl: float | None = None,
+    perplexity_kw: dict | None = None,
     n_shards: int | None = None,
     seed: str = "0",
 ) -> tuple[DataFrame, DataFrame]:
@@ -153,7 +155,11 @@ def curate_corpus(
        embedding -> ``dedup_documents``; None skips)
     4. benchmark decontamination (``benchmarks`` frame ->
        ``decontaminate``; None skips)
-    5. deterministic shard assignment (``n_shards`` -> ``shard``
+    5. LM perplexity gate (``max_ppl`` threshold ->
+       ``perplexity_filter``; the model trains on the surviving
+       corpus unless ``perplexity_kw`` passes ``reference=``/
+       ``model=``; None skips)
+    6. deterministic shard assignment (``n_shards`` -> ``shard``
        column via ``assign_shards``; None skips)
 
     Returns ``(curated, report)``: the curated frame (original
@@ -186,6 +192,14 @@ def curate_corpus(
             **(decontaminate_kw or {}),
         )
         stages.append(("decontaminate", cur))
+    if max_ppl is not None:
+        from flox_spark.operators.lm import perplexity_filter
+
+        cur = perplexity_filter(
+            cur, max_ppl, id_col=id_col, text_col=text_col,
+            **(perplexity_kw or {}),
+        )
+        stages.append(("perplexity", cur))
     if n_shards is not None:
         cur = assign_shards(cur, n_shards, id_col=id_col, seed=seed)
 

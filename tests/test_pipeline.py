@@ -155,3 +155,33 @@ def test_curate_corpus_stages_and_report(spark):
     assert rep == {"input": 8, "quality": 7, "dedup_against": 6, "dedup": 5, "decontaminate": 4}
     order = [r["stage"] for r in report.collect()]
     assert order == ["input", "quality", "dedup_against", "dedup", "decontaminate"]
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+            ] * 6
+            + ["zz qq xx vv ww uu tt ss rr"] * 2,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    from flox_spark.operators import curate_corpus, doc_perplexity
+
+    # train on the full corpus; the OOD docs score worse — pick a
+    # threshold between the two score groups
+    ppls = sorted(
+        r["ppl"] for r in doc_perplexity(df).collect() if r["ppl"] is not None
+    )
+    thr = (ppls[0] + ppls[-1]) / 2
+    cur, report = curate_corpus(
+        df, quality=None, dedup=None, max_ppl=thr,
+        perplexity_kw={"reference": df},
+    )
+    kept = {r["doc_id"] for r in cur.collect()}
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["input"] == 8
+    assert rep["perplexity"] == len(kept)
+    assert len(kept) < 8 and kept <= set(range(8))
