@@ -914,6 +914,27 @@ def q_k_anonymity(s, d):
     return k_anonymity_report(_t(s, d, "documents"), ["lang", "source"], k=5)
 
 
+def q_fuzzy_join(s, d):
+    # fuzzy string join on 40-char document prefixes: char-2-gram
+    # minhash band recall (md5 oracle path) + exact levenshtein
+    # certification, odd-id side vs even-id side
+    from flox_spark.operators import fuzzy_join
+
+    docs = _t(s, d, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("name")
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("lid"), "name"
+    )
+    right = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("rid"), "name"
+    )
+    return fuzzy_join(
+        left, right, "lid", "name", "rid", "name",
+        max_dist=5, bands=8, shingle_k=2, hash_impl="md5",
+    )
+
+
 def q_pivot_sum(s, d):
     # wide grouped aggregation with DECLARED pivot values (no hidden
     # distinct-collect job)
@@ -2083,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "minhash_estimate": q_minhash_estimate,
         "k_anonymity": q_k_anonymity,
+        "fuzzy_join": q_fuzzy_join,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
@@ -2425,6 +2447,34 @@ FROM pr JOIN sigs sa ON sa.doc_id = pr.id_a JOIN sigs sb ON sb.doc_id = pr.id_b"
         "k_anonymity": """
             SELECT lang, source, count(*) AS group_size
             FROM documents GROUP BY lang, source HAVING count(*) < 5""",
+        "fuzzy_join": """
+            WITH src AS (SELECT doc_id, lower(trim(substr(text, 1, 40))) AS s
+                         FROM documents),
+            csh AS (SELECT doc_id,
+                           unnest(CASE WHEN len(s) >= 2
+                             THEN list_transform(range(1, len(s)), i -> substr(s, i, 2))
+                             ELSE [s] END) AS shingle
+                    FROM src),
+            hp AS (SELECT doc_id,
+                          ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                          ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 FROM csh),
+            sigs AS (SELECT doc_id, min((h1 + 0 * h2) % 4294967311) AS mh0, min((h1 + 1 * h2) % 4294967311) AS mh1, min((h1 + 2 * h2) % 4294967311) AS mh2, min((h1 + 3 * h2) % 4294967311) AS mh3, min((h1 + 4 * h2) % 4294967311) AS mh4, min((h1 + 5 * h2) % 4294967311) AS mh5, min((h1 + 6 * h2) % 4294967311) AS mh6, min((h1 + 7 * h2) % 4294967311) AS mh7, min((h1 + 8 * h2) % 4294967311) AS mh8, min((h1 + 9 * h2) % 4294967311) AS mh9, min((h1 + 10 * h2) % 4294967311) AS mh10, min((h1 + 11 * h2) % 4294967311) AS mh11, min((h1 + 12 * h2) % 4294967311) AS mh12, min((h1 + 13 * h2) % 4294967311) AS mh13, min((h1 + 14 * h2) % 4294967311) AS mh14, min((h1 + 15 * h2) % 4294967311) AS mh15 FROM hp GROUP BY doc_id),
+            bnd AS (SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 1 AS band, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 2 AS band, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 3 AS band, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 4 AS band, md5(mh8::VARCHAR || '|' || mh9::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 5 AS band, md5(mh10::VARCHAR || '|' || mh11::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 6 AS band, md5(mh12::VARCHAR || '|' || mh13::VARCHAR) AS bkey FROM sigs
+UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) AS bkey FROM sigs),
+            cand AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+                     FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+                     WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+            SELECT cand.lid, cand.rid,
+                   levenshtein(sl.s, sr.s)::BIGINT AS edit_dist
+            FROM cand JOIN src sl ON sl.doc_id = cand.lid
+                      JOIN src sr ON sr.doc_id = cand.rid
+            WHERE levenshtein(sl.s, sr.s) <= 5""",
         "winsorize": """
             WITH q AS (SELECT l_returnflag,
                               quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -19,6 +19,7 @@ from flox_spark.operators.dedup import (
     dedup_keep_representatives,
     levenshtein_refine,
     minhash_against,
+    fuzzy_join,
     minhash_jaccard_estimate,
     minhash_signatures,
     minhash_candidates,
@@ -93,6 +94,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_keep_representatives",
+    "fuzzy_join",
     "minhash_jaccard_estimate",
     "minhash_signatures",
     "minhash_candidates",

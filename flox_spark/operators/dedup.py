@@ -259,6 +259,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
     hash_impl: str = "xxhash64",
+    unit: str = "word",
 ) -> DataFrame:
     """Per-document MinHash signature (mh0..mhN longs): for seed i,
     the minimum of (h1 + i*h2) % p over the doc's shingles, where
@@ -275,12 +276,32 @@ def minhash_signatures(
     the O(tokens^2) shingle build and the per-shingle hash run once,
     not once per seed."""
     hp = _minhash_halves(hash_impl)
-    toks = ensure_parallelism(df).select(
-        F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
-    )
-    base = toks.select(
-        F.col(id_col), _shingles_from_tokens(F.col("__t"), shingle_k).alias("__sh")
-    )
+    if unit == "word":
+        toks = ensure_parallelism(df).select(
+            F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
+        )
+        base = toks.select(
+            F.col(id_col),
+            _shingles_from_tokens(F.col("__t"), shingle_k).alias("__sh"),
+        )
+    elif unit == "char":
+        # char k-grams (short strings / no-whitespace scripts): stage
+        # the normalized text, then substr per position
+        staged = ensure_parallelism(df).select(
+            F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__c")
+        )
+        t = F.col("__c")
+        n = F.length(t)
+        sh = F.transform(
+            F.sequence(F.lit(1), n - shingle_k + 1),
+            lambda i: t.substr(i, F.lit(shingle_k)),
+        )
+        base = staged.select(
+            F.col(id_col),
+            F.when(n >= shingle_k, sh).otherwise(F.array(t)).alias("__sh"),
+        )
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     halves = base.select(
         F.col(id_col), F.transform(F.col("__sh"), hp).alias("__hp")
     )
@@ -296,6 +317,7 @@ def band_buckets(
     bands: int = 4,
     shingle_k: int = 3,
     hash_impl: str = "xxhash64",
+    unit: str = "word",
 ) -> DataFrame:
     """(id, band, bkey) LSH bucket rows: the signature split into
     ``bands`` bands of ``num_hashes/bands`` rows, each hashed to one
@@ -307,7 +329,7 @@ def band_buckets(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
         )
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl, unit)
     band_structs = F.array(
         *[
             F.struct(
@@ -900,5 +922,76 @@ def minhash_jaccard_estimate(
             "id_a",
             "id_b",
             (eq / F.lit(float(num_hashes))).alias(out),
+        )
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 2,
+    hash_impl: str = "xxhash64",
+    max_bucket: int | None = 10000,
+    out: str = "edit_dist",
+) -> DataFrame:
+    """Fuzzy string join (entity resolution): pairs of (left, right)
+    rows whose normalized strings are within ``max_dist`` Levenshtein
+    edits.  Output: (left_id, right_id, <out>).
+
+    Spark-first two-tier plan — the relational fuzzy join Spark lacks:
+
+    1. RECALL: char ``shingle_k``-gram MinHash band keys on both
+       sides (the same universal-hash machinery as document dedup,
+       ``unit="char"``), equi-joined on (band, bucket) — candidates
+       are bucket-mates, never a cross join.  Banding recall is
+       probabilistic: strings within a few edits share most char
+       grams, so any band agreeing pairs them; raise ``bands`` (or
+       lower ``shingle_k``) for higher recall on short strings.
+    2. PRECISION: exact ``levenshtein`` (JVM builtin, with the
+       ``max_dist`` threshold argument for early exit) certifies each
+       candidate on the normalized strings.
+
+    ``max_bucket`` caps degenerate buckets (a shared boilerplate
+    token) before the pair expansion, the usual quadratic guard."""
+    lb = band_buckets(
+        left.select(F.col(left_id), F.col(left_col)),
+        left_id, left_col, num_hashes, bands, shingle_k, hash_impl, unit="char",
+    ).select(F.col(left_id).alias("__lid"), "band", "bkey")
+    rb = band_buckets(
+        right.select(F.col(right_id), F.col(right_col)),
+        right_id, right_col, num_hashes, bands, shingle_k, hash_impl, unit="char",
+    ).select(F.col(right_id).alias("__rid"), "band", "bkey")
+    lb = cap_buckets(lb, ["band", "bkey"], max_bucket)
+    rb = cap_buckets(rb, ["band", "bkey"], max_bucket)
+    cand = (
+        lb.join(rb, ["band", "bkey"])
+        .select(F.col("__lid"), F.col("__rid"))
+        .distinct()
+    )
+    ln = left.select(
+        F.col(left_id).alias("__lid"),
+        F.lower(F.trim(F.col(left_col))).alias("__ls"),
+    )
+    rn = right.select(
+        F.col(right_id).alias("__rid"),
+        F.lower(F.trim(F.col(right_col))).alias("__rs"),
+    )
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"), int(max_dist))
+    return (
+        cand.join(ln, "__lid")
+        .join(rn, "__rid")
+        .withColumn("__d", dist)
+        .filter(F.col("__d") >= 0)  # threshold form returns -1 past max_dist
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__d").cast("long").alias(out),
         )
     )

@@ -514,3 +514,55 @@ def test_minhash_jaccard_estimate(spark, docs):
     assert got[(0, 4)] < 0.5  # unrelated docs mostly disagree
     # estimate granularity is 1/num_hashes
     assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in got.values())
+
+
+def test_fuzzy_join_finds_near_matches(spark):
+    from flox_spark.operators import fuzzy_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lid": [1, 2, 3],
+                "name": ["jonathan smith", "maria garcia", "wei zhang"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": [10, 11, 12, 13],
+                "name2": [
+                    "jonathon smith",   # 1 edit from lid=1
+                    "Maria  Garcia",    # trims/case -> 1 edit (double space)
+                    "completely other", # no match
+                    "wei zhang",        # exact
+                ],
+            }
+        )
+    )
+    out = {
+        (r["lid"], r["rid"]): r["edit_dist"]
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name2", max_dist=2, bands=16
+        ).collect()
+    }
+    assert out[(1, 10)] == 1
+    assert out[(3, 13)] == 0
+    assert (2, 11) in out and out[(2, 11)] <= 2
+    assert not any(rid == 12 for (_, rid) in out)
+
+
+def test_fuzzy_join_respects_max_dist(spark):
+    from flox_spark.operators import fuzzy_join
+
+    left = spark.createDataFrame(pd.DataFrame({"lid": [1], "s": ["abcdef"]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": [1, 2], "s2": ["abcdxx", "abcdef"]})
+    )
+    out = {
+        r["rid"]: r["edit_dist"]
+        for r in fuzzy_join(
+            left, right, "lid", "s", "rid", "s2", max_dist=1, bands=16
+        ).collect()
+    }
+    assert out == {2: 0}  # the 2-edit candidate is certified away
