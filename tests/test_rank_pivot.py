@@ -278,3 +278,21 @@ def test_value_counts_matches_pandas(spark):
         (k, None if (isinstance(v, float) and np.isnan(v)) or v is None else v): c
         for (k, v), c in expna.items()
     }
+
+
+def test_value_counts_normalize_dropna_false(spark):
+    pdf = pd.DataFrame(
+        {"k": [0] * 8, "v": ["a", "a", "b", None, None, "a", "c", None]}
+    )
+    from flox_spark import groupby_value_counts
+
+    got = {
+        r["v"]: r["count"]
+        for r in groupby_value_counts(
+            spark.createDataFrame(pdf), "k", value="v", normalize=True, dropna=False
+        ).collect()
+    }
+    exp = pdf.groupby("k")["v"].value_counts(normalize=True, dropna=False)
+    for (_, v), p in exp.items():
+        key = None if (isinstance(v, float) and np.isnan(v)) or v is None else v
+        assert got[key] == pytest.approx(p, rel=1e-12), v

@@ -208,11 +208,66 @@ def r5_scaling(spark, quick: bool) -> dict:
     return out
 
 
+def r5b_scaling(spark, quick: bool) -> dict:
+    """10x-data wall ratios for the round-5 second-wave operators:
+    perplexity (two vocab-sized count joins + per-doc mean), semdedup
+    (k-means cells + in-cell cosine — cost is sum of cell^2, so the
+    ratio approaches 100x only if cells grow linearly; k should scale
+    with data), fuzzy_join (char-gram banding + thresholded
+    levenshtein)."""
+    import numpy as np
+
+    from flox_spark.operators import fuzzy_join
+    from flox_spark.operators.lm import doc_perplexity
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    small_n, big_n = (20_000, 200_000) if quick else (60_000, 600_000)
+
+    def synth_vecs(n, dim=16):
+        comp = [
+            ((F.col("id") * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0)
+            .cast("float")
+            for j in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comp).alias("embedding")
+        )
+
+    out = {}
+    for name, build in {
+        "perplexity_self": lambda n: doc_perplexity(synth_docs(spark, n)),
+        # k scales with sqrt(n): cells stay ~constant-sized, the
+        # documented posture for SemDeDup at growing corpus size
+        "semdedup_pairs": lambda n: semantic_dedup_pairs(
+            synth_vecs(n), k=max(4, int((n / 2000) ** 0.5)), threshold=0.95,
+            dim=16, max_iter=0,
+        ),
+        "fuzzy_join_halves": lambda n: fuzzy_join(
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 1),
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 0),
+            "doc_id", "text", "doc_id", "text", max_dist=3,
+            bands=8, shingle_k=2, max_bucket=2000,
+        ).select(F.col("edit_dist")),
+    }.items():
+        t_small = min(force(build(small_n)) for _ in range(2))
+        t_big = min(force(build(big_n)) for _ in range(2))
+        out[name] = {
+            "small_s": t_small,
+            "big_s": t_big,
+            "wall_ratio_for_10x_data": round(t_big / max(t_small, 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     if "--r5" in sys.argv:
         spark = get_spark("bench_scale")
         print(json.dumps({"r5": r5_scaling(spark, quick)}, indent=2))
+        return
+    if "--r5b" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"r5b": r5b_scaling(spark, quick)}, indent=2))
         return
     if "--r5big" in sys.argv:
         # 100x point: 60k -> 6M synthetic docs, single-shot
