@@ -4,7 +4,7 @@ Beyond the reference's surface (BASELINE.json north star).  Four
 families, all expressed as DataFrame ops over JVM built-ins:
 
 - exact: hash-groupBy on a normalized fingerprint.
-- MinHash + LSH: shingle -> per-seed min-hash -> band -> bucket join.
+- MinHash + LSH: shingle -> universal-hash seeds -> band -> bucket join.
 - n-gram Jaccard: inverted shingle index self-join with a document
   -frequency cutoff (the classic quadratic-blowup guard at scale).
 - SimHash: per-token hash bit votes -> compact hex signature.
@@ -62,9 +62,10 @@ def dedup_exact(
 
 
 def band_key(hash_impl: str, cols: list[Column]) -> Column:
-    """One band's bucket key from its member hash columns: md5 of the
-    joined hex strings (oracle-reproducible) or xxhash64 of the longs
-    cast to string (production).  Single definition shared by the
+    """One band's bucket key from its member minhash columns (longs):
+    md5 of the '|'-joined decimal renderings (oracle-reproducible —
+    DuckDB casts BIGINT to the same decimal string) or one xxhash64
+    over the longs (production).  Single definition shared by the
     batch LSH join and the streaming banding so the two can never
     silently diverge."""
     if hash_impl == "xxhash64":

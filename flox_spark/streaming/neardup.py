@@ -45,19 +45,18 @@ def minhash_band_keys(
     hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Row-local (id, band, bkey) rows — no shuffle, no state; works
-    identically on batch and streaming frames.  Equal to the batch
-    explode->groupBy signature because min() is insensitive to
-    duplicate shingles.  ``hash_impl="xxhash64"`` swaps the md5 hex
-    strings for native 64-bit hashes (same trade as
-    ``operators/dedup.py``: faster, still Spark-deterministic, not
-    oracle-reproducible).
+    identically on batch and streaming frames.  Uses the shared
+    universal-hash minhash construction (``operators/dedup.py``:
+    one base hash per shingle, seeds derived by affine mixes, all
+    mins in one fold); ``hash_impl="md5"`` is the oracle-reproducible
+    path, "xxhash64" (default) the native production hash.
 
-    STAGED projections matter here: the shingle array construction is
-    O(tokens^2) (a slice per position), so it must be aliased in its
-    own select — inlining it into all ``num_hashes`` min-hash
-    expressions (the naive one-select form) re-evaluates it per seed,
-    measured 11x slower at sf0.1.  Catalyst's CollapseProject keeps
-    the alias un-duplicated because the reference is non-cheap."""
+    STAGED projections matter here (the round-2 lesson, re-verified
+    every time it is touched): tokens, shingles, halves and the min
+    fold each live in their OWN select — inlining any of them into
+    the next stage's lambda re-evaluates it per element (the inline
+    tokenizer alone was ~40% of signature cost; an early naive
+    one-select form measured 11x slower at sf0.1)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
