@@ -1,13 +1,10 @@
 """Streaming incremental MinHash near-duplicate detection.
 
-The batch pipeline (``operators/dedup.py``) computes signatures with
-explode -> distinct -> groupBy — three data-sized stages that would
-all be stateful on a stream.  The streaming formulation exploits that
-a document is ONE ROW: the MinHash min over a doc's shingles ignores
-duplicates, so the signature is a row-local array expression
-(``array_min(transform(shingles, ...))``) — completely stateless, and
-provably equal to the batch signature
-(``tests/test_stream_neardup.py::test_rowlocal_equals_batch_buckets``).
+Signatures are row-local array folds (the shared universal-hash
+construction in ``operators/dedup.py`` — a document is one row and
+the per-seed min ignores duplicate shingles), so the signature stage
+is completely stateless on a stream and provably equal to the batch
+path (``tests/test_stream_neardup.py::test_rowlocal_equals_batch_buckets``).
 
 Only the LSH bucket memory is stateful: ``applyInPandasWithState``
 keyed by (band, bucket key) stores exactly one value per bucket — the
@@ -29,7 +26,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
-from flox_spark.operators.dedup import _shingle_expr
 
 __all__ = ["minhash_band_keys", "stream_minhash_neardup"]
 
