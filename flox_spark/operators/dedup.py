@@ -939,7 +939,7 @@ def fuzzy_join(
     bands: int = 8,
     shingle_k: int = 2,
     hash_impl: str = "xxhash64",
-    max_bucket: int | None = 10000,
+    max_bucket: int | None = 1000,
     out: str = "edit_dist",
 ) -> DataFrame:
     """Fuzzy string join (entity resolution): pairs of (left, right)
@@ -960,7 +960,10 @@ def fuzzy_join(
        candidate on the normalized strings.
 
     ``max_bucket`` caps degenerate buckets (a shared boilerplate
-    token) before the pair expansion, the usual quadratic guard."""
+    token) before the pair expansion — note it bounds each SIDE, so a
+    bucket can still emit up to ``max_bucket^2`` candidate pairs;
+    the default (1000) bounds the worst bucket at 1M cheap
+    early-exit levenshtein calls."""
     lb = band_buckets(
         left.select(F.col(left_id), F.col(left_col)),
         left_id, left_col, num_hashes, bands, shingle_k, hash_impl, unit="char",
