@@ -566,3 +566,26 @@ def test_fuzzy_join_respects_max_dist(spark):
         ).collect()
     }
     assert out == {2: 0}  # the 2-edit candidate is certified away
+
+
+def test_fuzzy_join_plan_never_cross_joins(spark):
+    from flox_spark.operators import fuzzy_join
+    from flox_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("name")
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("lid"), "name"
+    )
+    right = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("rid"), "name"
+    )
+    plan = (
+        fuzzy_join(left, right, "lid", "name", "rid", "name", max_dist=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
