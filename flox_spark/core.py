@@ -901,21 +901,28 @@ def _refine_accuracy(work: DataFrame) -> int:
     which is what extends the refine zone into the terabyte range:
     at the 262144 cap and n = 7e10 (a ~1 TB single group), the
     candidates are ~1.6e6 values (~13 MB) and the sketch ~5e6
-    samples (~80 MB) — bounded either way.  Small inputs keep the
-    configured floor (sqrt(6n) < 1e4 until n ~ 1.7e7), so nothing
-    changes at test scale.  Rows are estimated from plan-stats bytes
-    at 16 B/row — only the order of magnitude matters here."""
-    floor = int(OPTIONS["approx_quantile_accuracy"])
+    samples (~80 MB) — bounded either way.  Small inputs drop to a
+    1024 floor: exactness never depends on the bracket accuracy
+    (the sketch only brackets the candidate window), so the user's
+    approx_quantile_accuracy option deliberately does not apply here.
+    Rows are estimated from plan-stats bytes at 16 B/row — only the
+    order of magnitude matters."""
     from flox_spark.plans.util import estimate_size_bytes
 
-    return _refine_accuracy_for_bytes(estimate_size_bytes(work), floor)
+    return _refine_accuracy_for_bytes(estimate_size_bytes(work))
 
 
-def _refine_accuracy_for_bytes(size: int | None, floor: int) -> int:
+def _refine_accuracy_for_bytes(size: int | None, floor: int = 10_000) -> int:
+    # NB the user's approx_quantile_accuracy option deliberately does
+    # NOT floor this: refine is EXACT at any bracket accuracy (the
+    # sketch only brackets the candidate window), so the balanced
+    # sqrt(6n) value applies all the way down to its own 1024 floor —
+    # measured ~20% faster than a 1e4 floor at 600k rows, identical
+    # results.  Unknown plan stats keep the conservative default.
     if size is None:
         return floor
     est_rows = max(1, size // 16)
-    return max(floor, min(int((6 * est_rows) ** 0.5), _REFINE_ACC_MAX))
+    return max(1024, min(int((6 * est_rows) ** 0.5), _REFINE_ACC_MAX))
 
 
 _REFINE_CUTOFF_FLOOR = 1024

@@ -236,17 +236,25 @@ def r5b_scaling(spark, quick: bool) -> dict:
     out = {}
     for name, build in {
         "perplexity_self": lambda n: doc_perplexity(synth_docs(spark, n)),
-        # k scales with sqrt(n): cells stay ~constant-sized, the
-        # documented posture for SemDeDup at growing corpus size
+        # k scales LINEARLY with n so cells stay ~constant-sized
+        # (in-cell cost is quadratic in cell size — the documented
+        # SemDeDup posture: more data means more cells, not bigger
+        # ones)
         "semdedup_pairs": lambda n: semantic_dedup_pairs(
-            synth_vecs(n), k=max(4, int((n / 2000) ** 0.5)), threshold=0.95,
+            synth_vecs(n), k=max(4, n // 250), threshold=0.95,
             dim=16, max_iter=0,
         ),
+        # entity-resolution shape: SHORT name-like strings (40-char
+        # prefixes).  The full word-soup text is a pathological case
+        # for char-2-gram banding (a ~12-char alphabet makes most
+        # signatures collide) — real names are diverse; prefixes are.
         "fuzzy_join_halves": lambda n: fuzzy_join(
-            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 1),
-            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 0),
-            "doc_id", "text", "doc_id", "text", max_dist=3,
-            bands=8, shingle_k=2, max_bucket=2000,
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            "doc_id", "nm", "doc_id", "nm", max_dist=3,
+            bands=8, shingle_k=2, max_bucket=200,
         ).select(F.col("edit_dist")),
     }.items():
         t_small = min(force(build(small_n)) for _ in range(2))
