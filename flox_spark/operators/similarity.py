@@ -411,8 +411,11 @@ def semantic_dedup_pairs(
         if centroids is not None
         else kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
     )
+    # the nearest-cell fold is CPU-bound (k*dim ops/row) while
+    # Catalyst sizes partitions by BYTES — fan the scan out before it
+    # or a byte-small frame runs the whole assignment on one task
     assigned = (
-        df.select(F.col(id_col), F.col(vec_col))
+        ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
         .crossJoin(_packed_centroids(cents))
         .withColumn("__cl", _nearest_cid(vec_col))
         .select(F.col(id_col), F.col(vec_col), F.col("__cl"))
