@@ -109,7 +109,17 @@ def assign_clusters(
     — no k-way row expansion, no groupBy to re-collapse it.  Ties go
     to the lowest cluster id.  Because the plan is a pure projection
     over a stream-static broadcast join, the same call works on a
-    Structured Streaming frame (incremental IVF assignment)."""
+    Structured Streaming frame (incremental IVF assignment).
+
+    Batch frames are fanned out first: the fold is CPU-bound (k*dim
+    ops per row) while Catalyst sizes partitions by BYTES, so a
+    byte-small embedding scan would otherwise run the whole
+    assignment on one task (a streaming frame already shuffles into
+    its sink/stateful operator)."""
+    if not df.isStreaming:
+        from flox_spark.plans import ensure_parallelism
+
+        df = ensure_parallelism(df)
     return (
         df.crossJoin(_packed_centroids(centroids))
         .withColumn(out, _nearest_cid(vec_col))
