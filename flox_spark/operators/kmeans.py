@@ -153,7 +153,11 @@ def kmeans_fit(
     per iteration, the opposite of what the loop optimizes for).
     ``driver_loop``: force the per-iteration centroid-collect loop on
     or off; default picks by k*dim (see module docstring)."""
-    base = df.select(
+    from flox_spark.plans import ensure_parallelism
+
+    # the per-iteration assignment fold is CPU-bound (k*dim ops/row):
+    # fan a byte-small scan out before it (see assign_clusters)
+    base = ensure_parallelism(df).select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
     if driver_loop is None:
