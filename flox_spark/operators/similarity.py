@@ -418,15 +418,37 @@ def semantic_dedup_pairs(
         ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
         .crossJoin(_packed_centroids(cents))
         .withColumn("__cl", _nearest_cid(vec_col))
-        .select(F.col(id_col), F.col(vec_col), F.col("__cl"))
+        # norms precomputed per ROW: computing them inside the pair
+        # expression re-evaluates per PAIR — O(pairs*dim) instead of
+        # O(rows*dim)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cl"),
+            _norm(F.col(vec_col), dim).alias("__nrm"),
+        )
+    )
+    # ORDER MATTERS for parallelism here (all three steps observed
+    # collapsing to one task in other orders):
+    # 1. materialize FIRST — the fold (k*dim ops/row) runs once
+    #    across the scan's partitions and the self-join diamond reads
+    #    the checkpoint; a checkpoint LOSES partitioning metadata, so
+    #    anything pinned before it is forgotten;
+    # 2. repartition(n, __cl) AFTER it — an explicit partition count
+    #    AQE cannot coalesce away (byte-based coalescing would run
+    #    the CPU-bound in-cell pair expansion of a byte-small frame
+    #    on ONE task — observed 60s single-task stages);
+    # 3. the cap window and the self-join both require
+    #    hashpartitioning(__cl) and REUSE that one pinned exchange.
+    spark = df.sparkSession
+    assigned = materialize_shared(assigned)
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism, F.col("__cl")
     )
     assigned = cap_buckets(assigned, ["__cl"], max_cluster)
-    # the self-join is a diamond: materialize so assignment (a k*dim
-    # fold per row) runs once, not once per side
-    assigned = materialize_shared(assigned)
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (
-        _norm(F.col(f"a.{vec_col}"), dim) * _norm(F.col(f"b.{vec_col}"), dim)
+        F.col("a.__nrm") * F.col("b.__nrm")
     )
     pairs = (
         a.join(
