@@ -323,7 +323,10 @@ def test_refine_accuracy_scales_with_input_size():
 
     floor = 10_000
     assert _refine_accuracy_for_bytes(None, floor) == floor  # stats-less
-    assert _refine_accuracy_for_bytes(1 << 20, floor) == floor  # tiny input
+    # tiny inputs drop to the 1024 floor (round 5: exactness never
+    # depends on the bracket accuracy, so the user approx option no
+    # longer holds refine at 1e4 — measured ~20% faster)
+    assert _refine_accuracy_for_bytes(1 << 20, floor) == 1024
     # 64 GB at 16 B/row -> 4e9 rows -> sqrt(2.4e10) ~ 1.5e5
     mid = _refine_accuracy_for_bytes(64 << 30, floor)
     assert 100_000 < mid < _REFINE_ACC_MAX
