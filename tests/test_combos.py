@@ -332,8 +332,10 @@ def test_refine_accuracy_scales_with_input_size():
     assert 100_000 < mid < _REFINE_ACC_MAX
     # 1 TB hits the cap
     assert _refine_accuracy_for_bytes(1 << 40, floor) == _REFINE_ACC_MAX
-    # a huge floor wins over the computed value
-    assert _refine_accuracy_for_bytes(64 << 30, 500_000) == 500_000
+    # the floor parameter only applies to stats-less inputs now (it
+    # is the conservative unknown-size default, not a user override)
+    assert _refine_accuracy_for_bytes(64 << 30, 500_000) == mid
+    assert _refine_accuracy_for_bytes(None, 500_000) == 500_000
 
 
 def test_quantile_refine_adversarial_distributions(spark):
