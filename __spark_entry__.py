@@ -2375,8 +2375,10 @@ def oracle_sql() -> dict[str, str]:
                                 - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
                        FROM m)
             SELECT k AS l_returnflag,
-                   CASE WHEN n >= 3 AND m2 > 0 THEN
-                     round((n*n/((n-1)*(n-2))) * (m3*n/n) / pow(m2*n/(n-1), 1.5), 9)
+                   CASE WHEN n >= 3 THEN
+                     CASE WHEN m2 > 0 THEN
+                       round((n*n/((n-1)*(n-2))) * m3 / pow(m2*n/(n-1), 1.5), 9)
+                     ELSE 0.0 END
                    END AS skew
             FROM c ORDER BY k""",
         "kurtosis": """
@@ -2395,10 +2397,12 @@ def oracle_sql() -> dict[str, str]:
                                 - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
                        FROM m)
             SELECT k AS l_returnflag,
-                   CASE WHEN n >= 4 AND m2 > 0 THEN
-                     round(n*(n+1)/((n-1)*(n-2)*(n-3)) * (m4*n)
-                             / ((m2*n/(n-1))*(m2*n/(n-1)))
-                           - 3*(n-1)*(n-1)/((n-2)*(n-3)), 9)
+                   CASE WHEN n >= 4 THEN
+                     CASE WHEN m2 > 0 THEN
+                       round(n*(n+1)/((n-1)*(n-2)*(n-3)) * (m4*n)
+                               / ((m2*n/(n-1))*(m2*n/(n-1)))
+                             - 3*(n-1)*(n-1)/((n-2)*(n-3)), 9)
+                     ELSE 0.0 END
                    END AS kurt
             FROM c ORDER BY k""",
         "upsample_ffill": """

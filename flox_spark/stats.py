@@ -373,10 +373,15 @@ def groupby_skew(
     s2 = m2 * n / (n - 1)  # ddof=1 variance
     skew = (
         (n * n / ((n - 1) * (n - 2)))
-        * (m3 * n / n)
+        * m3
         / F.pow(s2, F.lit(1.5))
     )
-    expr = F.when((F.col("__n") >= 3) & (m2 > 0), skew)
+    # pandas parity: zero variance with sufficient n is 0.0 (not
+    # NULL/NaN — probed: Series([1,1,1]).skew() == 0.0); only n < 3
+    # is undefined
+    expr = F.when(
+        F.col("__n") >= 3, F.when(m2 > 0, skew).otherwise(F.lit(0.0))
+    )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res
 
@@ -406,7 +411,10 @@ def groupby_kurtosis(
         n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (m4 * n) / (s2 * s2)
         - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
     )
-    expr = F.when((F.col("__n") >= 4) & (m2 > 0), kurt)
+    # pandas parity: zero variance with n >= 4 is 0.0 (probed)
+    expr = F.when(
+        F.col("__n") >= 4, F.when(m2 > 0, kurt).otherwise(F.lit(0.0))
+    )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res
 

@@ -398,7 +398,9 @@ def test_skew_kurtosis_degenerate_groups(spark):
     gk = {r["k"]: r["kurt"] for r in groupby_kurtosis(df, "k", value="v").collect()}
     assert gs["two"] is None  # n < 3
     assert gk["three"] is None  # n < 4
-    assert gs["const"] is None and gk["const"] is None  # zero variance
+    # zero variance with sufficient n is 0.0 (pandas parity — probed:
+    # Series([c]*6).skew() == 0.0), NOT NULL
+    assert gs["const"] == 0.0 and gk["const"] == 0.0
     assert gs["three"] == pytest.approx(
         pd.Series([1.0, 2.0, 4.0]).skew(), rel=1e-12
     )
