@@ -81,3 +81,55 @@ def test_rank_pct_hypothesis(spark, pdf, method, na_option):
             assert g is None, rid
         else:
             assert g == pytest.approx(e, rel=1e-12), (rid, method, na_option)
+
+
+@ex
+@given(frames(), st.booleans(), st.booleans())
+def test_value_counts_hypothesis(spark, pdf, normalize, dropna):
+    from flox_spark import groupby_value_counts
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["k"], r["v"]): r["count"]
+        for r in groupby_value_counts(
+            df, "k", value="v", normalize=normalize, dropna=dropna
+        ).collect()
+    }
+    exp = pdf.groupby("k")["v"].value_counts(normalize=normalize, dropna=dropna)
+    want = {}
+    for (k, v), c in exp.items():
+        key = (k, None if (isinstance(v, float) and math.isnan(v)) else v)
+        want[key] = c
+    assert set(got) == set(want)
+    for key, c in want.items():
+        assert got[key] == pytest.approx(c, rel=1e-12), key
+
+
+@ex
+@given(frames(), st.floats(0.0, 0.4), st.floats(0.6, 1.0))
+def test_winsorize_hypothesis(spark, pdf, lo, hi):
+    from flox_spark import winsorize_group
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["rid"]: r["v_w"]
+        for r in winsorize_group(
+            df, "k", value="v", lower=lo, upper=hi, out="v_w"
+        ).collect()
+    }
+    for k, grp in pdf.groupby("k"):
+        vals = grp.v.dropna()
+        if len(vals) == 0:
+            for rid in grp.rid:
+                g = got[rid]
+                assert g is None or math.isnan(g), rid
+            continue
+        qlo, qhi = np.quantile(vals, lo), np.quantile(vals, hi)
+        for rid, v in zip(grp.rid, grp.v):
+            if math.isnan(v):
+                g = got[rid]
+                assert g is None or math.isnan(g), rid
+            else:
+                assert got[rid] == pytest.approx(
+                    min(max(v, qlo), qhi), rel=1e-9, abs=1e-9
+                ), rid
