@@ -2015,15 +2015,16 @@ def q_scd2(s, d):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
     # 50-query prefix of this dict.  Round-5 window: [1-15] the 15
-    # families never yet landed in a harness window (closing the
-    # union-coverage gap to 123/123), [16] the new media_sniff
-    # round-trip, [17-30] every row whose implementation changed this
-    # round (universal-hash minhash family, single-fold simhash,
-    # staged shingles -> decontaminate/jaccard, mixture clamp,
-    # declarative multimodal, md5-pinned shard_stats, IQR outliers),
-    # [31-50] broad re-verification of the core reduction/scan/corpus
-    # rows.  All pass tools/check_oracle.py at sf0.001/0.01/0.1
-    # regardless of window position.
+    # families never yet in a harness window (closing union coverage),
+    # [16-32] every operator NEW this round (media sniff, perplexity
+    # suite, semdedup, rank pct, value_counts, skew/kurtosis,
+    # upsampling, encoders, winsorize, fuzzy join, minhash estimate,
+    # k-anonymity, EWM rows-only), [33-46] every row whose
+    # implementation changed this round (universal-hash minhash
+    # family, single-fold simhash, staged shingles, mixture clamp,
+    # declarative multimodal, fused kmeans), [47-50] core re-checks.
+    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
+    # of window position.
     return {
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
@@ -2045,6 +2046,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup": q_semdedup,
+        "rank_pct": q_rank_pct,
+        "value_counts": q_value_counts,
+        "skew": q_skew,
+        "kurtosis": q_kurtosis,
+        "upsample_ffill": q_upsample_ffill,
+        "label_encode": q_label_encode,
+        "frequency_encode": q_frequency_encode,
+        "winsorize": q_winsorize,
+        "fuzzy_join": q_fuzzy_join,
+        "minhash_estimate": q_minhash_estimate,
+        "k_anonymity": q_k_anonymity,
+        "ewm_mean": q_ewm_mean,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bands": q_minhash_bands,
         "minhash_against": q_minhash_against,
@@ -2058,13 +2071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "shard_stats": q_shard_stats,
         "flag_outliers": q_flag_outliers,
-        "describe": q_describe,
+        "kmeans": q_kmeans,
         "sum": q_sum,
         "mean": q_mean,
-        "var": q_var,
-        "prod": q_prod,
         "quantile": q_quantile,
         "median": q_median,
+        "describe": q_describe,
+        "var": q_var,
+        "prod": q_prod,
         "multiby_highcard": q_multiby_highcard,
         "highcard_random": q_highcard_random,
         "dayofyear_mean": q_dayofyear_mean,
@@ -2078,7 +2092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_multi": q_q1_multi,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
-        "kmeans": q_kmeans,
         "ntile_buckets": q_ntile,
         "fillna_group": q_fillna_group,
         "entropy": q_entropy,
@@ -2093,18 +2106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
         "rank_avg": q_rank_avg,
-        "rank_pct": q_rank_pct,
-        "skew": q_skew,
-        "kurtosis": q_kurtosis,
-        "value_counts": q_value_counts,
-        "upsample_ffill": q_upsample_ffill,
-        "label_encode": q_label_encode,
-        "frequency_encode": q_frequency_encode,
-        "ewm_mean": q_ewm_mean,
-        "winsorize": q_winsorize,
-        "minhash_estimate": q_minhash_estimate,
-        "k_anonymity": q_k_anonymity,
-        "fuzzy_join": q_fuzzy_join,
         "pivot_sum": q_pivot_sum,
         "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
