@@ -1247,14 +1247,16 @@ def q_chunk_docs(s, d):
 
 def q_embed_pool(s, d):
     # chunk->doc mean pooling over the embeddings table (grouped by a
-    # derived doc key)
+    # derived doc key). The pooled vector is exploded to (grp, pos,
+    # value) rows: the driver's canonicalizer lexsorts result columns
+    # with pandas, which cannot hash raw array cells.
     from flox_spark.operators import average_embeddings
 
     df = _t(s, d, "embeddings").withColumn("grp", F.col("vec_id") % 100)
     out = average_embeddings(df, "grp", dim=64)
     return out.select(
-        "grp", F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias("embedding")
-    )
+        "grp", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("grp", "pos", F.round("v", 6).alias("value"))
 
 
 def q_profile(s, d):
@@ -2933,11 +2935,9 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
                      unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) - 1 AS pos
               FROM embeddings
-            ), m AS (
-              SELECT grp, pos, avg(x::DOUBLE) AS m FROM pts GROUP BY grp, pos
             )
-            SELECT grp, list(round(m, 6) ORDER BY pos) AS embedding
-            FROM m GROUP BY grp""",
+            SELECT grp, pos::INT AS pos, round(avg(x::DOUBLE), 6) AS value
+            FROM pts GROUP BY grp, pos""",
         "profile": """
             WITH w AS (
               SELECT count(*)::BIGINT AS n,

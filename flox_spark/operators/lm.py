@@ -119,7 +119,9 @@ def doc_perplexity(
     vocabularies, and measured ~30% faster than the forced hint even
     on a 1k-bigram model (the explicit broadcast subtree schedules
     three separate build jobs).  True forces the broadcast hint;
-    False forbids it."""
+    False forbids it — a ``shuffle_hash`` hint on the model frames,
+    which Catalyst/AQE honor over their broadcast preference (for a
+    model too large for executor memory)."""
     if smooth_k <= 0:
         raise ValueError(f"smooth_k must be > 0, got {smooth_k}")
     bg = None
@@ -137,8 +139,12 @@ def doc_perplexity(
     bigrams, contexts, vocab = model
     if broadcast_model is True:
         hint = F.broadcast
+    elif broadcast_model is False:
+        # actually forbid broadcast: the shuffle_hash hint outranks
+        # AQE's size-based broadcast conversion
+        hint = lambda d: d.hint("shuffle_hash")  # noqa: E731
     else:
-        hint = lambda d: d  # noqa: E731 — AQE decides (None) / shuffle (False)
+        hint = lambda d: d  # noqa: E731 — AQE decides (None)
 
     if bg is None:
         bg = _doc_bigrams(corpus, id_col, text_col)

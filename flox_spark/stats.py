@@ -223,7 +223,13 @@ def flag_outliers(
     joined = df.join(F.broadcast(stats), list(by), "left")
     v = F.nanvl(F.col(value).cast("double"), F.lit(None))
     if method == "zscore":
-        raw = F.abs(v - F.col("__mu")) / F.col("__sd")
+        # zero-std guard: a constant group's values all equal the mean
+        # — score 0.0 / not an outlier (a raw division would be 0/0:
+        # ANSI DIVIDE_BY_ZERO).  NULL value still yields a NULL score.
+        raw = F.when(
+            F.col("__sd") == 0,
+            F.when(v.isNotNull(), F.lit(0.0)),
+        ).otherwise(F.abs(v - F.col("__mu")) / F.col("__sd"))
         scr = F.round(raw, round_digits) if round_digits is not None else raw
         flag = scr > F.lit(float(thr))
         drop = ["__mu", "__sd"]

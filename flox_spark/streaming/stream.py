@@ -596,8 +596,10 @@ def groupby_skew_stream(
     Spark-first: the population moment aggregates (``skewness`` =
     m3/m2^1.5) are natively MERGEABLE streaming state; the pandas
     adjustment ``G1 = g1 * sqrt(n(n-1))/(n-2)`` is a projection on
-    the closed window.  NULL for n < 3 / zero variance (Spark's
-    skewness yields NULL when m2 = 0, matching the batch guard)."""
+    the closed window.  NULL for n < 3; zero variance with n >= 3 is
+    0.0 (pandas parity, same guard as the batch twin ``groupby_skew``
+    — Spark's ``skewness`` alone would yield NULL at m2 = 0, so a
+    ``var_pop`` aggregate rides along to detect that case)."""
     from flox_spark.dtypes import is_missing
 
     work = df
@@ -612,7 +614,11 @@ def groupby_skew_stream(
     res = (
         work.withWatermark(time_col, watermark)
         .groupBy(win.alias("__w"), *[F.col(b) for b in by])
-        .agg(F.skewness(v).alias("__g1"), F.count(v).alias("__n"))
+        .agg(
+            F.skewness(v).alias("__g1"),
+            F.count(v).alias("__n"),
+            F.var_pop(v).alias("__m2"),
+        )
     )
     n = F.col("__n").cast("double")
     g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
@@ -620,7 +626,10 @@ def groupby_skew_stream(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         *by,
-        F.when(F.col("__n") >= 3, g1).alias(out),
+        F.when(
+            F.col("__n") >= 3,
+            F.when(F.col("__m2") > 0, g1).otherwise(F.lit(0.0)),
+        ).alias(out),
     )
 
 
@@ -638,7 +647,9 @@ def groupby_kurtosis_stream(
     the streaming twin of ``flox_spark.groupby_kurtosis``.  Spark's
     ``kurtosis`` (population excess g2 = m4/m2^2 - 3) is mergeable
     state; the pandas adjustment
-    ``G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))`` closes the window."""
+    ``G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))`` closes the window.
+    NULL for n < 4; zero variance with n >= 4 is 0.0 (pandas parity,
+    mirrored from the batch twin via a ``var_pop`` rider)."""
     from flox_spark.dtypes import is_missing
 
     work = df
@@ -653,7 +664,11 @@ def groupby_kurtosis_stream(
     res = (
         work.withWatermark(time_col, watermark)
         .groupBy(win.alias("__w"), *[F.col(b) for b in by])
-        .agg(F.kurtosis(v).alias("__g2"), F.count(v).alias("__n"))
+        .agg(
+            F.kurtosis(v).alias("__g2"),
+            F.count(v).alias("__n"),
+            F.var_pop(v).alias("__m2"),
+        )
     )
     n = F.col("__n").cast("double")
     g2 = ((n + 1) * F.col("__g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
@@ -661,5 +676,8 @@ def groupby_kurtosis_stream(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         *by,
-        F.when(F.col("__n") >= 4, g2).alias(out),
+        F.when(
+            F.col("__n") >= 4,
+            F.when(F.col("__m2") > 0, g2).otherwise(F.lit(0.0)),
+        ).alias(out),
     )

@@ -123,3 +123,22 @@ def test_score_joins_broadcastable(spark, docs_df):
     )
     assert plan.count("BroadcastHashJoin") >= 2  # bigram + context joins
     assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_model_false_forbids_broadcast(spark, docs_df):
+    # broadcast_model=False must actually keep the model joins off the
+    # broadcast path (shuffle_hash hint outranks AQE's size-based
+    # conversion); only the constant vocab scalar may broadcast
+    plan = (
+        doc_perplexity(docs_df, broadcast_model=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both model joins (bigram w1+w2, context w1) must be shuffled
+    # hash joins; the final doc_id re-attach join and the single-row
+    # vocab crossJoin are corpus-side and may still broadcast
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "w2" not in "".join(
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    )

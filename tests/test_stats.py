@@ -167,6 +167,30 @@ def test_flag_outliers_zscore_matches_numpy(spark, sdata):
                 assert flag == (z > 2.0), (rid, z)
 
 
+def test_flag_outliers_zscore_constant_group(spark):
+    # zero-std group: every value equals the mean — score 0.0, flag
+    # False (the raw division would be ANSI DIVIDE_BY_ZERO); NULL
+    # values in the constant group still flag NULL
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": [0, 1, 2, 3, 4],
+                "k": ["c", "c", "c", "c", "n"],
+                "v": [5.0, 5.0, 5.0, np.nan, 1.0],
+            }
+        )
+    )
+    rows = {
+        r["rid"]: r
+        for r in flag_outliers(df, "k", value="v", threshold=2.0).collect()
+    }
+    for rid in (0, 1, 2):
+        assert rows[rid]["score"] == 0.0 and rows[rid]["is_outlier"] is False
+    assert rows[3]["score"] is None and rows[3]["is_outlier"] is None
+
+
 def test_flag_outliers_iqr(spark):
     pdf = pd.DataFrame(
         {"k": [0] * 11, "rid": range(11), "v": [1.0] * 5 + [2.0] * 5 + [100.0]}

@@ -54,6 +54,21 @@ def _fixture():
         }
     ).sort_values("ts").reset_index(drop=True)
     pdf.loc[rng.random(n) < 0.1, "v"] = np.nan
+    # a constant group with n >= 3 inside the first window: zero
+    # variance must produce 0.0 (pandas parity) in BOTH the batch and
+    # streaming skew/kurtosis twins, not NULL
+    const = pd.DataFrame(
+        {
+            "k": [7] * 6,
+            "ts": [base + dt.timedelta(seconds=60 * i) for i in range(6)],
+            "v": [5.0] * 6,
+        }
+    )
+    pdf = (
+        pd.concat([pdf, const], ignore_index=True)
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
     flush = pd.DataFrame(
         {"k": [99], "ts": [base + dt.timedelta(days=2)], "v": [0.0]}
     )
@@ -165,6 +180,10 @@ def test_skew_kurtosis_stream_equal_batch(spark):
             (r["w"], r["k"]): r["kurt"]
             for r in groupby_kurtosis(bdf, "w", "k", value="v").collect()
         }
+        # the constant group must actually exercise the zero-variance
+        # path (batch = 0.0 by pandas parity; stream must agree)
+        assert any(k[1] == 7 and v == 0.0 for k, v in exp_s.items())
+        assert any(k[1] == 7 and v == 0.0 for k, v in exp_k.items())
         assert set(got_s) == set(exp_s) and set(got_k) == set(exp_k)
         for key in exp_s:
             if exp_s[key] is None:

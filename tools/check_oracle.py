@@ -82,6 +82,16 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # Lint: the driver canonicalizes results by pandas-lexsorting
+            # every column; raw array/map/struct cells are unhashable there
+            # (this is exactly what turned embed_pool red in r5).  Warn so
+            # new queries never reintroduce the shape.
+            complex_cols = [c for c, t in sdf.dtypes
+                            if t.startswith(("array<", "map<", "struct<"))]
+            if complex_cols:
+                print(f"{name:20s} LINT  complex-typed result cols "
+                      f"{complex_cols} — driver canonicalizer may not "
+                      f"lexsort these; emit strings or exploded rows")
             srows = sdf.collect()
             if name not in oracles:
                 print(f"{name:20s} SPARK-ONLY rows={len(srows)}")
