@@ -18,8 +18,25 @@ from flox_spark import groupby_reduce, groupby_scan
 from flox_spark.sources import load_table
 
 
+_TCACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    # Memoize the reader per (session, dir, table): spark.read.parquet
+    # costs ~0.1s of py4j/schema-listing per call (profiled), paid by
+    # every bench/driver query build.  DataFrames are immutable plans,
+    # so reuse is safe; the WeakKey keeps dead sessions collectable.
+    global _TCACHE
+    if _TCACHE is None:
+        import weakref
+
+        _TCACHE = weakref.WeakKeyDictionary()
+    per_session = _TCACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = per_session[key] = load_table(spark, sf_dir, name)
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -34,21 +34,41 @@ def _plane(p: int, c: Column) -> Column:
     return (mix % _M) / F.lit(float(_M)) - 0.5
 
 
-def _dot(a: Column, b: Column, dim: int) -> Column:
+def _sqlref(name: str) -> str:
+    """Backtick-quote a (possibly alias-dotted) column name for expr()."""
+    return ".".join("`%s`" % p.replace("`", "``") for p in name.split("."))
+
+
+def _dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Sequential left-to-right dot product (bit-reproducible across
-    engines that evaluate list folds sequentially)."""
-    prods = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda c: F.element_at(a, c + 1).cast("double") * F.element_at(b, c + 1).cast("double"),
-    )
+    engines that evaluate list folds sequentially).
+
+    ``zip_with`` iterates both arrays directly — no per-row
+    ``sequence(0, dim-1)`` index array + ``element_at`` random access
+    (the old shape; measurably slower to analyze AND execute — the
+    expression tree is half the size).  When both operands are column
+    NAMES the expression is built as one ``F.expr`` string — a Python
+    lambda here costs ~30ms of py4j round-trips PER CALL at plan-build
+    time (measured), which dominated ivf/ann bench wall.  ``dim`` is
+    kept for signature stability; vectors are full-length arrays."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column, dim: int) -> Column:
-    sq = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda c: F.element_at(a, c + 1).cast("double") * F.element_at(a, c + 1).cast("double"),
-    )
+def _norm(a: Column | str, dim: int) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({_sqlref(a)}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -115,12 +135,23 @@ def cosine_topk(
     determinism.  Output: (query_id, vec_id, cos_sim) — cos_sim
     rounded to ``round_to`` decimals (ranking uses full precision).
     """
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
-    base = ensure_parallelism(base)
-    joined = base.select(F.col(id_col), F.col(vec_col).alias("__bv")).crossJoin(q)
-    sim = _dot(F.col("__bv"), F.col("__qv"), dim) / (
-        _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
+    # norms precomputed per ROW on each side: inside the pair
+    # expression they would re-evaluate per PAIR — O(N*Q*dim) instead
+    # of O((N+Q)*dim)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv"),
+            _norm(vec_col, dim).alias("__qn"),
+        )
     )
+    base = ensure_parallelism(base)
+    joined = base.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__bv"),
+        _norm(vec_col, dim).alias("__bn"),
+    ).crossJoin(q)
+    sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
     scored = joined.withColumn("__sim", sim)
     return _topk_per_query(scored, query_id_col, id_col, k).select(
         query_id_col,
@@ -252,28 +283,36 @@ def ivf_topk(
     join, and the fine search scans ``nprobe/num_clusters`` of the
     base — the classic IVF trade, expressed as three joins Catalyst
     can reorder.  Ties probe lower cluster ids for determinism."""
-    cents = F.broadcast(ivf_centroids(base, cluster_col, vec_col, dim))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    qscore = (
-        q.crossJoin(cents)
-        .withColumn(
-            "__cs",
-            _dot(F.col("__qv"), F.col("centroid"), dim)
-            / (_norm(F.col("__qv"), dim) * _norm(F.col("centroid"), dim)),
+    # per-row norms once on each side (see cosine_topk note)
+    cents = F.broadcast(
+        ivf_centroids(base, cluster_col, vec_col, dim).select(
+            F.col(cluster_col),
+            F.col("centroid"),
+            _norm("centroid", dim).alias("__cn"),
         )
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        _norm(vec_col, dim).alias("__qn"),
+    )
+    qscore = q.crossJoin(cents).withColumn(
+        "__cs",
+        _dot("__qv", "centroid", dim) / (F.col("__qn") * F.col("__cn")),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.col("__cs").desc(), F.col(cluster_col).asc())
     probed = (
         qscore.withColumn("__pr", F.row_number().over(wq))
         .filter(F.col("__pr") <= nprobe)
-        .select(query_id_col, cluster_col, "__qv")
+        .select(query_id_col, cluster_col, "__qv", "__qn")
     )
-    cand = base.select(F.col(id_col), F.col(cluster_col), F.col(vec_col).alias("__bv")).join(
-        F.broadcast(probed), cluster_col
-    )
-    sim = _dot(F.col("__bv"), F.col("__qv"), dim) / (
-        _norm(F.col("__bv"), dim) * _norm(F.col("__qv"), dim)
-    )
+    cand = base.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(vec_col).alias("__bv"),
+        _norm(vec_col, dim).alias("__bn"),
+    ).join(F.broadcast(probed), cluster_col)
+    sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
     scored = cand.withColumn("__sim", sim)
     return _topk_per_query(scored, query_id_col, id_col, k).select(
         query_id_col,
@@ -297,8 +336,8 @@ def embedding_near_duplicates(
     cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = _dot(F.col("__va"), F.col("__vb"), dim) / (
-        _norm(F.col("__va"), dim) * _norm(F.col("__vb"), dim)
+    sim = _dot("__va", "__vb", dim) / (
+        _norm("__va", dim) * _norm("__vb", dim)
     )
     return (
         cands.join(va, "id_a")
@@ -425,7 +464,7 @@ def semantic_dedup_pairs(
             F.col(id_col),
             F.col(vec_col),
             F.col("__cl"),
-            _norm(F.col(vec_col), dim).alias("__nrm"),
+            _norm(vec_col, dim).alias("__nrm"),
         )
     )
     # ORDER MATTERS for parallelism here (all three steps observed
@@ -447,7 +486,7 @@ def semantic_dedup_pairs(
     )
     assigned = cap_buckets(assigned, ["__cl"], max_cluster)
     a, b = assigned.alias("a"), assigned.alias("b")
-    sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (
+    sim = _dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (
         F.col("a.__nrm") * F.col("b.__nrm")
     )
     pairs = (
