@@ -71,29 +71,27 @@ def _packed_centroids(centroids: DataFrame) -> "F.Column":
 
 def _nearest_cid(vec_col: str) -> "F.Column":
     """Row-local argmin over the packed centroid array (``__cents``):
-    a pure fold, no row expansion, no shuffle.  Ties go to the lowest
-    cluster id."""
+    a pure projection, no row expansion, no shuffle.  Ties go to the
+    lowest cluster id.
 
-    def step(acc: "F.Column", c: "F.Column") -> "F.Column":
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c["centroid"],
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        better = (d < acc["d"]) | ((d == acc["d"]) & (c["__cid"] < acc["cid"]))
-        return F.when(
-            better, F.struct(d.alias("d"), c["__cid"].alias("cid"))
-        ).otherwise(acc)
-
-    return F.aggregate(
-        F.col("__cents"),
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
-        step,
-    )["cid"]
+    Built as ONE ``F.expr`` string (Python-lambda construction of the
+    nested fold costs ~0.15 s of py4j round trips per plan build —
+    see similarity._dot).  ``array_min`` over (d, cid) structs is the
+    argmin with exactly the old fold's tie-break: struct comparison is
+    lexicographic, so lowest distance wins and equal distances fall to
+    the lowest cid.  Non-finite distances (NaN from NaN coordinates,
+    NULL from NULL/short vectors, Infinity from overflow) are filtered
+    first — the old fold's ``d < acc.d`` never admitted them either —
+    and an all-invalid row keeps the old sentinel cid of -1."""
+    vc = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
+    return F.expr(
+        "coalesce(array_min(filter(transform(__cents, c -> struct("
+        f"aggregate(zip_with({vc}, c.centroid, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (s, x) -> s + x) AS d, c.__cid AS cid)), "
+        "s -> s.d IS NOT NULL AND NOT isnan(s.d) "
+        "AND s.d != CAST('Infinity' AS DOUBLE))).cid, -1)"
+    )
 
 
 def assign_clusters(
@@ -156,10 +154,13 @@ def kmeans_fit(
     from flox_spark.plans import ensure_parallelism
 
     # the per-iteration assignment fold is CPU-bound (k*dim ops/row):
-    # fan a byte-small scan out before it (see assign_clusters)
-    base = ensure_parallelism(df).select(
+    # fan a byte-small scan out before it (see assign_clusters).  The
+    # SEED draw stays on the raw projection — md5+top-k is cheap and
+    # the fan-out's exchange would only lengthen that one short job
+    raw = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
+    base = ensure_parallelism(raw)
     if driver_loop is None:
         driver_loop_resolved = k * 4096 <= _DRIVER_LOOP_MAX_VALUES
     else:
@@ -175,7 +176,7 @@ def kmeans_fit(
     # partial top-k per partition), NOT a single-task global sort; the
     # row_number window then runs over only k rows
     seeds = (
-        base.withColumn(
+        raw.withColumn(
             "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
         )
         .orderBy("__h")
@@ -239,14 +240,19 @@ _LITERAL_CENTROIDS_MAX_VALUES = 1 << 14
 
 
 def _literal_centroids(cents: list) -> "F.Column":
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("__cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
-            )
+    # one expr STRING: building this as nested F.lit/F.struct calls
+    # costs k*dim py4j round trips per iteration (~0.2 s at k=4,
+    # dim=64 — measured); %.17g round-trips every double exactly
+    def arr(c):
+        return "array(" + ",".join("%.17gD" % float(x) for x in c) + ")"
+
+    return F.expr(
+        "array("
+        + ",".join(
+            f"struct({i} AS __cid, {arr(c)} AS centroid)"
             for i, c in enumerate(cents)
-        ]
+        )
+        + ")"
     )
 
 
@@ -266,12 +272,11 @@ def _kmeans_driver_loop(
     scheduling; the aggregate itself is the identical plan, so the
     fitted centroids match the plan loop to float-reduction order.
 
-    The INIT collect is fused into the first iteration's job: one
-    union'd collect returns both the seed centroids (src = -1 rows)
-    and the first mean aggregate (src = 0 rows), where the assignment
-    consumes the seed frame through the packed-centroid broadcast —
-    so a max_iter=1 fit is ONE Spark job end-to-end instead of three
-    (materialize + seed collect + iteration)."""
+    The INIT is its own k-sized collect (TakeOrderedAndProject — one
+    short job), after which every iteration enters through the
+    literal/LocalRelation centroid path: a max_iter=1 fit is two
+    short jobs end-to-end, with no broadcast build re-computing the
+    seed subtree."""
     spark = base.sparkSession
     cents: list = []
 
@@ -299,67 +304,50 @@ def _kmeans_driver_loop(
     try:
         for it in range(max(max_iter, 0)):
             if it == 0:
-                # fused first job: assignment reads the seed frame via
-                # the packed broadcast; the union carries the seed
-                # values out so empty clusters (and the literal pack
-                # for iteration 2) need no separate init collect
-                assigned = base.crossJoin(_packed_centroids(init_centroids))
-                means = (
-                    assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
-                    .select("__cid", F.posexplode("__v").alias("pos", "x"))
-                    .groupBy("__cid", "pos")
-                    .agg(F.avg("x").alias("m"))
-                    .select(F.lit(0).alias("src"), "__cid", "pos", "m")
-                )
-                seed_rows = init_centroids.select(
-                    F.lit(-1).alias("src"),
-                    "__cid",
-                    F.posexplode("centroid").alias("pos", "m"),
-                )
-                rows = seed_rows.unionAll(means).collect()
-                seed_vals: dict = {}
-                mean_vals: dict = {}
-                for r in rows:
-                    (seed_vals if r["src"] == -1 else mean_vals)[
-                        (r["__cid"], r["pos"])
-                    ] = r["m"]
-                if not seed_vals:
+                # seed collect first: a k-sized TakeOrderedAndProject
+                # job (never data-sized).  The previous union-fused
+                # design still paid TWO jobs — the packed-centroid
+                # BROADCAST build re-computed the whole seed subtree as
+                # its own job before the union agg ran — so collecting
+                # seeds directly and entering every iteration through
+                # the literal/LocalRelation path is the same job count
+                # with strictly less work per job.
+                srows = init_centroids.select(
+                    "__cid", F.posexplode("centroid").alias("pos", "m")
+                ).collect()
+                if not srows:
                     # empty input: no seeds were drawn
                     return spark.createDataFrame(
                         [], schema="__cid int, centroid array<double>"
                     )
+                seed_vals = {(r["__cid"], r["pos"]): r["m"] for r in srows}
                 # fewer than k distinct seed rows (input smaller than
                 # k): only the seeded clusters exist, matching the
                 # plan loop
                 cids = sorted({c for c, _ in seed_vals})
-                cid_ix = {c: i for i, c in enumerate(cids)}
                 dim = max(p for _, p in seed_vals) + 1
                 use_literal = len(cids) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
                 cents = [
                     [seed_vals[(c, p)] for p in range(dim)] for c in cids
                 ]
-                new_cents = [list(c) for c in cents]
-                for (c, p), m in mean_vals.items():
-                    new_cents[cid_ix[c]][p] = m
+            if use_literal:
+                assigned = base.withColumn("__cents", _literal_centroids(cents))
             else:
-                if use_literal:
-                    assigned = base.withColumn("__cents", _literal_centroids(cents))
-                else:
-                    packed = spark.createDataFrame(
-                        [([(i, c) for i, c in enumerate(cents)],)],
-                        schema=_PACKED_SCHEMA,
-                    )
-                    assigned = base.crossJoin(F.broadcast(packed))
-                rows = (
-                    assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
-                    .select("__cid", F.posexplode("__v").alias("pos", "x"))
-                    .groupBy("__cid", "pos")
-                    .agg(F.avg("x").alias("m"))
-                    .collect()
+                packed = spark.createDataFrame(
+                    [([(i, c) for i, c in enumerate(cents)],)],
+                    schema=_PACKED_SCHEMA,
                 )
-                new_cents = [list(c) for c in cents]  # empty keep previous
-                for r in rows:
-                    new_cents[r["__cid"]][r["pos"]] = r["m"]
+                assigned = base.crossJoin(F.broadcast(packed))
+            rows = (
+                assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
+                .select("__cid", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("__cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty keep previous
+            for r in rows:
+                new_cents[r["__cid"]][r["pos"]] = r["m"]
             if tol is not None:
                 shift = max(
                     (abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)),
