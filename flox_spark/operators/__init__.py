@@ -41,7 +41,11 @@ from flox_spark.operators.clean import (
     remove_boilerplate_lines,
 )
 from flox_spark.operators.funnel import funnel_conversion, funnel_path
-from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
+from flox_spark.operators.kmeans import (
+    assign_clusters,
+    assign_clusters_two_level,
+    kmeans_fit,
+)
 from flox_spark.operators.encode import frequency_encode, label_encode
 from flox_spark.operators.lm import doc_perplexity, perplexity_filter, train_bigram_lm
 from flox_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
@@ -105,6 +109,7 @@ __all__ = [
     "curate_corpus",
     "asof_join",
     "assign_clusters",
+    "assign_clusters_two_level",
     "dedup_documents",
     "funnel_conversion",
     "funnel_path",

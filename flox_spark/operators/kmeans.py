@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from flox_spark.plans.util import materialize_shared
 
-__all__ = ["kmeans_fit", "assign_clusters"]
+__all__ = ["kmeans_fit", "assign_clusters", "assign_clusters_two_level"]
 
 
 def _packed_centroids(centroids: DataFrame) -> "F.Column":
@@ -380,4 +380,140 @@ def _kmeans_driver_loop(
 
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-level (coarse-then-fine) quantizer for large k
+# ---------------------------------------------------------------------------
+#
+# The flat packed-centroid fold is O(k*dim) per row; past k ~ 1000 it
+# pins assignment CPU (SCALE.md).  The classic IVF answer is a
+# two-level quantizer: group the k fine centroids into ~sqrt(k) coarse
+# cells (a tiny k-means over the CENTROIDS — k-sized, driver-side,
+# deterministic), assign each row to its nearest coarse cell first and
+# run the fine argmin only over that cell's members —
+# O((sqrt(k) + k/sqrt(k)) * dim) = O(2*sqrt(k)*dim) per row.  The
+# result is approximate in the usual IVF sense (the true nearest fine
+# centroid can live in a neighboring coarse cell); recall is measured
+# in tests/test_kmeans.py and the exactness boundary is coarse_k=1
+# (one cell = the flat fold, bit-identical).
+
+_TWO_LEVEL_SCHEMA = (
+    "__cents2 array<struct<ccent:array<double>,"
+    "members:array<struct<__cid:int,centroid:array<double>>>>>"
+)
+
+
+def _coarse_partition(cents_rows: list, coarse_k: int) -> list:
+    """Group (cid, centroid) rows into <= coarse_k coarse cells with a
+    deterministic numpy Lloyd run over the centroids themselves (seeds
+    = smallest md5(cid), 8 iterations — the input is k-sized, never
+    data-sized).  Returns [(ccent, [(cid, centroid), ...]), ...] with
+    empty cells dropped."""
+    import hashlib
+
+    import numpy as np
+
+    X = np.array([c for _, c in cents_rows], dtype=float)
+    ids = [i for i, _ in cents_rows]
+    m = max(1, min(coarse_k, len(cents_rows)))
+    order = sorted(
+        range(len(cents_rows)),
+        key=lambda j: hashlib.md5(f"{ids[j]}:coarse".encode()).hexdigest(),
+    )
+    C = X[order[:m]].copy()
+    for _ in range(8):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for g in range(m):
+            if (a == g).any():
+                C[g] = X[a == g].mean(0)
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    groups = []
+    for g in range(m):
+        mem = [
+            (int(ids[j]), [float(x) for x in X[j]])
+            for j in range(len(cents_rows))
+            if a[j] == g
+        ]
+        if mem:
+            groups.append(([float(x) for x in C[g]], mem))
+    return groups
+
+
+def _packed_two_level(spark, cents_rows: list, coarse_k: int) -> DataFrame:
+    """One-row broadcastable frame holding the nested coarse->fine
+    centroid table (same LocalRelation discipline as the flat pack)."""
+    groups = _coarse_partition(cents_rows, coarse_k)
+    return spark.createDataFrame([(groups,)], schema=_TWO_LEVEL_SCHEMA)
+
+
+def _sq_dist(vec_ref: str, cent_ref: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_ref}, {cent_ref}, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (s, x) -> s + x)"
+    )
+
+
+_VALID = "s -> s.d IS NOT NULL AND NOT isnan(s.d) AND s.d != CAST('Infinity' AS DOUBLE)"
+
+
+def _nearest_coarse_gix(vec_col: str) -> "F.Column":
+    """0-based index of the nearest coarse cell (NULL if none valid)."""
+    vc = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
+    return F.expr(
+        "array_min(filter(transform(__cents2, (g, i) -> struct("
+        + _sq_dist(vc, "g.ccent")
+        + f" AS d, i AS gix)), {_VALID})).gix"
+    )
+
+
+def _nearest_cid_in_group(vec_col: str, gix_col: str = "__g") -> "F.Column":
+    """Fine argmin over the chosen coarse cell's members; -1 sentinel
+    when no cell or no valid member (matching _nearest_cid)."""
+    vc = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
+    return F.expr(
+        f"CASE WHEN {gix_col} IS NULL THEN -1 ELSE "
+        f"coalesce(array_min(filter(transform(element_at(__cents2, {gix_col} + 1).members, "
+        "c -> struct(" + _sq_dist(vc, "c.centroid") + " AS d, c.__cid AS cid)), "
+        f"{_VALID})).cid, -1) END"
+    )
+
+
+def assign_clusters_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cluster",
+    coarse_k: int | None = None,
+) -> DataFrame:
+    """``assign_clusters`` through the two-level quantizer: same
+    ZERO-shuffle projection shape (one broadcast row, two row-local
+    folds), O(2*sqrt(k)*dim) per row instead of O(k*dim).
+
+    The centroid table is collected once (k-sized — the same driver
+    traffic class as ``kmeans_fit``'s per-iteration collect, never
+    data-sized).  ``coarse_k`` defaults to ~sqrt(k).  Approximate in
+    the IVF sense; ``coarse_k=1`` reproduces the flat fold exactly."""
+    cents_rows = [
+        (r["__cid"], list(r["centroid"]))
+        for r in centroids.select("__cid", "centroid").collect()
+    ]
+    if not cents_rows:
+        return df.select(F.col(id_col), F.lit(-1).alias(out))
+    if coarse_k is None:
+        coarse_k = max(1, int(len(cents_rows) ** 0.5))
+    packed = _packed_two_level(df.sparkSession, cents_rows, coarse_k)
+    if not df.isStreaming:
+        from flox_spark.plans import ensure_parallelism
+
+        df = ensure_parallelism(df)
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("__g", _nearest_coarse_gix(vec_col))
+        .withColumn(out, _nearest_cid_in_group(vec_col))
+        .select(F.col(id_col), F.col(out))
     )

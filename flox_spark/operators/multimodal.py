@@ -184,14 +184,18 @@ def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> Da
     # re-runs per element — observed as 18 sha2 nodes in the plan.
     # The HOF consumer keeps the staged alias intact (the same
     # discipline as the shingle pipeline).  ensure_parallelism fans a
-    # single-file scan out to all cores BEFORE the CPU-bound hashing.
-    staged = ensure_parallelism(df).select(
+    # single-file scan out to all cores BEFORE the hashing — but only
+    # past ~96 MB: one sha2 + a few byte decodes per blob is cheap
+    # enough that below that the exchange costs more than the
+    # single-task compute (measured crossover at sf0.1).
+    staged = ensure_parallelism(df, min_bytes=96 << 20).select(
         F.col(id_col),
         F.octet_length(content).cast("long").alias("n_bytes"),
         sniff_format(content).alias("format"),
         dims["width"].alias("width"),
         dims["height"].alias("height"),
-        F.lower(F.sha2(content, 256)).alias("__hx"),
+        # sha2 already emits lowercase hex — no F.lower copy per row
+        F.sha2(content, 256).alias("__hx"),
     )
     hx = F.col("__hx")
     feature = F.transform(

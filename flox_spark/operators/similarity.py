@@ -273,6 +273,8 @@ def ivf_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     round_to: int | None = 6,
+    two_level_probe: bool = False,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k: score each query against the
     (tiny) centroid table, keep the ``nprobe`` nearest clusters, and
@@ -282,30 +284,82 @@ def ivf_topk(
     KMeans label written at ingest); the probe step is a broadcast
     join, and the fine search scans ``nprobe/num_clusters`` of the
     base — the classic IVF trade, expressed as three joins Catalyst
-    can reorder.  Ties probe lower cluster ids for determinism."""
-    # per-row norms once on each side (see cosine_topk note)
-    cents = F.broadcast(
-        ivf_centroids(base, cluster_col, vec_col, dim).select(
-            F.col(cluster_col),
-            F.col("centroid"),
-            _norm("centroid", dim).alias("__cn"),
-        )
-    )
+    can reorder.  Ties probe lower cluster ids for determinism.
+
+    ``two_level_probe``: past ~1024 clusters, scoring every query
+    against every centroid pins the probe — route it through the
+    coarse-then-fine quantizer instead: score the ~sqrt(num_clusters)
+    coarse cells, keep the best ``coarse_probe``, and rank only their
+    member centroids for the nprobe choice (a pure array projection
+    on the query side, no window).  Opt-in (the cluster count is not
+    knowable without a job, so there is no declarative auto-switch);
+    the probed-cluster choice becomes approximate in the usual IVF
+    sense."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
         _norm(vec_col, dim).alias("__qn"),
     )
-    qscore = q.crossJoin(cents).withColumn(
-        "__cs",
-        _dot("__qv", "centroid", dim) / (F.col("__qn") * F.col("__cn")),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("__cs").desc(), F.col(cluster_col).asc())
-    probed = (
-        qscore.withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= nprobe)
-        .select(query_id_col, cluster_col, "__qv", "__qn")
-    )
+    cent_df = ivf_centroids(base, cluster_col, vec_col, dim)
+    if two_level_probe:
+        from flox_spark.operators.kmeans import _packed_two_level
+
+        crows = [
+            (r[cluster_col], list(r["centroid"]))
+            for r in cent_df.collect()
+        ]
+        packed2 = _packed_two_level(
+            base.sparkSession, crows, max(1, int(len(crows) ** 0.5))
+        )
+        neg_cos_c = (
+            "-(aggregate(zip_with(__qv, g.ccent, (x, y) -> "
+            "CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) / (__qn * "
+            "sqrt(aggregate(transform(g.ccent, x -> x * x), 0.0D, (acc, x) -> acc + x))))"
+        )
+        neg_cos_m = (
+            "-(aggregate(zip_with(__qv, c.centroid, (x, y) -> "
+            "CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) / (__qn * "
+            "sqrt(aggregate(transform(c.centroid, x -> x * x), 0.0D, (acc, x) -> acc + x))))"
+        )
+        probe_expr = (
+            # top coarse_probe coarse cells by cosine, then rank their
+            # member centroids; struct sort = (negcs asc, cluster asc),
+            # exactly the flat probe's (cs desc, cluster asc) tie-break
+            "transform(slice(array_sort(transform(flatten(transform("
+            f"slice(array_sort(transform(__cents2, (g, i) -> struct({neg_cos_c} AS negcs, i AS gix))), 1, {coarse_probe}), "
+            "s -> element_at(__cents2, s.gix + 1).members)), "
+            f"c -> struct({neg_cos_m} AS negcs, c.__cid AS cluster))), 1, {nprobe}), s -> s.cluster)"
+        )
+        probed = (
+            q.crossJoin(F.broadcast(packed2))
+            .select(
+                F.col(query_id_col),
+                F.explode(F.expr(probe_expr)).alias(cluster_col),
+                "__qv",
+                "__qn",
+            )
+        )
+    else:
+        # per-row norms once on each side (see cosine_topk note)
+        cents = F.broadcast(
+            cent_df.select(
+                F.col(cluster_col),
+                F.col("centroid"),
+                _norm("centroid", dim).alias("__cn"),
+            )
+        )
+        qscore = q.crossJoin(cents).withColumn(
+            "__cs",
+            _dot("__qv", "centroid", dim) / (F.col("__qn") * F.col("__cn")),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("__cs").desc(), F.col(cluster_col).asc()
+        )
+        probed = (
+            qscore.withColumn("__pr", F.row_number().over(wq))
+            .filter(F.col("__pr") <= nprobe)
+            .select(query_id_col, cluster_col, "__qv", "__qn")
+        )
     cand = base.select(
         F.col(id_col),
         F.col(cluster_col),
@@ -423,6 +477,8 @@ def semantic_dedup_pairs(
     max_iter: int = 0,
     max_cluster: int | None = 10000,
     round_to: int | None = 6,
+    two_level: bool | None = None,
+    coarse_k: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: k-means cluster the embeddings
     (coarse quantizer — near-duplicates land in the same cell), then
@@ -440,9 +496,26 @@ def semantic_dedup_pairs(
     ``centroids``: reuse a fitted (cid, centroid) frame; otherwise a
     ``kmeans_fit(max_iter=...)`` model is trained inline
     (``max_iter=0`` = the deterministic hash-draw seeds, fully
-    oracle-reproducible)."""
+    oracle-reproducible).
+
+    ``two_level``: route the nearest-cell fold through the
+    coarse-then-fine quantizer (``assign_clusters_two_level``) —
+    O(2*sqrt(k)*dim) per row instead of O(k*dim).  Default (None)
+    switches it on automatically past k >= 1024, where the flat fold
+    pins assignment CPU (SCALE.md); the cell assignment becomes
+    approximate in the usual IVF sense, which for SemDeDup only
+    perturbs which cell a borderline point dedups within — the same
+    recall trade every quantizer k choice already makes.  Explicit
+    False forces the flat fold at any k (the oracle-exact path)."""
     from flox_spark.operators.dedup import cap_buckets
-    from flox_spark.operators.kmeans import _nearest_cid, _packed_centroids, kmeans_fit
+    from flox_spark.operators.kmeans import (
+        _nearest_cid,
+        _nearest_cid_in_group,
+        _nearest_coarse_gix,
+        _packed_centroids,
+        _packed_two_level,
+        kmeans_fit,
+    )
     from flox_spark.plans.util import materialize_shared
 
     cents = (
@@ -450,13 +523,33 @@ def semantic_dedup_pairs(
         if centroids is not None
         else kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
     )
+    if two_level is None:
+        two_level = k >= 1024
     # the nearest-cell fold is CPU-bound (k*dim ops/row) while
     # Catalyst sizes partitions by BYTES — fan the scan out before it
     # or a byte-small frame runs the whole assignment on one task
+    fanned = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    if two_level:
+        cents_rows = [
+            (r["__cid"], list(r["centroid"]))
+            for r in cents.select("__cid", "centroid").collect()
+        ]
+        packed2 = _packed_two_level(
+            df.sparkSession,
+            cents_rows,
+            coarse_k or max(1, int(len(cents_rows) ** 0.5)),
+        )
+        folded = (
+            fanned.crossJoin(F.broadcast(packed2))
+            .withColumn("__g", _nearest_coarse_gix(vec_col))
+            .withColumn("__cl", _nearest_cid_in_group(vec_col))
+        )
+    else:
+        folded = fanned.crossJoin(_packed_centroids(cents)).withColumn(
+            "__cl", _nearest_cid(vec_col)
+        )
     assigned = (
-        ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
-        .crossJoin(_packed_centroids(cents))
-        .withColumn("__cl", _nearest_cid(vec_col))
+        folded
         # norms precomputed per ROW: computing them inside the pair
         # expression re-evaluates per PAIR — O(pairs*dim) instead of
         # O(rows*dim)

@@ -197,3 +197,101 @@ def test_kmeans_empty_input_returns_empty_centroids(spark):
     out = kmeans_fit(empty, k=2)
     assert out.count() == 0
     assert out.columns == ["__cid", "centroid"]
+
+
+@pytest.fixture(scope="module")
+def many_blobs(spark):
+    # 16 well-separated 8-d blobs on a grid, 20 points each — enough
+    # cluster structure for a meaningful two-level recall measurement
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-50, 50, size=(16, 8))
+    pts, ids = [], []
+    for ci, c in enumerate(centers):
+        pts.append(c + rng.normal(scale=0.2, size=(20, 8)))
+        ids.extend(range(ci * 20, ci * 20 + 20))
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in np.vstack(pts)]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_two_level_coarse_k1_equals_flat(spark, many_blobs):
+    # one coarse cell holds EVERY fine centroid: the two-level fold
+    # degenerates to the flat argmin and must agree exactly
+    from flox_spark.operators.kmeans import assign_clusters_two_level
+
+    cents = kmeans_fit(many_blobs, k=16, max_iter=3)
+    flat = {
+        r["vec_id"]: r["cluster"] for r in assign_clusters(many_blobs, cents).collect()
+    }
+    two = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_two_level(many_blobs, cents, coarse_k=1).collect()
+    }
+    assert flat == two
+
+
+def test_two_level_recall_on_clustered_data(spark, many_blobs):
+    # sqrt(k) coarse cells: agreement with the flat assignment stays
+    # high when the data is actually clustered (the IVF premise)
+    from flox_spark.operators.kmeans import assign_clusters_two_level
+
+    cents = kmeans_fit(many_blobs, k=16, max_iter=3)
+    flat = {
+        r["vec_id"]: r["cluster"] for r in assign_clusters(many_blobs, cents).collect()
+    }
+    two = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_two_level(many_blobs, cents, coarse_k=4).collect()
+    }
+    assert set(flat) == set(two)
+    agree = sum(flat[i] == two[i] for i in flat) / len(flat)
+    assert agree >= 0.9, agree
+
+
+def test_two_level_empty_centroids(spark, many_blobs):
+    from flox_spark.operators.kmeans import assign_clusters_two_level
+
+    empty = spark.createDataFrame([], schema="__cid int, centroid array<double>")
+    rows = assign_clusters_two_level(many_blobs, empty).collect()
+    assert all(r["cluster"] == -1 for r in rows)
+
+
+def test_semdedup_two_level_matches_flat_on_clustered(spark, many_blobs):
+    # the SemDeDup pair set through the two-level quantizer matches the
+    # flat fold when cells are unambiguous (well-separated blobs)
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    flat = sorted(
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            many_blobs, k=8, threshold=0.99, max_iter=2, two_level=False
+        ).collect()
+    )
+    two = sorted(
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            many_blobs, k=8, threshold=0.99, max_iter=2, two_level=True, coarse_k=1
+        ).collect()
+    )
+    assert flat == two
+
+
+def test_ivf_two_level_probe_recall(spark):
+    # two-level probe: the probed top-k overlaps the flat probe's
+    # result heavily on the real embeddings table
+    from flox_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = ivf_topk(emb, q, k=5, nprobe=2, cluster_col="label", dim=64).collect()
+    two = ivf_topk(
+        emb, q, k=5, nprobe=2, cluster_col="label", dim=64,
+        two_level_probe=True, coarse_probe=2,
+    ).collect()
+    fset = {(r["query_id"], r["vec_id"]) for r in flat}
+    tset = {(r["query_id"], r["vec_id"]) for r in two}
+    assert len(tset) == len(fset)
+    assert len(fset & tset) / len(fset) >= 0.6, (fset, tset)

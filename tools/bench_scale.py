@@ -267,11 +267,117 @@ def r5b_scaling(spark, quick: bool) -> dict:
     return out
 
 
+
+
+def r6_quantizer(spark, quick: bool) -> dict:
+    """Flat vs two-level assignment at large k (round-6 item): at
+    k=4096 the flat fold is O(k*dim) per row and pins assignment CPU;
+    the coarse-then-fine quantizer is O(2*sqrt(k)*dim).  Also reports
+    the flat/two-level agreement fraction (approximation cost)."""
+    from flox_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_two_level,
+    )
+
+    dim = 16
+    n = 50_000 if quick else 100_000
+    comp = [
+        ((F.col("id") * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0)
+        .cast("float")
+        for j in range(dim)
+    ]
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comp).alias("embedding")
+    )
+    out = {}
+    for k in ([1024] if quick else [1024, 4096]):
+        ccomp = [
+            (((F.col("id") + 7) * (40503 + 131 * j) + 777 * j) % 1000 / 500.0 - 1.0)
+            .cast("double")
+            for j in range(dim)
+        ]
+        cents = spark.range(k).select(
+            F.col("id").cast("int").alias("__cid"), F.array(*ccomp).alias("centroid")
+        )
+        t_flat = min(force(assign_clusters(base, cents)) for _ in range(2))
+        t_two = min(
+            force(assign_clusters_two_level(base, cents)) for _ in range(2)
+        )
+        a = assign_clusters(base, cents, out="c_flat")
+        b = assign_clusters_two_level(base, cents, out="c_two")
+        agree = (
+            a.join(b, "vec_id")
+            .select(F.avg((F.col("c_flat") == F.col("c_two")).cast("double")).alias("agree"))
+            .collect()[0]["agree"]
+        )
+        out[f"k{k}"] = {
+            "flat_s": t_flat,
+            "two_level_s": t_two,
+            "speedup": round(t_flat / max(t_two, 1e-9), 2),
+            "agreement": round(float(agree), 4),
+        }
+    return out
+
+
+def r6_100x(spark) -> dict:
+    """100x (60k -> 6M docs) wall points for the round-5 second wave
+    (round-6 item 7): perplexity, fuzzy_join, semdedup with the
+    linear-k protocol (k scales with n so cells stay constant-sized;
+    past k=1024 the two-level quantizer engages automatically)."""
+    from flox_spark.operators import fuzzy_join
+    from flox_spark.operators.lm import doc_perplexity
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    def synth_vecs(n, dim=16):
+        comp = [
+            ((F.col("id") * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0)
+            .cast("float")
+            for j in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comp).alias("embedding")
+        )
+
+    small_n, big_n = 60_000, 6_000_000
+    builds = {
+        "perplexity_self": lambda n: doc_perplexity(synth_docs(spark, n)),
+        "semdedup_pairs": lambda n: semantic_dedup_pairs(
+            synth_vecs(n), k=max(4, n // 250), threshold=0.95, dim=16, max_iter=0,
+        ),
+        "fuzzy_join_halves": lambda n: fuzzy_join(
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            "doc_id", "nm", "doc_id", "nm", max_dist=3,
+            bands=8, shingle_k=2, max_bucket=200,
+        ).select(F.col("edit_dist")),
+    }
+    out = {}
+    for name, build in builds.items():
+        t_small = force(build(small_n))
+        t_big = force(build(big_n))
+        out[name] = {
+            "60k_s": t_small,
+            "6M_s": t_big,
+            "wall_ratio_for_100x_data": round(t_big / max(t_small, 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     if "--r5" in sys.argv:
         spark = get_spark("bench_scale")
         print(json.dumps({"r5": r5_scaling(spark, quick)}, indent=2))
+        return
+    if "--r6" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"r6_quantizer": r6_quantizer(spark, quick)}, indent=2))
+        return
+    if "--r6big" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"r6_100x": r6_100x(spark)}, indent=2))
         return
     if "--r5b" in sys.argv:
         spark = get_spark("bench_scale")
