@@ -11,6 +11,8 @@ from flox_spark.streaming.stream import (
     groupby_session_stream,
     stream_dedup_against,
     stream_dedup_exact,
+    groupby_value_counts_stream,
+    winsorize_bounds_stream,
 )
 from flox_spark.streaming.stateful import stream_ffill
 from flox_spark.streaming.enrich import stream_asof_enrich
@@ -30,6 +32,8 @@ __all__ = [
     "groupby_session_stream",
     "stream_dedup_against",
     "stream_dedup_exact",
+    "groupby_value_counts_stream",
+    "winsorize_bounds_stream",
     "stream_ffill",
     "minhash_band_keys",
     "stream_asof_enrich",

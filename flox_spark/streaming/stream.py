@@ -681,3 +681,117 @@ def groupby_kurtosis_stream(
             F.when(F.col("__m2") > 0, g2).otherwise(F.lit(0.0)),
         ).alias(out),
     )
+
+
+def groupby_value_counts_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    dropna: bool = True,
+    out: str = "count",
+) -> DataFrame:
+    """Windowed per-(group, distinct value) counts on an event-time
+    stream — the streaming twin of ``flox_spark.groupby_value_counts``
+    and the natural DRIFT MONITOR for a live corpus (category mix per
+    language per hour, format mix per source, ...).
+
+    Spark-first: the value joins the grouping key, so this is one
+    windowed count aggregate — mergeable state, one row of state per
+    (window, group, distinct value).  ``normalize`` is deliberately
+    not offered: the within-group proportion needs a second stateful
+    aggregate over the first (unsupported chained aggregation); divide
+    by the closed window's total downstream — one stateless batch
+    projection on this stream's sink.  Missing group labels drop
+    (flox rule); ``dropna`` controls missing-VALUE rows, with NaN and
+    NULL canonicalized to ONE missing row like the batch twin."""
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    vdt = work.schema[value].dataType
+    if dropna:
+        work = work.filter(~is_missing(F.col(value), vdt))
+    else:
+        work = work.withColumn(
+            value, F.when(~is_missing(F.col(value), vdt), F.col(value))
+        )
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by], F.col(value))
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        value,
+        out,
+    )
+
+
+def winsorize_bounds_stream(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    lower: float = 0.05,
+    upper: float = 0.95,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Windowed winsorize CLIP BOUNDS per (window, group) — the
+    streaming twin of ``flox_spark.winsorize_group(approx=True)``,
+    following the ``outlier_fences_stream`` pattern: per-row clipping
+    in-stream would need each row to wait for its own window's
+    quantiles (a stream-stream join on the unfinished window), so the
+    scalable shape is this bounds stream + a stateless join clipping
+    rows against the LAST CLOSED window's [q_lo, q_hi].
+
+    State per (window, group) is one ``percentile_approx`` KLL sketch
+    (mergeable, bounded by ``accuracy``) — never value buffering.
+    NaN/NULL values are skipped (nan* policy)."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    from flox_spark.dtypes import is_float_type, is_missing
+
+    vdt = df.schema[value].dataType
+    work = df
+    for b in by:
+        work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    v = F.col(value)
+    if is_float_type(vdt):
+        v = F.when(~F.isnan(v), v)
+    win = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    res = (
+        work.withWatermark(time_col, watermark)
+        .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+        .agg(
+            F.percentile_approx(v, F.lit(float(lower)), F.lit(accuracy)).alias("q_lo"),
+            F.percentile_approx(v, F.lit(float(upper)), F.lit(accuracy)).alias("q_hi"),
+            F.count(v).alias("n"),
+        )
+    )
+    return res.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *by,
+        F.col("q_lo").cast("double").alias("q_lo"),
+        F.col("q_hi").cast("double").alias("q_hi"),
+        "n",
+    )

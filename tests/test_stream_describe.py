@@ -197,3 +197,130 @@ def test_skew_kurtosis_stream_equal_batch(spark):
                 assert got_k[key] == pytest.approx(exp_k[key], abs=1e-7), key
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_value_counts_stream_equals_batch(spark):
+    from flox_spark.stats import groupby_value_counts
+    from flox_spark.streaming import groupby_value_counts_stream
+
+    pdf, batches = _fixture()
+    # a low-cardinality value column for meaningful counts
+    for fr in (pdf, *batches):
+        fr["cat"] = (fr["v"].fillna(-1.0) * 10).astype("int64") % 5
+    tmp = tempfile.mkdtemp(prefix="flox_vc_stream_")
+    try:
+        rows = _stream_run(
+            spark, tmp, batches,
+            lambda s: groupby_value_counts_stream(
+                s, "k", value="cat", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+            ),
+        )
+        got = {
+            (r["window_start"], r["k"], r["cat"]): r["count"]
+            for r in rows
+            if r["k"] != 99
+        }
+        bdf = spark.createDataFrame(pdf).withColumn(
+            "w", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        exp = {
+            (r["w"], r["k"], r["cat"]): r["count"]
+            for r in groupby_value_counts(bdf, "w", "k", value="cat").collect()
+        }
+        assert got == exp and len(exp) > 5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_winsorize_bounds_stream_match_batch_quantiles(spark):
+    from flox_spark.streaming import winsorize_bounds_stream
+
+    pdf, batches = _fixture()
+    tmp = tempfile.mkdtemp(prefix="flox_wz_stream_")
+    try:
+        rows = _stream_run(
+            spark, tmp, batches,
+            lambda s: winsorize_bounds_stream(
+                s, "k", value="v", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+                lower=0.1, upper=0.9,
+            ),
+        )
+        got = {(r["window_start"], r["k"]): r for r in rows if r["k"] != 99}
+        # expected bounds: the batch percentile_approx at the same
+        # accuracy over the same (window, group) slices
+        bdf = spark.createDataFrame(pdf).withColumn(
+            "w", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        exp = {
+            (r["w"], r["k"]): r
+            for r in bdf.groupBy("w", "k")
+            .agg(
+                F.percentile_approx(
+                    F.when(~F.isnan("v"), F.col("v")), F.lit(0.1), F.lit(10000)
+                ).alias("q_lo"),
+                F.percentile_approx(
+                    F.when(~F.isnan("v"), F.col("v")), F.lit(0.9), F.lit(10000)
+                ).alias("q_hi"),
+                F.count(F.when(~F.isnan("v"), F.col("v"))).alias("n"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for key, er in exp.items():
+            gr = got[key]
+            assert gr["q_lo"] == pytest.approx(er["q_lo"], rel=1e-9), key
+            assert gr["q_hi"] == pytest.approx(er["q_hi"], rel=1e-9), key
+            assert gr["n"] == er["n"], key
+        # the constant group's bounds collapse to the constant
+        const_keys = [kk for kk in got if kk[1] == 7]
+        assert const_keys and all(
+            got[kk]["q_lo"] == 5.0 and got[kk]["q_hi"] == 5.0 for kk in const_keys
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_value_counts_stream_normalize_downstream(spark):
+    # the documented normalize recipe: divide by the closed window's
+    # total in a stateless batch projection over the sink
+    from flox_spark.stats import groupby_value_counts
+    from flox_spark.streaming import groupby_value_counts_stream
+
+    pdf, batches = _fixture()
+    for fr in (pdf, *batches):
+        fr["cat"] = (fr["v"].fillna(-1.0) * 10).astype("int64") % 5
+    tmp = tempfile.mkdtemp(prefix="flox_vcn_stream_")
+    try:
+        rows = _stream_run(
+            spark, tmp, batches,
+            lambda s: groupby_value_counts_stream(
+                s, "k", value="cat", time_col="ts",
+                window="1 hour", watermark="0 seconds",
+            ),
+        )
+        sink = spark.createDataFrame([r.asDict() for r in rows])
+        from pyspark.sql import Window as W
+
+        tot = F.sum("count").over(W.partitionBy("window_start", "k"))
+        norm = sink.withColumn("prop", (F.col("count") / tot).cast("double"))
+        got = {
+            (r["window_start"], r["k"], r["cat"]): r["prop"]
+            for r in norm.collect()
+            if r["k"] != 99
+        }
+        bdf = spark.createDataFrame(pdf).withColumn(
+            "w", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        exp = {
+            (r["w"], r["k"], r["cat"]): r["count"]
+            for r in groupby_value_counts(
+                bdf, "w", "k", value="cat", normalize=True
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for key in exp:
+            assert got[key] == pytest.approx(exp[key], rel=1e-9), key
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
