@@ -2499,6 +2499,27 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
             FROM cand JOIN src sl ON sl.doc_id = cand.lid
                       JOIN src sr ON sr.doc_id = cand.rid
             WHERE levenshtein(sl.s, sr.s) <= 5""",
+        "ewm_mean": """
+            -- adjust=True EWM mean is closed-form with NON-NEGATIVE
+            -- exponents: y_t = sum w^(t-i) x_i / sum w^(t-i), w=19/21
+            -- (span=20).  Quadratic within group — fine at the sf0.01
+            -- oracle scale; weights decay by ROW POSITION (pandas
+            -- ignore_na=False), with (user_id, ts) unique in testdata
+            -- so the ordering is total.
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            )
+            SELECT a.user_id, a.ts,
+                   round(
+                     sum(pow(19.0/21.0, a.rn - b.rn) * b.value)
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value))
+                     / sum(pow(19.0/21.0, a.rn - b.rn))
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)),
+                     6) AS ewm_mean
+            FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.user_id, a.ts""",
         "winsorize": """
             WITH q AS (SELECT l_returnflag,
                               quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -79,6 +79,30 @@ BENCH_QUERIES = [
     "sample_weighted",  # Efraimidis-Spirakis weighted draw
 ]
 
+# round-5/6 wave, benchmarked SEPARATELY so the r2-r5 BENCH_QUERIES
+# baseline series stays comparable across rounds; same best-of-N
+# protocol, reported under "extra"/"extra_net_ratio" in the same JSON
+# line.  Regressions in the newer operators become visible without
+# perturbing the historical totals.
+BENCH_EXTRA = [
+    "perplexity",       # bigram-LM self-perplexity over documents
+    "perplexity_filter",
+    "fuzzy_join",       # char-gram banded entity resolution
+    "semdedup_pairs",   # k-means-cell-pruned semantic dedup
+    "semdedup",
+    "winsorize",        # per-group quantile clipping
+    "value_counts",     # per-group distinct-value shares
+    "upsample_ffill",   # time-grid upsampling
+    "skew",             # anchor-shifted moment stats
+    "kurtosis",
+    "label_encode",
+    "frequency_encode",
+    "rank_pct",
+    "k_anonymity",
+    "minhash_estimate",
+    "ewm_mean",         # Arrow-hatch EWM recurrence
+]
+
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -129,22 +153,28 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     force(qs["sum"](spark, sf_dir))
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = None
-        for _ in range(N_RUNS):
-            spark.catalog.clearCache()  # isolate persisted shared frames
-            t0 = time.perf_counter()
-            try:
-                force(qs[name](spark, sf_dir))
-            except Exception as e:  # never lose the whole bench to one query
-                print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-                continue  # keep any successful run's timing
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4) if best is not None else -1.0
+    def run_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = None
+            for _ in range(N_RUNS):
+                spark.catalog.clearCache()  # isolate persisted shared frames
+                t0 = time.perf_counter()
+                try:
+                    force(qs[name](spark, sf_dir))
+                except Exception as e:  # never lose the whole bench to one query
+                    print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                    continue  # keep any successful run's timing
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 4) if best is not None else -1.0
+        return out
+
+    times = run_set(BENCH_QUERIES)
+    extra_times = run_set(BENCH_EXTRA)
 
     duck = duckdb_times(sf_dir, BENCH_QUERIES)
+    extra_duck = duckdb_times(sf_dir, BENCH_EXTRA)
     ratios = {
         n: round(times[n] / duck[n], 2)
         for n in BENCH_QUERIES
@@ -160,6 +190,11 @@ def main() -> None:
     net_ratios = {
         n: round(max(times[n] - floor, 0.0) / duck[n], 2)
         for n in ratios
+    }
+    extra_net = {
+        n: round(max(extra_times[n] - floor, 0.0) / extra_duck[n], 2)
+        for n in BENCH_EXTRA
+        if extra_times.get(n, -1) > 0 and extra_duck.get(n, -1) > 0
     }
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -178,6 +213,15 @@ def main() -> None:
         # nothing but the fixed overhead already reported above
         "flagged_net_over_2x": sorted(
             n for n, r in net_ratios.items() if r > 2 and duck.get(n, 0) >= 0.2
+        ),
+        # round-5/6 wave (separate so the r2-r5 baseline series stays
+        # comparable); same protocol, same floor
+        "extra": extra_times,
+        "extra_duckdb": extra_duck,
+        "extra_net_ratio": extra_net,
+        "extra_flagged_net_over_2x": sorted(
+            n for n, r in extra_net.items()
+            if r > 2 and extra_duck.get(n, 0) >= 0.2
         ),
     }))
 
