@@ -261,6 +261,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_impl: str = "xxhash64",
     unit: str = "word",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document MinHash signature (mh0..mhN longs): for seed i,
     the minimum of (h1 + i*h2) % p over the doc's shingles, where
@@ -275,21 +276,28 @@ def minhash_signatures(
     formulation's two shuffles).  STAGED projections: shingles,
     halves and the min fold are each aliased in their own select so
     the O(tokens^2) shingle build and the per-shingle hash run once,
-    not once per seed."""
+    not once per seed.
+
+    ``carry`` names extra columns of ``df`` threaded through every
+    staged select into the output — for SHORT payloads (a normalized
+    name in ``fuzzy_join``) that downstream wants without a join-back.
+    Don't carry document-sized text: it rides every shuffle after."""
     hp = _minhash_halves(hash_impl)
+    keep = [F.col(c) for c in carry]
     if unit == "word":
         toks = ensure_parallelism(df).select(
-            F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
+            F.col(id_col), *keep, _word_tokens(F.col(text_col)).alias("__t")
         )
         base = toks.select(
             F.col(id_col),
+            *keep,
             _shingles_from_tokens(F.col("__t"), shingle_k).alias("__sh"),
         )
     elif unit == "char":
         # char k-grams (short strings / no-whitespace scripts): stage
         # the normalized text, then substr per position
         staged = ensure_parallelism(df).select(
-            F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__c")
+            F.col(id_col), *keep, F.lower(F.trim(F.col(text_col))).alias("__c")
         )
         t = F.col("__c")
         n = F.length(t)
@@ -299,15 +307,20 @@ def minhash_signatures(
         )
         base = staged.select(
             F.col(id_col),
+            *keep,
             F.when(n >= shingle_k, sh).otherwise(F.array(t)).alias("__sh"),
         )
     else:
         raise ValueError(f"unit must be word|char, got {unit!r}")
     halves = base.select(
-        F.col(id_col), F.transform(F.col("__sh"), hp).alias("__hp")
+        F.col(id_col), *keep, F.transform(F.col("__sh"), hp).alias("__hp")
     )
-    folded = halves.select(F.col(id_col), *minhash_min_exprs("__hp", num_hashes))
-    return folded.select(F.col(id_col), *minhash_seed_cols("__mins", num_hashes))
+    folded = halves.select(
+        F.col(id_col), *keep, *minhash_min_exprs("__hp", num_hashes)
+    )
+    return folded.select(
+        F.col(id_col), *keep, *minhash_seed_cols("__mins", num_hashes)
+    )
 
 
 def band_buckets(
@@ -319,18 +332,22 @@ def band_buckets(
     shingle_k: int = 3,
     hash_impl: str = "xxhash64",
     unit: str = "word",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bkey) LSH bucket rows: the signature split into
     ``bands`` bands of ``num_hashes/bands`` rows, each hashed to one
     bucket key.  The shared front half of ``minhash_candidates``
     (within-corpus self-join) and ``minhash_against`` (cross-corpus
-    membership probe)."""
+    membership probe).  ``carry`` columns ride through to the output
+    (one copy per band row — short payloads only)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
         )
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_impl, unit)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, hash_impl, unit, carry
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -340,8 +357,11 @@ def band_buckets(
             for b in range(bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    keep = [F.col(c) for c in carry]
+    return sigs.select(
+        F.col(id_col), *keep, F.explode(band_structs).alias("bb")
+    ).select(
+        id_col, *carry, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 
@@ -963,34 +983,53 @@ def fuzzy_join(
     token) before the pair expansion — note it bounds each SIDE, so a
     bucket can still emit up to ``max_bucket^2`` candidate pairs;
     the default (1000) bounds the worst bucket at 1M cheap
-    early-exit levenshtein calls."""
+    early-exit levenshtein calls.
+
+    Plan shape: the normalized strings are CARRIED through the
+    banding (short entity strings, cheap in the bucket shuffle) so
+    certification runs inside the bucket join itself — no pair
+    ``distinct`` before two string join-backs.  Certify-then-distinct
+    is result-identical to distinct-then-certify (``edit_dist`` is a
+    function of the pair) but the distinct now sees only SURVIVING
+    pairs, and the early-exit levenshtein on false candidates is far
+    cheaper than shuffling them through a distinct + two joins
+    (measured 8.4s -> ~2s on the sf0.1 bench row, where word-soup
+    2-gram banding makes ~40% of all cross pairs candidates)."""
     lb = band_buckets(
-        left.select(F.col(left_id), F.col(left_col)),
-        left_id, left_col, num_hashes, bands, shingle_k, hash_impl, unit="char",
-    ).select(F.col(left_id).alias("__lid"), "band", "bkey")
+        left.select(
+            F.col(left_id).alias("__lid"),
+            F.lower(F.trim(F.col(left_col))).alias("__ls"),
+        ),
+        "__lid", "__ls", num_hashes, bands, shingle_k, hash_impl,
+        unit="char", carry=("__ls",),
+    )
     rb = band_buckets(
-        right.select(F.col(right_id), F.col(right_col)),
-        right_id, right_col, num_hashes, bands, shingle_k, hash_impl, unit="char",
-    ).select(F.col(right_id).alias("__rid"), "band", "bkey")
-    lb = cap_buckets(lb, ["band", "bkey"], max_bucket)
-    rb = cap_buckets(rb, ["band", "bkey"], max_bucket)
-    cand = (
-        lb.join(rb, ["band", "bkey"])
-        .select(F.col("__lid"), F.col("__rid"))
-        .distinct()
+        right.select(
+            F.col(right_id).alias("__rid"),
+            F.lower(F.trim(F.col(right_col))).alias("__rs"),
+        ),
+        "__rid", "__rs", num_hashes, bands, shingle_k, hash_impl,
+        unit="char", carry=("__rs",),
     )
-    ln = left.select(
-        F.col(left_id).alias("__lid"),
-        F.lower(F.trim(F.col(left_col))).alias("__ls"),
-    )
-    rn = right.select(
-        F.col(right_id).alias("__rid"),
-        F.lower(F.trim(F.col(right_col))).alias("__rs"),
-    )
+    # AQE coalesces the cap window's small shuffle to ~1 partition,
+    # which would serialize the certify join's levenshtein over every
+    # candidate pair (expensive-per-row, cheap-bytes).  The stats-
+    # gated fan-out re-spreads SMALL banded frames across the cores
+    # and is a no-op once the frame is big enough to keep its
+    # post-shuffle parallelism (measured: 3.2M-candidate certify
+    # 4.3s -> 0.4s at sf0.1).
+    lb = ensure_parallelism(cap_buckets(lb, ["band", "bkey"], max_bucket))
+    rb = ensure_parallelism(cap_buckets(rb, ["band", "bkey"], max_bucket))
     dist = F.levenshtein(F.col("__ls"), F.col("__rs"), int(max_dist))
+    # the |len| >= max_dist+1 difference bound is free and sound (an
+    # insertion per missing char is forced), pruning before the DP
+    lens = (
+        F.abs(F.length(F.col("__ls")) - F.length(F.col("__rs")))
+        <= int(max_dist)
+    )
     return (
-        cand.join(ln, "__lid")
-        .join(rn, "__rid")
+        lb.join(rb, ["band", "bkey"])
+        .filter(lens)
         .withColumn("__d", dist)
         .filter(F.col("__d") >= 0)  # threshold form returns -1 past max_dist
         .select(
@@ -998,4 +1037,5 @@ def fuzzy_join(
             F.col("__rid").alias(right_id),
             F.col("__d").cast("long").alias(out),
         )
+        .distinct()
     )

@@ -334,59 +334,43 @@ def groupby_value_counts(
     return counts.withColumn(out, (F.col(out) / tot).cast("double"))
 
 
-def _moment_sums(df: DataFrame, by: tuple, value: str):
-    """(work, n, s1..s4): anchor-shifted power sums per group — the
-    raw ingredients of skew/kurtosis in ONE aggregation pass.  Values
-    are shifted by the group minimum first (same stability trick as
-    weighted var: the anchor window partitions on the group keys, so
-    Catalyst plans one exchange reused by window + aggregate); raw
-    unshifted power sums of large-magnitude data lose all precision
-    in the 3rd/4th powers."""
+def _moment_work(df: DataFrame, by: tuple, value: str):
+    """(work, v): group-missing rows dropped, value as double with
+    NaN canonicalized to NULL (nan* skip policy) — the shared front
+    of the one-pass moment aggregates."""
     work = df
     for b in by:
         work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
-    v = F.col(value).cast("double")
-    # the cast makes every input double: NaN -> NULL so the sums skip
-    # it (nan* policy), NULL already skips
-    v = F.when(~F.isnan(v), v)
-    anchor = F.min(v).over(Window.partitionBy(*[F.col(b) for b in by]))
-    work = work.withColumn("__sx", v - anchor)
-    s = F.col("__sx")
-    return work, [
-        F.count(s).alias("__n"),
-        F.sum(s).alias("__s1"),
-        F.sum(s * s).alias("__s2"),
-        F.sum(s * s * s).alias("__s3"),
-        F.sum(s * s * s * s).alias("__s4"),
-    ]
+    return work, F.nanvl(F.col(value).cast("double"), F.lit(None))
 
 
 def groupby_skew(
     df: DataFrame, *by: str, value: str, out: str = "skew", sort: bool = True
 ) -> DataFrame:
     """Per-group sample skewness — pandas ``GroupBy.skew`` parity
-    (adjusted Fisher-Pearson: ``n/((n-1)(n-2)) * sum((x-mean)^3)/s^3``
-    with the ddof=1 std; NULL for n < 3 or zero variance).  Missing
-    values skipped (nan* policy).  One hash aggregate over
-    anchor-shifted power sums (shift-invariant statistic)."""
-    work, sums = _moment_sums(df, by, value)
-    agg = work.groupBy(*[F.col(b) for b in by]).agg(*sums)
-    n = F.col("__n").cast("double")
-    mu = F.col("__s1") / n
-    # central moments from shifted power sums
-    m2 = F.col("__s2") / n - mu * mu
-    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
-    s2 = m2 * n / (n - 1)  # ddof=1 variance
-    skew = (
-        (n * n / ((n - 1) * (n - 2)))
-        * m3
-        / F.pow(s2, F.lit(1.5))
+    (adjusted Fisher-Pearson ``G1 = g1 * sqrt(n(n-1))/(n-2)``; NULL
+    for n < 3; zero variance with n >= 3 is 0.0 — probed:
+    ``Series([1,1,1]).skew() == 0.0``).  Missing values skipped
+    (nan* policy).
+
+    Spark-first ONE-PASS plan: ``F.skewness`` is the numerically
+    stable streaming central-moment aggregate (population g1 =
+    m3/m2^1.5) with map-side partial merge — no fact-sized window or
+    anchor join; the pandas adjustment and the zero-variance guard
+    (a ``var_pop`` rider, since g1 alone is NULL at m2 = 0) are
+    projections on the group-sized result.  Identical math to the
+    streaming twin ``groupby_skew_stream``."""
+    work, v = _moment_work(df, by, value)
+    agg = work.groupBy(*[F.col(b) for b in by]).agg(
+        F.skewness(v).alias("__g1"),
+        F.count(v).alias("__n"),
+        F.var_pop(v).alias("__m2"),
     )
-    # pandas parity: zero variance with sufficient n is 0.0 (not
-    # NULL/NaN — probed: Series([1,1,1]).skew() == 0.0); only n < 3
-    # is undefined
+    n = F.col("__n").cast("double")
+    g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
     expr = F.when(
-        F.col("__n") >= 3, F.when(m2 > 0, skew).otherwise(F.lit(0.0))
+        F.col("__n") >= 3,
+        F.when(F.col("__m2") > 0, g1).otherwise(F.lit(0.0)),
     )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res
@@ -396,30 +380,31 @@ def groupby_kurtosis(
     df: DataFrame, *by: str, value: str, out: str = "kurt", sort: bool = True
 ) -> DataFrame:
     """Per-group sample excess kurtosis — pandas ``GroupBy.kurt``
-    parity (bias-corrected:
-    ``n(n+1)/((n-1)(n-2)(n-3)) * sum((x-mean)^4)/s^4
-    - 3(n-1)^2/((n-2)(n-3))``; NULL for n < 4 or zero variance).
-    Missing values skipped.  Same one-pass shifted-moment plan as
-    ``groupby_skew``."""
-    work, sums = _moment_sums(df, by, value)
-    agg = work.groupBy(*[F.col(b) for b in by]).agg(*sums)
+    parity (bias-corrected ``G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))``;
+    NULL for n < 4; tiny variance with n >= 4 is 0.0 — pandas
+    ``nankurt`` zeroes the result when the denominator
+    ``(n-2)(n-3)(sum dev^2)^2 < 1e-14`` ABSOLUTE (pandas GH#18044
+    fperr guard, nanops.py), so a group like [1.4e-45, 0, 0, 0]
+    is 0.0 in pandas though mathematically G2=4; mirrored here).
+    Missing values skipped.  Same one-pass central-moment plan as
+    ``groupby_skew`` (``F.kurtosis`` = population excess g2 =
+    m4/m2^2 - 3, mergeable partials; adjustment + denominator
+    guard as projections); identical math to the streaming twin
+    ``groupby_kurtosis_stream``."""
+    work, v = _moment_work(df, by, value)
+    agg = work.groupBy(*[F.col(b) for b in by]).agg(
+        F.kurtosis(v).alias("__g2"),
+        F.count(v).alias("__n"),
+        F.var_pop(v).alias("__m2"),
+    )
     n = F.col("__n").cast("double")
-    mu = F.col("__s1") / n
-    m2 = F.col("__s2") / n - mu * mu
-    m4 = (
-        F.col("__s4") / n
-        - 4 * mu * F.col("__s3") / n
-        + 6 * mu * mu * F.col("__s2") / n
-        - 3 * mu * mu * mu * mu
-    )
-    s2 = m2 * n / (n - 1)
-    kurt = (
-        n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (m4 * n) / (s2 * s2)
-        - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
-    )
-    # pandas parity: zero variance with n >= 4 is 0.0 (probed)
+    g2 = ((n + 1) * F.col("__g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
+    # pandas fperr denominator: (n-2)(n-3) * (n * var_pop)^2
+    m2s = F.col("__m2") * n
+    den = (n - 2) * (n - 3) * m2s * m2s
     expr = F.when(
-        F.col("__n") >= 4, F.when(m2 > 0, kurt).otherwise(F.lit(0.0))
+        F.col("__n") >= 4,
+        F.when(den >= 1e-14, g2).otherwise(F.lit(0.0)),
     )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res
@@ -440,25 +425,35 @@ def winsorize_group(
     quantiles are exact (``approx=True`` for the sketch at scale).
 
     One aggregation pass + broadcast join (the ``groupby_transform``
-    shape) — no fact-side window."""
+    shape) — no fact-side window.  Both fences come from a SINGLE
+    vector-q quantile reduction (q=[lower, upper] shares the scan /
+    sketch / candidate passes of whichever exact strategy the size
+    stats pick) pivoted to columns on the group-sized result —
+    measured ~2x over two independent quantile aggregations."""
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
     out = out or value
-    aggs = {
-        "__wlo": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": lower}},
-        "__whi": {"func": "nanquantile", "value": value, "finalize_kwargs": {"q": upper}},
-    }
+    from flox_spark.core import groupby_reduce
 
     def _stats():
-        return groupby_reduce_multi(df, *by, aggs=aggs, sort=False)
+        return groupby_reduce(
+            df, *by, func="nanquantile", value=value, sort=False,
+            finalize_kwargs={"q": [float(lower), float(upper)]},
+            alias="__wq",
+        )
 
     if approx:
         from flox_spark.options import set_options
 
         with set_options(approx_quantile=True):
-            stats = _stats()
+            qrows = _stats()
     else:
-        stats = _stats()
+        qrows = _stats()
+    # (keys..., q, __wq) rows -> (keys..., __wlo, __whi): group-sized
+    stats = qrows.groupBy(*[F.col(b) for b in by]).agg(
+        F.min(F.when(F.col("q") == float(lower), F.col("__wq"))).alias("__wlo"),
+        F.min(F.when(F.col("q") == float(upper), F.col("__wq"))).alias("__whi"),
+    )
     joined = df.join(F.broadcast(stats), list(by), "left")
     v = F.col(value)
     vd = F.nanvl(v.cast("double"), F.lit(None))

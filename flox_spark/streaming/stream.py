@@ -648,8 +648,10 @@ def groupby_kurtosis_stream(
     ``kurtosis`` (population excess g2 = m4/m2^2 - 3) is mergeable
     state; the pandas adjustment
     ``G2 = ((n+1) g2 + 6)(n-1)/((n-2)(n-3))`` closes the window.
-    NULL for n < 4; zero variance with n >= 4 is 0.0 (pandas parity,
-    mirrored from the batch twin via a ``var_pop`` rider)."""
+    NULL for n < 4; tiny variance with n >= 4 is 0.0 (pandas
+    ``nankurt`` fperr guard — denominator
+    ``(n-2)(n-3)(sum dev^2)^2 < 1e-14`` absolute — mirrored from the
+    batch twin via a ``var_pop`` rider)."""
     from flox_spark.dtypes import is_missing
 
     work = df
@@ -672,13 +674,15 @@ def groupby_kurtosis_stream(
     )
     n = F.col("__n").cast("double")
     g2 = ((n + 1) * F.col("__g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
+    m2s = F.col("__m2") * n
+    den = (n - 2) * (n - 3) * m2s * m2s
     return res.select(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         *by,
         F.when(
             F.col("__n") >= 4,
-            F.when(F.col("__m2") > 0, g2).otherwise(F.lit(0.0)),
+            F.when(den >= 1e-14, g2).otherwise(F.lit(0.0)),
         ).alias(out),
     )
 

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from flox_spark.core import groupby_reduce, groupby_reduce_multi
 
-__all__ = ["groupby_apply", "groupby_transform", "standardize"]
+__all__ = [
+    "groupby_apply",
+    "groupby_apply_batched",
+    "groupby_transform",
+    "standardize",
+]
 
 
 def groupby_transform(
@@ -104,3 +109,70 @@ def groupby_apply(
         for b in by:
             work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
     return work.groupBy(*by).applyInPandas(fn, schema)
+
+
+def groupby_apply_batched(
+    df: DataFrame,
+    *by: str,
+    fn,
+    schema,
+    order_by: str | None = None,
+    drop_missing_labels: bool = True,
+):
+    """``groupby_apply`` for MANY SMALL groups: ``fn(pdf) -> pdf``
+    receives a frame holding one or more COMPLETE groups (contiguous,
+    ordered by ``order_by`` within each) so it can vectorize across
+    them with a single pandas ``groupby`` call.
+
+    ``applyInPandas`` invokes Python once per group — measured ~2 ms
+    of serialize/invoke floor per call, i.e. 3 s of pure overhead for
+    1 500 groups of 67 rows.  This variant shuffles by the group
+    keys, sorts within partitions on (keys, order_by), and walks the
+    partition's Arrow batches in ``mapInPandas`` with a tail-group
+    CARRY: a group that straddles a batch boundary is held back and
+    prepended to the next batch, so ``fn`` always sees whole groups
+    and each group exactly once.  Python is invoked per ARROW BATCH
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k),
+    not per group.
+
+    Memory bound: the largest single GROUP must fit one batch's
+    worth of worker memory (same contract as ``groupby_apply``); the
+    carry never holds more than one group.
+    """
+    from flox_spark.dtypes import is_missing
+
+    work = df
+    if drop_missing_labels:
+        for b in by:
+            work = work.filter(~is_missing(F.col(b), work.schema[b].dataType))
+    sort_cols = [*by, order_by] if order_by else list(by)
+    work = work.repartition(*[F.col(b) for b in by]).sortWithinPartitions(
+        *[F.col(c) for c in sort_cols]
+    )
+    keys = list(by)
+
+    def run(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # group-contiguous by the partition sort: the trailing
+            # group may continue in the next batch — hold it back.
+            # ngroup() is NaN-safe (dropna=False keeps NULL labels as
+            # a group when drop_missing_labels=False).
+            codes = pdf.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+            ntail = int((codes == codes[-1]).sum())
+            if ntail == len(pdf):
+                carry = pdf  # one (possibly giant) group: keep accumulating
+                continue
+            carry = pdf.iloc[len(pdf) - ntail :].reset_index(drop=True)
+            yield fn(pdf.iloc[: len(pdf) - ntail].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield fn(carry)
+
+    return work.mapInPandas(run, schema)

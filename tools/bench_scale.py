@@ -267,6 +267,51 @@ def r5b_scaling(spark, quick: bool) -> dict:
     return out
 
 
+def r6big_scaling(spark) -> dict:
+    """100x points (60k -> 6M docs, single-shot) for the round-5
+    second-wave operators — verdict r5 item 7.  Same builders as
+    ``r5b_scaling``; semdedup keeps the linear-k protocol (k grows
+    with n so cells stay constant-sized and in-cell quadratic cost
+    stays bounded)."""
+    from flox_spark.operators import fuzzy_join
+    from flox_spark.operators.lm import doc_perplexity
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    def synth_vecs(n, dim=16):
+        comp = [
+            ((F.col("id") * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0)
+            .cast("float")
+            for j in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comp).alias("embedding")
+        )
+
+    builders = {
+        "perplexity_self": lambda n: doc_perplexity(synth_docs(spark, n)),
+        "semdedup_pairs": lambda n: semantic_dedup_pairs(
+            synth_vecs(n), k=max(4, n // 250), threshold=0.95,
+            dim=16, max_iter=0,
+        ),
+        "fuzzy_join_halves": lambda n: fuzzy_join(
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            synth_docs(spark, n).filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", F.substring("text", 1, 40).alias("nm")),
+            "doc_id", "nm", "doc_id", "nm", max_dist=3,
+            bands=8, shingle_k=2, max_bucket=200,
+        ).select(F.col("edit_dist")),
+    }
+    out = {}
+    for name, build in builders.items():
+        t_small = force(build(60_000))
+        t_big = force(build(6_000_000))
+        out[name] = {
+            "60k_s": t_small,
+            "6M_s": t_big,
+            "wall_ratio_for_100x_data": round(t_big / max(t_small, 1e-9), 2),
+        }
+    return out
 
 
 def r6_quantizer(spark, quick: bool) -> dict:
@@ -377,7 +422,7 @@ def main() -> None:
         return
     if "--r6big" in sys.argv:
         spark = get_spark("bench_scale")
-        print(json.dumps({"r6_100x": r6_100x(spark)}, indent=2))
+        print(json.dumps({"r6_100x": r6big_scaling(spark)}, indent=2))
         return
     if "--r5b" in sys.argv:
         spark = get_spark("bench_scale")
