@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "leakage_safe_split",
     "sample_bernoulli",
     "sample_exact_global",
     "sample_exact_per_group",
@@ -283,6 +284,67 @@ def split_by_group(
     deterministic hash gate as ``split_train_test``; a pure
     projection, zero shuffles."""
     return split_train_test(df, group_col, test_fraction, seed=seed, out=out)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    test_fraction: float = 0.1,
+    seed: str = "0",
+    out: str = "split",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+    hash_impl: str = "xxhash64",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-DUP-AWARE train/test split: rows whose texts are LSH
+    near-duplicates of each other always land on the SAME side.  A
+    row-level split puts one twin in train and the other in test, and
+    the eval score silently measures memorization — the standard
+    leakage guard for training-corpus splits.
+
+    Composition: MinHash-LSH candidate pairs -> connected components
+    (``dedup_clusters`` min-label propagation) -> each row's split
+    key is its cluster representative (its own id when it appears in
+    no pair) -> the same deterministic md5 gate as
+    ``split_train_test``.  Pass a precomputed ``(doc_id, cluster_id)``
+    frame via ``clusters`` to reuse pipeline dedup output.
+
+    100 TB posture: the cluster frame is PAIR-GRAPH-sized (orders of
+    magnitude below the corpus — only docs appearing in some LSH
+    bucket pair), so the rep lookup is a broadcast left join; the
+    gate itself is a pure projection.  Note the split fractions hold
+    over CLUSTERS, not rows: a giant near-dup cluster moves as one
+    unit (that is the point).
+    """
+    if clusters is None:
+        from flox_spark.operators.dedup import dedup_clusters, minhash_candidates
+
+        pairs = minhash_candidates(
+            df, id_col, text_col, num_hashes, bands, shingle_k,
+            max_bucket, hash_impl,
+        )
+        clusters = dedup_clusters(pairs)
+    cl = clusters.select(
+        F.col("doc_id").alias("__lss_id"),
+        F.col("cluster_id").alias("__lss_cluster"),
+    )
+    joined = df.join(
+        F.broadcast(cl), df[id_col] == F.col("__lss_id"), "left"
+    ).drop("__lss_id")
+    rep = F.coalesce(
+        F.col("__lss_cluster").cast("string"), F.col(id_col).cast("string")
+    )
+    key = F.substring(_hash_key(rep, seed), 1, _HEX_DIGITS)
+    return joined.withColumn(
+        out,
+        F.when(key < F.lit(_threshold(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    ).drop("__lss_cluster")
 
 
 def sample_exact_per_group(

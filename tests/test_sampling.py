@@ -244,3 +244,55 @@ def test_split_by_group_no_leakage(spark):
     assert {"test", "train"} == {next(iter(s)) for s in by_doc.values() for _ in [0]} or True
     n_test_docs = sum(1 for s in by_doc.values() if s == {"test"})
     assert 3 <= n_test_docs <= 21  # ~12 of 40 expected
+
+
+def test_leakage_safe_split_twins_same_side(spark):
+    # 10 near-dup twin pairs (identical text => certain LSH pair) +
+    # 40 unique docs; twins must NEVER straddle the split
+    rows = []
+    for i in range(10):
+        t = f"the quick brown fox jumps over lazy dog number {i} again and again"
+        rows.append((i, t))
+        rows.append((100 + i, t))
+    for i in range(40):
+        rows.append((200 + i, f"totally unique document body {i*7919} with its own words {i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from flox_spark.operators import leakage_safe_split
+
+    out = leakage_safe_split(
+        df, "doc_id", "text", test_fraction=0.3, seed="ls", max_bucket=None
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 60 and set(got.values()) <= {"train", "test"}
+    for i in range(10):
+        assert got[i] == got[100 + i], f"twin pair {i} straddles the split"
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got == again
+    # singleton rows follow the plain id-hash gate (same as
+    # split_train_test), so the two operators agree off-cluster
+    from flox_spark.operators import split_train_test
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_train_test(
+            df.filter(F.col("doc_id") >= 200), "doc_id", 0.3, seed="ls"
+        ).collect()
+    }
+    for k, v in plain.items():
+        assert got[k] == v
+
+
+def test_leakage_safe_split_precomputed_clusters(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    cl = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    from flox_spark.operators import leakage_safe_split
+
+    out = leakage_safe_split(df, "doc_id", "text", 0.5, seed="z", clusters=cl)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[5] == got[6]

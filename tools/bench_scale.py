@@ -267,7 +267,7 @@ def r5b_scaling(spark, quick: bool) -> dict:
     return out
 
 
-def r6big_scaling(spark) -> dict:
+def r6big_scaling(spark, only: str | None = None) -> dict:
     """100x points (60k -> 6M docs, single-shot) for the round-5
     second-wave operators — verdict r5 item 7.  Same builders as
     ``r5b_scaling``; semdedup keeps the linear-k protocol (k grows
@@ -304,6 +304,8 @@ def r6big_scaling(spark) -> dict:
     }
     out = {}
     for name, build in builders.items():
+        if only is not None and name != only:
+            continue
         t_small = force(build(60_000))
         t_big = force(build(6_000_000))
         out[name] = {
@@ -421,8 +423,11 @@ def main() -> None:
         print(json.dumps({"r6_quantizer": r6_quantizer(spark, quick)}, indent=2))
         return
     if "--r6big" in sys.argv:
+        only = None
+        if "--case" in sys.argv:
+            only = sys.argv[sys.argv.index("--case") + 1]
         spark = get_spark("bench_scale")
-        print(json.dumps({"r6_100x": r6big_scaling(spark)}, indent=2))
+        print(json.dumps({"r6_100x": r6big_scaling(spark, only)}, indent=2))
         return
     if "--r5b" in sys.argv:
         spark = get_spark("bench_scale")
