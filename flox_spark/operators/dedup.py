@@ -253,6 +253,24 @@ def minhash_seed_cols(mins_col: str, num_hashes: int, prefix: str = "mh") -> lis
     ]
 
 
+# names the staged signature/banding pipeline owns: carrying a column
+# with one of these would silently clobber a staged projection or
+# produce duplicate/ambiguous output columns
+_CARRY_RESERVED = frozenset({"band", "bkey", "__c", "__sh", "__hp", "__mins", "__t"})
+
+
+def _check_carry(carry, num_hashes: int | None = None) -> None:
+    bad = sorted(set(carry) & _CARRY_RESERVED)
+    if num_hashes:
+        bad += [c for c in carry if c.startswith("mh") and c[2:].isdigit()]
+    if bad:
+        raise ValueError(
+            f"carry column(s) {bad} collide with the signature pipeline's "
+            f"internal/output names ({sorted(_CARRY_RESERVED)}, mh0..mhN) — "
+            "rename them before carrying"
+        )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -282,6 +300,7 @@ def minhash_signatures(
     staged select into the output — for SHORT payloads (a normalized
     name in ``fuzzy_join``) that downstream wants without a join-back.
     Don't carry document-sized text: it rides every shuffle after."""
+    _check_carry(carry, num_hashes)
     hp = _minhash_halves(hash_impl)
     keep = [F.col(c) for c in carry]
     if unit == "word":

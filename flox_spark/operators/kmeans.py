@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 
 from flox_spark.plans.util import materialize_shared
 
-__all__ = ["kmeans_fit", "assign_clusters", "assign_clusters_two_level"]
+__all__ = [
+    "kmeans_fit",
+    "assign_clusters",
+    "assign_clusters_two_level",
+    "seed_centroids",
+]
 
 
 def _packed_centroids(centroids: DataFrame) -> "F.Column":
@@ -92,6 +97,62 @@ def _nearest_cid(vec_col: str) -> "F.Column":
         "s -> s.d IS NOT NULL AND NOT isnan(s.d) "
         "AND s.d != CAST('Infinity' AS DOUBLE))).cid, -1)"
     )
+
+
+def _seed_candidates(raw: DataFrame, k: int, id_col: str, seed: str) -> DataFrame:
+    """The 2k-row seed-candidate frame: NULL vectors excluded (they
+    never fold to a valid distance — letting one win a seed slot
+    would just burn a cluster on the -1 sentinel), smallest
+    md5(id||seed) first.  ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject — a distributed partial top-k, never a
+    single-task global sort."""
+    return (
+        raw.filter(F.col("__v").isNotNull())
+        .withColumn(
+            "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+        )
+        .orderBy("__h")
+        .limit(2 * k)
+    )
+
+
+def _seeds_from_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Declarative ragged-drop + k-select over the (tiny) candidate
+    frame: vectors shorter than the candidate max length are dropped
+    (they cannot anchor a full-dimension centroid), the first k by
+    hash order survive — the exact plan twin of the driver-side
+    ``_seed_cents``.  Every step is 2k-sized."""
+    w_all = Window.partitionBy()  # candidate frame is 2k rows — tiny
+    seeds = (
+        cand.withColumn("__dim", F.max(F.size("__v")).over(w_all))
+        .filter(F.size("__v") == F.col("__dim"))
+        .orderBy("__h")
+        .limit(k)
+    )
+    w = Window.orderBy("__h")
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("__cid"), F.col("__v").alias("centroid")
+    )
+
+
+def seed_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "0",
+) -> DataFrame:
+    """``kmeans_fit(..., max_iter=0)``'s deterministic hash-draw init
+    as a standalone COLLECT-FREE plan fragment: the k rows with the
+    smallest ``md5(id || seed)`` as a (__cid, centroid) frame.  Lets
+    callers (``semantic_dedup_pairs``'s fused small path) compose the
+    init into ONE action instead of paying a separate seed-collect
+    job; selection is identical to the fit's."""
+    raw = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    return _seeds_from_candidates(_seed_candidates(raw, k, id_col, seed), k)
 
 
 def assign_clusters(
@@ -152,15 +213,22 @@ def kmeans_fit(
     ``driver_loop``: force the per-iteration centroid-collect loop on
     or off; default picks by k*dim (see module docstring)."""
     from flox_spark.plans import ensure_parallelism
+    from flox_spark.plans.util import estimate_size_bytes
 
     # the per-iteration assignment fold is CPU-bound (k*dim ops/row):
     # fan a byte-small scan out before it (see assign_clusters).  The
     # SEED draw stays on the raw projection — md5+top-k is cheap and
-    # the fan-out's exchange would only lengthen that one short job
+    # the fan-out's exchange would only lengthen that one short job.
+    # Gate: when the TOTAL fold work is tiny (plan-stats size scaled
+    # by k), the exchange costs more wall per iteration than the
+    # single-task fold it parallelizes — same gate as
+    # semantic_dedup_pairs' small path
     raw = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
-    base = ensure_parallelism(raw)
+    size = estimate_size_bytes(df)
+    small = size is not None and size * max(1, k // 8) < (32 << 20)
+    base = raw if small else ensure_parallelism(raw)
     if driver_loop is None:
         driver_loop_resolved = k * 4096 <= _DRIVER_LOOP_MAX_VALUES
     else:
@@ -175,25 +243,22 @@ def kmeans_fit(
     # orderBy().limit(k) compiles to TakeOrderedAndProject (distributed
     # partial top-k per partition), NOT a single-task global sort; the
     # row_number window then runs over only k rows
-    seeds = (
-        raw.withColumn(
-            "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
-        )
-        .orderBy("__h")
-        .limit(k)
-    )
-    w = Window.orderBy("__h")
-    centroids = seeds.select(
-        (F.row_number().over(w) - 1).alias("__cid"), F.col("__v").alias("centroid")
-    )
+    cand = _seed_candidates(raw, k, id_col, seed)
 
     # driver_loop default sized on k alone with a conservative
     # per-vector dim allowance of 4096 (the vector dim isn't in the
     # schema) — any real embedding column passes at sane k (k=256,
     # dim=4096 is still only 8 MB of centroid doubles per iteration);
-    # resolved above so the materialize decision could see it
+    # resolved above so the materialize decision could see it.  The
+    # driver loop collects the 2k candidate rows straight off the
+    # TakeOrderedAndProject (ONE stage) and does the ragged-drop +
+    # k-select in Python — the declarative window version costs two
+    # extra plan stages and ~0.3 s of py4j plan build per fit, pure
+    # fixed overhead for a frame the loop collects anyway.
     if driver_loop_resolved:
-        return _kmeans_driver_loop(base, centroids, k, max_iter, tol)
+        return _kmeans_driver_loop(base, cand, k, max_iter, tol)
+
+    centroids = _seeds_from_candidates(cand, k)
 
     centroids = materialize_shared(centroids)
     for _ in range(max_iter):
@@ -239,12 +304,30 @@ _PACKED_SCHEMA = "__cents array<struct<__cid:int,centroid:array<double>>>"
 _LITERAL_CENTROIDS_MAX_VALUES = 1 << 14
 
 
+def _fmt_double(x) -> str:
+    # %.17g round-trips every FINITE double exactly, but renders
+    # non-finites as `nanD`/`infD` — invalid Spark SQL (a parse error
+    # at plan build).  NaN coordinates reach here legitimately: a NaN
+    # input component propagates through F.avg into the centroid mean
+    # (and a NULL element in a seed vector arrives as None)
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    import math
+
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return "CAST('%sInfinity' AS DOUBLE)" % ("-" if x < 0 else "")
+    return "%.17gD" % x
+
+
 def _literal_centroids(cents: list) -> "F.Column":
     # one expr STRING: building this as nested F.lit/F.struct calls
     # costs k*dim py4j round trips per iteration (~0.2 s at k=4,
-    # dim=64 — measured); %.17g round-trips every double exactly
+    # dim=64 — measured)
     def arr(c):
-        return "array(" + ",".join("%.17gD" % float(x) for x in c) + ")"
+        return "array(" + ",".join(_fmt_double(x) for x in c) + ")"
 
     return F.expr(
         "array("
@@ -256,9 +339,25 @@ def _literal_centroids(cents: list) -> "F.Column":
     )
 
 
+def _seed_cents(cand_rows: list, k: int) -> list:
+    """Driver-side seed selection from the collected 2k-candidate
+    rows: authoritative dim = the candidate max length, ragged
+    vectors dropped, first k by hash order kept.  Mirrors the
+    declarative window version in the plan loop exactly."""
+    rows = [r for r in cand_rows if r["__v"] is not None]
+    if not rows:
+        return []
+    dim = max(len(r["__v"]) for r in rows)
+    return [
+        [None if x is None else float(x) for x in r["__v"]]
+        for r in sorted(rows, key=lambda r: r["__h"])
+        if len(r["__v"]) == dim
+    ][:k]
+
+
 def _kmeans_driver_loop(
     base: DataFrame,
-    init_centroids: DataFrame,
+    cand: DataFrame,
     k: int,
     max_iter: int,
     tol: float | None,
@@ -272,8 +371,9 @@ def _kmeans_driver_loop(
     scheduling; the aggregate itself is the identical plan, so the
     fitted centroids match the plan loop to float-reduction order.
 
-    The INIT is its own k-sized collect (TakeOrderedAndProject — one
-    short job), after which every iteration enters through the
+    The INIT collects the 2k-candidate frame (TakeOrderedAndProject —
+    ONE short single-stage job) and seed-selects in Python
+    (``_seed_cents``), after which every iteration enters through the
     literal/LocalRelation centroid path: a max_iter=1 fit is two
     short jobs end-to-end, with no broadcast build re-computing the
     seed subtree."""
@@ -304,32 +404,18 @@ def _kmeans_driver_loop(
     try:
         for it in range(max(max_iter, 0)):
             if it == 0:
-                # seed collect first: a k-sized TakeOrderedAndProject
-                # job (never data-sized).  The previous union-fused
-                # design still paid TWO jobs — the packed-centroid
-                # BROADCAST build re-computed the whole seed subtree as
-                # its own job before the union agg ran — so collecting
-                # seeds directly and entering every iteration through
-                # the literal/LocalRelation path is the same job count
-                # with strictly less work per job.
-                srows = init_centroids.select(
-                    "__cid", F.posexplode("centroid").alias("pos", "m")
-                ).collect()
-                if not srows:
-                    # empty input: no seeds were drawn
+                # seed collect first: a 2k-sized TakeOrderedAndProject
+                # job (never data-sized); ragged-drop + k-select in
+                # Python (_seed_cents).  Fewer than k surviving seeds
+                # (input smaller than k): only the seeded clusters
+                # exist, matching the plan loop.
+                cents = _seed_cents(cand.collect(), k)
+                if not cents:
                     return spark.createDataFrame(
                         [], schema="__cid int, centroid array<double>"
                     )
-                seed_vals = {(r["__cid"], r["pos"]): r["m"] for r in srows}
-                # fewer than k distinct seed rows (input smaller than
-                # k): only the seeded clusters exist, matching the
-                # plan loop
-                cids = sorted({c for c, _ in seed_vals})
-                dim = max(p for _, p in seed_vals) + 1
-                use_literal = len(cids) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
-                cents = [
-                    [seed_vals[(c, p)] for p in range(dim)] for c in cids
-                ]
+                dim = len(cents[0])
+                use_literal = len(cents) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
             if use_literal:
                 assigned = base.withColumn("__cents", _literal_centroids(cents))
             else:
@@ -347,7 +433,14 @@ def _kmeans_driver_loop(
             )
             new_cents = [list(c) for c in cents]  # empty keep previous
             for r in rows:
-                new_cents[r["__cid"]][r["pos"]] = r["m"]
+                # cid -1 is the all-invalid-distance sentinel from
+                # _nearest_cid (NaN/NULL/short vectors): those rows
+                # belong to NO cluster — dropping them here matches
+                # the plan loop's left-join (an unmatched cid keeps
+                # the previous centroid); indexing with -1 would
+                # silently overwrite the LAST centroid
+                if r["__cid"] >= 0:
+                    new_cents[r["__cid"]][r["pos"]] = r["m"]
             if tol is not None:
                 shift = max(
                     (abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)),
@@ -359,21 +452,12 @@ def _kmeans_driver_loop(
             else:
                 cents = new_cents
         if max_iter <= 0:
-            # no iterations requested: the init centroids ARE the fit
-            rows = init_centroids.select(
-                "__cid", F.posexplode("centroid").alias("pos", "m")
-            ).collect()
-            if not rows:
+            # no iterations requested: the seed draw IS the fit
+            cents = _seed_cents(cand.collect(), k)
+            if not cents:
                 return spark.createDataFrame(
                     [], schema="__cid int, centroid array<double>"
                 )
-            by_cid: dict = {}
-            for r in rows:
-                by_cid.setdefault(r["__cid"], {})[r["pos"]] = r["m"]
-            cents = [
-                [vals[p] for p in range(len(vals))]
-                for _, vals in sorted(by_cid.items())
-            ]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -399,22 +483,20 @@ def _kmeans_driver_loop(
 # in tests/test_kmeans.py and the exactness boundary is coarse_k=1
 # (one cell = the flat fold, bit-identical).
 
-_TWO_LEVEL_SCHEMA = (
-    "__cents2 array<struct<ccent:array<double>,"
-    "members:array<struct<__cid:int,centroid:array<double>>>>>"
-)
-
-
 def _coarse_partition(cents_rows: list, coarse_k: int) -> list:
     """Group (cid, centroid) rows into <= coarse_k coarse cells with a
     deterministic numpy Lloyd run over the centroids themselves (seeds
     = smallest md5(cid), 8 iterations — the input is k-sized, never
     data-sized).  Returns [(ccent, [(cid, centroid), ...]), ...] with
-    empty cells dropped."""
+    empty cells dropped; cluster ids pass through with their original
+    type (int and string labels both supported — see
+    _packed_two_level's schema inference)."""
     import hashlib
 
     import numpy as np
 
+    if not cents_rows:
+        return []
     X = np.array([c for _, c in cents_rows], dtype=float)
     ids = [i for i, _ in cents_rows]
     m = max(1, min(coarse_k, len(cents_rows)))
@@ -433,7 +515,7 @@ def _coarse_partition(cents_rows: list, coarse_k: int) -> list:
     groups = []
     for g in range(m):
         mem = [
-            (int(ids[j]), [float(x) for x in X[j]])
+            (ids[j], [float(x) for x in X[j]])
             for j in range(len(cents_rows))
             if a[j] == g
         ]
@@ -442,11 +524,42 @@ def _coarse_partition(cents_rows: list, coarse_k: int) -> list:
     return groups
 
 
+def _two_level_schema(cid_sql_type: str) -> str:
+    return (
+        "__cents2 array<struct<ccent:array<double>,"
+        f"members:array<struct<__cid:{cid_sql_type},centroid:array<double>>>>>"
+    )
+
+
+def _cid_sql_type(cents_rows: list) -> str:
+    """Infer the Spark SQL type carrying the cluster labels through
+    the nested pack: int32-ranged ints stay int (the kmeans_fit
+    contract), wider ints go bigint, strings pass through — anything
+    else is rejected loudly (the flat probe supports arbitrary
+    orderable labels; the nested LocalRelation schema cannot)."""
+    if all(isinstance(i, int) and not isinstance(i, bool) for i, _ in cents_rows):
+        lo, hi = min(i for i, _ in cents_rows), max(i for i, _ in cents_rows)
+        return "int" if -(1 << 31) <= lo and hi < (1 << 31) else "bigint"
+    if all(isinstance(i, str) for i, _ in cents_rows):
+        return "string"
+    raise ValueError(
+        "two-level quantizer cluster labels must be all-int or all-string; "
+        f"got types {sorted({type(i).__name__ for i, _ in cents_rows})} "
+        "(use the flat probe for other label types)"
+    )
+
+
 def _packed_two_level(spark, cents_rows: list, coarse_k: int) -> DataFrame:
     """One-row broadcastable frame holding the nested coarse->fine
-    centroid table (same LocalRelation discipline as the flat pack)."""
+    centroid table (same LocalRelation discipline as the flat pack).
+    Callers guard the empty case (an empty nested array cannot carry
+    a schema)."""
+    if not cents_rows:
+        raise ValueError("empty centroid table — guard before packing")
     groups = _coarse_partition(cents_rows, coarse_k)
-    return spark.createDataFrame([(groups,)], schema=_TWO_LEVEL_SCHEMA)
+    return spark.createDataFrame(
+        [(groups,)], schema=_two_level_schema(_cid_sql_type(cents_rows))
+    )
 
 
 def _sq_dist(vec_ref: str, cent_ref: str) -> str:
@@ -470,15 +583,18 @@ def _nearest_coarse_gix(vec_col: str) -> "F.Column":
     )
 
 
-def _nearest_cid_in_group(vec_col: str, gix_col: str = "__g") -> "F.Column":
-    """Fine argmin over the chosen coarse cell's members; -1 sentinel
-    when no cell or no valid member (matching _nearest_cid)."""
+def _nearest_cid_in_group(
+    vec_col: str, gix_col: str = "__g", sentinel: str = "-1"
+) -> "F.Column":
+    """Fine argmin over the chosen coarse cell's members; ``sentinel``
+    (default -1, matching _nearest_cid's int contract; string-labeled
+    packs pass ``"NULL"``) when no cell or no valid member."""
     vc = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
     return F.expr(
-        f"CASE WHEN {gix_col} IS NULL THEN -1 ELSE "
+        f"CASE WHEN {gix_col} IS NULL THEN {sentinel} ELSE "
         f"coalesce(array_min(filter(transform(element_at(__cents2, {gix_col} + 1).members, "
         "c -> struct(" + _sq_dist(vc, "c.centroid") + " AS d, c.__cid AS cid)), "
-        f"{_VALID})).cid, -1) END"
+        f"{_VALID})).cid, {sentinel}) END"
     )
 
 
@@ -507,6 +623,9 @@ def assign_clusters_two_level(
     if coarse_k is None:
         coarse_k = max(1, int(len(cents_rows) ** 0.5))
     packed = _packed_two_level(df.sparkSession, cents_rows, coarse_k)
+    # string-labeled centroid tables can't carry the -1 int sentinel:
+    # unassignable rows get NULL instead
+    sentinel = "-1" if _cid_sql_type(cents_rows) != "string" else "CAST(NULL AS STRING)"
     if not df.isStreaming:
         from flox_spark.plans import ensure_parallelism
 
@@ -514,6 +633,6 @@ def assign_clusters_two_level(
     return (
         df.crossJoin(F.broadcast(packed))
         .withColumn("__g", _nearest_coarse_gix(vec_col))
-        .withColumn(out, _nearest_cid_in_group(vec_col))
+        .withColumn(out, _nearest_cid_in_group(vec_col, sentinel=sentinel))
         .select(F.col(id_col), F.col(out))
     )

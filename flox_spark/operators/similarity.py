@@ -308,6 +308,12 @@ def ivf_topk(
             (r[cluster_col], list(r["centroid"]))
             for r in cent_df.collect()
         ]
+        if not crows:
+            # empty base table: fall through to the flat probe, whose
+            # broadcast of the empty centroid frame yields the correct
+            # empty result (the nested pack cannot represent empty)
+            two_level_probe = False
+    if two_level_probe:
         packed2 = _packed_two_level(
             base.sparkSession, crows, max(1, int(len(crows) ** 0.5))
         )
@@ -515,27 +521,47 @@ def semantic_dedup_pairs(
         _packed_centroids,
         _packed_two_level,
         kmeans_fit,
+        seed_centroids,
     )
-    from flox_spark.plans.util import materialize_shared
+    from flox_spark.plans.util import estimate_size_bytes, materialize_shared
 
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
-    )
+    spark = df.sparkSession
+    if centroids is not None:
+        cents = centroids
+    elif max_iter == 0:
+        # the hash-draw init needs no iteration: keep it a DECLARATIVE
+        # plan fragment so the whole query is ONE action — the old
+        # flow paid a separate seed-collect job (plus its py4j plan
+        # build) before the pair query even started
+        cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    else:
+        cents = kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
     if two_level is None:
         two_level = k >= 1024
-    # the nearest-cell fold is CPU-bound (k*dim ops/row) while
-    # Catalyst sizes partitions by BYTES — fan the scan out before it
-    # or a byte-small frame runs the whole assignment on one task
-    fanned = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    # fixed-cost gating: below this PLAN-STATS size the fold is cheap
+    # enough (size/8 * k ops total) that the fan-out exchange, the
+    # checkpoint job and the pinned co-partitioning each cost more
+    # wall than the work they parallelize/save — take the broadcast
+    # pair shape instead.  The threshold scales inversely with k (the
+    # fold's per-row cost); unknown stats keep the safe scale path.
+    size = estimate_size_bytes(df)
+    small = size is not None and size * max(1, k // 8) < (32 << 20)
+    proj = df.select(F.col(id_col), F.col(vec_col))
+    fanned = proj if small else ensure_parallelism(proj)
     if two_level:
+        # the numpy coarse partition needs the centroid VALUES: one
+        # k-sized collect (only on this path)
         cents_rows = [
             (r["__cid"], list(r["centroid"]))
             for r in cents.select("__cid", "centroid").collect()
         ]
+        if not cents_rows:
+            return spark.createDataFrame(
+                [], schema=f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+            )
         packed2 = _packed_two_level(
-            df.sparkSession,
+            spark,
             cents_rows,
             coarse_k or max(1, int(len(cents_rows) ** 0.5)),
         )
@@ -545,6 +571,9 @@ def semantic_dedup_pairs(
             .withColumn("__cl", _nearest_cid_in_group(vec_col))
         )
     else:
+        # packed as a broadcast SUBQUERY (agg over the k-row centroid
+        # frame): referenced by both join sides, Spark's ReuseExchange
+        # builds the broadcast once; no driver collect anywhere
         folded = fanned.crossJoin(_packed_centroids(cents)).withColumn(
             "__cl", _nearest_cid(vec_col)
         )
@@ -559,9 +588,26 @@ def semantic_dedup_pairs(
             F.col("__cl"),
             _norm(vec_col, dim).alias("__nrm"),
         )
+        # -1 is the no-valid-cell sentinel (NaN/NULL vectors, or an
+        # EMPTY centroid table): those rows belong to no cell and must
+        # not pair with each other through a shared "-1 cell"
+        .filter(F.col("__cl") >= 0)
     )
-    # ORDER MATTERS for parallelism here (all three steps observed
-    # collapsing to one task in other orders):
+    # Two physical shapes for the in-cell pair stage, picked by the
+    # size gate above:
+    #
+    # SMALL (fits executor memory comfortably): broadcast one side
+    # and round-robin the probe side across the cluster — a
+    # BroadcastHashJoin on __cl whose parallelism is the PROBE side's
+    # partitioning, NOT the cell count.  The co-partitioned plan
+    # below caps parallelism at k non-empty hash partitions (k=4 ->
+    # 4 tasks grinding the quadratic pair expansion) and pays a
+    # checkpoint + pinned exchange in fixed jobs; this shape reaches
+    # full parallelism with one cheap exchange and no checkpoint.
+    #
+    # LARGE: co-partitioned sort-merge self-join.  ORDER MATTERS for
+    # parallelism (all three steps observed collapsing to one task in
+    # other orders):
     # 1. materialize FIRST — the fold (k*dim ops/row) runs once
     #    across the scan's partitions and the self-join diamond reads
     #    the checkpoint; a checkpoint LOSES partitioning metadata, so
@@ -572,13 +618,17 @@ def semantic_dedup_pairs(
     #    on ONE task — observed 60s single-task stages);
     # 3. the cap window and the self-join both require
     #    hashpartitioning(__cl) and REUSE that one pinned exchange.
-    spark = df.sparkSession
-    assigned = materialize_shared(assigned)
-    assigned = assigned.repartition(
-        spark.sparkContext.defaultParallelism, F.col("__cl")
-    )
-    assigned = cap_buckets(assigned, ["__cl"], max_cluster)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    if small:
+        assigned = cap_buckets(assigned, ["__cl"], max_cluster)
+        a = assigned.repartition(spark.sparkContext.defaultParallelism).alias("a")
+        b = F.broadcast(assigned).alias("b")
+    else:
+        assigned = materialize_shared(assigned)
+        assigned = assigned.repartition(
+            spark.sparkContext.defaultParallelism, F.col("__cl")
+        )
+        assigned = cap_buckets(assigned, ["__cl"], max_cluster)
+        a, b = assigned.alias("a"), assigned.alias("b")
     sim = _dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (
         F.col("a.__nrm") * F.col("b.__nrm")
     )

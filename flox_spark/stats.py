@@ -368,9 +368,16 @@ def groupby_skew(
     )
     n = F.col("__n").cast("double")
     g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
+    # pandas nanskew fperr guards (nanops._zero_out_fperr, absolute
+    # 1e-14 on the squared- and cubed-deviation SUMS — not on var):
+    # a tiny-variance group like [1e-8, 0, 0] is 0.0 in pandas though
+    # mathematically skewed; `> 0` alone returned huge unstable G1
+    # there.  m2_sum = n*var_pop; m3_sum = n*g1_pop*var_pop^1.5.
+    m2s = F.col("__m2") * n
+    m3s = n * F.col("__g1") * F.pow(F.col("__m2"), F.lit(1.5))
     expr = F.when(
         F.col("__n") >= 3,
-        F.when(F.col("__m2") > 0, g1).otherwise(F.lit(0.0)),
+        F.when((m2s >= 1e-14) & (F.abs(m3s) >= 1e-14), g1).otherwise(F.lit(0.0)),
     )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res

