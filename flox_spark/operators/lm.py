@@ -43,27 +43,35 @@ from flox_spark.plans import ensure_parallelism
 __all__ = ["doc_perplexity", "perplexity_filter", "train_bigram_lm"]
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_bigrams(
+    df: DataFrame, id_col: str, text_col: str, keep_empty_docs: bool = False
+) -> DataFrame:
     """(id, w1, w2) rows — one per bigram OCCURRENCE (counts weigh
     repeats, like any LM).  Tokens staged in their own select (the
-    shingle pipeline's discipline); empty/one-token docs emit no rows."""
-    toks = ensure_parallelism(df).select(
+    shingle pipeline's discipline).  The empty-token guard runs INSIDE
+    the pair array (identical result to the old post-explode filter),
+    so ``keep_empty_docs=True`` can ``explode_outer`` and emit exactly
+    ONE (id, NULL, NULL) row for a doc with no valid bigrams — the
+    scoring aggregate then covers every document in a single pass,
+    with no second corpus-wide distinct + re-attach join."""
+    # min_bytes gate: tokenize+explode is a few regex ops per row —
+    # under ~8 MB the fan-out exchange costs more than the single-task
+    # compute it spreads (ensure_parallelism docstring's measurement)
+    toks = ensure_parallelism(df, min_bytes=8 << 20).select(
         F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
     )
-    n = F.size(F.col("__t"))
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.struct(
-                F.col("__t")[i].alias("w1"), F.col("__t")[i + 1].alias("w2")
-            ),
-        ),
-    ).otherwise(F.array())
-    return (
-        toks.select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    # ONE expr string: the nested transform/filter built from Python
+    # lambdas costs ~0.2 s of py4j round trips per plan build (the
+    # similarity._dot discipline)
+    valid = F.expr(
+        "filter(CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(0, size(__t) - 2), "
+        "i -> struct(__t[i] AS w1, __t[i + 1] AS w2)) "
+        "ELSE array() END, s -> s.w1 != '' AND s.w2 != '')"
+    )
+    ex = F.explode_outer(valid) if keep_empty_docs else F.explode(valid)
+    return toks.select(F.col(id_col), ex.alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
 
 
@@ -80,18 +88,25 @@ def train_bigram_lm(
     them (e.g. ``write_table``) to score many batches against one
     model.
 
-    The bigram frame feeds THREE aggregates: it is materialized once
-    (``materialize_shared``) so the tokenize+explode pipeline doesn't
-    re-run per consumer (a diamond DAG otherwise — measured 2x)."""
+    ONE corpus-sized aggregate: only the bigram-type counts touch the
+    reference corpus; the context counts are the bigram counts summed
+    over w2 (C(w1) = sum_w2 C(w1, w2) — identical by definition) and
+    the vocabulary is the distinct words of the bigram TYPES — both
+    aggregates over the vocab-sized count frame, never the corpus.
+    The count frame is materialized (``materialize_shared``) so its
+    corpus-sized aggregation doesn't re-run for each of its three
+    consumers (measured: skipping it re-runs the tokenize+explode
+    subtree inside every AQE broadcast build — slower even at sf0.1).
+    """
     from flox_spark.plans.util import materialize_shared
 
-    bg = _bg if _bg is not None else materialize_shared(
-        _doc_bigrams(reference, id_col, text_col)
+    bg = _bg if _bg is not None else _doc_bigrams(reference, id_col, text_col)
+    bigrams = materialize_shared(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     )
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = (
-        bg.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"))
+        bigrams.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"))
         .agg(F.count_distinct(F.col("w")).alias("V"))
     )
     return bigrams, contexts, vocab
@@ -127,12 +142,19 @@ def doc_perplexity(
     bg = None
     if model is None:
         if reference is None:
-            # self-perplexity: train and score share ONE materialized
-            # bigram frame (otherwise the tokenize+explode pipeline
-            # re-runs four times across the diamond)
-            from flox_spark.plans.util import materialize_shared
-
-            bg = materialize_shared(_doc_bigrams(corpus, id_col, text_col))
+            # self-perplexity: train and score share ONE bigram frame
+            # plan.  keep_empty_docs threads the bigram-less docs
+            # through as (id, NULL, NULL) rows — they contribute
+            # nothing to the counts (NULL keys never join) and come
+            # out of the scoring aggregate with NULL scores, so the
+            # old second corpus-wide distinct + re-attach join is gone
+            # entirely.  bg itself is deliberately NOT checkpointed:
+            # its only consumers are the bigram-count aggregate
+            # (checkpointed, tiny) and the scoring join — re-running
+            # tokenize+explode once beats writing out an intermediate
+            # LARGER than the corpus (the exploded bigram rows), and
+            # it keeps the whole query a single action.
+            bg = _doc_bigrams(corpus, id_col, text_col, keep_empty_docs=True)
             model = train_bigram_lm(corpus, id_col, text_col, _bg=bg)
         else:
             model = train_bigram_lm(reference, id_col, text_col)
@@ -147,7 +169,7 @@ def doc_perplexity(
         hint = lambda d: d  # noqa: E731 — AQE decides (None)
 
     if bg is None:
-        bg = _doc_bigrams(corpus, id_col, text_col)
+        bg = _doc_bigrams(corpus, id_col, text_col, keep_empty_docs=True)
     joined = (
         bg.join(hint(bigrams), ["w1", "w2"], "left")
         .join(hint(contexts), ["w1"], "left")
@@ -158,15 +180,17 @@ def doc_perplexity(
         (F.coalesce(F.col("c"), F.lit(0)) + k)
         / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("V"))
     )
+    # ONE aggregate covers every document: real bigram rows score,
+    # the NULL sentinel rows count 0 and average to NULL
     per_doc = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg(logp).alias("__mlp"),
+        F.count(F.col("w1")).alias("__nb"),
+        F.avg(F.when(F.col("w1").isNotNull(), logp)).alias("__mlp"),
     )
-    out = per_doc.withColumn("ppl", F.exp(-F.col("__mlp"))).drop("__mlp")
-    # docs with no bigrams never reach the aggregate: re-attach them
-    # with NULL scores so the output is one row per input document
-    all_ids = corpus.select(F.col(id_col)).distinct()
-    return all_ids.join(out, [id_col], "left")
+    return per_doc.select(
+        F.col(id_col),
+        F.when(F.col("__nb") > 0, F.col("__nb")).alias("n_bigrams"),
+        F.exp(-F.col("__mlp")).alias("ppl"),
+    )
 
 
 def perplexity_filter(
