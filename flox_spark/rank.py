@@ -85,24 +85,22 @@ def groupby_rank(
         if method == "min":
             expr = base
         else:
-            # the tie block's MAX rank from a REVERSED-order rank over
-            # the SAME partitioning: max_r = n - rank_desc + 1.  All
-            # three window specs hash-partition on the group keys
-            # alone, so the whole rank computes after ONE exchange
-            # (the reversed spec adds a second in-partition sort, not
-            # a shuffle); partitioning the tie count by (keys, value)
-            # instead would cost a second data-sized exchange.
-            rev: list[Column] = [
-                mkey.desc(),
-                vord.desc() if ascending else vord.asc(),
-            ]
-            w_rev = Window.partitionBy(*by).orderBy(*rev)
-            n_part = F.count(F.lit(1)).over(Window.partitionBy(*by))
-            max_r = (n_part - F.rank().over(w_rev) + F.lit(1)).cast("double")
+            # the tie block's MAX rank = min rank + peer count - 1,
+            # with the peer count over the SAME sorted window using a
+            # RANGE CURRENT ROW..CURRENT ROW frame (SQL peer-group
+            # semantics).  This shares ONE exchange AND ONE
+            # in-partition sort with rank(); the previous
+            # reversed-order rank needed a second full in-partition
+            # sort (measured: the r6 flag's main cost), and a
+            # (keys, value)-partitioned tie count would cost a second
+            # data-sized exchange.
+            cnt = F.count(F.lit(1)).over(
+                w.rangeBetween(Window.currentRow, Window.currentRow)
+            )
             if method == "max":
-                expr = max_r
-            else:  # average
-                expr = (base + max_r) / F.lit(2.0)
+                expr = base + (cnt - F.lit(1)).cast("double")
+            else:  # average: (min_rank + max_rank) / 2
+                expr = base + (cnt - F.lit(1)).cast("double") / F.lit(2.0)
 
     if na_option == "keep":
         expr = F.when(missing, F.lit(None)).otherwise(expr)
@@ -115,9 +113,12 @@ def groupby_rank(
     #   dense: the HIGHEST dense rank assigned to a ranked row (keep:
     #   distinct non-missing values; top/bottom: distinct values plus
     #   the missing block).  dense_rank is staged as a column so the
-    #   partition-max composes in the same WindowExec chain (no new
-    #   exchange — both specs partition on the group keys alone).
-    grp = Window.partitionBy(*by)
+    #   partition-max composes in the same WindowExec chain.  The
+    #   divisor windows reuse the ORDERED spec with an unbounded
+    #   frame (same values as an unordered partition aggregate) so
+    #   Catalyst folds them into the rank's own WindowExec — one
+    #   exchange, one sort, ONE window operator for the whole rank.
+    grp = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     if method == "dense":
         staged = df.withColumn(out, expr).withColumn(
             "__dr", F.dense_rank().over(w)
