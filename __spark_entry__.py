@@ -1916,6 +1916,25 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
                    CASE WHEN substr(md5(lang || ':sg'), 1, 12) < '4ccccccccccc'
                         THEN 'test' ELSE 'train' END AS split
             FROM documents""",
+        # near-dup-aware split: the minhash pair CTE + the recursive
+        # connected-components CTE (both shared with minhash_clusters)
+        # feed the same md5 gate, keyed by each doc's cluster
+        # representative (its own id when unpaired)
+        "leakage_split": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+            ),
+            cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   CASE WHEN substr(md5(coalesce(cl.cluster_id, d.doc_id)::VARCHAR || ':ls'), 1, 12)
+                             < '400000000000'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN cl USING (doc_id)""",
         "ivf_topk": _ivf_oracle(),
         "embed_neardup": _neardup_oracle(),
     }
@@ -2019,6 +2038,22 @@ def q_split_by_group(s, d):
     return out.select("doc_id", "lang", "split")
 
 
+def q_leakage_split(s, d):
+    # NEAR-DUP-AWARE train/test split: MinHash-LSH pairs -> connected
+    # components -> each row hashed by its cluster REPRESENTATIVE, so
+    # near-duplicate twins always land on one side (the leakage guard
+    # a row-level split lacks).  md5 hash_impl = the oracle path; the
+    # DuckDB side replays pairs + recursive CC + the same md5 gate.
+    from flox_spark.operators import leakage_safe_split
+
+    out = leakage_safe_split(
+        _t(s, d, "documents"), "doc_id", "text", test_fraction=0.25,
+        seed="ls", num_hashes=16, bands=4, shingle_k=3, max_bucket=None,
+        hash_impl="md5",
+    )
+    return out.select("doc_id", "split")
+
+
 def q_scd2(s, d):
     # SCD2 history: compress each user's event_type change log into
     # validity intervals (two windows over ONE shuffle)
@@ -2117,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "sample_global": q_sample_global,
         "split_by_group": q_split_by_group,
+        "leakage_split": q_leakage_split,
         "scd2": q_scd2,
         "dedup_against": q_dedup_against,
         "levenshtein_refine": q_levenshtein_refine,

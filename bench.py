@@ -101,6 +101,7 @@ BENCH_EXTRA = [
     "k_anonymity",
     "minhash_estimate",
     "ewm_mean",         # Arrow-hatch EWM recurrence
+    "leakage_split",    # near-dup-aware train/test split
 ]
 
 

@@ -170,14 +170,39 @@ def doc_perplexity(
 
     if bg is None:
         bg = _doc_bigrams(corpus, id_col, text_col, keep_empty_docs=True)
-    joined = (
-        bg.join(hint(bigrams), ["w1", "w2"], "left")
-        .join(hint(contexts), ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
-    )
+    # two scoring shapes, picked by corpus plan-stats size:
+    #
+    # SMALL: the model fused into ONE w1-keyed lookup — per context a
+    # map<w2, c> plus c1 (= sum of the map's counts, identical by
+    # definition).  One broadcast build + one join instead of two of
+    # each; AQE schedules a separate sub-job per broadcast
+    # materialization, and at small inputs those fixed jobs ARE the
+    # query's cost (measured 9 one-task jobs before the fuse).
+    #
+    # LARGE: the classic two-join shape.  The fused lookup
+    # concentrates a context's whole fan-out into one row (a stopword
+    # w1 at web scale = millions of map entries in one aggregation
+    # buffer), so it is NOT the scale shape.
+    from flox_spark.plans.util import estimate_size_bytes
+
+    size = estimate_size_bytes(corpus)
+    if size is not None and size < (32 << 20):
+        lookup = bigrams.filter(F.col("w1").isNotNull()).groupBy("w1").agg(
+            F.map_from_entries(F.collect_list(F.struct("w2", "c"))).alias("__cm"),
+            F.sum("c").alias("c1"),
+        )
+        joined = bg.join(hint(lookup), ["w1"], "left").crossJoin(F.broadcast(vocab))
+        c_expr = F.element_at(F.col("__cm"), F.col("w2"))
+    else:
+        joined = (
+            bg.join(hint(bigrams), ["w1", "w2"], "left")
+            .join(hint(contexts), ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+        )
+        c_expr = F.col("c")
     k = F.lit(float(smooth_k))
     logp = F.log(
-        (F.coalesce(F.col("c"), F.lit(0)) + k)
+        (F.coalesce(c_expr, F.lit(0)) + k)
         / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("V"))
     )
     # ONE aggregate covers every document: real bigram rows score,

@@ -112,16 +112,18 @@ def test_smooth_k_validation(spark, docs_df):
 
 
 def test_score_joins_broadcastable(spark, docs_df):
-    # with the hint forced, both count joins must be broadcast hash
-    # joins and the corpus side never sort-merge-shuffles; the default
-    # (no hint) leaves the same decision to AQE's runtime sizes
+    # with the hint forced, the model join(s) must be broadcast hash
+    # joins and the corpus side never sort-merge-shuffles (a small
+    # corpus takes the fused one-lookup shape: ONE model join; the
+    # large shape has two); the default (no hint) leaves the same
+    # decision to AQE's runtime sizes
     plan = (
         doc_perplexity(docs_df, broadcast_model=True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") >= 2  # bigram + context joins
+    assert plan.count("BroadcastHashJoin") >= 1  # fused lookup join
     assert "SortMergeJoin" not in plan
 
 
@@ -135,10 +137,11 @@ def test_broadcast_model_false_forbids_broadcast(spark, docs_df):
         .executedPlan()
         .toString()
     )
-    # both model joins (bigram w1+w2, context w1) must be shuffled
-    # hash joins; the final doc_id re-attach join and the single-row
-    # vocab crossJoin are corpus-side and may still broadcast
-    assert plan.count("ShuffledHashJoin") >= 2
-    assert "w2" not in "".join(
+    # every model join (one fused-lookup join on a small corpus, the
+    # bigram w1+w2 + context w1 pair on a large one) must be a
+    # shuffled hash join; the single-row vocab crossJoin is
+    # corpus-side and may still broadcast
+    assert plan.count("ShuffledHashJoin") >= 1
+    assert "w1" not in "".join(
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     )
