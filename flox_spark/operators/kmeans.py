@@ -44,6 +44,8 @@ runs and partitionings.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,13 +120,21 @@ def _seed_candidates(raw: DataFrame, k: int, id_col: str, seed: str) -> DataFram
 
 def _seeds_from_candidates(cand: DataFrame, k: int) -> DataFrame:
     """Declarative ragged-drop + k-select over the (tiny) candidate
-    frame: vectors shorter than the candidate max length are dropped
-    (they cannot anchor a full-dimension centroid), the first k by
-    hash order survive — the exact plan twin of the driver-side
-    ``_seed_cents``.  Every step is 2k-sized."""
+    frame: the authoritative dim is the MAJORITY (mode) candidate
+    length — ties toward the longer length — so one corrupt overlong
+    vector cannot disqualify every normal candidate; off-dim vectors
+    are dropped and the first k by hash order survive — the exact
+    plan twin of the driver-side ``_seed_cents``.  Every step is
+    2k-sized."""
     w_all = Window.partitionBy()  # candidate frame is 2k rows — tiny
+    w_sz = Window.partitionBy(F.size("__v"))
     seeds = (
-        cand.withColumn("__dim", F.max(F.size("__v")).over(w_all))
+        cand.withColumn("__szn", F.count(F.lit(1)).over(w_sz))
+        .withColumn(
+            "__dim",
+            F.max(F.struct(F.col("__szn"), F.size("__v").alias("__sz")))
+            .over(w_all)["__sz"],
+        )
         .filter(F.size("__v") == F.col("__dim"))
         .orderBy("__h")
         .limit(k)
@@ -341,13 +351,19 @@ def _literal_centroids(cents: list) -> "F.Column":
 
 def _seed_cents(cand_rows: list, k: int) -> list:
     """Driver-side seed selection from the collected 2k-candidate
-    rows: authoritative dim = the candidate max length, ragged
-    vectors dropped, first k by hash order kept.  Mirrors the
-    declarative window version in the plan loop exactly."""
+    rows: authoritative dim = the MAJORITY (mode) candidate length
+    (ties broken toward the longer length), ragged vectors dropped,
+    first k by hash order kept.  Mode, not max: a single anomalously
+    long (corrupt) vector in the 2k window must not disqualify every
+    normal-length candidate and collapse the fit to one centroid.
+    Mirrors the declarative window version in the plan loop exactly."""
     rows = [r for r in cand_rows if r["__v"] is not None]
     if not rows:
         return []
-    dim = max(len(r["__v"]) for r in rows)
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[len(r["__v"])] = counts.get(len(r["__v"]), 0) + 1
+    dim = max(counts, key=lambda L: (counts[L], L))
     return [
         [None if x is None else float(x) for x in r["__v"]]
         for r in sorted(rows, key=lambda r: r["__h"])
@@ -442,8 +458,20 @@ def _kmeans_driver_loop(
                 if r["__cid"] >= 0:
                     new_cents[r["__cid"]][r["pos"]] = r["m"]
             if tol is not None:
+                # NULL-element seed coordinates persist across
+                # iterations (no row ever assigns to a NULL-element
+                # centroid) — skip any pair that isn't two finite
+                # floats instead of raising on None/NaN
                 shift = max(
-                    (abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)),
+                    (
+                        abs(a - b)
+                        for nc, oc in zip(new_cents, cents)
+                        for a, b in zip(nc, oc)
+                        if a is not None
+                        and b is not None
+                        and math.isfinite(a)
+                        and math.isfinite(b)
+                    ),
                     default=0.0,
                 )
                 cents = new_cents

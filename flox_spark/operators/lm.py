@@ -182,11 +182,21 @@ def doc_perplexity(
     # LARGE: the classic two-join shape.  The fused lookup
     # concentrates a context's whole fan-out into one row (a stopword
     # w1 at web scale = millions of map entries in one aggregation
-    # buffer), so it is NOT the scale shape.
+    # buffer), so it is NOT the scale shape.  BOTH sides gate it:
+    # scoring a small corpus against a large precomputed reference
+    # model would still build per-w1 map buffers over the full model
+    # — the exact stopword fan-out the comment above warns about —
+    # so an unknown or >32 MB model also forces the two-join shape.
     from flox_spark.plans.util import estimate_size_bytes
 
     size = estimate_size_bytes(corpus)
-    if size is not None and size < (32 << 20):
+    msize = estimate_size_bytes(bigrams)
+    if (
+        size is not None
+        and size < (32 << 20)
+        and msize is not None
+        and msize < (32 << 20)
+    ):
         lookup = bigrams.filter(F.col("w1").isNotNull()).groupBy("w1").agg(
             F.map_from_entries(F.collect_list(F.struct("w2", "c"))).alias("__cm"),
             F.sum("c").alias("c1"),

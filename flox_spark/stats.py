@@ -349,9 +349,19 @@ def groupby_skew(
 ) -> DataFrame:
     """Per-group sample skewness — pandas ``GroupBy.skew`` parity
     (adjusted Fisher-Pearson ``G1 = g1 * sqrt(n(n-1))/(n-2)``; NULL
-    for n < 3; zero variance with n >= 3 is 0.0 — probed:
-    ``Series([1,1,1]).skew() == 0.0``).  Missing values skipped
-    (nan* policy).
+    for n < 3; exactly-zero variance with n >= 3 is 0.0 — probed:
+    ``Series([1,1,1]).groupby(...).skew() == 0.0``).  Missing values
+    skipped (nan* policy).
+
+    NOTE on the zero guard: pandas has TWO divergent skew paths.
+    ``Series.skew`` (``nanops.nanskew``) zeroes the deviation sums
+    below an absolute 1e-14 (``_zero_out_fperr``), but
+    ``GroupBy.skew`` (Cython ``group_skew``) zeroes ONLY at exactly
+    m2 == 0 — e.g. ``[1.4e-45, 0, 0]`` → GroupBy 1.7320508 vs Series
+    0.0 (pandas 2.2.2, probed).  This operator's declared oracle is
+    GroupBy, so the guard here is the exact ``m2 > 0`` rule.  (The
+    kurtosis twin targets ``Series.kurt`` — pandas 2.2 has no
+    ``GroupBy.kurt`` — which DOES carry the 1e-14 fperr guard.)
 
     Spark-first ONE-PASS plan: ``F.skewness`` is the numerically
     stable streaming central-moment aggregate (population g1 =
@@ -368,16 +378,11 @@ def groupby_skew(
     )
     n = F.col("__n").cast("double")
     g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
-    # pandas nanskew fperr guards (nanops._zero_out_fperr, absolute
-    # 1e-14 on the squared- and cubed-deviation SUMS — not on var):
-    # a tiny-variance group like [1e-8, 0, 0] is 0.0 in pandas though
-    # mathematically skewed; `> 0` alone returned huge unstable G1
-    # there.  m2_sum = n*var_pop; m3_sum = n*g1_pop*var_pop^1.5.
-    m2s = F.col("__m2") * n
-    m3s = n * F.col("__g1") * F.pow(F.col("__m2"), F.lit(1.5))
+    # pandas GroupBy.skew (Cython group_skew) zeroes only at exactly
+    # m2 == 0 — no fperr threshold (that belongs to the Series path).
     expr = F.when(
         F.col("__n") >= 3,
-        F.when((m2s >= 1e-14) & (F.abs(m3s) >= 1e-14), g1).otherwise(F.lit(0.0)),
+        F.when(F.col("__m2") > 0, g1).otherwise(F.lit(0.0)),
     )
     res = agg.select(*[F.col(b) for b in by], expr.alias(out))
     return res.orderBy(*by) if sort else res

@@ -622,17 +622,17 @@ def groupby_skew_stream(
     )
     n = F.col("__n").cast("double")
     g1 = F.col("__g1") * F.sqrt(n * (n - 1)) / (n - 2)
-    # pandas nanskew fperr guards on the deviation SUMS (see the batch
-    # twin groupby_skew — kept identical so the twins never diverge)
-    m2s = F.col("__m2") * n
-    m3s = n * F.col("__g1") * F.pow(F.col("__m2"), F.lit(1.5))
+    # pandas GroupBy.skew (Cython group_skew) zeroes only at exactly
+    # m2 == 0 — no fperr threshold (that is the Series-path guard;
+    # see the batch twin groupby_skew — kept identical so the twins
+    # never diverge).
     return res.select(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         *by,
         F.when(
             F.col("__n") >= 3,
-            F.when((m2s >= 1e-14) & (F.abs(m3s) >= 1e-14), g1).otherwise(F.lit(0.0)),
+            F.when(F.col("__m2") > 0, g1).otherwise(F.lit(0.0)),
         ).alias(out),
     )
 

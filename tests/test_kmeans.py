@@ -373,3 +373,57 @@ def test_ivf_two_level_empty_base(spark):
     )
     assert ivf_topk(empty, q, k=3, cluster_col="label", dim=2,
                     two_level_probe=True).count() == 0
+
+
+def test_seed_dim_majority_not_max(spark):
+    # one corrupt OVERLONG vector in the 2k-candidate window must not
+    # disqualify every normal-length candidate (pre-fix: dim = max
+    # candidate length collapsed the fit to at most one centroid)
+    valid = [[0.0 + i * 0.01, 0.0] for i in range(10)] + [
+        [10.0 + i * 0.01, 10.0] for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(21), "embedding": valid + [[1.0, 1.0, 1.0, 1.0]]}
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    # driver loop (small k*dim) — and the declarative seed twin
+    cents = kmeans_fit(df, k=2, max_iter=3).collect()
+    assert len(cents) == 2
+    assert all(len(r["centroid"]) == 2 for r in cents)
+    from flox_spark.operators.kmeans import seed_centroids
+
+    seeds = seed_centroids(df, k=2)
+    rows = seeds.collect()
+    assert len(rows) == 2 and all(len(r["centroid"]) == 2 for r in rows)
+
+
+def test_seed_dim_majority_tie_prefers_longer(spark):
+    # exact 50/50 length split: both twins must pick the LONGER dim
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(4),
+            "embedding": [[1.0, 2.0], [3.0, 4.0], [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    from flox_spark.operators.kmeans import seed_centroids
+
+    rows = seed_centroids(df, k=4).collect()
+    assert rows and all(len(r["centroid"]) == 3 for r in rows)
+    fit = kmeans_fit(df, k=4, max_iter=1).collect()
+    assert fit and all(len(r["centroid"]) == 3 for r in fit)
+
+
+def test_kmeans_tol_with_null_seed_coordinate(spark):
+    # a NULL coordinate inside a seed vector persists across
+    # iterations (no row assigns to a NULL-element centroid);
+    # tol-based early stop must skip those pairs, not TypeError
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(0L, array(0.0D, CAST(NULL AS DOUBLE))), "
+        "(1L, array(0.2D, CAST(NULL AS DOUBLE))), "
+        "(2L, array(9.0D, 1.0D)), (3L, array(9.2D, 1.0D)) "
+        "AS t(vec_id, embedding)"
+    )
+    rows = kmeans_fit(df, k=2, max_iter=5, tol=1e-6).collect()
+    assert len(rows) == 2

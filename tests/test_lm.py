@@ -145,3 +145,41 @@ def test_broadcast_model_false_forbids_broadcast(spark, docs_df):
     assert "w1" not in "".join(
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     )
+
+
+def test_fused_lookup_gated_on_model_size(spark, docs_df):
+    # the fused map<w2,c> lookup shape must engage only when BOTH the
+    # corpus AND the model are small: scoring a small corpus against a
+    # large precomputed reference model would otherwise build per-w1
+    # map aggregation buffers over the full model (stopword fan-out)
+    from flox_spark.operators.lm import train_bigram_lm
+
+    # plan-stats-large synthetic reference (never executed — we only
+    # read the plan): ~50M rows of word soup
+    big_ref = spark.range(50_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), (F.col("id") % 500).cast("string")),
+            F.concat(F.lit("w"), ((F.col("id") + 1) % 500).cast("string")),
+            F.concat(F.lit("w"), ((F.col("id") + 2) % 500).cast("string")),
+        ).alias("text"),
+    )
+    model = train_bigram_lm(big_ref)
+    plan_big = (
+        doc_perplexity(docs_df, model=model)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "map_from_entries" not in plan_big  # two-join shape chosen
+
+    # positive control: small model keeps the fused shape
+    small_model = train_bigram_lm(docs_df)
+    plan_small = (
+        doc_perplexity(docs_df, model=small_model)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "map_from_entries" in plan_small
