@@ -2068,18 +2068,66 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict.  Round-5 window: [1-15] the 15
-    # families never yet in a harness window (closing union coverage),
-    # [16-32] every operator NEW this round (media sniff, perplexity
-    # suite, semdedup, rank pct, value_counts, skew/kurtosis,
-    # upsampling, encoders, winsorize, fuzzy join, minhash estimate,
-    # k-anonymity, EWM rows-only), [33-46] every row whose
-    # implementation changed this round (universal-hash minhash
-    # family, single-fold simhash, staged shingles, mixture clamp,
-    # declarative multimodal, fused kmeans), [47-50] core re-checks.
-    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
-    # of window position.
+    # 50-query prefix of this dict.  Round-8 window: [1-13] every row
+    # whose implementation or guard changed this round (skew exact-zero
+    # revert, kmeans seed-dim mode + tol NULL-safety, perplexity model
+    # gate, winsorize exact-fence default, semdedup/rank/multimodal
+    # perf passes), [14] leakage_split — the one row never yet in a
+    # driver window (sweep-green since r7), [15-50] rotation of
+    # union-green rows longest out of a window.  All pass
+    # tools/check_oracle.py at sf0.001/0.01/0.1 regardless of window
+    # position.
     return {
+        "skew": q_skew,
+        "kurtosis": q_kurtosis,
+        "kmeans": q_kmeans,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup": q_semdedup,
+        "perplexity": q_perplexity,
+        "perplexity_filter": q_perplexity_filter,
+        "winsorize": q_winsorize,
+        "rank_pct": q_rank_pct,
+        "multimodal_features": q_multimodal_features,
+        "ivf_topk": q_ivf_topk,
+        "embed_neardup": q_embed_neardup,
+        "ann_topk": q_ann_topk,
+        "leakage_split": q_leakage_split,
+        "dedup_against": q_dedup_against,
+        "levenshtein_refine": q_levenshtein_refine,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "ngram_counts": q_ngram_counts,
+        "dedup_lines": q_dedup_lines,
+        "scan_shift": q_scan_shift,
+        "rank_avg": q_rank_avg,
+        "pivot_sum": q_pivot_sum,
+        "table_diff": q_table_diff,
+        "corr_pearson": q_corr_pearson,
+        "twa": q_twa,
+        "rolling_time": q_rolling_time,
+        "resample": q_resample,
+        "quantile_refine": q_quantile_refine,
+        "binned_left": q_binned_left,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "sample_group": q_sample_group,
+        "quantile_sort": q_quantile_sort,
+        "transform_mean": q_transform_mean,
+        "asof_join": q_asof_join,
+        "grouped_topk": q_grouped_topk,
+        "nunique": q_nunique,
+        "redact_pii": q_redact_pii,
+        "boilerplate": q_boilerplate,
+        "funnel": q_funnel,
+        "range_join": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "chunk_docs": q_chunk_docs,
+        "profile": q_profile,
+        "quality_report": q_quality_report,
+        "salted_sum": q_salted_sum,
+        "weighted_mean": q_weighted_mean,
+        "scd2": q_scd2,
+        "entropy": q_entropy,
+        "token_budget": q_token_budget,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
@@ -2096,18 +2144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_var": q_weighted_var,
         "frame_sample": q_frame_sample,
         "media_sniff": q_media_sniff,
-        "perplexity": q_perplexity,
-        "perplexity_filter": q_perplexity_filter,
-        "semdedup_pairs": q_semdedup_pairs,
-        "semdedup": q_semdedup,
-        "rank_pct": q_rank_pct,
         "value_counts": q_value_counts,
-        "skew": q_skew,
-        "kurtosis": q_kurtosis,
         "upsample_ffill": q_upsample_ffill,
         "label_encode": q_label_encode,
         "frequency_encode": q_frequency_encode,
-        "winsorize": q_winsorize,
         "fuzzy_join": q_fuzzy_join,
         "minhash_estimate": q_minhash_estimate,
         "k_anonymity": q_k_anonymity,
@@ -2122,10 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "jaccard_pairs": q_jaccard_pairs,
         "sample_mixture": q_sample_mixture,
-        "multimodal_features": q_multimodal_features,
         "shard_stats": q_shard_stats,
         "flag_outliers": q_flag_outliers,
-        "kmeans": q_kmeans,
         "sum": q_sum,
         "mean": q_mean,
         "quantile": q_quantile,
@@ -2148,49 +2186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ntile_buckets": q_ntile,
         "fillna_group": q_fillna_group,
-        "entropy": q_entropy,
-        "token_budget": q_token_budget,
         "sample_global": q_sample_global,
         "split_by_group": q_split_by_group,
-        "leakage_split": q_leakage_split,
-        "scd2": q_scd2,
-        "dedup_against": q_dedup_against,
-        "levenshtein_refine": q_levenshtein_refine,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "ngram_counts": q_ngram_counts,
-        "dedup_lines": q_dedup_lines,
-        "scan_shift": q_scan_shift,
-        "rank_avg": q_rank_avg,
-        "pivot_sum": q_pivot_sum,
-        "table_diff": q_table_diff,
-        "corr_pearson": q_corr_pearson,
-        "twa": q_twa,
-        "rolling_time": q_rolling_time,
-        "resample": q_resample,
-        "quantile_refine": q_quantile_refine,
-        "binned_left": q_binned_left,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "sample_group": q_sample_group,
-        "quantile_sort": q_quantile_sort,
-        "transform_mean": q_transform_mean,
-        "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
-        "grouped_topk": q_grouped_topk,
-        "nunique": q_nunique,
-        "redact_pii": q_redact_pii,
-        "boilerplate": q_boilerplate,
-        "funnel": q_funnel,
-        "range_join": q_range_join,
-        "heavy_hitters": q_heavy_hitters,
         "distinct_rollup": q_distinct_rollup,
-        "chunk_docs": q_chunk_docs,
-        "profile": q_profile,
-        "quality_report": q_quality_report,
-        "salted_sum": q_salted_sum,
-        "weighted_mean": q_weighted_mean,
-        "ivf_topk": q_ivf_topk,
-        "embed_neardup": q_embed_neardup,
         "count": q_count,
         "nansum": q_nansum,
         "min": q_min,
@@ -2217,7 +2216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
-        "ann_topk": q_ann_topk,
         "embed_normalize": q_embed_normalize,
         "embed_quantize": q_embed_quantize,
     }

@@ -24,6 +24,9 @@ import __spark_entry__ as entrymod
 # real cost with first-run JIT/page-cache noise and ambient machine
 # load; the minimum is the standard steady-state estimator
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2") or 2))
+# absolute per-query wall budget (sec) — flags slow queries even when
+# the DuckDB denominator is <0.2s or missing (see flagged_wall_over_budget)
+WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET", "5.0") or 5.0)
 from flox_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -171,8 +174,23 @@ def main() -> None:
             out[name] = round(best, 4) if best is not None else -1.0
         return out
 
+    # contention calibration: the same trivial query timed before and
+    # after the sweep.  End-of-round capture environments have shown
+    # up-to-30x inflated TAIL walls (a 45s record for a query that
+    # times at 1.4s controlled) with zero code change — when
+    # floor_end >> floor_start, the absolute walls in THIS record are
+    # contaminated by ambient load and per-query "regressions" should
+    # be re-measured before anyone optimizes them.
+    t0 = time.perf_counter()
+    force(qs["sum"](spark, sf_dir))
+    floor_start = round(time.perf_counter() - t0, 4)
+
     times = run_set(BENCH_QUERIES)
     extra_times = run_set(BENCH_EXTRA)
+
+    t0 = time.perf_counter()
+    force(qs["sum"](spark, sf_dir))
+    floor_end = round(time.perf_counter() - t0, 4)
 
     duck = duckdb_times(sf_dir, BENCH_QUERIES)
     extra_duck = duckdb_times(sf_dir, BENCH_EXTRA)
@@ -215,6 +233,24 @@ def main() -> None:
         "flagged_net_over_2x": sorted(
             n for n, r in net_ratios.items() if r > 2 and duck.get(n, 0) >= 0.2
         ),
+        # absolute wall budget: net-over-2x can NEVER flag a query
+        # whose DuckDB denominator is slow or missing (profile /
+        # quantile_sort style), so any query over this wall is flagged
+        # regardless of ratio.  Read together with `calibration`: a
+        # contended capture inflates walls without any code change.
+        "wall_budget_sec": WALL_BUDGET,
+        "flagged_wall_over_budget": sorted(
+            n
+            for n, t in {**times, **extra_times}.items()
+            if t > WALL_BUDGET
+        ),
+        "calibration": {
+            "floor_start": floor_start,
+            "floor_end": floor_end,
+            # >3x drift = ambient contention during the sweep; treat
+            # per-query walls in this record as upper bounds only
+            "contended": floor_end > 3 * max(floor_start, 0.05),
+        },
         # round-5/6 wave (separate so the r2-r5 baseline series stays
         # comparable); same protocol, same floor
         "extra": extra_times,

@@ -435,15 +435,17 @@ def winsorize_group(
     quantile interval (scipy ``winsorize`` / the robust-features
     pre-processing step).  Missing values pass through untouched.
 
-    ``approx``: False = exact fences (whichever exact strategy the
-    size stats pick); True = the approx_percentile sketch.  Default
-    (None) picks BY SIZE: exact under ~4 MB of input, sketch above —
-    winsorization fences are robustness clamps, not point estimates,
-    and the sketch's rank error (rows/accuracy, ~1e-4 of the group at
-    the default accuracy) moves the clamp by a sub-measurable amount
-    while skipping the exact strategies' second scan (measured 1.55 s
-    -> 0.65 s at sf0.1).  Pass ``approx=False`` for bit-exact fences
-    at any size.
+    ``approx``: False (the default; None is accepted as False) =
+    exact interpolated fences at ANY input size — the stats-auto
+    exact-quantile strategy (agg / refine / refine2 / sort by size)
+    keeps memory bounded without ever changing the RESULT.  True =
+    the approx_percentile sketch, an explicit opt-in: the sketch
+    returns uninterpolated data values, so its fences do NOT match
+    the scipy/pandas/``quantile_cont`` exact semantics — a silent
+    size-gated switch here (tried in an earlier round) meant the
+    operator's output changed semantics at ~4 MB of input, invisible
+    at small-SF validation.  Opt in only where rank-error fences are
+    acceptable (robustness clamps on huge groups).
 
     One aggregation pass + broadcast join (the ``groupby_transform``
     shape) — no fact-side window.  Both fences come from a SINGLE
@@ -456,11 +458,7 @@ def winsorize_group(
     out = out or value
     from flox_spark.core import groupby_reduce
 
-    if approx is None:
-        from flox_spark.plans.util import estimate_size_bytes
-
-        size = estimate_size_bytes(df)
-        approx = size is not None and size > (4 << 20)
+    approx = bool(approx)
 
     def _stats():
         return groupby_reduce(
