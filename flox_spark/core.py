@@ -293,6 +293,7 @@ def groupby_reduce(
     engine: str | None = None,
     method: str | None = None,
     reindex: object = None,
+    explode_q: bool = True,
 ) -> DataFrame:
     """Grouped reduction with flox semantics on a Spark DataFrame.
 
@@ -342,6 +343,11 @@ def groupby_reduce(
       declared (flox/factorize.py:85-93).  With neither, tables have
       no row order and the output order is unspecified.
     - ``alias``: output column name for the result (default: func name).
+    - ``explode_q``: for vector-q quantiles, True (default) explodes
+      the result to (keys..., q, value) rows — the tabular analog of
+      flox's added q dimension; False keeps ONE array<double> column
+      ordered like the q list (callers that re-pivot fences to columns
+      skip an exchange).
     """
     if not by:
         raise ValueError("need at least one `by` column")
@@ -474,6 +480,13 @@ def groupby_reduce(
     if bin_labels and any(isbin_t):
         result = _with_bin_labels(result, by, isbin_t, expected_t, by_dts)
 
+    if qlist is not None and not explode_q:
+        # explode_q=False: leave the vector-q result as ONE
+        # array<double> column ordered like the q list — for callers
+        # that immediately re-pivot the exploded rows back to columns
+        # (winsorize's two fences), the explode + re-aggregate pass is
+        # a pure extra exchange; element_at on the array is free
+        qlist = None
     if qlist is not None:
         # output column is named "q" (not "quantile": that is the
         # default result alias and would collide)

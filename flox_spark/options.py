@@ -41,13 +41,19 @@ OPTIONS: dict[str, Any] = {
     # (core._refine_accuracy), so per-group memory grows as
     # O(sqrt(n)*log n) — at the 1 TB zone edge that is ~13 MB of
     # collected candidates + ~80 MB of sketch, bounded either way.
-    # measured crossover (sf sweep, warm, p90-by-returnflag): at
-    # ~0.3 MB the one-pass percentile aggregate wins on fixed costs
-    # (0.33 s vs refine's 0.65 s), by ~3 MB the ObjectHashAggregate's
-    # per-value buffering already loses (1.81 s vs 1.24 s) — the
-    # buffer insert cost scales with rows, refine's extra scan is
-    # nearly free.  1 MB splits the measured bracket.
-    "quantile_agg_max_bytes": 1 << 20,
+    # The old 1 MB threshold dated from the `percentile` aggregate's
+    # per-value OpenHashMap buffering (its insert cost lost to refine
+    # past ~3 MB).  The agg kernel is now array_sort(collect_list) +
+    # lerp (aggregations._quantile): flat append/concat partials, one
+    # sort per group in the result projection — measured 0.76 s vs
+    # refine's 1.30 s on the 10.8 MB sf0.1 lineitem fence agg, and the
+    # advantage grows with input (refine pays a second full scan).
+    # Memory bound of the agg zone: worst case ONE group holds the
+    # whole input, so one task buffers input-sized doubles (~2x raw
+    # bytes with array overhead) — 64 MB sorts in well under a second
+    # and fits any sane executor; past it refine's O(sqrt(n)*log n)
+    # bound takes over.
+    "quantile_agg_max_bytes": 64 << 20,
     "quantile_refine_max_bytes": 1 << 40,
     # inputs past refine_max but at most this take "refine2": the
     # two-level bracket (one extra narrowing scan) whose collected

@@ -461,10 +461,15 @@ def winsorize_group(
     approx = bool(approx)
 
     def _stats():
+        # explode_q=False: both fences come back as ONE array column
+        # — element_at pivots them to columns for free, where the
+        # exploded (keys, q, value) rows would need a re-aggregation
+        # (an extra group-sized exchange + stage on the query's
+        # critical path, measured ~0.2 s of the sf0.1 wall)
         return groupby_reduce(
             df, *by, func="nanquantile", value=value, sort=False,
             finalize_kwargs={"q": [float(lower), float(upper)]},
-            alias="__wq",
+            alias="__wq", explode_q=False,
         )
 
     if approx:
@@ -474,10 +479,10 @@ def winsorize_group(
             qrows = _stats()
     else:
         qrows = _stats()
-    # (keys..., q, __wq) rows -> (keys..., __wlo, __whi): group-sized
-    stats = qrows.groupBy(*[F.col(b) for b in by]).agg(
-        F.min(F.when(F.col("q") == float(lower), F.col("__wq"))).alias("__wlo"),
-        F.min(F.when(F.col("q") == float(upper), F.col("__wq"))).alias("__whi"),
+    stats = qrows.select(
+        *[F.col(b) for b in by],
+        F.element_at("__wq", 1).alias("__wlo"),
+        F.element_at("__wq", 2).alias("__whi"),
     )
     joined = df.join(F.broadcast(stats), list(by), "left")
     v = F.col(value)
