@@ -458,7 +458,21 @@ def groupby_reduce(
             # fused into the one aggregation pass — no extra scan
             aggs_list.append(F.min(idx_col).alias("__occ"))
             occ_needed = False
-        result = work.groupBy(*key_cols).agg(*aggs_list)
+        agg_in = work
+        if qfam and not OPTIONS["approx_quantile"]:
+            # (approx mode keeps the plain groupBy: its sketch partials
+            # DO reduce map-side, so the pinned raw-row exchange would
+            # trade sketch-sized shuffle bytes for data-sized ones)
+            # the buffering exact-quantile kernel (collect_list +
+            # array_sort) has NO map-side reduction to lose — shipping
+            # raw rows through a pinned keyed exchange costs the same
+            # bytes as shipping partial buffers, and keeps the final
+            # sort+merge stage multi-task instead of AQE's one-task
+            # coalesce (see pin_keyed_parallelism)
+            from flox_spark.plans.util import pin_keyed_parallelism
+
+            agg_in = pin_keyed_parallelism(work, key_cols)
+        result = agg_in.groupBy(*key_cols).agg(*aggs_list)
     if occ_needed:
         # multi-stage strategies (mode/quantile): attach the
         # first-occurrence position with a separate group-sized

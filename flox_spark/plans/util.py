@@ -83,6 +83,43 @@ def ensure_parallelism(
     return df
 
 
+def pin_keyed_parallelism(
+    df: DataFrame,
+    keys: list[str],
+    min_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Hash-repartition on ``keys`` at an EXPLICIT partition count so a
+    downstream keyed operator (window function, buffering aggregate)
+    keeps multi-task parallelism.
+
+    With ``coalescePartitions.parallelismFirst=false`` (the session
+    default, byte-optimal for ordinary shuffles), AQE coalesces a
+    byte-small shuffle to ONE task.  For cheap codegen aggregates that
+    is the right call, but for CPU-heavy post-shuffle stages — an
+    in-partition sort feeding a window, an exact-percentile buffer
+    merge — it serializes the whole stage on one core (measured: the
+    sf0.1 rank ran single-task at 1.8 s where 3-way-parallel is
+    ~1.0 s).  An explicit ``repartition(n, keys)`` compiles to a
+    REPARTITION_BY_NUM shuffle that AQE never coalesces, and its
+    hash-partitioning satisfies the operator's ClusteredDistribution,
+    so no second exchange appears.
+
+    Parallelism is still bounded by the number of distinct keys (3
+    groups -> at most 3 non-empty partitions) — that bound is the
+    data's, not the planner's.  Gated on plan-stats size: tiny inputs
+    keep the cheap one-task plan, and stats-less frames skip the pin
+    (post-shuffle frames are already parallel)."""
+    size = estimate_size_bytes(df)
+    if size is not None and size > min_bytes:
+        from pyspark.sql import functions as F
+
+        return df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *[F.col(k) for k in keys],
+        )
+    return df
+
+
 def estimate_size_bytes(df: DataFrame) -> int | None:
     """Planning-time size estimate from Catalyst's optimized-plan
     statistics (parquet footers / CBO); None when the source reports

@@ -76,6 +76,14 @@ def groupby_rank(
         order.append(F.col(order_by).asc())
     w = Window.partitionBy(*by).orderBy(*order)
 
+    # Pin the window's exchange so AQE cannot coalesce the sort +
+    # window pass to a single task (observed: the whole sf0.1 rank ran
+    # single-task, 1.8 s where 3-way parallel is ~1.0 s) — see
+    # pin_keyed_parallelism for the mechanism.
+    from flox_spark.plans.util import pin_keyed_parallelism
+
+    df = pin_keyed_parallelism(df, list(by))
+
     if method == "first":
         expr = F.row_number().over(w).cast("double")
     elif method == "dense":
