@@ -602,8 +602,9 @@ def semantic_dedup_pairs(
     # partitioning, NOT the cell count.  The co-partitioned plan
     # below caps parallelism at k non-empty hash partitions (k=4 ->
     # 4 tasks grinding the quadratic pair expansion) and pays a
-    # checkpoint + pinned exchange in fixed jobs; this shape reaches
-    # full parallelism with one cheap exchange and no checkpoint.
+    # pinned exchange in fixed jobs; this shape reaches full
+    # parallelism with one cheap exchange, and shares the assignment
+    # fold across the two branches with a lazy local checkpoint.
     #
     # LARGE: co-partitioned sort-merge self-join.  ORDER MATTERS for
     # parallelism (all three steps observed collapsing to one task in
@@ -619,6 +620,12 @@ def semantic_dedup_pairs(
     # 3. the cap window and the self-join both require
     #    hashpartitioning(__cl) and REUSE that one pinned exchange.
     if small:
+        # share the assignment fold between the probe and broadcast
+        # branches: without it the broadcast build re-runs the whole
+        # seed + fold + cap subtree (measured 1.05 s -> 0.93 s at
+        # sf0.1); the lazy local checkpoint costs no extra job — the
+        # first branch to execute materializes it
+        assigned = materialize_shared(assigned)
         assigned = cap_buckets(assigned, ["__cl"], max_cluster)
         a = assigned.repartition(spark.sparkContext.defaultParallelism).alias("a")
         b = F.broadcast(assigned).alias("b")
