@@ -39,35 +39,86 @@ def _sqlref(name: str) -> str:
     return ".".join("`%s`" % p.replace("`", "``") for p in name.split("."))
 
 
+# Unroll the dot/norm folds into a flat `get(a,0)*get(b,0) + ...` sum
+# when dim is known and small.  Higher-order functions (aggregate /
+# zip_with / transform) are CodegenFallback: inside an otherwise
+# codegen'd Filter or join Predicate they evaluate INTERPRETED, boxing
+# every element (Float.valueOf per access — observed in executor stack
+# dumps dominating the semdedup pair join).  The unrolled sum stays
+# inside whole-stage codegen end-to-end: measured 3.0x faster than the
+# HOF cosine in a hot filter (8M rows: 0.56s vs 1.68s), far more in a
+# sort-merge-join predicate where the fallback also pays per-pair
+# allocation.  The gate: each term costs ~220 bytes of generated
+# bytecode, and HotSpot refuses to JIT methods past 8000 bytes
+# (-XX:HugeMethodLimit) — a dim-48 unroll lands at ~11k and runs
+# INTERPRETED ~10x slower than the fold, so past _UNROLL_MAX_DIM the
+# sequential fold stays the right kernel (measured: dim 32 = 7.5k,
+# still JIT'd).  NOTE the two kernels are bit-identical on full-length
+# vectors (same left-to-right association starting at 0.0) but differ
+# on ragged data: the unroll treats `dim` as authoritative, so a
+# vector SHORTER than dim yields NULL (get() past the end) where the
+# fold would sum the prefix — corrupt rows drop out of similarity
+# joins instead of matching on a partial sum.
+_UNROLL_MAX_DIM = 32
+
+
 def _dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Sequential left-to-right dot product (bit-reproducible across
     engines that evaluate list folds sequentially).
 
+    When ``dim`` is known and <= ``_UNROLL_MAX_DIM`` the product is a
+    flat unrolled sum (codegen; see the note above).  Otherwise
     ``zip_with`` iterates both arrays directly — no per-row
     ``sequence(0, dim-1)`` index array + ``element_at`` random access
     (the old shape; measurably slower to analyze AND execute — the
     expression tree is half the size).  When both operands are column
     NAMES the expression is built as one ``F.expr`` string — a Python
     lambda here costs ~30ms of py4j round-trips PER CALL at plan-build
-    time (measured), which dominated ivf/ann bench wall.  ``dim`` is
-    kept for signature stability; vectors are full-length arrays."""
+    time (measured), which dominated ivf/ann bench wall."""
+    unroll = isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM
     if isinstance(a, str) and isinstance(b, str):
+        if unroll:
+            ra, rb = _sqlref(a), _sqlref(b)
+            terms = " + ".join(
+                f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({rb}, {i}) AS DOUBLE))"
+                for i in range(dim)
+            )
+            return F.expr(f"(0.0D + {terms})")
         return F.expr(
             f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x)"
         )
+    if unroll:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        return acc
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(a: Column | str, dim: int) -> Column:
+    unroll = isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM
     if isinstance(a, str):
+        if unroll:
+            ra = _sqlref(a)
+            terms = " + ".join(
+                f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({ra}, {i}) AS DOUBLE))"
+                for i in range(dim)
+            )
+            return F.expr(f"sqrt(0.0D + {terms})")
         return F.expr(
             f"sqrt(aggregate(transform({_sqlref(a)}, "
             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x))"
         )
+    if unroll:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            el = F.get(a, i).cast("double")
+            acc = acc + el * el
+        return F.sqrt(acc)
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
@@ -169,9 +220,38 @@ def lsh_signature_bits(
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = sign(v . plane_p), planes
     from the deterministic integer mix above.  Output: (id, sig) with
-    sig a '0'/'1' string of length ``planes``."""
+    sig a '0'/'1' string of length ``planes``.
+
+    For known small ``dim`` the projections are UNROLLED with the
+    plane weights computed at plan-build time in Python — the integer
+    mix is exact in both engines (no long overflow: max product
+    ~1.7e15) and the final ``/ 1000003.0 - 0.5`` is the same IEEE
+    double op, so the weights are bit-identical to the old per-row
+    Column arithmetic, and each bit's sum keeps the fold's
+    left-to-right association.  This replaces ``planes`` interpreted
+    ``aggregate(transform(sequence(...)))`` folds per row — which also
+    re-derived every plane weight per ROW per element — with one
+    codegen'd projection (each bit is its own generated method, well
+    under the JIT limit; see _UNROLL_MAX_DIM)."""
     emb = F.col(vec_col)
     df = ensure_parallelism(df)
+
+    if isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM:
+        vc = _sqlref(vec_col)
+        bits = []
+        for p in range(planes):
+            terms = []
+            for c in range(dim):
+                mix = (1009 * (p + 1) + 12345 + 9176 * (c + 1)) * 2654435761
+                w = (mix % _M) / float(_M) - 0.5
+                # CAST('<repr>' AS DOUBLE) is constant-folded at plan
+                # time; repr round-trips, so the literal is exact
+                terms.append(
+                    f"(CAST(get({vc}, {c}) AS DOUBLE) * CAST('{w!r}' AS DOUBLE))"
+                )
+            proj = F.expr("(0.0D + " + " + ".join(terms) + ")")
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return df.select(F.col(id_col), F.concat(*bits).alias("sig"))
 
     def _proj(p: int):
         # one-arg lambda: a defaulted second param would make
@@ -215,6 +295,11 @@ def lsh_bucket_candidates(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
     if max_bucket is not None:
+        from flox_spark.plans.util import pin_keyed_parallelism
+
+        # pin the window exchange: byte-small bucket frames otherwise
+        # AQE-coalesce to one task and the count window serializes
+        buckets = pin_keyed_parallelism(buckets, ["band", "bkey"])
         w = Window.partitionBy("band", "bkey")
         buckets = (
             buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
@@ -222,10 +307,12 @@ def lsh_bucket_candidates(
             .drop("__bs")
         )
     # materialize: the self-join would otherwise recompute all 16
-    # hyperplane projections for each side (see dedup.py note)
+    # hyperplane projections for each side (see dedup.py note).
+    # Size-gated: below 8 MB the double projection is cheaper than
+    # the extra checkpoint job.
     from flox_spark.plans.util import materialize_shared
 
-    buckets = materialize_shared(buckets)
+    buckets = materialize_shared(buckets, min_bytes=8 << 20)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -394,11 +481,22 @@ def embedding_near_duplicates(
     """Near-duplicate vector pairs: LSH candidates verified with exact
     cosine >= threshold.  Output (id_a, id_b, cos_sim)."""
     cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = _dot("__va", "__vb", dim) / (
-        _norm("__va", dim) * _norm("__vb", dim)
+    # norms are per-ROW: stage them below the join (n evaluations)
+    # instead of inside the per-PAIR similarity expression — also
+    # keeps the post-join predicate one small codegen method (the
+    # _UNROLL_MAX_DIM note: dot + two inline norms in one expression
+    # is ~3x the generated bytecode and crosses the JIT limit)
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(vec_col, dim).alias("__na"),
     )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(vec_col, dim).alias("__nb"),
+    )
+    sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")

@@ -196,14 +196,26 @@ def tuned_shuffle(df: DataFrame, **kwargs):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def materialize_shared(df: DataFrame) -> DataFrame:
+def materialize_shared(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Materialize a frame consumed by multiple plan branches (the
     self-join diamond): without this, Spark recomputes the whole
     subtree per branch.  Strategy via OPTIONS['diamond_materialize']:
     local_checkpoint (fast, auto-GC'd, not fault-tolerant) | persist
-    (lineage kept, accumulates in cache) | none (recompute)."""
+    (lineage kept, accumulates in cache) | none (recompute).
+
+    ``min_bytes``: when set and the plan-stats estimate is BELOW it,
+    skip materialization — for a frame whose subtree is one cheap
+    projection, recomputing both branches costs less than the extra
+    checkpoint job (each Spark action is ~0.3-0.5 s of fixed overhead
+    on this box).  At scale the estimate exceeds any sane gate and the
+    checkpoint happens; stats-less frames always materialize (the
+    safe side: an unknown subtree may be arbitrarily expensive)."""
     from flox_spark.options import OPTIONS
 
+    if min_bytes is not None:
+        size = estimate_size_bytes(df)
+        if size is not None and size < min_bytes:
+            return df
     mode = OPTIONS["diamond_materialize"]
     if mode == "local_checkpoint":
         return df.localCheckpoint(eager=False)
