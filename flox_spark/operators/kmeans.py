@@ -648,6 +648,16 @@ def assign_clusters_two_level(
     ]
     if not cents_rows:
         return df.select(F.col(id_col), F.lit(-1).alias(out))
+    work = None if df.isStreaming else _numpy_assign_work(df, len(cents_rows))
+    if work is not None and work > _NUMPY_ASSIGN_MIN_WORK:
+        # huge rows x k: one vectorized BLAS argmin pass instead of
+        # the interpreted coarse+fine folds (assign_clusters_numpy
+        # docstring; label column comes back as bigint/string)
+        from flox_spark.plans import ensure_parallelism
+
+        return assign_clusters_numpy(
+            ensure_parallelism(df), cents_rows, vec_col, out
+        ).select(F.col(id_col), F.col(out))
     if coarse_k is None:
         coarse_k = max(1, int(len(cents_rows) ** 0.5))
     packed = _packed_two_level(df.sparkSession, cents_rows, coarse_k)
@@ -664,3 +674,129 @@ def assign_clusters_two_level(
         .withColumn(out, _nearest_cid_in_group(vec_col, sentinel=sentinel))
         .select(F.col(id_col), F.col(out))
     )
+
+
+# work-volume gate for the vectorized numpy assignment: plan-stats
+# bytes x k.  The declarative folds are interpreted (HOF
+# CodegenFallback) at ~0.3us per element; BLAS does the same
+# multiply-adds at memory bandwidth.  Measured: 100k rows x k=4096 x
+# dim=16 = 3.8s two-level fold vs <1s numpy INCLUDING the Arrow round
+# trip; at 6M rows x k=24000 the fold ran >20 MINUTES while numpy is
+# seconds.  Below the gate the fixed Arrow/python-worker cost loses to
+# the fold, and the small-scale oracle runs stay on the bit-exact
+# declarative path.
+_NUMPY_ASSIGN_MIN_WORK = 1 << 34
+
+
+def _numpy_assign_work(df: DataFrame, k: int) -> int | None:
+    from flox_spark.plans.util import estimate_size_bytes
+
+    size = estimate_size_bytes(df)
+    return None if size is None else size * max(1, k)
+
+
+def assign_clusters_numpy(
+    df: DataFrame,
+    cents_rows: list,
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched ``mapInPandas``
+    pass: ``argmin_j ||v - c_j||^2`` via a BLAS matmul
+    (``|v|^2 - 2 v.C^T + |c|^2``) against the k x dim centroid matrix
+    shipped in the task closure.  All input columns pass through; the
+    label column ``out`` is appended.
+
+    This is the 100 TB shape for LARGE work volumes (rows x k x dim):
+    the declarative folds (``assign_clusters`` /
+    ``assign_clusters_two_level``) are interpreted expression trees —
+    right for small/medium work and for bit-exact oracle parity, but
+    at web-scale k they pin executor CPU at ~0.3us per multiply-add
+    where BLAS runs at memory bandwidth (measured >100x on the 6M-row
+    k=24000 SemDeDup leg).  Semantics match the flat fold: ties to
+    the lowest cluster id (centroids sorted by id, ``np.argmin``
+    takes the first minimum), non-finite/NULL/wrong-length vectors
+    and centroids never win, all-invalid rows get the sentinel (-1
+    for int labels, NULL for strings).  The ONLY divergence is
+    last-ulp: the matmul expansion rounds differently than the
+    sequential ``sum((a-b)^2)`` fold, so a row EXACTLY equidistant
+    between two centroids at double precision may land in the other
+    cell — the same approximation class as the two-level quantizer's
+    cell boundaries, documented in SCALE.md."""
+    import numpy as np
+
+    from collections import Counter
+
+    rows = sorted(cents_rows, key=lambda r: r[0])
+    cids = [r[0] for r in rows]
+    int_labels = _cid_sql_type(cents_rows) != "string"
+    dim = Counter(
+        len(v) for _, v in rows if v is not None
+    ).most_common(1)[0][0]
+    k = len(rows)
+    C = np.full((k, dim), np.nan, dtype=np.float64)
+    for j, (_, v) in enumerate(rows):
+        if v is not None and len(v) == dim:
+            C[j] = [np.nan if x is None else float(x) for x in v]
+    valid_c = np.isfinite(C).all(axis=1)
+    C0 = np.where(np.isfinite(C), C, 0.0)
+    cn = (C0 * C0).sum(axis=1)
+    cn[~valid_c] = np.inf
+    cid_arr = np.array(cids, dtype=object)
+    sentinel = -1 if int_labels else None
+    # slice rows so the distance matrix stays ~32 MB per task
+    chunk = max(1, (4 << 20) // max(1, k))
+
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    # copy the field list: StructType aliases it and .add() would
+    # otherwise append to the INPUT frame's cached schema
+    out_schema = StructType(list(df.schema.fields)).add(
+        out, LongType() if int_labels else StringType()
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = pdf[vec_col]
+            V = np.zeros((n, dim), dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            try:
+                # fast path: every vector full-length -> one vstack
+                M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
+                if M.shape != (n, dim):
+                    raise ValueError("ragged")
+                ok = np.isfinite(M).all(axis=1)
+                V = np.where(ok[:, None], M, 0.0)
+            except Exception:
+                for i, v in enumerate(vecs):
+                    if v is None or len(v) != dim:
+                        continue
+                    arr = np.asarray(
+                        [np.nan if x is None else float(x) for x in v],
+                        dtype=np.float64,
+                    )
+                    if np.isfinite(arr).all():
+                        V[i] = arr
+                        ok[i] = True
+            labels = np.full(n, sentinel, dtype=object)
+            if ok.any() and valid_c.any():
+                idx_ok = np.flatnonzero(ok)
+                for s in range(0, len(idx_ok), chunk):
+                    sl = idx_ok[s : s + chunk]
+                    Vo = V[sl]
+                    d = (
+                        (Vo * Vo).sum(axis=1)[:, None]
+                        - 2.0 * (Vo @ C0.T)
+                        + cn[None, :]
+                    )
+                    labels[sl] = cid_arr[np.argmin(d, axis=1)]
+            pdf = pdf.copy()
+            pdf[out] = labels
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

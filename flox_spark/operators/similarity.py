@@ -658,16 +658,30 @@ def semantic_dedup_pairs(
                 [], schema=f"id_a {df.schema[id_col].dataType.simpleString()}, "
                 f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
             )
-        packed2 = _packed_two_level(
-            spark,
-            cents_rows,
-            coarse_k or max(1, int(len(cents_rows) ** 0.5)),
+        from flox_spark.operators.kmeans import (
+            _NUMPY_ASSIGN_MIN_WORK,
+            _numpy_assign_work,
+            assign_clusters_numpy,
         )
-        folded = (
-            fanned.crossJoin(F.broadcast(packed2))
-            .withColumn("__g", _nearest_coarse_gix(vec_col))
-            .withColumn("__cl", _nearest_cid_in_group(vec_col))
-        )
+
+        work = _numpy_assign_work(df, k)
+        if work is not None and work > _NUMPY_ASSIGN_MIN_WORK:
+            # web-scale work volume (rows x k): the interpreted
+            # two-level fold pins executor CPU (measured >20 min at
+            # 6M rows x k=24000); one Arrow-batched BLAS argmin pass
+            # is the 100 TB shape (assign_clusters_numpy docstring)
+            folded = assign_clusters_numpy(fanned, cents_rows, vec_col, "__cl")
+        else:
+            packed2 = _packed_two_level(
+                spark,
+                cents_rows,
+                coarse_k or max(1, int(len(cents_rows) ** 0.5)),
+            )
+            folded = (
+                fanned.crossJoin(F.broadcast(packed2))
+                .withColumn("__g", _nearest_coarse_gix(vec_col))
+                .withColumn("__cl", _nearest_cid_in_group(vec_col))
+            )
     else:
         # packed as a broadcast SUBQUERY (agg over the k-row centroid
         # frame): referenced by both join sides, Spark's ReuseExchange

@@ -427,3 +427,105 @@ def test_kmeans_tol_with_null_seed_coordinate(spark):
     )
     rows = kmeans_fit(df, k=2, max_iter=5, tol=1e-6).collect()
     assert len(rows) == 2
+
+
+# --------------------------------------------------------------------------
+# vectorized numpy assignment (the large rows-x-k strategy)
+# --------------------------------------------------------------------------
+
+
+def _np_assign(spark, rows, cents, vec_col="embedding", out="cluster"):
+    from flox_spark.operators.kmeans import assign_clusters_numpy
+
+    df = spark.createDataFrame(rows, f"vec_id long, {vec_col} array<float>")
+    return {
+        r["vec_id"]: r[out]
+        for r in assign_clusters_numpy(df, cents, vec_col, out).collect()
+    }
+
+
+def test_numpy_assign_matches_flat_fold(spark, blobs):
+    from flox_spark.operators.kmeans import assign_clusters_numpy
+
+    cents = kmeans_fit(blobs, 2, max_iter=3)
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(blobs, cents).collect()
+    }
+    cents_rows = [
+        (r["__cid"], list(r["centroid"]))
+        for r in cents.select("__cid", "centroid").collect()
+    ]
+    vec = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_numpy(blobs, cents_rows).select(
+            "vec_id", "cluster"
+        ).collect()
+    }
+    assert vec == flat
+
+
+def test_numpy_assign_sentinels(spark):
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    got = _np_assign(
+        spark,
+        [
+            (1, [0.1, 0.2]),          # -> 0
+            (2, [9.9, 10.1]),         # -> 1
+            (3, None),                # NULL vector -> -1
+            (4, [1.0]),               # wrong length -> -1
+            (5, [float("nan"), 0.0]), # NaN element -> -1
+            (6, [0.1, None]),         # NULL element -> -1
+        ],
+        cents,
+    )
+    assert got == {1: 0, 2: 1, 3: -1, 4: -1, 5: -1, 6: -1}
+
+
+def test_numpy_assign_invalid_centroid_never_wins(spark):
+    # centroid 0 carries a NULL coordinate: even the closest point
+    # must fall to the valid centroid (fold parity: NULL distance is
+    # filtered, never compared)
+    cents = [(0, [None, 0.0]), (1, [10.0, 10.0])]
+    got = _np_assign(spark, [(1, [0.0, 0.0]), (2, [10.0, 10.0])], cents)
+    assert got == {1: 1, 2: 1}
+
+
+def test_numpy_assign_tie_breaks_to_lowest_cid(spark):
+    # exactly equidistant -> lowest cluster id, like the fold
+    cents = [(7, [2.0, 0.0]), (3, [0.0, 2.0])]
+    got = _np_assign(spark, [(1, [1.0, 1.0])], cents)
+    assert got == {1: 3}
+
+
+def test_numpy_assign_string_labels_null_sentinel(spark):
+    cents = [("a", [0.0, 0.0]), ("b", [10.0, 10.0])]
+    got = _np_assign(spark, [(1, [0.1, 0.0]), (2, None)], cents)
+    assert got == {1: "a", 2: None}
+
+
+def test_semdedup_pairs_numpy_path_matches_declarative(spark, monkeypatch):
+    # force the numpy assignment gate ON and verify the pair set is
+    # unchanged on well-separated data (no exact boundary ties)
+    import flox_spark.operators.kmeans as km
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(scale=1e-3, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs():
+        out = semantic_dedup_pairs(
+            df, k=4, threshold=0.999, dim=8, max_iter=2, two_level=True
+        )
+        return sorted((r["id_a"], r["id_b"]) for r in out.collect())
+
+    declarative = pairs()
+    monkeypatch.setattr(km, "_NUMPY_ASSIGN_MIN_WORK", -1)
+    vectorized = pairs()
+    assert vectorized == declarative
+    assert len(vectorized) >= 25  # the planted near-dup pairs survive
