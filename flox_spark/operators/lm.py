@@ -80,6 +80,7 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     _bg: DataFrame | None = None,
+    _small: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fit the count model: returns (bigrams, contexts, vocab_size) —
     (w1, w2, c) bigram counts, (w1, c1) context counts, and a ONE-ROW
@@ -105,8 +106,16 @@ def train_bigram_lm(
         bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c").alias("c1"))
+    vsrc = bigrams
+    if _small:
+        # count_distinct is a two-phase agg: partial-distinct exchange
+        # + SinglePartition exchange + the broadcast build = three AQE
+        # stages for ONE number.  A small count frame collapses to one
+        # single-task stage (coalesce is narrow over the checkpoint);
+        # web-scale vocabularies keep the parallel two-phase plan.
+        vsrc = bigrams.coalesce(1)
     vocab = (
-        bigrams.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"))
+        vsrc.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w"))
         .agg(F.count_distinct(F.col("w")).alias("V"))
     )
     return bigrams, contexts, vocab
@@ -140,8 +149,10 @@ def doc_perplexity(
     if smooth_k <= 0:
         raise ValueError(f"smooth_k must be > 0, got {smooth_k}")
     bg = None
+    self_trained = False
     if model is None:
         if reference is None:
+            self_trained = True
             # self-perplexity: train and score share ONE bigram frame
             # plan.  keep_empty_docs threads the bigram-less docs
             # through as (id, NULL, NULL) rows — they contribute
@@ -155,7 +166,23 @@ def doc_perplexity(
             # LARGER than the corpus (the exploded bigram rows), and
             # it keeps the whole query a single action.
             bg = _doc_bigrams(corpus, id_col, text_col, keep_empty_docs=True)
-            model = train_bigram_lm(corpus, id_col, text_col, _bg=bg)
+            from flox_spark.plans.util import estimate_size_bytes as _est
+
+            csize = _est(corpus)
+            if csize is not None and csize < (32 << 20):
+                # SMALL corpus: the training agg and the scoring join
+                # both consume bg — checkpoint it so tokenize+explode
+                # runs once (measured 0.33 s per pass at sf0.1).  At
+                # scale bg stays lazy: the exploded bigram rows are
+                # LARGER than the corpus, so re-running the projection
+                # beats writing them out (the original rationale).
+                from flox_spark.plans.util import materialize_shared
+
+                bg = materialize_shared(bg)
+            model = train_bigram_lm(
+                corpus, id_col, text_col, _bg=bg,
+                _small=csize is not None and csize < (32 << 20),
+            )
         else:
             model = train_bigram_lm(reference, id_col, text_col)
     bigrams, contexts, vocab = model
@@ -201,7 +228,20 @@ def doc_perplexity(
             F.map_from_entries(F.collect_list(F.struct("w2", "c"))).alias("__cm"),
             F.sum("c").alias("c1"),
         )
-        joined = bg.join(hint(lookup), ["w1"], "left").crossJoin(F.broadcast(vocab))
+        if self_trained:
+            # SELF-trained: every non-NULL probe w1 is in the model by
+            # construction, so V can ride INSIDE the lookup broadcast
+            # (one row-wise crossJoin in the build) — one broadcast
+            # job and no per-probe BroadcastNestedLoopJoin.  Sentinel
+            # rows (w1 NULL) never join and are excluded from the
+            # score mean anyway.  A foreign corpus CAN miss the
+            # lookup and still needs V for the unknown-context term,
+            # so it keeps the probe-side crossJoin.
+            joined = bg.join(hint(lookup.crossJoin(vocab)), ["w1"], "left")
+        else:
+            joined = bg.join(hint(lookup), ["w1"], "left").crossJoin(
+                F.broadcast(vocab)
+            )
         c_expr = F.element_at(F.col("__cm"), F.col("w2"))
     else:
         joined = (
