@@ -492,20 +492,10 @@ def q_multimodal_features(s, d):
     # The vector is exploded to (media_id, pos, feat_value) rows: the
     # driver's canonicalizer sorts/hashes scalar columns only (an
     # array<double> column is unhashable in its pandas sort).
-    from flox_spark.operators.multimodal import media_features, media_from_documents
+    from flox_spark.operators.multimodal import media_features_long, media_from_documents
 
     media = media_from_documents(_t(s, d, "documents"))
-    feats = media_features(media, dim=16)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.posexplode("feature").alias("pos", "feat_value"),
-    ).select(
-        "media_id",
-        "n_bytes",
-        F.col("pos").cast("long").alias("pos"),
-        F.col("feat_value").cast("double").alias("feat_value"),
-    )
+    return media_features_long(media, dim=16)
 
 
 def q_media_sniff(s, d):

@@ -214,6 +214,52 @@ def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> Da
     )
 
 
+def media_features_long(
+    df: DataFrame, dim: int = 16, id_col: str = "media_id"
+) -> DataFrame:
+    """``media_features`` in long form: one row per (id, pos) with the
+    feature VALUE instead of the packed array — the shape feature
+    stores and eval harnesses usually want.
+
+    Built directly off the staged sha2 hex with a CONSTANT index
+    explode (``posexplode(sequence(0, dim-1))``): exploding the
+    computed feature array instead trips Catalyst's
+    InferFiltersFromGenerate, which prepends ``size(<array expr>) >
+    0`` and pushes it into the file scan — re-running the whole
+    digest-expansion expression (sha2 included) once more per row in
+    the scan filter (observed in ``DataFilters``).  A constant
+    sequence's size check folds away, and the hex decode runs once
+    per OUTPUT row."""
+    if dim > 32:
+        raise ValueError(
+            "declarative sha256 expansion yields at most 32 bytes; "
+            f"dim={dim} needs the extract_features Arrow path"
+        )
+    from flox_spark.plans import ensure_parallelism
+
+    content = F.col("content")
+    staged = ensure_parallelism(df, min_bytes=96 << 20).select(
+        F.col(id_col),
+        F.octet_length(content).cast("long").alias("n_bytes"),
+        F.sha2(content, 256).alias("__hx"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_bytes",
+        "__hx",
+        F.posexplode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos", "__i"),
+    ).select(
+        F.col(id_col),
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        (
+            F.conv(F.col("__hx").substr(F.col("__i") * 2 + 1, F.lit(2)), 16, 10)
+            / 128.0
+            - 1.0
+        ).cast("double").alias("feat_value"),
+    )
+
+
 def extract_features(df: DataFrame, dim: int = 16, id_col: str = "media_id") -> DataFrame:
     """Feature-extract every blob via an Arrow-batched ``mapInPandas``
     pass — the real plumbing for any per-blob Python/C++ model.  The

@@ -86,3 +86,32 @@ def test_resize_on_media_table_shape_and_determinism(spark):
     )
     assert a == b
     assert all(len(px) == 16 for _, px in a)
+
+
+def test_media_features_long_matches_wide(spark):
+    # long form = posexplode(media_features().feature), value for value
+    from flox_spark.operators.multimodal import (
+        media_features,
+        media_features_long,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = media_from_documents(docs)
+    wide = (
+        media_features(media, dim=16)
+        .select("media_id", "n_bytes", F.posexplode("feature").alias("pos", "v"))
+        .collect()
+    )
+    long = media_features_long(media, dim=16).collect()
+    w = {(r["media_id"], r["pos"]): (r["n_bytes"], round(float(r["v"]), 9)) for r in wide}
+    l = {(r["media_id"], r["pos"]): (r["n_bytes"], round(float(r["feat_value"]), 9)) for r in long}
+    assert w == l and len(w) == 50 * 16
+
+
+def test_media_features_long_rejects_big_dim(spark):
+    from flox_spark.operators.multimodal import media_features_long, media_from_documents
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    with pytest.raises(ValueError):
+        media_features_long(media_from_documents(docs), dim=40)
