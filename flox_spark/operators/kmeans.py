@@ -189,6 +189,25 @@ def assign_clusters(
         from flox_spark.plans import ensure_parallelism
 
         df = ensure_parallelism(df)
+        # huge rows x k work volume: the flat fold is interpreted
+        # (HOF CodegenFallback) — switch to the Arrow/BLAS argmin
+        # pass (assign_clusters_numpy docstring).  Batch only: the
+        # numpy path collects the k-row centroid table, which a
+        # streaming plan cannot.  The gate probes with k=8 first so
+        # frames that can't possibly trip it never pay the collect;
+        # below the gate the declarative fold keeps its zero-collect,
+        # bit-exact contract (a rare wasted k-sized collect when the
+        # probe passes but the true k is small is harmless).
+        work = _numpy_assign_work(df, 1)
+        if work is not None and work * 8 > _NUMPY_ASSIGN_MIN_WORK:
+            cents_rows = [
+                (r["__cid"], list(r["centroid"]))
+                for r in centroids.select("__cid", "centroid").collect()
+            ]
+            if cents_rows and work * len(cents_rows) > _NUMPY_ASSIGN_MIN_WORK:
+                return assign_clusters_numpy(
+                    df, cents_rows, vec_col, out
+                ).select(F.col(id_col), F.col(out))
     return (
         df.crossJoin(_packed_centroids(centroids))
         .withColumn(out, _nearest_cid(vec_col))
