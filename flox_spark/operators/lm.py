@@ -224,6 +224,13 @@ def doc_perplexity(
         and msize is not None
         and msize < (32 << 20)
     ):
+        # NOTE (round 8): chaining the counts + lookup aggs onto one
+        # explicit w1-exchange of bg (hashpartitioning(w1) satisfies
+        # both ClusteredDistributions) was tried and REGRESSED 6 -> 7
+        # jobs: AQE materializes the repartition exchange as its own
+        # stage over the full bigram rows, costing more than the tiny
+        # counts re-exchange it replaces.  The materialized-counts
+        # route below is the measured optimum (0.92 s at sf0.1).
         lookup = bigrams.filter(F.col("w1").isNotNull()).groupBy("w1").agg(
             F.map_from_entries(F.collect_list(F.struct("w2", "c"))).alias("__cm"),
             F.sum("c").alias("c1"),
