@@ -290,16 +290,34 @@ def kmeans_fit(
     centroids = _seeds_from_candidates(cand, k)
 
     centroids = materialize_shared(centroids)
+    # huge rows x k fits route each iteration's assignment through the
+    # Arrow/BLAS argmin (assign_clusters_numpy): the interpreted fold
+    # is the iteration bottleneck at web-scale k.  Gated on the work
+    # volume (plan-stats bytes x k, computed BEFORE the checkpoint
+    # erased the stats) AND on the collected centroid closure staying
+    # task-shippable (<= 64 MB of doubles).
+    np_work = None if size is None else size * max(1, k)
     for _ in range(max_iter):
-        # row-local fold assignment: a projection, not the
-        # crossJoin-expand + groupBy(id) re-collapse (which cost a
-        # k-way row expansion and a full-data hash exchange per
-        # iteration); the only shuffle left per iteration is the
-        # centroid-sized mean aggregation below
-        assigned = (
-            base.crossJoin(_packed_centroids(centroids))
-            .select(_nearest_cid("__v").alias("__cid"), "__v")
-        )
+        assigned = None
+        if np_work is not None and np_work > _NUMPY_ASSIGN_MIN_WORK:
+            cents_rows = [
+                (r["__cid"], list(r["centroid"])) for r in centroids.collect()
+            ]
+            dims = max((len(v) for _, v in cents_rows if v), default=0)
+            if cents_rows and len(cents_rows) * dims * 8 <= (64 << 20):
+                assigned = assign_clusters_numpy(
+                    base, cents_rows, "__v", "__cid"
+                ).select("__cid", "__v")
+        if assigned is None:
+            # row-local fold assignment: a projection, not the
+            # crossJoin-expand + groupBy(id) re-collapse (which cost a
+            # k-way row expansion and a full-data hash exchange per
+            # iteration); the only shuffle left per iteration is the
+            # centroid-sized mean aggregation below
+            assigned = (
+                base.crossJoin(_packed_centroids(centroids))
+                .select(_nearest_cid("__v").alias("__cid"), "__v")
+            )
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("pos", "x"))
             .groupBy("__cid", "pos")

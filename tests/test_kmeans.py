@@ -529,3 +529,18 @@ def test_semdedup_pairs_numpy_path_matches_declarative(spark, monkeypatch):
     vectorized = pairs()
     assert vectorized == declarative
     assert len(vectorized) >= 25  # the planted near-dup pairs survive
+
+
+def test_fit_plan_loop_numpy_assignment_parity(spark, blobs, monkeypatch):
+    import flox_spark.operators.kmeans as km
+
+    base = {
+        r["__cid"]: [round(x, 9) for x in r["centroid"]]
+        for r in kmeans_fit(blobs, 2, max_iter=3, driver_loop=False).collect()
+    }
+    monkeypatch.setattr(km, "_NUMPY_ASSIGN_MIN_WORK", -1)
+    got = {
+        r["__cid"]: [round(x, 9) for x in r["centroid"]]
+        for r in kmeans_fit(blobs, 2, max_iter=3, driver_loop=False).collect()
+    }
+    assert got == base
