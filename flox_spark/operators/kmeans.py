@@ -193,13 +193,14 @@ def assign_clusters(
         # (HOF CodegenFallback) — switch to the Arrow/BLAS argmin
         # pass (assign_clusters_numpy docstring).  Batch only: the
         # numpy path collects the k-row centroid table, which a
-        # streaming plan cannot.  The gate probes with k=8 first so
-        # frames that can't possibly trip it never pay the collect;
-        # below the gate the declarative fold keeps its zero-collect,
-        # bit-exact contract (a rare wasted k-sized collect when the
-        # probe passes but the true k is small is harmless).
+        # streaming plan cannot.  k is unknown until that collect, so
+        # the gate probes with a generous k=4096 assumption: frames
+        # too small to trip it at ANY plausible k never pay the
+        # collect, and a wasted collect when the true k turns out
+        # small is k-sized and harmless.  Below the gate the
+        # declarative fold keeps its zero-collect, bit-exact contract.
         work = _numpy_assign_work(df, 1)
-        if work is not None and work * 8 > _NUMPY_ASSIGN_MIN_WORK:
+        if work is not None and work * 4096 > _NUMPY_ASSIGN_MIN_WORK:
             cents_rows = [
                 (r["__cid"], list(r["centroid"]))
                 for r in centroids.select("__cid", "centroid").collect()
@@ -716,13 +717,17 @@ def assign_clusters_two_level(
 # work-volume gate for the vectorized numpy assignment: plan-stats
 # bytes x k.  The declarative folds are interpreted (HOF
 # CodegenFallback) at ~0.3us per element; BLAS does the same
-# multiply-adds at memory bandwidth.  Measured: 100k rows x k=4096 x
-# dim=16 = 3.8s two-level fold vs <1s numpy INCLUDING the Arrow round
-# trip; at 6M rows x k=24000 the fold ran >20 MINUTES while numpy is
-# seconds.  Below the gate the fixed Arrow/python-worker cost loses to
-# the fold, and the small-scale oracle runs stay on the bit-exact
-# declarative path.
-_NUMPY_ASSIGN_MIN_WORK = 1 << 34
+# multiply-adds at memory bandwidth.  Measured calibration points
+# (note plan-stats UNDERESTIMATE array frames ~7x — range stats carry
+# 8 B/row regardless of the projected vector width): 100k rows x
+# k=1024 (stats work 1e9) = 14.7 s flat fold vs ~1.5 s numpy; k=4096
+# (4e9) = 54 s vs ~2 s; 6M x k=24000 fold ran >45 MINUTES unfinished.
+# The numpy fixed cost (collect + Arrow round trip) is ~1-2 s, so the
+# crossover sits near stats-work ~1e8.  Below the gate the fold wins
+# on fixed cost AND keeps the bit-exact oracle arithmetic — all
+# sf0.001-0.1 correctness-sweep inputs sit orders of magnitude under
+# it (embeddings sf0.1: 2e5 bytes x k<=64 ~ 1e7).
+_NUMPY_ASSIGN_MIN_WORK = 1 << 28
 
 
 def _numpy_assign_work(df: DataFrame, k: int) -> int | None:
