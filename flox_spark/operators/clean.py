@@ -82,7 +82,12 @@ def remove_boilerplate_lines(
     from flox_spark.plans.util import materialize_shared
 
     # the lines frame feeds both the doc-frequency aggregate and the
-    # kept-join (a diamond): materialize so the explode runs once
+    # kept-join (a diamond): materialize so the explode runs once.
+    # Measured (sf0.1, best-of-6): skipping the checkpoint for small
+    # frames is SLOWER here (0.73 s vs 0.59 s) — the split+explode
+    # recompute lands in both the boiler broadcast build and the kept
+    # probe, costing more than the checkpoint job it saves (unlike
+    # the LSH bucket diamond, whose branches are cheaper).
     lines = materialize_shared(
         df.select(
             F.col(id_col),
