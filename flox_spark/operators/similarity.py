@@ -477,9 +477,26 @@ def embedding_near_duplicates(
     bands: int = 4,
     dim: int = 64,
     round_to: int | None = 6,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH candidates verified with exact
-    cosine >= threshold.  Output (id_a, id_b, cos_sim)."""
+    cosine >= threshold.  Output (id_a, id_b, cos_sim).
+
+    ``verify``: how the exact cosine runs over the candidate pairs —
+    ``'expr'`` (declarative: unrolled codegen below
+    ``_UNROLL_MAX_DIM``, interpreted HOF fold above it), ``'numpy'``
+    (one Arrow-batched ``mapInPandas`` pass: row-wise
+    ``einsum('ij,ij->i')`` over the joined vector pair batches — the
+    scale shape for dims past the JIT unroll limit, where the fold
+    runs interpreted per pair), or ``'auto'`` (numpy exactly when the
+    dim is past the unroll limit AND plan-stats say the base is big
+    enough that the per-pair fold dominates the Arrow round trip;
+    small/oracle-scale inputs keep the bit-exact declarative
+    arithmetic).  numpy differs from the fold only at last-ulp
+    (pairwise vs sequential summation), which the rounded ``cos_sim``
+    absorbs except for exact threshold-boundary pairs."""
+    if verify not in ("auto", "expr", "numpy"):
+        raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
     cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
     # norms are per-ROW: stage them below the join (n evaluations)
     # instead of inside the per-PAIR similarity expression — also
@@ -496,12 +513,46 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("__vb"),
         _norm(vec_col, dim).alias("__nb"),
     )
-    sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    if verify == "auto":
+        from flox_spark.plans.util import estimate_size_bytes
+
+        size = estimate_size_bytes(df)
+        verify = (
+            "numpy"
+            if dim > _UNROLL_MAX_DIM and size is not None and size > (64 << 20)
+            else "expr"
+        )
+    if verify == "numpy":
+        import pandas as pd  # noqa: F401 — document the Arrow boundary
+
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType(
+            [joined.schema[c] for c in joined.columns if c not in ("__va", "__vb")]
+        ).add("__sim", "double")
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.asarray(np.vstack(pdf["__va"].to_numpy()), dtype=np.float64)
+                B = np.asarray(np.vstack(pdf["__vb"].to_numpy()), dtype=np.float64)
+                dot = np.einsum("ij,ij->i", A, B)
+                out = pdf.drop(columns=["__va", "__vb"]).copy()
+                out["__sim"] = dot / (
+                    pdf["__na"].to_numpy() * pdf["__nb"].to_numpy()
+                )
+                yield out
+
+        scored = joined.mapInPandas(run, out_schema)
+    else:
+        sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+        scored = joined.withColumn("__sim", sim)
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("__sim", sim)
-        .filter(F.col("__sim") >= threshold)
+        scored.filter(F.col("__sim") >= threshold)
         .select(
             "id_a",
             "id_b",

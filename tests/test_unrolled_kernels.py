@@ -94,3 +94,27 @@ def test_lsh_unrolled_sigs_match_fold_sigs(spark, vecs):
     finally:
         sim._UNROLL_MAX_DIM = old
     assert unrolled == fold
+
+
+def test_neardup_numpy_verify_matches_expr(spark):
+    from flox_spark.operators.similarity import embedding_near_duplicates
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    kw = dict(threshold=0.45, dim=64, round_to=6)
+    e = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(df, verify="expr", **kw).collect()
+    )
+    n = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(df, verify="numpy", **kw).collect()
+    )
+    assert e == n and len(e) > 0
+
+
+def test_neardup_verify_param_validated(spark):
+    from flox_spark.operators.similarity import embedding_near_duplicates
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with pytest.raises(ValueError):
+        embedding_near_duplicates(df, verify="blas")
