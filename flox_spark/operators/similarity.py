@@ -535,24 +535,73 @@ def embedding_near_duplicates(
         def run(batches):
             import numpy as np
 
+            # Guarded stack (same shape as assign_clusters_numpy.run,
+            # kmeans.py): one vstack when every vector is clean, a
+            # per-row fallback that SKIPS NULL / wrong-length /
+            # non-finite vectors otherwise.  Corrupt pairs are dropped
+            # from the batch here (NOT emitted with a NaN __sim:
+            # Spark's total order puts NaN ABOVE every double, so a
+            # NaN that survived the Arrow boundary would pass the
+            # >= threshold filter) — matching the expr path's
+            # documented semantics, where a NULL vector yields a NULL
+            # similarity and the pair drops, instead of one bad row
+            # killing the whole task — exactly wrong on the path that
+            # exists FOR the 100 TB case where corrupt rows are a
+            # certainty.
+            def stack(vecs, n):
+                V = np.zeros((n, dim), dtype=np.float64)
+                ok = np.zeros(n, dtype=bool)
+                try:
+                    M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
+                    if M.shape != (n, dim):
+                        raise ValueError("ragged")
+                    ok = np.isfinite(M).all(axis=1)
+                    V = np.where(ok[:, None], M, 0.0)
+                except Exception:
+                    for i, v in enumerate(vecs):
+                        if v is None or len(v) != dim:
+                            continue
+                        arr = np.asarray(
+                            [np.nan if x is None else float(x) for x in v],
+                            dtype=np.float64,
+                        )
+                        if np.isfinite(arr).all():
+                            V[i] = arr
+                            ok[i] = True
+                return V, ok
+
             for pdf in batches:
-                if len(pdf) == 0:
+                n = len(pdf)
+                if n == 0:
                     continue
-                A = np.asarray(np.vstack(pdf["__va"].to_numpy()), dtype=np.float64)
-                B = np.asarray(np.vstack(pdf["__vb"].to_numpy()), dtype=np.float64)
+                A, oka = stack(pdf["__va"], n)
+                B, okb = stack(pdf["__vb"], n)
+                ok = oka & okb
                 dot = np.einsum("ij,ij->i", A, B)
-                out = pdf.drop(columns=["__va", "__vb"]).copy()
-                out["__sim"] = dot / (
-                    pdf["__na"].to_numpy() * pdf["__nb"].to_numpy()
+                na = pd.to_numeric(pdf["__na"], errors="coerce").to_numpy(
+                    dtype=np.float64
                 )
+                nb = pd.to_numeric(pdf["__nb"], errors="coerce").to_numpy(
+                    dtype=np.float64
+                )
+                out = pdf.drop(columns=["__va", "__vb"]).copy()
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out["__sim"] = dot / (na * nb)
+                if not ok.all():
+                    out = out[ok]
                 yield out
 
         scored = joined.mapInPandas(run, out_schema)
     else:
         sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
         scored = joined.withColumn("__sim", sim)
+    # NOT isnan: Spark's total order puts NaN ABOVE every double, so a
+    # non-finite vector (expr path: the fold yields NaN; numpy path: a
+    # 0/0 on zero norms) would otherwise PASS >= threshold and emit a
+    # NaN "near-duplicate".  A pair whose cosine is not a finite number
+    # is not a duplicate — both kernels agree under this guard.
     return (
-        scored.filter(F.col("__sim") >= threshold)
+        scored.filter((F.col("__sim") >= threshold) & ~F.isnan("__sim"))
         .select(
             "id_a",
             "id_b",

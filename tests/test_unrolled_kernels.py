@@ -118,3 +118,35 @@ def test_neardup_verify_param_validated(spark):
     df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     with pytest.raises(ValueError):
         embedding_near_duplicates(df, verify="blas")
+
+
+def test_neardup_numpy_verify_drops_ragged_and_null(spark):
+    """ADVICE r8 / VERDICT r8 What's-wrong #1: one corrupt row (NULL or
+    short vector) in an Arrow batch must DROP its pairs, not raise out
+    of np.vstack and kill the task.  Corrupt vectors carry the all-zero
+    LSH signature, so they all bucket together and reach the verify."""
+    from flox_spark.operators.similarity import embedding_near_duplicates
+
+    dim = 8
+    rows = [
+        (1, [1.0] * dim),
+        (2, [1.0] * dim),          # exact dup of 1 -> surviving pair
+        (3, None),                 # NULL vector
+        (4, [1.0, 2.0]),           # ragged (shorter than dim)
+        (5, [float("nan")] * dim), # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.9, planes=8, bands=4, dim=dim, round_to=6)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, verify="numpy", **kw).collect()
+    }
+    # the clean pair survives; no pair touches a corrupt id
+    assert (1, 2) in got or (2, 1) in got
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in got)
+    # and the expr path agrees (documented semantics hold on BOTH kernels)
+    exp = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, verify="expr", **kw).collect()
+    }
+    assert got == exp
