@@ -22,8 +22,14 @@ Scale posture (100 TB corpus, reference-sized model):
   count joins to broadcast for any curated-reference model, so
   scoring is a pure map-side pipeline over the crawl — zero corpus
   shuffles except the per-doc mean (one hash aggregate on doc_id).
-- the vocabulary size V rides the plan as a broadcast one-row frame
-  (no driver collect), so the whole thing is lazily composable.
+- SMALL models (stats-gated) are collected ONCE to the driver and
+  re-enter the plan as an Arrow-built LocalRelation lookup with V as
+  a literal — zero model actions inside the scoring query, and the
+  broadcast of a local relation costs no Spark job, so scoring a
+  100 TB crawl against a curated reference model is a pure map-side
+  pipeline.  Past the gate (or ``broadcast_model=False``) the model
+  stays distributed and V rides the plan as a broadcast one-row
+  frame (no driver collect) — fully lazy.
 
 Smoothing: add-k over the vocabulary (unknown bigram -> k / (C(w1) +
 k*V); unknown context -> 1/V).  Documents with fewer than 2 tokens
@@ -121,6 +127,58 @@ def train_bigram_lm(
     return bigrams, contexts, vocab
 
 
+def _collect_literal_model(counts: DataFrame, spark) -> tuple[DataFrame, int]:
+    """Bring the (w1, w2, c) bigram-count frame to the driver (ONE
+    job; callers gate on plan stats so this is model-sized, never
+    corpus-sized) and rebuild it as the fused per-context lookup —
+    (w1, map<w2,c>, c1) — plus the vocabulary size V as a plain int.
+    The returned lookup is a LocalRelation: broadcasting it costs no
+    Spark job, and V becomes a literal in the scoring expression, so
+    the whole model contributes ZERO actions to the scoring query."""
+    cm: dict = {}
+    c1: dict = {}
+    words: set = set()
+    for w1, w2, c in counts.collect():
+        for w in (w1, w2):
+            if w is not None:
+                words.add(w)
+        if w1 is None or w2 is None:
+            continue  # sentinel rows never join
+        cm.setdefault(w1, {})[w2] = c
+        c1[w1] = c1.get(w1, 0) + c
+    # Arrow path, NOT a plain row list: createDataFrame over pickled
+    # Python rows lands in the plan as a Scan ExistingRDD that pays a
+    # Python-runner deserialization on EVERY action (measured 0.43 s
+    # vs 0.13 s per scoring join at sf0.1); the pandas/Arrow route
+    # produces a genuine JVM-side LocalRelation
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("w1", StringType()),
+            StructField("__cm", MapType(StringType(), LongType())),
+            StructField("c1", LongType()),
+        ]
+    )
+    keys = list(cm)
+    pdf = pd.DataFrame(
+        {
+            "w1": pd.Series(keys, dtype=object),
+            "__cm": pd.Series([cm[w] for w in keys], dtype=object),
+            "c1": pd.Series([c1[w] for w in keys], dtype="int64" if keys else object),
+        }
+    )
+    return spark.createDataFrame(pdf, schema), len(words)
+
+
 def doc_perplexity(
     corpus: DataFrame,
     reference: DataFrame | None = None,
@@ -149,10 +207,9 @@ def doc_perplexity(
     if smooth_k <= 0:
         raise ValueError(f"smooth_k must be > 0, got {smooth_k}")
     bg = None
-    self_trained = False
+    literal_model = None
     if model is None:
         if reference is None:
-            self_trained = True
             # self-perplexity: train and score share ONE bigram frame
             # plan.  keep_empty_docs threads the bigram-less docs
             # through as (id, NULL, NULL) rows — they contribute
@@ -179,13 +236,32 @@ def doc_perplexity(
                 from flox_spark.plans.util import materialize_shared
 
                 bg = materialize_shared(bg)
-            model = train_bigram_lm(
-                corpus, id_col, text_col, _bg=bg,
-                _small=csize is not None and csize < (32 << 20),
-            )
+                if broadcast_model is not False:
+                    # the whole model rides to the driver ONCE as the
+                    # (bounded, vocab-type-sized) count rows and comes
+                    # back as a literal LocalRelation broadcast — the
+                    # vocab agg, lookup agg, and their AQE broadcast
+                    # build jobs all disappear (r8 floor: 6 structural
+                    # jobs; this path: bg checkpoint + counts collect
+                    # + scoring = 3).  Gated on the 32 MB corpus
+                    # stats, so the collect is smaller than a kmeans
+                    # seed draw's traffic class.
+                    literal_model = _collect_literal_model(
+                        bg.groupBy("w1", "w2").agg(
+                            F.count(F.lit(1)).alias("c")
+                        ),
+                        corpus.sparkSession,
+                    )
+            if literal_model is None:
+                model = train_bigram_lm(
+                    corpus, id_col, text_col, _bg=bg,
+                    _small=csize is not None and csize < (32 << 20),
+                )
         else:
             model = train_bigram_lm(reference, id_col, text_col)
-    bigrams, contexts, vocab = model
+    bigrams = contexts = vocab = None
+    if model is not None:
+        bigrams, contexts, vocab = model
     if broadcast_model is True:
         hint = F.broadcast
     elif broadcast_model is False:
@@ -197,59 +273,35 @@ def doc_perplexity(
 
     if bg is None:
         bg = _doc_bigrams(corpus, id_col, text_col, keep_empty_docs=True)
-    # two scoring shapes, picked by corpus plan-stats size:
+    # two scoring shapes, picked by model size:
     #
-    # SMALL: the model fused into ONE w1-keyed lookup — per context a
-    # map<w2, c> plus c1 (= sum of the map's counts, identical by
-    # definition).  One broadcast build + one join instead of two of
-    # each; AQE schedules a separate sub-job per broadcast
-    # materialization, and at small inputs those fixed jobs ARE the
-    # query's cost (measured 9 one-task jobs before the fuse).
+    # LITERAL (small model): the fitted counts live on the driver —
+    # rebuild them as ONE w1-keyed LocalRelation (per context a
+    # map<w2, c> plus c1 = sum of the map's counts, identical by
+    # definition) and broadcast it; V is a plan literal.  No vocab
+    # agg, no lookup agg, no AQE broadcast-build sub-jobs — at small
+    # inputs those fixed jobs ARE the query's cost (r8's fused-lookup
+    # shape still paid 6; this pays 3).  A broadcast of a local row
+    # set needs no Spark job at all, so scoring a 100 TB crawl
+    # against a curated-reference model this way is a pure map-side
+    # pipeline — the production CCNet shape.
     #
-    # LARGE: the classic two-join shape.  The fused lookup
-    # concentrates a context's whole fan-out into one row (a stopword
-    # w1 at web scale = millions of map entries in one aggregation
-    # buffer), so it is NOT the scale shape.  BOTH sides gate it:
-    # scoring a small corpus against a large precomputed reference
-    # model would still build per-w1 map buffers over the full model
-    # — the exact stopword fan-out the comment above warns about —
-    # so an unknown or >32 MB model also forces the two-join shape.
+    # LARGE (or broadcast forbidden): the classic two-join shape.
+    # Per-w1 maps at web-scale vocabularies would concentrate a
+    # stopword context's whole fan-out into one driver dict entry /
+    # broadcast row, so past the gate the model stays distributed and
+    # AQE picks the join strategy from runtime sizes.
     from flox_spark.plans.util import estimate_size_bytes
 
-    size = estimate_size_bytes(corpus)
-    msize = estimate_size_bytes(bigrams)
-    if (
-        size is not None
-        and size < (32 << 20)
-        and msize is not None
-        and msize < (32 << 20)
-    ):
-        # NOTE (round 8): chaining the counts + lookup aggs onto one
-        # explicit w1-exchange of bg (hashpartitioning(w1) satisfies
-        # both ClusteredDistributions) was tried and REGRESSED 6 -> 7
-        # jobs: AQE materializes the repartition exchange as its own
-        # stage over the full bigram rows, costing more than the tiny
-        # counts re-exchange it replaces.  The materialized-counts
-        # route below is the measured optimum (0.92 s at sf0.1).
-        lookup = bigrams.filter(F.col("w1").isNotNull()).groupBy("w1").agg(
-            F.map_from_entries(F.collect_list(F.struct("w2", "c"))).alias("__cm"),
-            F.sum("c").alias("c1"),
-        )
-        if self_trained:
-            # SELF-trained: every non-NULL probe w1 is in the model by
-            # construction, so V can ride INSIDE the lookup broadcast
-            # (one row-wise crossJoin in the build) — one broadcast
-            # job and no per-probe BroadcastNestedLoopJoin.  Sentinel
-            # rows (w1 NULL) never join and are excluded from the
-            # score mean anyway.  A foreign corpus CAN miss the
-            # lookup and still needs V for the unknown-context term,
-            # so it keeps the probe-side crossJoin.
-            joined = bg.join(hint(lookup.crossJoin(vocab)), ["w1"], "left")
-        else:
-            joined = bg.join(hint(lookup), ["w1"], "left").crossJoin(
-                F.broadcast(vocab)
-            )
+    if literal_model is None and bigrams is not None and broadcast_model is not False:
+        msize = estimate_size_bytes(bigrams)
+        if msize is not None and msize < (8 << 20):
+            literal_model = _collect_literal_model(bigrams, corpus.sparkSession)
+    if literal_model is not None:
+        lookup_local, V = literal_model
+        joined = bg.join(F.broadcast(lookup_local), ["w1"], "left")
         c_expr = F.element_at(F.col("__cm"), F.col("w2"))
+        v_col = F.lit(V)
     else:
         joined = (
             bg.join(hint(bigrams), ["w1", "w2"], "left")
@@ -257,10 +309,11 @@ def doc_perplexity(
             .crossJoin(F.broadcast(vocab))
         )
         c_expr = F.col("c")
+        v_col = F.col("V")
     k = F.lit(float(smooth_k))
     logp = F.log(
         (F.coalesce(c_expr, F.lit(0)) + k)
-        / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("V"))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + k * v_col)
     )
     # ONE aggregate covers every document: real bigram rows score,
     # the NULL sentinel rows count 0 and average to NULL
@@ -301,4 +354,28 @@ def perplexity_filter(
         else F.col("ppl")
     )
     keep = scores.filter(scr.isNull() | (scr <= F.lit(float(max_ppl)))).select(id_col)
+    from flox_spark.plans.util import estimate_size_bytes
+
+    csize = estimate_size_bytes(corpus)
+    if csize is not None and csize < (32 << 20):
+        # SMALL corpus: run the scoring action now and ship the keep
+        # set back as an Arrow LocalRelation — the semi-join against
+        # a local frame broadcasts with NO build job, so the filter
+        # adds ONE scan-join job over its parent instead of the AQE
+        # broadcast-build + exchange pair (r8: +2 jobs, 8 vs 6).  The
+        # collect is doc-id-sized AND gated on the same 32 MB corpus
+        # stats as the literal model, so it stays in the bounded
+        # driver-traffic class; web-scale corpora keep the fully
+        # declarative semi-join below.
+        import pandas as pd
+
+        ids = [r[0] for r in keep.collect()]
+        dt = corpus.schema[id_col].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        local = corpus.sparkSession.createDataFrame(
+            pd.DataFrame({id_col: pd.Series(ids, dtype=object)}),
+            StructType([StructField(id_col, dt)]),
+        )
+        return corpus.join(F.broadcast(local), [id_col], "left_semi")
     return corpus.join(keep, [id_col], "left_semi")

@@ -172,7 +172,7 @@ def test_fused_lookup_gated_on_model_size(spark, docs_df):
         .optimizedPlan()
         .toString()
     )
-    assert "map_from_entries" not in plan_big  # two-join shape chosen
+    assert "map_from_entries" not in plan_big and "__cm" not in plan_big  # two-join
 
     # positive control: small model keeps the fused shape
     small_model = train_bigram_lm(docs_df)
@@ -182,4 +182,40 @@ def test_fused_lookup_gated_on_model_size(spark, docs_df):
         .optimizedPlan()
         .toString()
     )
-    assert "map_from_entries" in plan_small
+    # r9: the small shape is now the LITERAL fused lookup — the
+    # map<w2,c> is built on the driver and lands in the plan as a
+    # LocalRelation/LogicalRDD carrying the __cm column, with no
+    # map_from_entries aggregate (and no vocab subtree) left to run
+    assert "__cm" in plan_small and "map_from_entries" not in plan_small
+
+
+def test_literal_model_path_matches_declarative(spark, docs_df, tmp_path):
+    # r9: parquet-backed frames carry plan stats, so the SMALL gate
+    # routes self-trained scoring through the driver-literal model
+    # (LocalRelation lookup + literal V).  Its scores and the filter's
+    # keep set must match the declarative two-join shape exactly
+    # (broadcast_model=False forbids the literal path by contract).
+    docs_df.write.parquet(str(tmp_path / "docs"))
+    pq = spark.read.parquet(str(tmp_path / "docs"))
+
+    lit_plan = doc_perplexity(pq)
+    assert "__cm" in lit_plan._jdf.queryExecution().optimizedPlan().toString()
+    lit = {r["doc_id"]: r for r in lit_plan.collect()}
+    dec = {r["doc_id"]: r for r in doc_perplexity(pq, broadcast_model=False).collect()}
+    assert set(lit) == set(dec)
+    for i in lit:
+        assert lit[i]["n_bigrams"] == dec[i]["n_bigrams"]
+        if dec[i]["ppl"] is None:
+            assert lit[i]["ppl"] is None
+        else:
+            assert lit[i]["ppl"] == pytest.approx(dec[i]["ppl"], rel=1e-12)
+
+    cut = sorted(v["ppl"] for v in dec.values() if v["ppl"] is not None)[1]
+    keep_lit = {r["doc_id"] for r in perplexity_filter(pq, cut).collect()}
+    keep_dec = {
+        r["doc_id"]
+        for r in perplexity_filter(pq, cut, broadcast_model=False).collect()
+    }
+    assert keep_lit == keep_dec
+    # NULL-evidence docs (no bigrams) always survive
+    assert {4, 5} <= keep_lit
