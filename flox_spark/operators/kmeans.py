@@ -246,6 +246,7 @@ def kmeans_fit(
     seed: str = "0",
     tol: float | None = None,
     driver_loop: bool | None = None,
+    return_assignment: bool = False,
 ) -> DataFrame:
     """Fit k centroids; returns a k-row DataFrame (__cid, centroid).
 
@@ -256,7 +257,19 @@ def kmeans_fit(
     checking convergence in the plan loop would cost an extra action
     per iteration, the opposite of what the loop optimizes for).
     ``driver_loop``: force the per-iteration centroid-collect loop on
-    or off; default picks by k*dim (see module docstring)."""
+    or off; default picks by k*dim (see module docstring).
+
+    ``return_assignment``: return ``(centroids, assigned)`` instead,
+    where ``assigned`` is the (id, vec, __cid) frame of the FINAL
+    Lloyd E-step — the labels that produced the returned centroids'
+    last update.  This is the sklearn ``labels_``/``cluster_centers_``
+    contract: consistent once converged, one E-step stale when the
+    loop stops on ``max_iter``.  In the plan loop the last E-step is
+    checkpointed (one data-sized write) so a downstream consumer
+    (``semantic_dedup_pairs``) skips a whole re-assignment pass — at
+    web-scale k that pass is the dominant cost (SCALE.md, 6M x
+    k=24000).  ``assigned`` is None when ``max_iter <= 0`` (the seed
+    draw assigns nothing)."""
     from flox_spark.plans import ensure_parallelism
     from flox_spark.plans.util import estimate_size_bytes
 
@@ -301,7 +314,11 @@ def kmeans_fit(
     # extra plan stages and ~0.3 s of py4j plan build per fit, pure
     # fixed overhead for a frame the loop collects anyway.
     if driver_loop_resolved:
-        return _kmeans_driver_loop(base, cand, k, max_iter, tol)
+        return _kmeans_driver_loop(
+            base, cand, k, max_iter, tol,
+            id_col=id_col, vec_col=vec_col,
+            return_assignment=return_assignment,
+        )
 
     centroids = _seeds_from_candidates(cand, k)
 
@@ -313,8 +330,9 @@ def kmeans_fit(
     # erased the stats) AND on the collected centroid closure staying
     # task-shippable (<= 64 MB of doubles).
     np_work = None if size is None else size * max(1, k)
-    for _ in range(max_iter):
-        assigned = None
+    last_assigned = None
+    for _it in range(max_iter):
+        full = None
         if np_work is not None and np_work > _NUMPY_ASSIGN_MIN_WORK:
             cents_rows = [
                 (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
@@ -322,19 +340,27 @@ def kmeans_fit(
             ]
             dims = max((len(v) for _, v in cents_rows if v), default=0)
             if cents_rows and len(cents_rows) * dims * 8 <= (64 << 20):
-                assigned = assign_clusters_numpy(
-                    base, cents_rows, "__v", "__cid"
-                ).select("__cid", "__v")
-        if assigned is None:
+                # assign_clusters_numpy passes ALL input columns
+                # through, so the id rides along for free
+                full = assign_clusters_numpy(base, cents_rows, "__v", "__cid")
+        if full is None:
             # row-local fold assignment: a projection, not the
             # crossJoin-expand + groupBy(id) re-collapse (which cost a
             # k-way row expansion and a full-data hash exchange per
             # iteration); the only shuffle left per iteration is the
             # centroid-sized mean aggregation below
-            assigned = (
-                base.crossJoin(_packed_centroids(centroids))
-                .select(_nearest_cid("__v").alias("__cid"), "__v")
+            full = base.crossJoin(_packed_centroids(centroids)).select(
+                F.col(id_col), F.col("__v"), _nearest_cid("__v").alias("__cid")
             )
+        if return_assignment and _it == max_iter - 1:
+            # checkpoint the final E-step: the means below read it
+            # instead of re-running the assignment, and the caller
+            # gets the labels without ANOTHER data-sized pass
+            last_assigned = materialize_shared(
+                full.select(F.col(id_col), F.col("__v"), F.col("__cid"))
+            )
+            full = last_assigned
+        assigned = full.select("__cid", "__v")
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("pos", "x"))
             .groupBy("__cid", "pos")
@@ -352,6 +378,8 @@ def kmeans_fit(
                 F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"),
             )
         )
+    if return_assignment:
+        return centroids, last_assigned
     return centroids
 
 
@@ -431,7 +459,10 @@ def _kmeans_driver_loop(
     k: int,
     max_iter: int,
     tol: float | None,
-) -> DataFrame:
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_assignment: bool = False,
+):
     """The centroid-sized driver loop: per iteration ONE Spark job —
     the (cluster, pos, mean) aggregate, collected (k*dim rows, never
     data-sized) and reassembled into the next packed-centroid
@@ -471,6 +502,7 @@ def _kmeans_driver_loop(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     use_literal = False
+    assign_cents: list | None = None
     try:
         for it in range(max(max_iter, 0)):
             if it == 0:
@@ -481,11 +513,13 @@ def _kmeans_driver_loop(
                 # exist, matching the plan loop.
                 cents = _seed_cents(cand.collect(), k)
                 if not cents:
-                    return spark.createDataFrame(
+                    empty = spark.createDataFrame(
                         [], schema="__cid int, centroid array<double>"
                     )
+                    return (empty, None) if return_assignment else empty
                 dim = len(cents[0])
                 use_literal = len(cents) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
+            assign_cents = cents  # the centroids this E-step labels with
             if use_literal:
                 assigned = base.withColumn("__cents", _literal_centroids(cents))
             else:
@@ -537,16 +571,42 @@ def _kmeans_driver_loop(
             # no iterations requested: the seed draw IS the fit
             cents = _seed_cents(cand.collect(), k)
             if not cents:
-                return spark.createDataFrame(
+                empty = spark.createDataFrame(
                     [], schema="__cid int, centroid array<double>"
                 )
+                return (empty, None) if return_assignment else empty
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
-    return spark.createDataFrame(
+    centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"
     )
+    if return_assignment:
+        last_assigned = None
+        if assign_cents is not None:
+            # the driver loop never materializes an E-step (its whole
+            # point is one agg job per iteration), so the returned
+            # labels are a LAZY fold against the same literal
+            # centroids the final E-step used — one pass when
+            # consumed, exactly what the caller would otherwise
+            # rebuild, with the E-step label semantics preserved
+            if use_literal:
+                src = base.withColumn("__cents", _literal_centroids(assign_cents))
+            else:
+                src = base.crossJoin(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [([(i, c) for i, c in enumerate(assign_cents)],)],
+                            schema=_PACKED_SCHEMA,
+                        )
+                    )
+                )
+            last_assigned = src.select(
+                F.col(id_col), F.col("__v"), _nearest_cid("__v").alias("__cid")
+            )
+        return centroids, last_assigned
+    return centroids
 
 
 # ---------------------------------------------------------------------------
@@ -577,6 +637,23 @@ def _coarse_partition(cents_rows: list, coarse_k: int) -> list:
 
     import numpy as np
 
+    if not cents_rows:
+        return []
+    # dense matrix needed: drop NULL/ragged centroids (majority dim,
+    # ties to the longer length — the shared kernel rule); they could
+    # never win a fine argmin anyway (NULL distance is filtered)
+    from collections import Counter
+
+    with_vec = [(i, c) for i, c in cents_rows if c is not None]
+    if not with_vec:
+        return []
+    dims = Counter(len(c) for _, c in with_vec)
+    dim = max(dims.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    cents_rows = [
+        (i, c)
+        for i, c in with_vec
+        if len(c) == dim and all(x is not None for x in c)
+    ]
     if not cents_rows:
         return []
     X = np.array([c for _, c in cents_rows], dtype=float)

@@ -724,6 +724,7 @@ def semantic_dedup_pairs(
     from flox_spark.plans.util import estimate_size_bytes, materialize_shared
 
     spark = df.sparkSession
+    fit_assigned = None
     if centroids is not None:
         cents = centroids
     elif max_iter == 0:
@@ -733,7 +734,18 @@ def semantic_dedup_pairs(
         # build) before the pair query even started
         cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     else:
-        cents = kmeans_fit(df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+        # reuse the fit's FINAL E-step labels instead of re-assigning
+        # against the returned centroids: at web-scale k that second
+        # assignment pass is the dominant cost (r6/r8 flag analysis),
+        # and the labels are the sklearn labels_ contract — identical
+        # once the fit converged, one E-step stale when it stopped on
+        # max_iter, which for SemDeDup only perturbs which cell a
+        # borderline point dedups within (the same recall trade every
+        # quantizer choice already makes)
+        cents, fit_assigned = kmeans_fit(
+            df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter,
+            return_assignment=True,
+        )
     if two_level is None:
         two_level = k >= 1024
     # fixed-cost gating: below this PLAN-STATS size the fold is cheap
@@ -746,11 +758,45 @@ def semantic_dedup_pairs(
     small = size is not None and size * max(1, k // 8) < (32 << 20)
     proj = df.select(F.col(id_col), F.col(vec_col))
     fanned = proj if small else ensure_parallelism(proj)
-    if two_level:
+    if fit_assigned is not None:
+        # labels already computed (and, in the plan loop, checkpointed)
+        # by the fit — no second assignment pass of ANY flavor
+        folded = fit_assigned.select(
+            F.col(id_col), F.col("__v").alias(vec_col), F.col("__cid").alias("__cl")
+        )
+    elif small and centroids is None and max_iter == 0 and not two_level:
+        # SMALL seed-draw path (r9): collect the 2k candidate rows
+        # (one TakeOrderedAndProject job, never data-sized) and embed
+        # the seeds as LITERAL centroids — the declarative seed
+        # subtree costs TWO AQE jobs here (the top-k stage plus the
+        # packed-broadcast build); the driver selection is
+        # _seed_cents, which mirrors the declarative window
+        # bit-exactly (kmeans driver loop's contract), so the oracle
+        # assignment is unchanged
+        from flox_spark.operators.kmeans import (
+            _literal_centroids,
+            _seed_candidates,
+            _seed_cents,
+        )
+
+        raw = df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        cents_list = _seed_cents(_seed_candidates(raw, k, id_col, "0").collect(), k)
+        if not cents_list:
+            return spark.createDataFrame(
+                [], schema=f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+            )
+        folded = fanned.withColumn(
+            "__cents", _literal_centroids(cents_list)
+        ).withColumn("__cl", _nearest_cid(vec_col))
+    elif two_level:
         # the numpy coarse partition needs the centroid VALUES: one
         # k-sized collect (only on this path)
         cents_rows = [
-            (r["__cid"], list(r["centroid"]))
+            (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
             for r in cents.select("__cid", "centroid").collect()
         ]
         if not cents_rows:
@@ -838,8 +884,46 @@ def semantic_dedup_pairs(
         # sf0.1); the lazy local checkpoint costs no extra job — the
         # first branch to execute materializes it
         assigned = materialize_shared(assigned)
-        assigned = cap_buckets(assigned, ["__cl"], max_cluster)
-        a = assigned.repartition(spark.sparkContext.defaultParallelism).alias("a")
+        if max_cluster is not None:
+            # r9: LITERAL cap — cluster sizes are a k-row aggregate
+            # over the checkpoint, so collect them (k-sized driver
+            # traffic, the kmeans class) and cap with a literal NOT
+            # IN filter.  The declarative cap_buckets window costs a
+            # __cl exchange + window pass PER BRANCH here (probe and
+            # broadcast build both re-evaluate it); the literal
+            # filter costs zero exchanges.  The LARGE path keeps the
+            # windowed cap: its k can be huge and it already pins a
+            # reusable __cl exchange that the window shares.
+            # coalesce(1): the two-phase agg (partial + exchange +
+            # final) costs three AQE stages for a k-row result; one
+            # narrow single-task stage over the (gated-small)
+            # checkpoint collapses it — the lm.py _small vocab trick
+            sizes = assigned.coalesce(1).groupBy("__cl").count().collect()
+            bad = [r["__cl"] for r in sizes if r["count"] > max_cluster]
+            if bad:
+                assigned = assigned.filter(~F.col("__cl").isin(*[F.lit(x) for x in bad]))
+            # the sizes also give the EXACT pair-expansion work: when
+            # the quadratic stage is provably tiny (well under a
+            # second on one core), skip the probe-side exchange — its
+            # scheduling costs more than the parallelism buys.  The
+            # per-element budget depends on which kernel evaluates
+            # the pair dot: unrolled codegen (~2 ns/element, dim <=
+    	    # _UNROLL_MAX_DIM) affords ~1e8 elements; past the unroll
+            # limit the fold runs INTERPRETED at ~0.3 us/element
+            # (measured, SCALE.md) — a 5 s single-task stage at a
+            # "tiny" 3e7 — so the budget drops to ~2e6
+            pair_work = sum(
+                r["count"] * r["count"] for r in sizes if r["count"] <= max_cluster
+            ) * max(1, dim) // 2
+            budget = (1 << 27) if dim <= _UNROLL_MAX_DIM else (1 << 21)
+            if pair_work < budget:
+                a = assigned.alias("a")
+            else:
+                a = assigned.repartition(
+                    spark.sparkContext.defaultParallelism
+                ).alias("a")
+        else:
+            a = assigned.repartition(spark.sparkContext.defaultParallelism).alias("a")
         b = F.broadcast(assigned).alias("b")
     else:
         assigned = materialize_shared(assigned)

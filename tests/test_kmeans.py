@@ -630,3 +630,37 @@ def test_two_level_tolerates_null_and_ragged_centroids(spark):
         for r in assign_clusters_two_level(df, all_bad).collect()
     }
     assert sent == {1: -1, 2: -1}
+
+
+def test_fit_return_assignment_labels_match_final_centroids(spark, blobs):
+    # converged fit: the returned E-step labels equal a fresh
+    # assignment against the returned centroids, in BOTH loop modes
+    for dl in (True, False):
+        cents, assigned = kmeans_fit(
+            blobs, 2, max_iter=8, driver_loop=dl, return_assignment=True
+        )
+        got = {r["vec_id"]: r["__cid"] for r in assigned.collect()}
+        ref = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(blobs, cents).collect()
+        }
+        assert got == ref, f"driver_loop={dl}"
+
+
+def test_fit_return_assignment_none_at_zero_iters(spark, blobs):
+    cents, assigned = kmeans_fit(blobs, 2, max_iter=0, return_assignment=True)
+    assert assigned is None and cents.count() == 2
+
+
+def test_semdedup_pairs_fit_reuse_matches_explicit_centroids(spark, blobs):
+    # max_iter>0 SDP reuses the fit's E-step labels; on converged
+    # well-separated data that equals assigning against the fitted
+    # centroids passed in explicitly
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+
+    cents = kmeans_fit(blobs, 2, max_iter=8)
+    a = sorted(map(tuple, semantic_dedup_pairs(
+        blobs, k=2, threshold=0.5, dim=2, max_iter=8).collect()))
+    b = sorted(map(tuple, semantic_dedup_pairs(
+        blobs, k=2, threshold=0.5, dim=2, centroids=cents).collect()))
+    assert a == b and len(a) > 0
