@@ -412,8 +412,104 @@ def r6_100x(spark) -> dict:
     return out
 
 
+def r9_dim768(spark, quick: bool) -> dict:
+    """The interpreted-HOF boundary at PRODUCTION dim (768): the r8
+    A/B evidence for the fold/numpy split was dim-16; embeddings in
+    the wild are 384-4096, so this is the load-bearing regime.  Two
+    kernels:
+
+    - pair verify (embedding_near_duplicates): expr fold vs the
+      Arrow einsum pass over a duplicate-rich corpus (every vector
+      appears twice, so LSH emits ~n/2 guaranteed candidate pairs).
+    - cluster assignment: the declarative packed-centroid fold vs
+      assign_clusters_numpy at k=64.
+
+    Fold points are kept SMALL on purpose — the fold is
+    O(rows*k*dim) at ~0.3 us/element interpreted, so even 10k rows x
+    k=64 x dim=768 is ~2 minutes; numpy runs the same work at memory
+    bandwidth.  Crossover = where fold wall exceeds the numpy fixed
+    cost (~1-2 s)."""
+    import math
+
+    from flox_spark.operators.kmeans import assign_clusters_numpy, _packed_centroids, _nearest_cid
+    from flox_spark.operators.similarity import embedding_near_duplicates
+
+    DIM = 768
+
+    def synth_vecs(n, families=None):
+        # families=F: n rows over F distinct vectors -> the LSH emits
+        # ~F * (n/F choose 2) guaranteed candidate pairs, so the pair
+        # VERIFY volume is controlled exactly
+        base = F.col("id") % families if families else F.col("id")
+        comp = [
+            ((base * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0)
+            .cast("float")
+            for j in range(DIM)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comp).alias("embedding")
+        )
+
+    out = {}
+    # --- pair verify ---
+    # planes=16, bands=2: 8-bit band keys (256 buckets/band).  The
+    # stock planes=16/bands=4 gives 4-bit keys — fine for the 64-dim
+    # corpus, but these synthetic vectors collide into ~1.3M
+    # candidate pairs at n=2000, which measures the pair EXPANSION,
+    # not the verify kernel.  ~n^2/128 candidates keeps the verify
+    # stage the dominant term on both kernels.
+    for n in ([2_000] if quick else [2_000, 4_000]):
+        df = synth_vecs(n, families=20).localCheckpoint()
+        kw = dict(threshold=0.98, dim=DIM, planes=16, bands=2)
+        row = {}
+        for mode in ("numpy", "expr"):
+            t = min(
+                force(embedding_near_duplicates(df, verify=mode, **kw))
+                for _ in range(2)
+            )
+            row[f"{mode}_s"] = t
+        row["pairs"] = embedding_near_duplicates(df, verify="numpy", **kw).count()
+        out[f"verify_n{n}"] = row
+    # --- assignment ---
+    cents_rows = [
+        (
+            j,
+            [
+                math.sin(0.7 * j + 0.01 * d) for d in range(DIM)
+            ],
+        )
+        for j in range(64)
+    ]
+    cents = spark.createDataFrame(cents_rows, "__cid int, centroid array<double>")
+    for n in ([1_000] if quick else [1_000, 4_000]):
+        df = synth_vecs(n).localCheckpoint()
+        # ONE rep: the fold at dim 768 x k=64 is ~15 s per 1k rows —
+        # the point being demonstrated
+        fold = force(
+            df.crossJoin(_packed_centroids(cents))
+            .withColumn("cluster", _nearest_cid("embedding"))
+            .select("vec_id", "cluster")
+        )
+        np_t = min(
+            force(
+                assign_clusters_numpy(df, cents_rows).select("vec_id", "cluster")
+            )
+            for _ in range(2)
+        )
+        out[f"assign_n{n}_k64"] = {
+            "fold_s": fold,
+            "numpy_s": np_t,
+            "elements": n * 64 * DIM,
+        }
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--r9dim" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"r9_dim768": r9_dim768(spark, quick)}, indent=2))
+        return
     if "--r5" in sys.argv:
         spark = get_spark("bench_scale")
         print(json.dumps({"r5": r5_scaling(spark, quick)}, indent=2))
