@@ -215,23 +215,35 @@ def main() -> None:
         for n in BENCH_EXTRA
         if extra_times.get(n, -1) > 0 and extra_duck.get(n, -1) > 0
     }
+    # TOTALS AND FLAGS FIRST: the driver's capture has truncated the
+    # record tail before (BENCH_r08 lost its head when totals came
+    # after the per-query dicts) — keep every headline number and
+    # verdict field ahead of the bulky per-query maps so a truncated
+    # tail still reads.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "duckdb": duck,
         "duckdb_total": duck_total,
         "ratio_total": round(total / duck_total, 2) if duck_total > 0 else None,
-        "ratio": ratios,
         "spark_fixed_overhead_est": floor,
-        "net_ratio": net_ratios,
+        "calibration": {
+            "floor_start": floor_start,
+            "floor_end": floor_end,
+            # >3x drift = ambient contention during the sweep; treat
+            # per-query walls in this record as upper bounds only
+            "contended": floor_end > 3 * max(floor_start, 0.05),
+        },
         # flag only where the DuckDB denominator is itself substantial
         # (>= 0.2s): a 6ms DuckDB query vs any Spark query measures
         # nothing but the fixed overhead already reported above
         "flagged_net_over_2x": sorted(
             n for n, r in net_ratios.items() if r > 2 and duck.get(n, 0) >= 0.2
+        ),
+        "extra_flagged_net_over_2x": sorted(
+            n for n, r in extra_net.items()
+            if r > 2 and extra_duck.get(n, 0) >= 0.2
         ),
         # absolute wall budget: net-over-2x can NEVER flag a query
         # whose DuckDB denominator is slow or missing (profile /
@@ -244,22 +256,15 @@ def main() -> None:
             for n, t in {**times, **extra_times}.items()
             if t > WALL_BUDGET
         ),
-        "calibration": {
-            "floor_start": floor_start,
-            "floor_end": floor_end,
-            # >3x drift = ambient contention during the sweep; treat
-            # per-query walls in this record as upper bounds only
-            "contended": floor_end > 3 * max(floor_start, 0.05),
-        },
+        "queries": times,
+        "duckdb": duck,
+        "ratio": ratios,
+        "net_ratio": net_ratios,
         # round-5/6 wave (separate so the r2-r5 baseline series stays
         # comparable); same protocol, same floor
         "extra": extra_times,
         "extra_duckdb": extra_duck,
         "extra_net_ratio": extra_net,
-        "extra_flagged_net_over_2x": sorted(
-            n for n, r in extra_net.items()
-            if r > 2 and extra_duck.get(n, 0) >= 0.2
-        ),
     }))
 
 
