@@ -468,6 +468,84 @@ def ivf_topk(
     )
 
 
+def _arrow_cosine_pass(joined: DataFrame, dim: int) -> DataFrame:
+    """ONE Arrow-batched ``mapInPandas`` pass appending ``__sim`` =
+    cosine of (``__va``, ``__vb``) with staged norms ``__na``/``__nb``
+    — the pair-verify kernel for dims past the JIT unroll limit,
+    where the declarative fold runs interpreted per pair (measured
+    0.21 us/element at dim 768, SCALE.md r9 table; the einsum runs
+    the same multiply-adds at memory bandwidth).
+
+    Guarded stack (same shape as assign_clusters_numpy.run,
+    kmeans.py): one vstack when every vector is clean, a per-row
+    fallback that SKIPS NULL / wrong-length / non-finite vectors
+    otherwise.  Corrupt pairs are dropped from the batch (NOT emitted
+    with a NaN __sim: Spark's total order puts NaN ABOVE every
+    double, so a NaN surviving the Arrow boundary would pass a
+    >= threshold filter) — matching the expr kernels' semantics,
+    where a NULL vector yields a NULL similarity and the pair drops,
+    instead of one bad row killing the whole task — exactly wrong on
+    the path that exists FOR the 100 TB case where corrupt rows are
+    a certainty.  Differs from the fold only at last-ulp (pairwise
+    vs sequential summation)."""
+    import pandas as pd  # noqa: F401 — document the Arrow boundary
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [joined.schema[c] for c in joined.columns if c not in ("__va", "__vb")]
+    ).add("__sim", "double")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def stack(vecs, n):
+            V = np.zeros((n, dim), dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            try:
+                M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
+                if M.shape != (n, dim):
+                    raise ValueError("ragged")
+                ok = np.isfinite(M).all(axis=1)
+                V = np.where(ok[:, None], M, 0.0)
+            except Exception:
+                for i, v in enumerate(vecs):
+                    if v is None or len(v) != dim:
+                        continue
+                    arr = np.asarray(
+                        [np.nan if x is None else float(x) for x in v],
+                        dtype=np.float64,
+                    )
+                    if np.isfinite(arr).all():
+                        V[i] = arr
+                        ok[i] = True
+            return V, ok
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A, oka = stack(pdf["__va"], n)
+            B, okb = stack(pdf["__vb"], n)
+            ok = oka & okb
+            dot = np.einsum("ij,ij->i", A, B)
+            na = pd.to_numeric(pdf["__na"], errors="coerce").to_numpy(
+                dtype=np.float64
+            )
+            nb = pd.to_numeric(pdf["__nb"], errors="coerce").to_numpy(
+                dtype=np.float64
+            )
+            out = pdf.drop(columns=["__va", "__vb"]).copy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out["__sim"] = dot / (na * nb)
+            if not ok.all():
+                out = out[ok]
+            yield out
+
+    return joined.mapInPandas(run, out_schema)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -524,74 +602,7 @@ def embedding_near_duplicates(
             else "expr"
         )
     if verify == "numpy":
-        import pandas as pd  # noqa: F401 — document the Arrow boundary
-
-        from pyspark.sql.types import StructType
-
-        out_schema = StructType(
-            [joined.schema[c] for c in joined.columns if c not in ("__va", "__vb")]
-        ).add("__sim", "double")
-
-        def run(batches):
-            import numpy as np
-
-            # Guarded stack (same shape as assign_clusters_numpy.run,
-            # kmeans.py): one vstack when every vector is clean, a
-            # per-row fallback that SKIPS NULL / wrong-length /
-            # non-finite vectors otherwise.  Corrupt pairs are dropped
-            # from the batch here (NOT emitted with a NaN __sim:
-            # Spark's total order puts NaN ABOVE every double, so a
-            # NaN that survived the Arrow boundary would pass the
-            # >= threshold filter) — matching the expr path's
-            # documented semantics, where a NULL vector yields a NULL
-            # similarity and the pair drops, instead of one bad row
-            # killing the whole task — exactly wrong on the path that
-            # exists FOR the 100 TB case where corrupt rows are a
-            # certainty.
-            def stack(vecs, n):
-                V = np.zeros((n, dim), dtype=np.float64)
-                ok = np.zeros(n, dtype=bool)
-                try:
-                    M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
-                    if M.shape != (n, dim):
-                        raise ValueError("ragged")
-                    ok = np.isfinite(M).all(axis=1)
-                    V = np.where(ok[:, None], M, 0.0)
-                except Exception:
-                    for i, v in enumerate(vecs):
-                        if v is None or len(v) != dim:
-                            continue
-                        arr = np.asarray(
-                            [np.nan if x is None else float(x) for x in v],
-                            dtype=np.float64,
-                        )
-                        if np.isfinite(arr).all():
-                            V[i] = arr
-                            ok[i] = True
-                return V, ok
-
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                A, oka = stack(pdf["__va"], n)
-                B, okb = stack(pdf["__vb"], n)
-                ok = oka & okb
-                dot = np.einsum("ij,ij->i", A, B)
-                na = pd.to_numeric(pdf["__na"], errors="coerce").to_numpy(
-                    dtype=np.float64
-                )
-                nb = pd.to_numeric(pdf["__nb"], errors="coerce").to_numpy(
-                    dtype=np.float64
-                )
-                out = pdf.drop(columns=["__va", "__vb"]).copy()
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    out["__sim"] = dot / (na * nb)
-                if not ok.all():
-                    out = out[ok]
-                yield out
-
-        scored = joined.mapInPandas(run, out_schema)
+        scored = _arrow_cosine_pass(joined, dim)
     else:
         sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
         scored = joined.withColumn("__sim", sim)
@@ -683,6 +694,7 @@ def semantic_dedup_pairs(
     round_to: int | None = 6,
     two_level: bool | None = None,
     coarse_k: int | None = None,
+    verify: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: k-means cluster the embeddings
     (coarse quantizer — near-duplicates land in the same cell), then
@@ -710,7 +722,18 @@ def semantic_dedup_pairs(
     approximate in the usual IVF sense, which for SemDeDup only
     perturbs which cell a borderline point dedups within — the same
     recall trade every quantizer k choice already makes.  Explicit
-    False forces the flat fold at any k (the oracle-exact path)."""
+    False forces the flat fold at any k (the oracle-exact path).
+
+    ``verify``: the in-cell cosine kernel — ``'expr'`` (declarative;
+    unrolled codegen below ``_UNROLL_MAX_DIM``, interpreted fold
+    above), ``'numpy'`` (one Arrow ``mapInPandas`` einsum pass over
+    the expanded pairs — the 100 TB shape past the unroll limit), or
+    ``'auto'`` (numpy exactly when the dim needs the fold AND the
+    pair volume — exact from the collected cluster sizes on the
+    small path, plan-stats-estimated otherwise — dominates the Arrow
+    round trip; oracle-scale inputs keep the bit-exact declarative
+    arithmetic).  Same split, gates, and corrupt-row semantics as
+    ``embedding_near_duplicates``."""
     from flox_spark.operators.dedup import cap_buckets
     from flox_spark.operators.kmeans import (
         _nearest_cid,
@@ -756,6 +779,7 @@ def semantic_dedup_pairs(
     # fold's per-row cost); unknown stats keep the safe scale path.
     size = estimate_size_bytes(df)
     small = size is not None and size * max(1, k // 8) < (32 << 20)
+    pair_work = None  # exact pair-expansion elements, when known
     proj = df.select(F.col(id_col), F.col(vec_col))
     fanned = proj if small else ensure_parallelism(proj)
     if fit_assigned is not None:
@@ -932,25 +956,60 @@ def semantic_dedup_pairs(
         )
         assigned = cap_buckets(assigned, ["__cl"], max_cluster)
         a, b = assigned.alias("a"), assigned.alias("b")
-    sim = _dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (
-        F.col("a.__nrm") * F.col("b.__nrm")
+    joined = a.join(
+        b,
+        (F.col("a.__cl") == F.col("b.__cl"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("__va"),
+        F.col(f"b.{vec_col}").alias("__vb"),
+        F.col("a.__nrm").alias("__na"),
+        F.col("b.__nrm").alias("__nb"),
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.__cl") == F.col("b.__cl"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # in-cell verify kernel, the embedding_near_duplicates split: past
+    # the JIT unroll limit the per-pair fold runs INTERPRETED — at
+    # web-scale pair volumes that pins executor CPU (dim-768 table in
+    # SCALE.md: 0.21 us/element vs the einsum's memory-bandwidth
+    # pass).  'auto' routes through Arrow when dim needs the fold AND
+    # the pair volume is known (small path: EXACT, from the collected
+    # cluster sizes) or estimated (stats > 64 MB) to dominate the
+    # Arrow round trip; oracle-scale inputs keep the bit-exact fold.
+    if verify not in ("auto", "expr", "numpy"):
+        raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
+    if verify == "auto":
+        if dim <= _UNROLL_MAX_DIM:
+            verify = "expr"
+        elif pair_work is not None:
+            # 1<<26 sits between the sf0.1 oracle/bench row (3.3e7
+            # elements, fold wall well under a second across the
+            # pinned 32-way probe) and the measured dim-768 crossover
+            # (99k pairs = 7.6e7 elements: fold 12.3 s vs einsum
+            # 2.4 s verify-only, SCALE.md r9 table)
+            verify = "numpy" if pair_work > (1 << 26) else "expr"
+        else:
+            verify = (
+                "numpy" if size is not None and size > (64 << 20) else "expr"
+            )
+    if verify == "numpy":
+        scored = _arrow_cosine_pass(joined, dim)
+    else:
+        scored = joined.withColumn(
+            "__sim", _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
         )
-        .withColumn("__sim", sim)
-        .filter(F.col("__sim") >= F.lit(float(threshold)))
-    )
     out_sim = (
         F.round(F.col("__sim"), round_to) if round_to is not None else F.col("__sim")
     )
-    return pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        out_sim.alias("cos_sim"),
+    # ~isnan: the kernels agree that a non-finite cosine (NaN vector
+    # through the fold, 0/0 on zero norms) is not a duplicate — and
+    # Spark's NaN-above-everything total order would otherwise let
+    # those pairs PASS >= threshold (embedding_near_duplicates note)
+    return (
+        scored.filter(
+            (F.col("__sim") >= F.lit(float(threshold))) & ~F.isnan("__sim")
+        )
+        .select("id_a", "id_b", out_sim.alias("cos_sim"))
     )
 
 

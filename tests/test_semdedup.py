@@ -131,3 +131,22 @@ def test_max_cluster_caps_degenerate_cells(spark, vecs):
         df, k=1, threshold=0.0, dim=DIM, max_iter=0, max_cluster=5
     )
     assert out.count() == 0
+
+
+def test_semdedup_pairs_verify_numpy_matches_expr(spark):
+    # r9: the in-cell cosine has the same expr/numpy kernel split as
+    # embedding_near_duplicates — forced numpy must reproduce the
+    # declarative pair set (rounded sims absorb last-ulp summation
+    # order) and validate its param
+    import pytest as _pytest
+
+    from flox_spark.operators.similarity import semantic_dedup_pairs
+    from flox_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    kw = dict(k=4, threshold=0.4, max_iter=0, round_to=6)
+    e = sorted(map(tuple, semantic_dedup_pairs(emb, verify="expr", **kw).collect()))
+    n = sorted(map(tuple, semantic_dedup_pairs(emb, verify="numpy", **kw).collect()))
+    assert e == n and len(e) > 0
+    with _pytest.raises(ValueError, match="verify"):
+        semantic_dedup_pairs(emb, verify="blas", **kw)
