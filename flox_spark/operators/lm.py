@@ -135,10 +135,27 @@ def _collect_literal_model(counts: DataFrame, spark) -> tuple[DataFrame, int]:
     The returned lookup is a LocalRelation: broadcasting it costs no
     Spark job, and V becomes a literal in the scoring expression, so
     the whole model contributes ZERO actions to the scoring query."""
+    # AQE off + 4 shuffle partitions for the ONE collect: the counts
+    # exchange only ever carries partially-aggregated vocab-type rows
+    # (<= types per map task), so AQE's per-stage re-plan jobs are
+    # pure scheduling on a shuffle it cannot improve — the kmeans
+    # driver-loop pattern (kmeans.py), same session-scoping caveat,
+    # restored in the finally.  Measured: 5 -> 4 jobs, ~0.1 s at
+    # sf0.1.
+    conf = counts.sparkSession.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "4")
+        rows = counts.collect()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
     cm: dict = {}
     c1: dict = {}
     words: set = set()
-    for w1, w2, c in counts.collect():
+    for w1, w2, c in rows:
         for w in (w1, w2):
             if w is not None:
                 words.add(w)
@@ -369,7 +386,19 @@ def perplexity_filter(
         # declarative semi-join below.
         import pandas as pd
 
-        ids = [r[0] for r in keep.collect()]
+        # same tiny-shuffle scope as _collect_literal_model: the
+        # scoring plan's only exchange carries per-doc partial
+        # aggregates, and AQE's re-plan jobs are pure scheduling
+        conf = corpus.sparkSession.conf
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", "4")
+            ids = [r[0] for r in keep.collect()]
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_sp)
         dt = corpus.schema[id_col].dataType
         from pyspark.sql.types import StructField, StructType
 

@@ -921,8 +921,16 @@ def semantic_dedup_pairs(
             # coalesce(1): the two-phase agg (partial + exchange +
             # final) costs three AQE stages for a k-row result; one
             # narrow single-task stage over the (gated-small)
-            # checkpoint collapses it — the lm.py _small vocab trick
-            sizes = assigned.coalesce(1).groupBy("__cl").count().collect()
+            # checkpoint collapses it — the lm.py _small vocab trick.
+            # AQE scoped off for the collect (the lm.py/kmeans tiny-
+            # shuffle pattern): nothing here for it to re-plan.
+            conf = spark.conf
+            old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+            try:
+                conf.set("spark.sql.adaptive.enabled", "false")
+                sizes = assigned.coalesce(1).groupBy("__cl").count().collect()
+            finally:
+                conf.set("spark.sql.adaptive.enabled", old_aqe)
             bad = [r["__cl"] for r in sizes if r["count"] > max_cluster]
             if bad:
                 assigned = assigned.filter(~F.col("__cl").isin(*[F.lit(x) for x in bad]))
