@@ -211,12 +211,97 @@ def cosine_topk(
     )
 
 
+def _numpy_signature_pass(
+    df: DataFrame, id_col: str, vec_col: str, planes: int, dim: int
+) -> DataFrame:
+    """All ``planes`` hyperplane bits in ONE Arrow ``mapInPandas``
+    matmul pass — the signature kernel past the JIT unroll limit,
+    where the declarative path is ``planes`` interpreted folds per
+    ROW (measured ~3.5 s for 2000 rows at dim 768, planes 16 —
+    signatures touch EVERY row of a 100 TB corpus, so this is the
+    scale-dominant LSH term, bigger than the pair verify).  Plane
+    weights are the identical integer mix evaluated in Python
+    (exact: max product ~1.7e15 < 2^53).  Semantics mirror the fold:
+    NULL / short vectors project to NULL -> all-'0' sig; a NaN
+    component makes every projection NaN, which Spark's NaN-above-
+    everything order sends through ``>= 0`` as true -> all-'1' sig.
+    Differs from the fold only at last-ulp (pairwise vs sequential
+    summation), which can flip a bit on a projection EXACTLY at 0 —
+    callers gate this kernel to large inputs and keep oracle scales
+    on the fold."""
+    import numpy as np
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    W = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for c in range(dim):
+            mix = (1009 * (p + 1) + 12345 + 9176 * (c + 1)) * 2654435761
+            W[p, c] = (mix % _M) / float(_M) - 0.5
+    WT = W.T.copy()
+    out_schema = StructType(
+        [df.schema[id_col], StructField("sig", StringType())]
+    )
+    zero_sig = "0" * planes
+    one_sig = "1" * planes
+
+    # NULL vectors and short vectors keep the fold's all-'0' sig.
+    # NaN-bearing rows get all-'1' (the fold's NaN >= 0 outcome).
+    # NULL ELEMENTS inside a full-length vector are indistinguishable
+    # from NaN through the Arrow boundary (list nulls arrive as NaN),
+    # so they land in the all-'1' corrupt bucket here instead of the
+    # fold's all-'0' — either way corrupt rows bucket only with other
+    # corrupt rows, and the callers' verify stage drops them.
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = pdf[vec_col]
+            sigs = np.full(n, zero_sig, dtype=object)
+            V = np.zeros((n, dim), dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            nan_row = np.zeros(n, dtype=bool)
+            try:
+                # fast path: every vector full-length -> one vstack
+                M = np.vstack(vecs.to_numpy())
+                if M.ndim != 2 or M.shape[1] < dim:
+                    raise ValueError("short")
+                M = np.asarray(M[:, :dim], dtype=np.float64)
+                nan_row = np.isnan(M).any(axis=1)
+                ok = ~nan_row
+                V = np.where(nan_row[:, None], 0.0, M)
+            except Exception:
+                for i, v in enumerate(vecs):
+                    if v is None or len(v) < dim:
+                        continue
+                    arr = np.asarray(v[:dim], dtype=np.float64)
+                    if np.isnan(arr).any():
+                        nan_row[i] = True
+                    else:
+                        V[i] = arr
+                        ok[i] = True
+            if ok.any():
+                idx = np.flatnonzero(ok)
+                bits = V[idx] @ WT >= 0.0
+                sigs[idx] = [
+                    "".join("1" if b else "0" for b in row) for row in bits
+                ]
+            sigs[nan_row] = one_sig
+            out = pdf[[id_col]].copy()
+            out["sig"] = sigs
+            yield out
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+
+
 def lsh_signature_bits(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 16,
     dim: int = 64,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = sign(v . plane_p), planes
     from the deterministic integer mix above.  Output: (id, sig) with
@@ -232,9 +317,36 @@ def lsh_signature_bits(
     ``aggregate(transform(sequence(...)))`` folds per row — which also
     re-derived every plane weight per ROW per element — with one
     codegen'd projection (each bit is its own generated method, well
-    under the JIT limit; see _UNROLL_MAX_DIM)."""
+    under the JIT limit; see _UNROLL_MAX_DIM).
+
+    ``kernel``: ``'expr'`` (declarative — unrolled codegen below the
+    limit, interpreted folds above), ``'numpy'`` (one Arrow matmul
+    pass, ``_numpy_signature_pass``), or ``'auto'`` — numpy exactly
+    when the dim is past the unroll limit AND plan stats say the
+    input is big enough (>64 MB) that the per-row interpreted folds
+    dominate; oracle-scale inputs keep the fold so bucket keys stay
+    bit-identical to the declarative arithmetic."""
+    if kernel not in ("auto", "expr", "numpy"):
+        raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
     emb = F.col(vec_col)
     df = ensure_parallelism(df)
+    if kernel == "auto":
+        from flox_spark.plans.util import estimate_size_bytes
+
+        size = estimate_size_bytes(df)
+        kernel = (
+            "numpy"
+            if (
+                isinstance(dim, int)
+                and dim > _UNROLL_MAX_DIM
+                and size is not None
+                and size > (64 << 20)
+                and not df.isStreaming
+            )
+            else "expr"
+        )
+    if kernel == "numpy":
+        return _numpy_signature_pass(df, id_col, vec_col, planes, dim)
 
     if isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM:
         vc = _sqlref(vec_col)
@@ -255,8 +367,12 @@ def lsh_signature_bits(
 
     def _proj(p: int):
         # one-arg lambda: a defaulted second param would make
-        # F.transform pass the element index into it
-        return lambda c: F.element_at(emb, c + 1).cast("double") * _plane(p, c)
+        # F.transform pass the element index into it.  get(), not
+        # element_at(): under ANSI mode (the Spark 4 default)
+        # element_at THROWS on a short vector — get() returns NULL,
+        # which is the documented corrupt-row path (NULL sum ->
+        # all-'0' sig), and matches the unrolled kernel's get()
+        return lambda c: F.get(emb, c).cast("double") * _plane(p, c)
 
     bits = [
         F.when(

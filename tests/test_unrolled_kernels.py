@@ -150,3 +150,58 @@ def test_neardup_numpy_verify_drops_ragged_and_null(spark):
         for r in embedding_near_duplicates(df, verify="expr", **kw).collect()
     }
     assert got == exp
+
+
+def test_lsh_numpy_kernel_matches_fold(spark):
+    # r9: the Arrow matmul signature kernel must reproduce the fold's
+    # bits on clean data (generic projections sit far from 0, so the
+    # last-ulp summation-order difference cannot flip a sign) and the
+    # fold's corrupt-row buckets: NULL/short -> all-'0', NaN -> all-'1'
+    import pytest as _pytest
+
+    from flox_spark.operators.similarity import (
+        _numpy_signature_pass,
+        lsh_signature_bits,
+    )
+
+    d = 40  # past _UNROLL_MAX_DIM -> the fold path is the comparator
+    comp = lambda j: (
+        (F.col("id") * (2654435761 + 97 * j) + 12345 * j) % 1000 / 500.0 - 1.0
+    ).cast("float")
+    clean = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(d)]).alias("embedding"),
+    )
+    fold = {
+        r["vec_id"]: r["sig"]
+        for r in lsh_signature_bits(clean, dim=d, kernel="expr").collect()
+    }
+    np_ = {
+        r["vec_id"]: r["sig"]
+        for r in _numpy_signature_pass(clean, "vec_id", "embedding", 16, d).collect()
+    }
+    assert np_ == fold and len(fold) == 300
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0] * d),
+            (2, None),
+            (3, [1.0, 2.0]),
+            (4, [float("nan")] * d),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in _numpy_signature_pass(dirty, "vec_id", "embedding", 16, d).collect()
+    }
+    exp = {
+        r["vec_id"]: r["sig"]
+        for r in lsh_signature_bits(dirty, dim=d, kernel="expr").collect()
+    }
+    assert got[1] == exp[1]                    # clean row identical
+    assert got[2] == exp[2] == "0" * 16        # NULL vector
+    assert got[3] == exp[3] == "0" * 16        # short vector
+    assert got[4] == exp[4] == "1" * 16        # NaN vector
+    with _pytest.raises(ValueError, match="kernel"):
+        lsh_signature_bits(clean, dim=d, kernel="blas")
