@@ -169,6 +169,104 @@ def _topk_per_query(
     )
 
 
+def _numpy_brute_scores(
+    base: DataFrame,
+    qrows: list,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    qid_field,
+    dim: int,
+) -> DataFrame:
+    """All (base x query) cosines in ONE Arrow matmul pass — the
+    brute-force scoring kernel past the JIT unroll limit.  The query
+    table is collected (broadcast-small by ``cosine_topk``'s
+    contract) and ships in the task closure as a Q x dim matrix, so
+    each base vector crosses the Arrow boundary ONCE instead of Q
+    times through a crossJoin pair expansion, and the per-pair
+    interpreted fold becomes V @ Q.T at memory bandwidth.  Corrupt
+    base/query vectors (NULL/ragged/non-finite) produce no pairs —
+    the declarative path gives them NULL sims that rank last, same
+    outcome for any query with >= k valid neighbors (callers gate
+    this kernel to large inputs)."""
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    qids, Qv = [], []
+    for qid, v in qrows:
+        if v is None or len(v) != dim:
+            continue
+        arr = np.asarray(
+            [np.nan if x is None else float(x) for x in v], dtype=np.float64
+        )
+        if np.isfinite(arr).all():
+            qids.append(qid)
+            Qv.append(arr)
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [base.schema[id_col], qid_field, StructField("__sim", DoubleType())]
+    )
+    proj = base.select(F.col(id_col), F.col(vec_col))
+    if not qids:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast(qid_field.dataType).alias(query_id_col),
+            F.lit(None).cast("double").alias("__sim"),
+        ).filter(F.lit(False))
+    Qm = np.vstack(Qv)
+    qn = np.sqrt((Qm * Qm).sum(axis=1))
+    QT = Qm.T.copy()
+    nq = len(qids)
+    qid_arr = np.array(qids, dtype=object)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = pdf[vec_col]
+            V = np.zeros((n, dim), dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            try:
+                M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
+                if M.shape != (n, dim):
+                    raise ValueError("ragged")
+                ok = np.isfinite(M).all(axis=1)
+                V = np.where(ok[:, None], M, 0.0)
+            except Exception:
+                for i, v in enumerate(vecs):
+                    if v is None or len(v) != dim:
+                        continue
+                    arr = np.asarray(
+                        [np.nan if x is None else float(x) for x in v],
+                        dtype=np.float64,
+                    )
+                    if np.isfinite(arr).all():
+                        V[i] = arr
+                        ok[i] = True
+            idx = np.flatnonzero(ok)
+            if len(idx) == 0:
+                continue
+            Vo = V[idx]
+            bn = np.sqrt((Vo * Vo).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (Vo @ QT) / (bn[:, None] * qn[None, :])
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy()[idx], nq),
+                    query_id_col: np.tile(qid_arr, len(idx)),
+                    "__sim": sims.ravel(),
+                }
+            )
+            yield out
+
+    return proj.mapInPandas(run, out_schema)
+
+
 def cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -178,6 +276,7 @@ def cosine_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     round_to: int | None = 6,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -185,25 +284,60 @@ def cosine_topk(
     enough to broadcast (it is hinted).  Ties rank by ascending id for
     determinism.  Output: (query_id, vec_id, cos_sim) — cos_sim
     rounded to ``round_to`` decimals (ranking uses full precision).
+
+    ``kernel``: the scoring kernel — ``'expr'`` (declarative pair
+    expression; unrolled codegen below ``_UNROLL_MAX_DIM``,
+    interpreted fold above), ``'numpy'`` (``_numpy_brute_scores``:
+    one Arrow matmul pass, each base vector crosses the boundary
+    once), or ``'auto'`` (numpy exactly when the dim is past the
+    unroll limit AND plan stats say the base is big enough that the
+    interpreted per-pair folds dominate; oracle-scale inputs keep the
+    bit-exact declarative arithmetic).
     """
-    # norms precomputed per ROW on each side: inside the pair
-    # expression they would re-evaluate per PAIR — O(N*Q*dim) instead
-    # of O((N+Q)*dim)
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qv"),
-            _norm(vec_col, dim).alias("__qn"),
-        )
-    )
+    if kernel not in ("auto", "expr", "numpy"):
+        raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
     base = ensure_parallelism(base)
-    joined = base.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__bv"),
-        _norm(vec_col, dim).alias("__bn"),
-    ).crossJoin(q)
-    sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
-    scored = joined.withColumn("__sim", sim)
+    if kernel == "auto":
+        from flox_spark.plans.util import estimate_size_bytes
+
+        size = estimate_size_bytes(base)
+        kernel = (
+            "numpy"
+            if (
+                dim > _UNROLL_MAX_DIM
+                and size is not None
+                and size > (64 << 20)
+                and not base.isStreaming
+                and not queries.isStreaming
+            )
+            else "expr"
+        )
+    if kernel == "numpy":
+        qrows = [
+            (r[0], r[1]) for r in queries.select(query_id_col, vec_col).collect()
+        ]
+        scored = _numpy_brute_scores(
+            base, qrows, id_col, vec_col, query_id_col,
+            queries.schema[query_id_col], dim,
+        )
+    else:
+        # norms precomputed per ROW on each side: inside the pair
+        # expression they would re-evaluate per PAIR — O(N*Q*dim)
+        # instead of O((N+Q)*dim)
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("__qv"),
+                _norm(vec_col, dim).alias("__qn"),
+            )
+        )
+        joined = base.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__bv"),
+            _norm(vec_col, dim).alias("__bn"),
+        ).crossJoin(q)
+        sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
+        scored = joined.withColumn("__sim", sim)
     return _topk_per_query(scored, query_id_col, id_col, k).select(
         query_id_col,
         id_col,
@@ -478,6 +612,7 @@ def ivf_topk(
     round_to: int | None = 6,
     two_level_probe: bool = False,
     coarse_probe: int = 2,
+    kernel: str = "auto",
 ) -> DataFrame:
     """IVF-style approximate top-k: score each query against the
     (tiny) centroid table, keep the ``nprobe`` nearest clusters, and
@@ -575,8 +710,38 @@ def ivf_topk(
         F.col(vec_col).alias("__bv"),
         _norm(vec_col, dim).alias("__bn"),
     ).join(F.broadcast(probed), cluster_col)
-    sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
-    scored = cand.withColumn("__sim", sim)
+    # fine-scoring kernel split (cosine_topk's): past the unroll limit
+    # the per-candidate fold is interpreted — route the probed
+    # candidate pairs through the shared Arrow einsum pass when plan
+    # stats say the base dominates the round trip; oracle scales keep
+    # the bit-exact fold
+    if kernel not in ("auto", "expr", "numpy"):
+        raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
+    if kernel == "auto":
+        from flox_spark.plans.util import estimate_size_bytes
+
+        size = estimate_size_bytes(base)
+        kernel = (
+            "numpy"
+            if (
+                dim > _UNROLL_MAX_DIM
+                and size is not None
+                and size > (64 << 20)
+                and not base.isStreaming
+                and not queries.isStreaming
+            )
+            else "expr"
+        )
+    if kernel == "numpy":
+        scored = _arrow_cosine_pass(
+            cand.withColumnsRenamed(
+                {"__bv": "__va", "__qv": "__vb", "__bn": "__na", "__qn": "__nb"}
+            ),
+            dim,
+        )
+    else:
+        sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
+        scored = cand.withColumn("__sim", sim)
     return _topk_per_query(scored, query_id_col, id_col, k).select(
         query_id_col,
         id_col,

@@ -219,3 +219,15 @@ def test_literal_model_path_matches_declarative(spark, docs_df, tmp_path):
     assert keep_lit == keep_dec
     # NULL-evidence docs (no bigrams) always survive
     assert {4, 5} <= keep_lit
+
+
+def test_literal_model_empty_bigram_corpus(spark, tmp_path):
+    # corpus with no bigrams at all: the literal model is EMPTY (V=0,
+    # empty Arrow lookup) — every doc scores NULL and the filter keeps
+    # all of them (no evidence never drops)
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  ", "single"]})
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "docs"))
+    pq = spark.read.parquet(str(tmp_path / "docs"))
+    out = {r["doc_id"]: (r["n_bigrams"], r["ppl"]) for r in doc_perplexity(pq).collect()}
+    assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
+    assert sorted(r["doc_id"] for r in perplexity_filter(pq, 10.0).collect()) == [1, 2, 3]

@@ -205,3 +205,55 @@ def test_lsh_numpy_kernel_matches_fold(spark):
     assert got[4] == exp[4] == "1" * 16        # NaN vector
     with _pytest.raises(ValueError, match="kernel"):
         lsh_signature_bits(clean, dim=d, kernel="blas")
+
+
+def test_ann_numpy_kernels_match_expr(spark):
+    # r9: brute-force and IVF scoring gained the Arrow kernels; forced
+    # numpy must reproduce the declarative top-k exactly on clean data
+    import pytest as _pytest
+
+    from flox_spark.operators.kmeans import assign_clusters, kmeans_fit
+    from flox_spark.operators.similarity import cosine_topk, ivf_topk
+    from flox_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, cosine_topk(emb, q, k=5, dim=64, kernel="expr").collect()))
+    b = sorted(map(tuple, cosine_topk(emb, q, k=5, dim=64, kernel="numpy").collect()))
+    assert a == b and len(a) == 15
+    cents = kmeans_fit(emb, k=4, max_iter=2)
+    lab = emb.join(assign_clusters(emb, cents), "vec_id").withColumnRenamed(
+        "cluster", "km"
+    )
+    c = sorted(map(tuple, ivf_topk(
+        lab, q, k=5, nprobe=2, cluster_col="km", dim=64, kernel="expr").collect()))
+    d = sorted(map(tuple, ivf_topk(
+        lab, q, k=5, nprobe=2, cluster_col="km", dim=64, kernel="numpy").collect()))
+    assert c == d and len(c) == 15
+    with _pytest.raises(ValueError, match="kernel"):
+        cosine_topk(emb, q, kernel="blas")
+    with _pytest.raises(ValueError, match="kernel"):
+        ivf_topk(lab, q, cluster_col="km", kernel="blas").collect()
+
+
+def test_ann_numpy_kernel_drops_corrupt_rows(spark):
+    # corrupt base vectors produce no pairs on the numpy route (the
+    # expr route's NULL sims rank last — same top-k when enough valid
+    # neighbors exist); corrupt queries score nothing
+    from flox_spark.operators.similarity import cosine_topk
+
+    dim = 8
+    base = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(dim)]) for i in range(6)]
+        + [(97, None), (98, [1.0]), (99, [float("nan")] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, None)], "query_id long, embedding array<float>"
+    )
+    out = cosine_topk(base, q, k=3, dim=dim, kernel="numpy").collect()
+    assert {r["query_id"] for r in out} == {0}
+    assert all(r["vec_id"] not in (97, 98, 99) for r in out)
+    assert len(out) == 3
