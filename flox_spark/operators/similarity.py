@@ -704,12 +704,6 @@ def ivf_topk(
             .filter(F.col("__pr") <= nprobe)
             .select(query_id_col, cluster_col, "__qv", "__qn")
         )
-    cand = base.select(
-        F.col(id_col),
-        F.col(cluster_col),
-        F.col(vec_col).alias("__bv"),
-        _norm(vec_col, dim).alias("__bn"),
-    ).join(F.broadcast(probed), cluster_col)
     # fine-scoring kernel split (cosine_topk's): past the unroll limit
     # the per-candidate fold is interpreted — route the probed
     # candidate pairs through the shared Arrow einsum pass when plan
@@ -733,13 +727,23 @@ def ivf_topk(
             else "expr"
         )
     if kernel == "numpy":
-        scored = _arrow_cosine_pass(
-            cand.withColumnsRenamed(
-                {"__bv": "__va", "__qv": "__vb", "__bn": "__na", "__qn": "__nb"}
-            ),
-            dim,
-        )
+        # no base-side norm staging (an interpreted per-row fold past
+        # the unroll limit) — the Arrow pass computes both norms from
+        # the vectors it already ships; the probe's __qn rides along
+        # unused and is projected away below
+        cand = base.select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col(vec_col).alias("__va"),
+        ).join(F.broadcast(probed.withColumnRenamed("__qv", "__vb")), cluster_col)
+        scored = _arrow_cosine_pass(cand, dim)
     else:
+        cand = base.select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col(vec_col).alias("__bv"),
+            _norm(vec_col, dim).alias("__bn"),
+        ).join(F.broadcast(probed), cluster_col)
         sim = _dot("__bv", "__qv", dim) / (F.col("__bn") * F.col("__qn"))
         scored = cand.withColumn("__sim", sim)
     return _topk_per_query(scored, query_id_col, id_col, k).select(
@@ -768,11 +772,17 @@ def _arrow_cosine_pass(joined: DataFrame, dim: int) -> DataFrame:
     instead of one bad row killing the whole task — exactly wrong on
     the path that exists FOR the 100 TB case where corrupt rows are
     a certainty.  Differs from the fold only at last-ulp (pairwise
-    vs sequential summation)."""
+    vs sequential summation).
+
+    When ``__na``/``__nb`` are ABSENT from ``joined`` the norms are
+    computed here from the stacked vectors — at dims past the unroll
+    limit the expr norm staging is itself an interpreted per-row
+    fold, so callers on the numpy route skip it entirely."""
     import pandas as pd  # noqa: F401 — document the Arrow boundary
 
     from pyspark.sql.types import StructType
 
+    have_norms = "__na" in joined.columns
     out_schema = StructType(
         [joined.schema[c] for c in joined.columns if c not in ("__va", "__vb")]
     ).add("__sim", "double")
@@ -811,12 +821,16 @@ def _arrow_cosine_pass(joined: DataFrame, dim: int) -> DataFrame:
             B, okb = stack(pdf["__vb"], n)
             ok = oka & okb
             dot = np.einsum("ij,ij->i", A, B)
-            na = pd.to_numeric(pdf["__na"], errors="coerce").to_numpy(
-                dtype=np.float64
-            )
-            nb = pd.to_numeric(pdf["__nb"], errors="coerce").to_numpy(
-                dtype=np.float64
-            )
+            if have_norms:
+                na = pd.to_numeric(pdf["__na"], errors="coerce").to_numpy(
+                    dtype=np.float64
+                )
+                nb = pd.to_numeric(pdf["__nb"], errors="coerce").to_numpy(
+                    dtype=np.float64
+                )
+            else:
+                na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
             out = pdf.drop(columns=["__va", "__vb"]).copy()
             with np.errstate(divide="ignore", invalid="ignore"):
                 out["__sim"] = dot / (na * nb)
@@ -857,22 +871,6 @@ def embedding_near_duplicates(
     if verify not in ("auto", "expr", "numpy"):
         raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
     cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
-    # norms are per-ROW: stage them below the join (n evaluations)
-    # instead of inside the per-PAIR similarity expression — also
-    # keeps the post-join predicate one small codegen method (the
-    # _UNROLL_MAX_DIM note: dot + two inline norms in one expression
-    # is ~3x the generated bytecode and crosses the JIT limit)
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        _norm(vec_col, dim).alias("__na"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        _norm(vec_col, dim).alias("__nb"),
-    )
-    joined = cands.join(va, "id_a").join(vb, "id_b")
     if verify == "auto":
         from flox_spark.plans.util import estimate_size_bytes
 
@@ -883,8 +881,30 @@ def embedding_near_duplicates(
             else "expr"
         )
     if verify == "numpy":
-        scored = _arrow_cosine_pass(joined, dim)
+        # no norm staging: past the unroll limit the expr norm is
+        # itself an interpreted per-row fold — the Arrow pass computes
+        # norms from the vectors it already ships
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        scored = _arrow_cosine_pass(cands.join(va, "id_a").join(vb, "id_b"), dim)
     else:
+        # norms are per-ROW: stage them below the join (n evaluations)
+        # instead of inside the per-PAIR similarity expression — also
+        # keeps the post-join predicate one small codegen method (the
+        # _UNROLL_MAX_DIM note: dot + two inline norms in one
+        # expression is ~3x the generated bytecode and crosses the
+        # JIT limit)
+        va = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            _norm(vec_col, dim).alias("__na"),
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            _norm(vec_col, dim).alias("__nb"),
+        )
+        joined = cands.join(va, "id_a").join(vb, "id_b")
         sim = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
         scored = joined.withColumn("__sim", sim)
     # NOT isnan: Spark's total order puts NaN ABOVE every double, so a
