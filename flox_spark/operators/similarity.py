@@ -1081,6 +1081,18 @@ def semantic_dedup_pairs(
     size = estimate_size_bytes(df)
     small = size is not None and size * max(1, k // 8) < (32 << 20)
     pair_work = None  # exact pair-expansion elements, when known
+    if verify not in ("auto", "expr", "numpy"):
+        raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
+    if verify == "auto" and dim <= _UNROLL_MAX_DIM:
+        verify = "expr"
+    if verify == "auto" and not small and size is not None and size > (64 << 20):
+        # the large-path Arrow route is decidable up front — resolve
+        # it NOW so the per-row norm staging below (itself an
+        # interpreted fold past the unroll limit) can be skipped; the
+        # small path resolves later from the exact pair volume, with
+        # the (cheap at that scale) staged norms feeding either kernel
+        verify = "numpy"
+    stage_norms = verify != "numpy"
     proj = df.select(F.col(id_col), F.col(vec_col))
     fanned = proj if small else ensure_parallelism(proj)
     if fit_assigned is not None:
@@ -1160,17 +1172,15 @@ def semantic_dedup_pairs(
         folded = fanned.crossJoin(_packed_centroids(cents)).withColumn(
             "__cl", _nearest_cid(vec_col)
         )
-    assigned = (
-        folded
+    cols = [F.col(id_col), F.col(vec_col), F.col("__cl")]
+    if stage_norms:
         # norms precomputed per ROW: computing them inside the pair
         # expression re-evaluates per PAIR — O(pairs*dim) instead of
-        # O(rows*dim)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("__cl"),
-            _norm(vec_col, dim).alias("__nrm"),
-        )
+        # O(rows*dim).  Skipped on the pre-resolved Arrow route, which
+        # computes norms from the vectors it already ships.
+        cols.append(_norm(vec_col, dim).alias("__nrm"))
+    assigned = (
+        folded.select(*cols)
         # -1 is the no-valid-cell sentinel (NaN/NULL vectors, or an
         # EMPTY centroid table): those rows belong to no cell and must
         # not pair with each other through a shared "-1 cell"
@@ -1274,8 +1284,11 @@ def semantic_dedup_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         F.col(f"a.{vec_col}").alias("__va"),
         F.col(f"b.{vec_col}").alias("__vb"),
-        F.col("a.__nrm").alias("__na"),
-        F.col("b.__nrm").alias("__nb"),
+        *(
+            [F.col("a.__nrm").alias("__na"), F.col("b.__nrm").alias("__nb")]
+            if stage_norms
+            else []
+        ),
     )
     # in-cell verify kernel, the embedding_near_duplicates split: past
     # the JIT unroll limit the per-pair fold runs INTERPRETED — at
