@@ -432,7 +432,11 @@ def r9_dim768(spark, quick: bool) -> dict:
     import math
 
     from flox_spark.operators.kmeans import assign_clusters_numpy, _packed_centroids, _nearest_cid
-    from flox_spark.operators.similarity import embedding_near_duplicates
+    from flox_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_duplicates,
+        lsh_signature_bits,
+    )
 
     DIM = 768
 
@@ -481,6 +485,25 @@ def r9_dim768(spark, quick: bool) -> dict:
         for j in range(64)
     ]
     cents = spark.createDataFrame(cents_rows, "__cid int, centroid array<double>")
+    # --- LSH signatures (touch EVERY row: the dominant 100 TB term) ---
+    nsig = 20_000
+    dfs = synth_vecs(nsig).localCheckpoint()
+    sig_fold = force(lsh_signature_bits(dfs, dim=DIM, kernel="expr"))  # ~24 s, 1 rep
+    sig_np = min(
+        force(lsh_signature_bits(dfs, dim=DIM, kernel="numpy")) for _ in range(2)
+    )
+    out[f"signatures_n{nsig}"] = {"fold_s": sig_fold, "numpy_s": sig_np}
+    # --- brute-force top-k ---
+    qn = 8 if quick else 64
+    qdf = dfs.filter(F.col("vec_id") < qn).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint()
+    bt_fold = force(cosine_topk(dfs, qdf, k=10, dim=DIM, kernel="expr"))
+    bt_np = min(
+        force(cosine_topk(dfs, qdf, k=10, dim=DIM, kernel="numpy")) for _ in range(2)
+    )
+    out[f"brute_topk_n{nsig}_q{qn}"] = {"fold_s": bt_fold, "numpy_s": bt_np}
+    # --- cluster assignment ---
     for n in ([1_000] if quick else [1_000, 4_000]):
         df = synth_vecs(n).localCheckpoint()
         # ONE rep: the fold at dim 768 x k=64 is ~15 s per 1k rows —
