@@ -928,7 +928,11 @@ def embedding_near_duplicates(
 
 
 def normalize_embeddings(
-    df: DataFrame, vec_col: str = "embedding", dim: int = 64, out_col: str | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """L2-normalize embedding vectors (pure array expressions, one
     projection, no shuffle).  Cosine against normalized vectors
@@ -936,13 +940,98 @@ def normalize_embeddings(
     brute-force and LSH-verify paths.  The norm is the same
     sequential fold as ``_dot``/``_norm``, so results are
     bit-reproducible across engines.  Zero vectors pass through
-    unchanged (their norm is 0)."""
+    unchanged (their norm is 0).
+
+    ``kernel``: ``'expr'`` / ``'numpy'`` / ``'auto'`` — the standard
+    split (see ``lsh_signature_bits``): past the unroll limit the
+    norm fold runs interpreted per ROW over the whole corpus, so
+    'auto' routes big batch inputs through one Arrow pass.  numpy
+    differs at last-ulp (summation order) and maps corrupt rows'
+    NULL elements to NaN output (the Arrow boundary folds list NULLs
+    into NaN — same caveat as the signature kernel); oracle-scale
+    inputs keep the fold."""
+    if kernel not in ("auto", "expr", "numpy"):
+        raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
+    if kernel == "auto":
+        from flox_spark.plans.util import estimate_size_bytes
+
+        size = estimate_size_bytes(df)
+        kernel = (
+            "numpy"
+            if (
+                isinstance(dim, int)
+                and dim > _UNROLL_MAX_DIM
+                and size is not None
+                and size > (64 << 20)
+                and not df.isStreaming
+            )
+            else "expr"
+        )
+    if kernel == "numpy":
+        return _numpy_normalize_pass(df, vec_col, out_col or vec_col)
     v = F.col(vec_col)
     nrm = _norm(v, dim)
     out = F.when(nrm == 0, F.transform(v, lambda x: x.cast("double"))).otherwise(
         F.transform(v, lambda x: x.cast("double") / nrm)
     )
     return df.withColumn(out_col or vec_col, out)
+
+
+def _numpy_normalize_pass(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """One Arrow pass dividing each vector by its L2 norm (zero-norm
+    vectors pass through; NULL vectors stay NULL; NaN-bearing rows
+    come back all-NULL: the computed all-NaN row maps to NULL
+    elements at the pandas->Arrow return boundary, where the expr
+    fold would emit all-NaN — same corrupt-row class, different
+    spelling, only past the size gate)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    fields = [
+        StructField(out_col, ArrayType(DoubleType()), True)
+        if f.name == out_col
+        else f
+        for f in df.schema.fields
+    ]
+    if out_col not in df.columns:
+        fields = fields + [StructField(out_col, ArrayType(DoubleType()), True)]
+    out_schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = pdf[vec_col]
+            res = [None] * n
+            try:
+                # NULL pre-check: np.vstack over an all-None batch
+                # does NOT raise — it broadcasts to a (n, 1) object
+                # array that float64-casts to NaN and, with no dim to
+                # validate against here, would normalize NULL vectors
+                # into [NULL] singletons
+                if vecs.isna().any():
+                    raise ValueError("nulls")
+                M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
+                if M.ndim != 2 or M.shape[0] != n:
+                    raise ValueError("ragged")
+                nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    O = np.where(nrm[:, None] == 0.0, M, M / nrm[:, None])
+                res = list(O)
+            except Exception:
+                for i, v in enumerate(vecs):
+                    if v is None:
+                        continue
+                    arr = np.asarray(v, dtype=np.float64)
+                    nr = float(np.sqrt((arr * arr).sum()))
+                    res[i] = arr if nr == 0.0 else arr / nr
+            out = pdf.copy()
+            out[out_col] = res
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(run, out_schema)
 
 
 def quantize_embeddings_int8(

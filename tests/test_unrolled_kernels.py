@@ -257,3 +257,35 @@ def test_ann_numpy_kernel_drops_corrupt_rows(spark):
     assert {r["query_id"] for r in out} == {0}
     assert all(r["vec_id"] not in (97, 98, 99) for r in out)
     assert len(out) == 3
+
+
+def test_normalize_numpy_kernel_matches_expr(spark):
+    import pytest as _pytest
+
+    from flox_spark.operators.similarity import normalize_embeddings
+    from flox_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = {r["vec_id"]: r["embedding"]
+         for r in normalize_embeddings(emb, dim=64, kernel="expr").collect()}
+    n = {r["vec_id"]: r["embedding"]
+         for r in normalize_embeddings(emb, dim=64, kernel="numpy").collect()}
+    assert set(e) == set(n)
+    for i in e:
+        assert e[i] == _pytest.approx(n[i], rel=1e-12, abs=1e-15), i
+    # corrupt rows: NULL stays NULL, zero vector passes through, NaN
+    # rows normalize to all-NaN on both kernels
+    dirty = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [float("nan"), 1.0]), (4, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["embedding"]
+           for r in normalize_embeddings(dirty, dim=2, kernel="numpy").collect()}
+    assert got[1] is None
+    assert got[2] == [0.0, 0.0]
+    # the computed all-NaN row maps to NULL elements at the Arrow
+    # return boundary (expr spells the same corruption as all-NaN)
+    assert all(x is None or math.isnan(x) for x in got[3])
+    assert got[4] == _pytest.approx([0.6, 0.8])
+    with _pytest.raises(ValueError, match="kernel"):
+        normalize_embeddings(dirty, kernel="blas")
