@@ -231,3 +231,59 @@ def test_literal_model_empty_bigram_corpus(spark, tmp_path):
     out = {r["doc_id"]: (r["n_bigrams"], r["ppl"]) for r in doc_perplexity(pq).collect()}
     assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
     assert sorted(r["doc_id"] for r in perplexity_filter(pq, 10.0).collect()) == [1, 2, 3]
+
+
+def test_literal_model_hypothesis_parity(spark, tmp_path):
+    # property differential for the r9 literal-model rewrite: random
+    # small corpora (short vocab so unknown-bigram smoothing paths
+    # fire) must score identically through the literal Arrow lookup
+    # and the declarative two-join shape, and both must match the
+    # pure-Python re-derivation
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["a", "b", "cc", "ddd", "e"]
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(3, 8))
+        return {
+            i: " ".join(
+                draw(st.lists(st.sampled_from(words), min_size=0, max_size=6))
+            )
+            for i in range(n)
+        }
+
+    counter = {"i": 0}
+
+    @given(corpora())
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def check(texts):
+        counter["i"] += 1
+        path = str(tmp_path / f"c{counter['i']}")
+        pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+        pq = spark.read.parquet(path)
+        lit = {r["doc_id"]: r for r in doc_perplexity(pq).collect()}
+        dec = {
+            r["doc_id"]: r
+            for r in doc_perplexity(pq, broadcast_model=False).collect()
+        }
+        exp = _py_ppl(texts)
+        assert set(lit) == set(dec) == set(exp)
+        for i, (nb, ppl) in exp.items():
+            for got in (lit[i], dec[i]):
+                if nb is None:
+                    assert got["n_bigrams"] is None and got["ppl"] is None, i
+                else:
+                    assert got["n_bigrams"] == nb, i
+                    assert got["ppl"] == pytest.approx(ppl, rel=1e-12), i
+
+    check()
