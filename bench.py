@@ -215,12 +215,38 @@ def main() -> None:
         for n in BENCH_EXTRA
         if extra_times.get(n, -1) > 0 and extra_duck.get(n, -1) > 0
     }
-    # TOTALS AND FLAGS FIRST: the driver's capture has truncated the
-    # record tail before (BENCH_r08 lost its head when totals came
-    # after the per-query dicts) — keep every headline number and
-    # verdict field ahead of the bulky per-query maps so a truncated
-    # tail still reads.
+    # sf1 extras evidence (VERDICT r9 #1): tools/bench_scale.py
+    # --extras-sf1 records the four flag-line extras at 10x data where
+    # the per-job scheduling floor amortizes; if that capture exists,
+    # surface it here so the driver record carries the scale answer.
+    extras_sf1 = None
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE_extras_sf1.json"
+    )
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                extras_sf1 = json.load(f)
+        except Exception:
+            extras_sf1 = {"err": "unreadable SCALE_extras_sf1.json"}
+
+    # BULKY MAPS FIRST, TOTALS AND FLAGS LAST: the driver's capture
+    # keeps the LAST 2000 chars of the line ("tail"), so r8's
+    # totals-first layout guaranteed the headline was truncated away
+    # (BENCH_r09 `parsed: null`).  json.dumps preserves insertion
+    # order — end the object with every verdict field so a truncated
+    # tail still reads {..totals, calibration, flags}.
     print(json.dumps({
+        "queries": times,
+        "duckdb": duck,
+        "ratio": ratios,
+        "net_ratio": net_ratios,
+        # round-5/6 wave (separate so the r2-r5 baseline series stays
+        # comparable); same protocol, same floor
+        "extra": extra_times,
+        "extra_duckdb": extra_duck,
+        "extra_net_ratio": extra_net,
+        # ---- headline tail (everything below must survive truncation)
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -235,6 +261,7 @@ def main() -> None:
             # per-query walls in this record as upper bounds only
             "contended": floor_end > 3 * max(floor_start, 0.05),
         },
+        "extras_sf1": extras_sf1,
         # flag only where the DuckDB denominator is itself substantial
         # (>= 0.2s): a 6ms DuckDB query vs any Spark query measures
         # nothing but the fixed overhead already reported above
@@ -256,15 +283,6 @@ def main() -> None:
             for n, t in {**times, **extra_times}.items()
             if t > WALL_BUDGET
         ),
-        "queries": times,
-        "duckdb": duck,
-        "ratio": ratios,
-        "net_ratio": net_ratios,
-        # round-5/6 wave (separate so the r2-r5 baseline series stays
-        # comparable); same protocol, same floor
-        "extra": extra_times,
-        "extra_duckdb": extra_duck,
-        "extra_net_ratio": extra_net,
     }))
 
 

@@ -968,7 +968,7 @@ def normalize_embeddings(
             else "expr"
         )
     if kernel == "numpy":
-        return _numpy_normalize_pass(df, vec_col, out_col or vec_col)
+        return _numpy_normalize_pass(df, vec_col, out_col or vec_col, dim)
     v = F.col(vec_col)
     nrm = _norm(v, dim)
     out = F.when(nrm == 0, F.transform(v, lambda x: x.cast("double"))).otherwise(
@@ -977,13 +977,28 @@ def normalize_embeddings(
     return df.withColumn(out_col or vec_col, out)
 
 
-def _numpy_normalize_pass(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
-    """One Arrow pass dividing each vector by its L2 norm (zero-norm
-    vectors pass through; NULL vectors stay NULL; NaN-bearing rows
-    come back all-NULL: the computed all-NaN row maps to NULL
-    elements at the pandas->Arrow return boundary, where the expr
-    fold would emit all-NaN — same corrupt-row class, different
-    spelling, only past the size gate)."""
+def _numpy_normalize_pass(
+    df: DataFrame, vec_col: str, out_col: str, dim: int
+) -> DataFrame:
+    """One Arrow pass dividing each vector by the L2 norm of its first
+    ``dim`` elements — exactly the expr fold's semantics, so
+    ``kernel='auto'`` flipping at the stats gate never changes a row's
+    outcome:
+
+    - len(v) == dim: divide by the full norm (zero-norm vectors pass
+      through unchanged);
+    - len(v) <  dim: the fold's ``v[i]`` reads past the end -> NULL
+      norm -> an array of len(v) NULL elements.  The numpy route emits
+      len(v) NaNs, which the pandas->Arrow return boundary maps to
+      NULL elements — same output, and the corrupt row KEEPS its
+      recognizable NULL marker for downstream near-dup stages;
+    - len(v) >  dim: divide ALL elements by the first-``dim`` norm
+      (the fold transforms the whole array but sums only ``dim``
+      terms);
+    - NULL vectors stay NULL; NaN-bearing rows come back all-NULL
+      (the all-NaN row maps to NULL elements at the Arrow boundary,
+      where the expr fold emits all-NaN — same corrupt-row class,
+      different spelling, only past the size gate)."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
@@ -998,35 +1013,44 @@ def _numpy_normalize_pass(df: DataFrame, vec_col: str, out_col: str) -> DataFram
         fields = fields + [StructField(out_col, ArrayType(DoubleType()), True)]
     out_schema = StructType(fields)
 
+    def norm_one(v):
+        if v is None:
+            return None
+        arr = np.asarray(v, dtype=np.float64)
+        if arr.ndim != 1:
+            return None
+        if arr.shape[0] < dim:
+            # expr parity: NULL norm -> len(v) NULL elements
+            return np.full(arr.shape[0], np.nan)
+        head = arr[:dim]
+        nr = float(np.sqrt((head * head).sum()))
+        return arr if nr == 0.0 else arr / nr
+
     def run(batches):
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             vecs = pdf[vec_col]
-            res = [None] * n
             try:
                 # NULL pre-check: np.vstack over an all-None batch
                 # does NOT raise — it broadcasts to a (n, 1) object
-                # array that float64-casts to NaN and, with no dim to
-                # validate against here, would normalize NULL vectors
-                # into [NULL] singletons
+                # array that float64-casts to NaN and would normalize
+                # NULL vectors into [NULL] singletons
                 if vecs.isna().any():
                     raise ValueError("nulls")
                 M = np.asarray(np.vstack(vecs.to_numpy()), dtype=np.float64)
-                if M.ndim != 2 or M.shape[0] != n:
+                # uniform-width batches only: exactly dim -> full-norm
+                # fast path; uniformly longer -> first-dim norm (expr
+                # parity); shorter or mixed widths -> per-row fallback
+                if M.ndim != 2 or M.shape[0] != n or M.shape[1] < dim:
                     raise ValueError("ragged")
-                nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+                nrm = np.sqrt(np.einsum("ij,ij->i", M[:, :dim], M[:, :dim]))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     O = np.where(nrm[:, None] == 0.0, M, M / nrm[:, None])
                 res = list(O)
             except Exception:
-                for i, v in enumerate(vecs):
-                    if v is None:
-                        continue
-                    arr = np.asarray(v, dtype=np.float64)
-                    nr = float(np.sqrt((arr * arr).sum()))
-                    res[i] = arr if nr == 0.0 else arr / nr
+                res = [norm_one(v) for v in vecs]
             out = pdf.copy()
             out[out_col] = res
             yield out[[f.name for f in out_schema.fields]]

@@ -289,3 +289,41 @@ def test_normalize_numpy_kernel_matches_expr(spark):
     assert got[4] == _pytest.approx([0.6, 0.8])
     with _pytest.raises(ValueError, match="kernel"):
         normalize_embeddings(dirty, kernel="blas")
+
+
+def test_normalize_numpy_kernel_ragged_dim_parity(spark):
+    # r9 ADVICE (medium): the numpy pass must honor `dim` exactly like
+    # the expr fold — a SHORT vector keeps its NULL corrupt-marker
+    # (fold: v[i] past the end -> NULL norm -> per-element NULLs), a
+    # LONG vector divides by the first-`dim` norm, never the full norm
+    import pytest as _pytest
+
+    from flox_spark.operators.similarity import normalize_embeddings
+
+    dim = 3
+    rows = [
+        (1, [3.0, 4.0]),                 # shorter than dim
+        (2, [0.0, 3.0, 4.0]),            # exact
+        (3, [0.0, 3.0, 4.0, 100.0]),     # longer: norm over first 3 only
+        (4, None),
+        (5, [0.0, 0.0, 0.0]),            # zero norm passes through
+    ]
+    dirty = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for batch in (dirty, dirty.filter("vec_id in (2, 3)")):  # mixed + uniform
+        e = {r["vec_id"]: r["embedding"]
+             for r in normalize_embeddings(batch, dim=dim, kernel="expr").collect()}
+        n = {r["vec_id"]: r["embedding"]
+             for r in normalize_embeddings(batch, dim=dim, kernel="numpy").collect()}
+        assert set(e) == set(n)
+        for i in e:
+            if e[i] is None or any(x is None for x in e[i]):
+                # expr's corrupt marker (NULL elements) must survive the
+                # numpy route — never healthy-looking values
+                assert n[i] is None or all(x is None for x in n[i]), (i, n[i])
+            else:
+                assert len(n[i]) == len(e[i]), i
+                assert e[i] == _pytest.approx(n[i], rel=1e-12, abs=1e-15), i
+    # the longer row's tail element proves first-dim norm (100/5 = 20)
+    n3 = {r["vec_id"]: r["embedding"]
+          for r in normalize_embeddings(dirty, dim=dim, kernel="numpy").collect()}[3]
+    assert n3 == _pytest.approx([0.0, 0.6, 0.8, 20.0])
