@@ -425,6 +425,36 @@ def q_ann_topk(s, d):
     return cosine_topk(emb, queries_df, k=10, dim=64)
 
 
+def q_ann_topk_768(s, d):
+    # driver-visible evidence for the high-dim Arrow kernel routes
+    # (r9 VERDICT #5): every other registry row runs at dim 64 under
+    # the stats gates, so the driver harness had never executed the
+    # matmul scorers.  Synthesize dim-768 vectors declaratively from
+    # the dim-64 embeddings (12 differently-scaled tiles), FORCE
+    # kernel='numpy', and return the top-10 per query — a k*queries
+    # row-count check (5 queries x 10 = 50 rows; rows-only like the
+    # xxhash64 twins: a SQL oracle here would just re-verify dim-64
+    # arithmetic at 12x the cost, while the check that matters is the
+    # forced Arrow kernel running under the driver's harness)
+    emb = _t(s, d, "embeddings")
+    tiles = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    "embedding",
+                    lambda x, i=i: x.cast("double") * F.lit(1.0 + 0.1 * i),
+                )
+                for i in range(12)
+            ]
+        )
+    )
+    base = emb.select("vec_id", tiles.alias("embedding"))
+    queries_df = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(base, queries_df, k=10, dim=768, kernel="numpy")
+
+
 def q_embed_neardup(s, d):
     return embedding_near_duplicates(
         _t(s, d, "embeddings"), threshold=0.45, planes=16, bands=4, dim=64, round_to=6
@@ -2058,26 +2088,68 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict.  Round-9 window: [1-8] every row
-    # whose implementation changed this round (literal perplexity
-    # model + keep-set semi-join, semdedup literal seeds/cap +
-    # fit-assignment reuse, embed_neardup NaN/ragged hardening,
-    # kmeans probe reuse), [9-11] the r8 exact-quantile kernel rows
-    # (quantile/median/quantile_vector) the driver has never
-    # hash-checked on the array-sort kernel, [12-50] the
-    # longest-unwindowed r03-era core rows per the r8 VERDICT: sum
-    # family, arg/positional reductions, scans, bins, text family.
-    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
-    # of window position.
+    # 50-query prefix of this dict.  Round-10 window: [1-10] every row
+    # whose implementation changed this round (fused perplexity_filter
+    # keep-in-plan rewrite + literal-model supplied-contexts fix,
+    # normalize dim-parity kernel fix, the scoped_tiny_collect conf
+    # guard under kmeans/semdedup/ann) plus the NEW rows-only
+    # ann_topk_768 forced-Arrow-kernel row, [11-22] the r2-r4 rows the
+    # r9 VERDICT named as longest without driver hash-evidence,
+    # [23-50] the r5-r7 dedup/similarity/session/encoding families not
+    # windowed since their landing rounds.  All pass
+    # tools/check_oracle.py at sf0.001/0.01/0.1 regardless of window
+    # position.
     return {
-        "semdedup_pairs": q_semdedup_pairs,
-        "semdedup": q_semdedup,
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
-        "embed_neardup": q_embed_neardup,
+        "embed_normalize": q_embed_normalize,
         "kmeans": q_kmeans,
-        "ivf_topk": q_ivf_topk,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup": q_semdedup,
+        "ann_topk_768": q_ann_topk_768,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_quantize": q_embed_quantize,
+        "dayofyear_mean": q_dayofyear_mean,
+        "highcard_random": q_highcard_random,
+        "json_extract": q_json_extract,
+        "monthhour_sum": q_monthhour_sum,
+        "dedup_exact": q_dedup_exact,
+        "ntile_buckets": q_ntile,
+        "fillna_group": q_fillna_group,
+        "sample_global": q_sample_global,
+        "split_by_group": q_split_by_group,
+        "pack_sequences": q_pack_sequences,
+        "distinct_rollup": q_distinct_rollup,
+        "winsorize": q_winsorize,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_bands": q_minhash_bands,
+        "minhash_against": q_minhash_against,
+        "minhash_clusters": q_minhash_clusters,
+        "minhash_pairs_xx": q_minhash_pairs_xx,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "decontaminate": q_decontaminate,
+        "fuzzy_join": q_fuzzy_join,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "funnel_path": q_funnel_path,
+        "range_join": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "scd2": q_scd2,
+        "table_diff": q_table_diff,
+        "sample_mixture": q_sample_mixture,
+        "shard_stats": q_shard_stats,
+        "flag_outliers": q_flag_outliers,
+        "value_counts": q_value_counts,
+        "upsample_ffill": q_upsample_ffill,
+        "label_encode": q_label_encode,
+        "frequency_encode": q_frequency_encode,
+        "ewm_mean": q_ewm_mean,
         "quantile": q_quantile,
         "median": q_median,
         "quantile_vector": q_quantile_vector,
@@ -2122,7 +2194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "skew": q_skew,
         "kurtosis": q_kurtosis,
-        "winsorize": q_winsorize,
         "rank_pct": q_rank_pct,
         "multimodal_features": q_multimodal_features,
         "leakage_split": q_leakage_split,
@@ -2134,31 +2205,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_shift": q_scan_shift,
         "rank_avg": q_rank_avg,
         "pivot_sum": q_pivot_sum,
-        "table_diff": q_table_diff,
         "corr_pearson": q_corr_pearson,
         "twa": q_twa,
         "rolling_time": q_rolling_time,
         "resample": q_resample,
         "quantile_refine": q_quantile_refine,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
         "sample_group": q_sample_group,
         "quantile_sort": q_quantile_sort,
         "transform_mean": q_transform_mean,
-        "asof_join": q_asof_join,
         "grouped_topk": q_grouped_topk,
         "nunique": q_nunique,
         "redact_pii": q_redact_pii,
         "boilerplate": q_boilerplate,
-        "funnel": q_funnel,
-        "range_join": q_range_join,
-        "heavy_hitters": q_heavy_hitters,
         "chunk_docs": q_chunk_docs,
         "profile": q_profile,
         "quality_report": q_quality_report,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
-        "scd2": q_scd2,
         "entropy": q_entropy,
         "token_budget": q_token_budget,
         "sample_weighted": q_sample_weighted,
@@ -2172,44 +2235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "split_train_test": q_split_train_test,
         "nunique_plain": q_nunique_plain,
-        "funnel_path": q_funnel_path,
         "embed_pool": q_embed_pool,
         "weighted_var": q_weighted_var,
         "frame_sample": q_frame_sample,
         "media_sniff": q_media_sniff,
-        "value_counts": q_value_counts,
-        "upsample_ffill": q_upsample_ffill,
-        "label_encode": q_label_encode,
-        "frequency_encode": q_frequency_encode,
-        "fuzzy_join": q_fuzzy_join,
         "minhash_estimate": q_minhash_estimate,
         "k_anonymity": q_k_anonymity,
-        "ewm_mean": q_ewm_mean,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_bands": q_minhash_bands,
-        "minhash_against": q_minhash_against,
-        "minhash_clusters": q_minhash_clusters,
-        "minhash_pairs_xx": q_minhash_pairs_xx,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "decontaminate": q_decontaminate,
-        "jaccard_pairs": q_jaccard_pairs,
-        "sample_mixture": q_sample_mixture,
-        "shard_stats": q_shard_stats,
-        "flag_outliers": q_flag_outliers,
-        "highcard_random": q_highcard_random,
-        "dayofyear_mean": q_dayofyear_mean,
-        "monthhour_sum": q_monthhour_sum,
-        "dedup_exact": q_dedup_exact,
-        "ntile_buckets": q_ntile,
-        "fillna_group": q_fillna_group,
-        "sample_global": q_sample_global,
-        "split_by_group": q_split_by_group,
-        "pack_sequences": q_pack_sequences,
-        "distinct_rollup": q_distinct_rollup,
-        "json_extract": q_json_extract,
-        "embed_normalize": q_embed_normalize,
-        "embed_quantize": q_embed_quantize,
     }
 
 

@@ -247,8 +247,11 @@ def kmeans_fit(
     tol: float | None = None,
     driver_loop: bool | None = None,
     return_assignment: bool = False,
-) -> DataFrame:
-    """Fit k centroids; returns a k-row DataFrame (__cid, centroid).
+) -> DataFrame | tuple[DataFrame, DataFrame | None]:
+    """Fit k centroids; returns a k-row DataFrame (__cid, centroid) —
+    or, with ``return_assignment=True``, a ``(centroids, labels)``
+    tuple (labels is None at 0 iterations) so type-checkers flag
+    callers that forget to unpack.
 
     ``max_iter`` Lloyd iterations from the deterministic hash-draw
     init.  Empty clusters keep their previous centroid (standard
@@ -485,25 +488,17 @@ def _kmeans_driver_loop(
     # ~0.65 s of per-iteration scheduling on a centroid-sized shuffle
     # it cannot improve (the partial aggregate already collapses each
     # task to <= k*dim rows before the exchange; there is no skew or
-    # partition-count decision left to adapt).  Scope it off for the
-    # loop and restore on exit, tuned_shuffle-style.
-    # CAVEAT: both confs are session-scoped for the loop's duration
-    # (restored in the finally) — a concurrent thread launching a
-    # data-sized shuffle on the same SparkSession during the fit would
-    # inherit the 4-partition setting.  The trainer loop assumes it
-    # owns the session while iterating, like every conf-scoping helper
-    # here (tuned_shuffle, write_table's dynamic-overwrite toggle).
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # the mean aggregate's reduce side only ever carries partially
-    # aggregated (cluster, pos) rows — <= k*dim per map task — so a
-    # handful of reduce tasks is right at ANY input scale; the stock
-    # shuffle partition count just schedules empty tasks per iteration
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # partition-count decision left to adapt), and the mean aggregate's
+    # reduce side only ever carries <= k*dim partially-aggregated rows
+    # per map task, so 4 reduce tasks is right at ANY input scale.
+    # scoped_tiny_collect (plans/util.py) owns the session-global conf
+    # flip, the restore, and the cross-thread serialization; its
+    # docstring carries the single concurrency CAVEAT for every user.
+    from flox_spark.plans.util import scoped_tiny_collect
+
     use_literal = False
     assign_cents: list | None = None
-    try:
+    with scoped_tiny_collect(spark):
         for it in range(max(max_iter, 0)):
             if it == 0:
                 # seed collect first: a 2k-sized TakeOrderedAndProject
@@ -575,9 +570,6 @@ def _kmeans_driver_loop(
                     [], schema="__cid int, centroid array<double>"
                 )
                 return (empty, None) if return_assignment else empty
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"

@@ -127,31 +127,43 @@ def train_bigram_lm(
     return bigrams, contexts, vocab
 
 
-def _collect_literal_model(counts: DataFrame, spark) -> tuple[DataFrame, int]:
+def _collect_literal_model(
+    counts: DataFrame,
+    spark,
+    contexts: DataFrame | None = None,
+    vocab: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
     """Bring the (w1, w2, c) bigram-count frame to the driver (ONE
     job; callers gate on plan stats so this is model-sized, never
     corpus-sized) and rebuild it as the fused per-context lookup —
     (w1, map<w2,c>, c1) — plus the vocabulary size V as a plain int.
     The returned lookup is a LocalRelation: broadcasting it costs no
     Spark job, and V becomes a literal in the scoring expression, so
-    the whole model contributes ZERO actions to the scoring query."""
-    # AQE off + 4 shuffle partitions for the ONE collect: the counts
+    the whole model contributes ZERO actions to the scoring query.
+
+    ``contexts``/``vocab``: for a SELF-TRAINED model the caller omits
+    them and c1/V are derived from the bigram rows (identical by
+    ``train_bigram_lm``'s definition, zero extra jobs).  For a
+    CALLER-SUPPLIED model tuple they MUST be passed: a persisted model
+    whose bigram counts were pruned (min-count trimming, the standard
+    KenLM-style step) has c1/V that are NOT derivable from the
+    surviving bigrams, and deriving them would silently score
+    differently than ``broadcast_model=False`` on the same inputs
+    (r9 ADVICE).  Two extra model-sized collects, amortized over the
+    many scoring batches a persisted model exists for."""
+    # AQE off + 4 shuffle partitions for the tiny collects: the counts
     # exchange only ever carries partially-aggregated vocab-type rows
     # (<= types per map task), so AQE's per-stage re-plan jobs are
-    # pure scheduling on a shuffle it cannot improve — the kmeans
-    # driver-loop pattern (kmeans.py), same session-scoping caveat,
-    # restored in the finally.  Measured: 5 -> 4 jobs, ~0.1 s at
-    # sf0.1.
-    conf = counts.sparkSession.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", "4")
+    # pure scheduling on a shuffle it cannot improve.  Measured: 5 ->
+    # 4 jobs, ~0.1 s at sf0.1.  scoped_tiny_collect owns the
+    # session-global flip + restore + cross-thread lock (see its
+    # docstring for the concurrency caveat).
+    from flox_spark.plans.util import scoped_tiny_collect
+
+    with scoped_tiny_collect(counts.sparkSession):
         rows = counts.collect()
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_sp)
+        ctx_rows = contexts.collect() if contexts is not None else None
+        v_supplied = vocab.collect()[0][0] if vocab is not None else None
     cm: dict = {}
     c1: dict = {}
     words: set = set()
@@ -163,6 +175,12 @@ def _collect_literal_model(counts: DataFrame, spark) -> tuple[DataFrame, int]:
             continue  # sentinel rows never join
         cm.setdefault(w1, {})[w2] = c
         c1[w1] = c1.get(w1, 0) + c
+    if ctx_rows is not None:
+        c1 = {r[0]: r[1] for r in ctx_rows if r[0] is not None}
+        # contexts with every bigram pruned still need a lookup row
+        # (c1 drives the denominator even when the map is empty)
+        for w in c1:
+            cm.setdefault(w, {})
     # Arrow path, NOT a plain row list: createDataFrame over pickled
     # Python rows lands in the plan as a Scan ExistingRDD that pays a
     # Python-runner deserialization on EVERY action (measured 0.43 s
@@ -193,7 +211,9 @@ def _collect_literal_model(counts: DataFrame, spark) -> tuple[DataFrame, int]:
             "c1": pd.Series([c1[w] for w in keys], dtype="int64" if keys else object),
         }
     )
-    return spark.createDataFrame(pdf, schema), len(words)
+    return spark.createDataFrame(pdf, schema), (
+        int(v_supplied) if v_supplied is not None else len(words)
+    )
 
 
 def doc_perplexity(
@@ -225,6 +245,7 @@ def doc_perplexity(
         raise ValueError(f"smooth_k must be > 0, got {smooth_k}")
     bg = None
     literal_model = None
+    model_supplied = model is not None
     if model is None:
         if reference is None:
             # self-perplexity: train and score share ONE bigram frame
@@ -275,7 +296,26 @@ def doc_perplexity(
                     _small=csize is not None and csize < (32 << 20),
                 )
         else:
-            model = train_bigram_lm(reference, id_col, text_col)
+            from flox_spark.plans.util import estimate_size_bytes as _est
+
+            rsize = _est(reference)
+            if (
+                broadcast_model is not False
+                and rsize is not None
+                and rsize < (32 << 20)
+            ):
+                # small reference: collect the counts agg directly —
+                # train_bigram_lm's checkpoint + contexts/vocab frames
+                # are dead weight on the literal path (c1/V derive on
+                # the driver); saves the checkpoint job
+                literal_model = _collect_literal_model(
+                    _doc_bigrams(reference, id_col, text_col)
+                    .groupBy("w1", "w2")
+                    .agg(F.count(F.lit(1)).alias("c")),
+                    corpus.sparkSession,
+                )
+            if literal_model is None:
+                model = train_bigram_lm(reference, id_col, text_col)
     bigrams = contexts = vocab = None
     if model is not None:
         bigrams, contexts, vocab = model
@@ -313,7 +353,17 @@ def doc_perplexity(
     if literal_model is None and bigrams is not None and broadcast_model is not False:
         msize = estimate_size_bytes(bigrams)
         if msize is not None and msize < (8 << 20):
-            literal_model = _collect_literal_model(bigrams, corpus.sparkSession)
+            # a SUPPLIED model's contexts/vocab may be pruned
+            # independently of the bigram rows, so they ship to the
+            # driver as-is; a model trained inside this call derives
+            # c1/V from the bigrams (identical by definition, and two
+            # fewer collect jobs)
+            literal_model = _collect_literal_model(
+                bigrams,
+                corpus.sparkSession,
+                contexts=contexts if model_supplied else None,
+                vocab=vocab if model_supplied else None,
+            )
     if literal_model is not None:
         lookup_local, V = literal_model
         joined = bg.join(F.broadcast(lookup_local), ["w1"], "left")
@@ -345,6 +395,117 @@ def doc_perplexity(
     )
 
 
+def _fused_filter_small(
+    corpus: DataFrame,
+    reference: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    smooth_k: float,
+    max_ppl: float,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None,
+    round_digits: int | None,
+) -> DataFrame | None:
+    """Score and filter in ONE plan (the r9 mandate): each corpus row
+    rides its own bigram frame as a carried struct, the per-doc
+    aggregate computes the mean log-prob AND re-collects the carried
+    rows, and the rounded keep/drop is a projection over that same
+    aggregate — so the filter's job structure is EXACTLY
+    ``doc_perplexity``'s (bg checkpoint + counts collect + one scoring
+    action), with no keep-set collect and no semi-join scan on top.
+
+    Exact semantics, including duplicate ``id_col`` rows: every
+    PHYSICAL corpus row attaches its struct to exactly one exploded
+    row (pos 0, or the NULL sentinel for bigram-less docs), duplicate
+    ids pool their bigrams in the per-id aggregate exactly like
+    ``doc_perplexity``, and the surviving groups explode back to all
+    their original rows.
+
+    Returns None when the model can't collapse to a literal lookup
+    (stats-unknown or >8 MB supplied/reference model) — the caller
+    falls back to the declarative semi-join.  Only called under the
+    32 MB corpus-stats gate, so the carried structs add at most one
+    corpus copy to the checkpoint and the per-doc exchange — bounded
+    by the same gate that bounds every literal collect here;
+    web-scale corpora never enter."""
+    from flox_spark.plans.util import estimate_size_bytes, materialize_shared
+
+    spark = corpus.sparkSession
+    toks = ensure_parallelism(corpus, min_bytes=8 << 20).select(
+        F.struct(*[F.col(c) for c in corpus.columns]).alias("__row"),
+        F.col(id_col).alias("__id"),
+        _word_tokens(F.col(text_col)).alias("__t"),
+    )
+    valid = F.expr(
+        "filter(CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(0, size(__t) - 2), "
+        "i -> struct(__t[i] AS w1, __t[i + 1] AS w2)) "
+        "ELSE array() END, s -> s.w1 != '' AND s.w2 != '')"
+    )
+    ex = toks.select(
+        "__row", "__id", F.posexplode_outer(valid).alias("__pos", "__bg")
+    )
+    bg = ex.select(
+        "__id",
+        F.col("__bg.w1").alias("w1"),
+        F.col("__bg.w2").alias("w2"),
+        F.when(
+            F.col("__pos").isNull() | (F.col("__pos") == 0), F.col("__row")
+        ).alias("__row"),
+    )
+    if model is not None:
+        bigrams, contexts, vocab = model
+        msize = estimate_size_bytes(bigrams)
+        if msize is None or msize >= (8 << 20):
+            return None
+        lookup, V = _collect_literal_model(bigrams, spark, contexts, vocab)
+    elif reference is not None:
+        rsize = estimate_size_bytes(reference)
+        if rsize is not None and rsize < (32 << 20):
+            # small reference corpus: ONE counts agg straight to the
+            # driver.  train_bigram_lm's contexts/vocab frames and the
+            # shared checkpoint it stages for its three consumers are
+            # dead weight on the literal path (c1/V derive on the
+            # driver) — skipping them saves the checkpoint job
+            rbg = _doc_bigrams(reference, id_col, text_col)
+            lookup, V = _collect_literal_model(
+                rbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")),
+                spark,
+            )
+        else:
+            bigrams, contexts, vocab = train_bigram_lm(
+                reference, id_col, text_col
+            )
+            msize = estimate_size_bytes(bigrams)
+            if msize is None or msize >= (8 << 20):
+                return None
+            # trained inside this call: c1/V derive from the bigrams
+            lookup, V = _collect_literal_model(bigrams, spark)
+    else:
+        # self-perplexity: train and score share the ONE checkpointed
+        # carry-struct bigram frame — the doc_perplexity small shape
+        bg = materialize_shared(bg)
+        lookup, V = _collect_literal_model(
+            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), spark
+        )
+    joined = bg.join(F.broadcast(lookup), ["w1"], "left")
+    k = F.lit(float(smooth_k))
+    logp = F.log(
+        (F.coalesce(F.element_at(F.col("__cm"), F.col("w2")), F.lit(0)) + k)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.lit(V))
+    )
+    # collect_list skips NULL carries, so each group's list holds
+    # exactly its physical corpus rows; bigram-less docs average to
+    # NULL and are kept (absence of signal never drops)
+    per_doc = joined.groupBy("__id").agg(
+        F.avg(F.when(F.col("w1").isNotNull(), logp)).alias("__mlp"),
+        F.collect_list("__row").alias("__rows"),
+    )
+    ppl = F.exp(-F.col("__mlp"))
+    scr = F.round(ppl, round_digits) if round_digits is not None else ppl
+    kept = per_doc.filter(scr.isNull() | (scr <= F.lit(float(max_ppl))))
+    return kept.select(F.explode("__rows").alias("__r")).select("__r.*")
+
+
 def perplexity_filter(
     corpus: DataFrame,
     max_ppl: float,
@@ -361,7 +522,27 @@ def perplexity_filter(
     decision step; returns surviving rows unchanged.  The comparison
     runs on the score ROUNDED to ``round_digits`` (the engine's usual
     rounded-boundary discipline — keep/drop is stable across engines'
-    last-ulp differences in the log-mean; None for raw doubles)."""
+    last-ulp differences in the log-mean; None for raw doubles).
+
+    Plan shapes: under the 32 MB corpus-stats gate the keep decision
+    is derived INSIDE the scoring plan (``_fused_filter_small`` — same
+    job structure as ``doc_perplexity``, zero extra jobs).  NB the
+    fused path runs a model-sized driver collect at PLAN-BUILD time
+    (the literal-model pattern; see ``scoped_tiny_collect`` for the
+    conf-scoping caveat), so this builder has action-time side effects
+    on small inputs.  Web-scale corpora (or ``broadcast_model=False``)
+    keep the fully declarative score -> keep-set -> left-semi-join
+    shape: no corpus shuffle, no driver traffic."""
+    from flox_spark.plans.util import estimate_size_bytes
+
+    csize = estimate_size_bytes(corpus)
+    if csize is not None and csize < (32 << 20) and broadcast_model is not False:
+        fused = _fused_filter_small(
+            corpus, reference, id_col, text_col, smooth_k, max_ppl, model,
+            round_digits,
+        )
+        if fused is not None:
+            return fused
     scores = doc_perplexity(
         corpus, reference, id_col, text_col, smooth_k, model, broadcast_model
     )
@@ -371,40 +552,4 @@ def perplexity_filter(
         else F.col("ppl")
     )
     keep = scores.filter(scr.isNull() | (scr <= F.lit(float(max_ppl)))).select(id_col)
-    from flox_spark.plans.util import estimate_size_bytes
-
-    csize = estimate_size_bytes(corpus)
-    if csize is not None and csize < (32 << 20):
-        # SMALL corpus: run the scoring action now and ship the keep
-        # set back as an Arrow LocalRelation — the semi-join against
-        # a local frame broadcasts with NO build job, so the filter
-        # adds ONE scan-join job over its parent instead of the AQE
-        # broadcast-build + exchange pair (r8: +2 jobs, 8 vs 6).  The
-        # collect is doc-id-sized AND gated on the same 32 MB corpus
-        # stats as the literal model, so it stays in the bounded
-        # driver-traffic class; web-scale corpora keep the fully
-        # declarative semi-join below.
-        import pandas as pd
-
-        # same tiny-shuffle scope as _collect_literal_model: the
-        # scoring plan's only exchange carries per-doc partial
-        # aggregates, and AQE's re-plan jobs are pure scheduling
-        conf = corpus.sparkSession.conf
-        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-        old_sp = conf.get("spark.sql.shuffle.partitions", "200")
-        try:
-            conf.set("spark.sql.adaptive.enabled", "false")
-            conf.set("spark.sql.shuffle.partitions", "4")
-            ids = [r[0] for r in keep.collect()]
-        finally:
-            conf.set("spark.sql.adaptive.enabled", old_aqe)
-            conf.set("spark.sql.shuffle.partitions", old_sp)
-        dt = corpus.schema[id_col].dataType
-        from pyspark.sql.types import StructField, StructType
-
-        local = corpus.sparkSession.createDataFrame(
-            pd.DataFrame({id_col: pd.Series(ids, dtype=object)}),
-            StructType([StructField(id_col, dt)]),
-        )
-        return corpus.join(F.broadcast(local), [id_col], "left_semi")
     return corpus.join(keep, [id_col], "left_semi")

@@ -293,6 +293,16 @@ def cosine_topk(
     unroll limit AND plan stats say the base is big enough that the
     interpreted per-pair folds dominate; oracle-scale inputs keep the
     bit-exact declarative arithmetic).
+
+    Corrupt-row ROW-COUNT divergence between kernels: the numpy route
+    drops NULL/ragged/non-finite base and query vectors before
+    scoring, so a query with fewer than k valid neighbors returns
+    fewer than k rows and a corrupt query returns none; the expr
+    route scores them NULL, which rank LAST but still fill the top-k
+    when too few valid neighbors exist (NULL-sim rows).  Rankings
+    over valid data are identical — but downstream code asserting
+    exactly k rows per query should pin ``kernel`` rather than rely
+    on 'auto', whose choice flips at the stats gate.
     """
     if kernel not in ("auto", "expr", "numpy"):
         raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
@@ -1346,15 +1356,13 @@ def semantic_dedup_pairs(
             # final) costs three AQE stages for a k-row result; one
             # narrow single-task stage over the (gated-small)
             # checkpoint collapses it — the lm.py _small vocab trick.
-            # AQE scoped off for the collect (the lm.py/kmeans tiny-
-            # shuffle pattern): nothing here for it to re-plan.
-            conf = spark.conf
-            old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-            try:
-                conf.set("spark.sql.adaptive.enabled", "false")
+            # AQE scoped off for the collect via the shared guard
+            # (plans/util.scoped_tiny_collect owns the conf flip,
+            # restore, and cross-thread lock): nothing to re-plan.
+            from flox_spark.plans.util import scoped_tiny_collect
+
+            with scoped_tiny_collect(spark):
                 sizes = assigned.coalesce(1).groupBy("__cl").count().collect()
-            finally:
-                conf.set("spark.sql.adaptive.enabled", old_aqe)
             bad = [r["__cl"] for r in sizes if r["count"] > max_cluster]
             if bad:
                 assigned = assigned.filter(~F.col("__cl").isin(*[F.lit(x) for x in bad]))

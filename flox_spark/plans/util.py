@@ -196,6 +196,52 @@ def tuned_shuffle(df: DataFrame, **kwargs):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+import threading
+
+# one lock per process: spark.sql.* conf is SESSION-global, so two
+# threads scoping different collects on one SparkSession would observe
+# each other's AQE-off / 4-partition window.  RLock (not Lock) because
+# a scoped collect can build a plan that itself calls a helper using
+# the guard (kmeans seed draw inside semantic_dedup's literal cap).
+_CONF_GUARD_LOCK = threading.RLock()
+
+
+@contextmanager
+def scoped_tiny_collect(spark):
+    """Serialize + scope the conf flips around a TINY driver collect
+    (model counts, keep-set ids, k-means seeds): AQE off and 4 shuffle
+    partitions, restored on exit.
+
+    Why: these collects' exchanges only ever carry bounded
+    (vocab-/k-/doc-id-sized) rows, so AQE's per-stage re-plan jobs are
+    pure scheduling on a shuffle it cannot improve — measured ~0.1 s
+    and one job saved per collect at sf0.1 (see the lm.py / kmeans.py
+    decompositions in SCALE.md).
+
+    CAVEAT (the single home for it): ``spark.sql.adaptive.enabled``
+    and ``spark.sql.shuffle.partitions`` are session-global.  This
+    guard serializes all USERS OF THIS HELPER with a process-wide
+    reentrant lock, so two flox_spark entry points on one session
+    never see each other's window — but an UNRELATED query submitted
+    concurrently on the same SparkSession from another thread can
+    still observe the flipped conf for the duration of the collect.
+    Entry points that collect through this guard are therefore not
+    session-concurrent with arbitrary outside queries; run them from
+    one thread per session (the driver/bench/test flow) or accept the
+    brief 4-partition window."""
+    conf = spark.conf
+    with _CONF_GUARD_LOCK:
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", "4")
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def materialize_shared(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Materialize a frame consumed by multiple plan branches (the
     self-join diamond): without this, Spark recomputes the whole

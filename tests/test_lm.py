@@ -287,3 +287,132 @@ def test_literal_model_hypothesis_parity(spark, tmp_path):
                     assert got["ppl"] == pytest.approx(ppl, rel=1e-12), i
 
     check()
+
+
+def test_supplied_pruned_model_matches_declarative(spark):
+    # r9 ADVICE: a persisted model whose bigram counts were pruned
+    # (KenLM-style min-count trim) has c1/V that are NOT derivable
+    # from the surviving bigram rows — the literal collapse must ship
+    # the SUPPLIED contexts/vocab instead of recomputing them
+    import pandas as pd
+
+    texts = {i: t for i, t in DOCS.items()}
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    corpus = spark.createDataFrame(pdf)
+    bigrams, contexts, vocab = train_bigram_lm(corpus)
+    # prune: drop singleton bigrams, keep contexts/vocab from the FULL
+    # counts; rebuild all three as Arrow LocalRelations so plan stats
+    # are known and the 8 MB literal gate passes
+    bp = bigrams.filter(F.col("c") >= 2).toPandas()
+    cp = contexts.toPandas()
+    vp = vocab.toPandas()
+    pruned = (
+        spark.createDataFrame(bp, schema=bigrams.schema),
+        spark.createDataFrame(cp, schema=contexts.schema),
+        spark.createDataFrame(vp, schema=vocab.schema),
+    )
+    lit = sorted(map(tuple, doc_perplexity(corpus, model=pruned).collect()))
+    dec = sorted(
+        map(
+            tuple,
+            doc_perplexity(corpus, model=pruned, broadcast_model=False).collect(),
+        )
+    )
+    assert lit == dec
+    # and the pruned model really scores differently from the raw one
+    raw = sorted(map(tuple, doc_perplexity(corpus).collect()))
+    assert lit != raw
+
+
+def test_fused_filter_matches_declarative_and_keeps_duplicates(spark):
+    # the fused small-gate plan (score + keep decision in ONE
+    # aggregate) must return exactly the declarative semi-join's rows,
+    # including BOTH physical rows of a duplicated doc_id
+    import pandas as pd
+
+    texts = dict(DOCS)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts) + [0],  # duplicate id 0
+            "text": list(texts.values()) + [texts[0]],
+            "extra": [f"x{i}" for i in range(len(texts))] + ["xdup"],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    thr = 6.0
+    ref = corpus.filter(F.col("doc_id") <= 2)
+    fused = sorted(
+        map(tuple, perplexity_filter(corpus, max_ppl=thr, reference=ref).collect())
+    )
+    decl = sorted(
+        map(
+            tuple,
+            perplexity_filter(
+                corpus, max_ppl=thr, reference=ref, broadcast_model=False
+            ).collect(),
+        )
+    )
+    assert fused == decl
+    assert [r[0] for r in fused].count(0) == 2  # both dup-id rows survive
+    # schema passes through unchanged (order, names)
+    out = perplexity_filter(corpus, max_ppl=thr, reference=ref)
+    assert out.columns == corpus.columns
+    # self-trained fused path agrees with its declarative twin too
+    f2 = sorted(map(tuple, perplexity_filter(corpus, max_ppl=thr).collect()))
+    d2 = sorted(
+        map(
+            tuple,
+            perplexity_filter(corpus, max_ppl=thr, broadcast_model=False).collect(),
+        )
+    )
+    assert f2 == d2
+
+
+def test_scoped_tiny_collect_thread_isolation(spark):
+    # mandate r9 #6: the session-global AQE/shuffle-partition window
+    # around tiny collects must not leak between two guard users on
+    # one SparkSession — the shared lock serializes them and each
+    # restores the exact prior conf
+    import threading
+    import time as _time
+
+    from flox_spark.plans.util import scoped_tiny_collect
+
+    conf = spark.conf
+    before = (
+        conf.get("spark.sql.adaptive.enabled", "true"),
+        conf.get("spark.sql.shuffle.partitions", "200"),
+    )
+    seen = []
+    errs = []
+
+    def worker(tag):
+        try:
+            with scoped_tiny_collect(spark):
+                # inside the guard the window is ours alone
+                assert conf.get("spark.sql.adaptive.enabled") == "false"
+                assert conf.get("spark.sql.shuffle.partitions") == "4"
+                seen.append((tag, "in"))
+                _time.sleep(0.05)
+                # reentrant: a nested guarded helper must not deadlock
+                with scoped_tiny_collect(spark):
+                    assert conf.get("spark.sql.shuffle.partitions") == "4"
+                seen.append((tag, "out"))
+        except Exception as e:  # pragma: no cover
+            errs.append((tag, e))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    after = (
+        conf.get("spark.sql.adaptive.enabled", "true"),
+        conf.get("spark.sql.shuffle.partitions", "200"),
+    )
+    assert after == before
+    # the lock serializes: each thread's in/out are adjacent
+    for i in range(0, len(seen), 2):
+        assert seen[i][0] == seen[i + 1][0]
+        assert (seen[i][1], seen[i + 1][1]) == ("in", "out")
