@@ -60,10 +60,14 @@ def _doc_bigrams(
     ONE (id, NULL, NULL) row for a doc with no valid bigrams — the
     scoring aggregate then covers every document in a single pass,
     with no second corpus-wide distinct + re-attach join."""
-    # min_bytes gate: tokenize+explode is a few regex ops per row —
-    # under ~8 MB the fan-out exchange costs more than the single-task
-    # compute it spreads (ensure_parallelism docstring's measurement)
-    toks = ensure_parallelism(df, min_bytes=8 << 20).select(
+    # min_bytes gate at 1 MB, NOT ensure_parallelism's cheap-work 8 MB:
+    # plan stats report COMPRESSED parquet bytes and text compresses
+    # ~5-10x, while tokenize+explode is regex work per UNCOMPRESSED
+    # byte — measured r10 on a 1 MB-stats/50k-doc corpus: the skipped
+    # fan-out left tokenization on ONE task, 3.6 s vs 0.7 s
+    # repartitioned (doc_perplexity 0.8 -> 0.4); at 0.6 MB stats the
+    # two gates agree (exchange ~ single-task cost)
+    toks = ensure_parallelism(df, min_bytes=1 << 20).select(
         F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
     )
     # ONE expr string: the nested transform/filter built from Python
@@ -430,7 +434,9 @@ def _fused_filter_small(
     from flox_spark.plans.util import estimate_size_bytes, materialize_shared
 
     spark = corpus.sparkSession
-    toks = ensure_parallelism(corpus, min_bytes=8 << 20).select(
+    # 1 MB gate, not 8 MB: compressed stats undershoot tokenize work
+    # by the text compression ratio (see _doc_bigrams' measurement)
+    toks = ensure_parallelism(corpus, min_bytes=1 << 20).select(
         F.struct(*[F.col(c) for c in corpus.columns]).alias("__row"),
         F.col(id_col).alias("__id"),
         _word_tokens(F.col(text_col)).alias("__t"),

@@ -663,8 +663,126 @@ def extras_sf1(spark, runs: int = 2) -> dict:
     return result
 
 
+def streaming_state_scaling(spark, quick: bool) -> dict:
+    """r9 VERDICT #7: the applyInPandasWithState operators carry
+    O(keys)/O(buckets) state claims with no measured table.  Drive
+    1M+ events over 100k keys (and 100k+ docs through the LSH bucket
+    memory) in multiple availableNow micro-batches and record, per
+    batch, what StreamingQueryProgress reports: input rows, batch
+    latency, state rows, state memory."""
+    import json as _json
+    import os
+    import shutil
+
+    from flox_spark.streaming import stream_minhash_neardup, stream_sessionize
+
+    base = "/tmp/flox_stream_scale"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def pdict(p):
+        if isinstance(p, dict):
+            return p
+        j = p.json() if callable(getattr(p, "json", None)) else p.json
+        return _json.loads(j)
+
+    def run(qdf, name):
+        q = (
+            qdf.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(base, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = []
+        for p in map(pdict, q.recentProgress):
+            if not p.get("stateOperators") or p.get("numInputRows", 0) == 0:
+                continue
+            so = p["stateOperators"][0]
+            batches.append(
+                {
+                    "input_rows": p["numInputRows"],
+                    "batch_ms": p.get("batchDuration"),
+                    "state_rows": so.get("numRowsTotal"),
+                    "state_updated": so.get("numRowsUpdated"),
+                    "state_mem_mb": round(
+                        so.get("memoryUsedBytes", 0) / 1e6, 1
+                    ),
+                }
+            )
+        total_rows = sum(b["input_rows"] for b in batches)
+        total_ms = sum(b["batch_ms"] or 0 for b in batches)
+        return {
+            "batches": batches,
+            "total_input_rows": total_rows,
+            "final_state_rows": batches[-1]["state_rows"] if batches else None,
+            "max_state_mem_mb": max(
+                (b["state_mem_mb"] for b in batches), default=None
+            ),
+            "rows_per_sec": round(total_rows / max(total_ms / 1000.0, 1e-9)),
+        }
+
+    out = {}
+    # 1) sessionize: state is ONE (last_ts, sid) row per entity —
+    # O(keys), must plateau at n_keys regardless of event volume
+    n_events, n_keys, n_files = (
+        (300_000, 30_000, 3) if quick else (1_200_000, 100_000, 6)
+    )
+    src = os.path.join(base, "events_src")
+    per = n_events // n_files
+
+    def ev(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % n_keys).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000).cast("long") + F.col("id") / F.lit(1000.0)
+            ).alias("ts"),
+            ((F.col("id") * 1103515245 + 12345) % 1000).cast("double").alias(
+                "value"
+            ),
+        )
+
+    for i in range(n_files):
+        ev(i * per, (i + 1) * per).coalesce(1).write.mode("append").parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out[f"sessionize_{n_events}ev_{n_keys}keys"] = run(
+        stream_sessionize(stream, "user_id", ts="ts", gap_seconds=60.0), "sess"
+    )
+
+    # 2) LSH near-dup bucket memory: state is one (rep, n) row per
+    # (band, bkey) bucket — O(distinct buckets), the family whose
+    # growth is data-dependent
+    n_docs, n_dfiles = (20_000, 2) if quick else (120_000, 4)
+    dsrc = os.path.join(base, "docs_src")
+    dper = n_docs // n_dfiles
+    for i in range(n_dfiles):
+        synth_docs(spark, n_docs).filter(
+            (F.col("doc_id") >= i * dper) & (F.col("doc_id") < (i + 1) * dper)
+        ).coalesce(1).write.mode("append").parquet(dsrc)
+    dsch = spark.read.parquet(dsrc).schema
+    dstream = (
+        spark.readStream.schema(dsch).option("maxFilesPerTrigger", 1).parquet(dsrc)
+    )
+    out[f"minhash_neardup_{n_docs}docs"] = run(
+        stream_minhash_neardup(dstream), "neardup"
+    )
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--streaming" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(
+            json.dumps(
+                {"streaming_state": streaming_state_scaling(spark, quick)},
+                indent=2,
+            )
+        )
+        return
     if "--extras-sf1" in sys.argv:
         spark = get_spark("bench_scale")
         print(json.dumps({"extras_sf1": extras_sf1(spark)}, indent=2))
