@@ -484,12 +484,91 @@ def winsorize_group(
         F.element_at("__wq", 1).alias("__wlo"),
         F.element_at("__wq", 2).alias("__whi"),
     )
+
+    def _clip(lo_col, hi_col):
+        v = F.col(value)
+        vd = F.nanvl(v.cast("double"), F.lit(None))
+        clipped = F.least(F.greatest(vd, lo_col), hi_col)
+        return F.when(
+            vd.isNotNull() & lo_col.isNotNull() & hi_col.isNotNull(), clipped
+        ).otherwise(v.cast("double"))
+
+    # LITERAL-FENCES small path: the fences frame is GROUP-sized, and
+    # for a handful of groups the whole operator is a projection —
+    # collect the fences (one scoped tiny collect; the lm/kmeans
+    # literal-model pattern) and clip against two literal maps keyed
+    # by the stringified group tuple.  Kills the agg-side AQE
+    # broadcast-build + exchange pair: 3 jobs -> 2 at sf0.1.  Gated on
+    # 32 MB input stats AND string/integer/date group keys (their
+    # str() round-trips Spark's string cast exactly; floats/booleans/
+    # timestamps don't) AND <= 256 groups (a when-free map literal
+    # keeps codegen sane).  NULL group keys: the NULL-propagating
+    # concat yields a NULL key -> NULL fences -> pass-through, the
+    # same outcome as the left join.  Web-scale inputs keep the
+    # declarative broadcast join.
+    _SAFE_KEYS = {"string", "bigint", "int", "smallint", "tinyint", "date"}
+    from flox_spark.plans.util import estimate_size_bytes
+
+    sts = estimate_size_bytes(df)
+    if (
+        sts is not None
+        and sts < (32 << 20)
+        and not df.isStreaming
+        and all(df.schema[b].dataType.simpleString() in _SAFE_KEYS for b in by)
+    ):
+        from flox_spark.plans.util import scoped_tiny_collect
+
+        with scoped_tiny_collect(df.sparkSession):
+            rows = stats.collect()
+        keyed = [
+            r for r in rows if all(r[b] is not None for b in by)
+        ]
+        if len(keyed) <= 256:
+            sep = "\x1f"
+            if len(by) == 1:
+                key = F.col(by[0]).cast("string")
+            else:
+                parts = []
+                for b in by:
+                    if parts:
+                        parts.append(F.lit(sep))
+                    parts.append(F.col(b).cast("string"))
+                key = F.concat(*parts)  # NULL-propagating by design
+
+            def fence_map(field):
+                items = []
+                for r in keyed:
+                    items.append(F.lit(sep.join(str(r[b]) for b in by)))
+                    items.append(F.lit(r[field]).cast("double"))
+                return F.create_map(*items) if items else None
+
+            lo_m, hi_m = fence_map("__wlo"), fence_map("__whi")
+            if lo_m is None:
+                # no non-NULL-keyed groups: every row passes through
+                return df.withColumn(out, _clip(F.lit(None).cast("double"),
+                                                F.lit(None).cast("double")))
+            lo = F.when(key.isNotNull(), F.element_at(lo_m, key))
+            hi = F.when(key.isNotNull(), F.element_at(hi_m, key))
+            return df.withColumn(out, _clip(lo, hi))
+        # many groups: the collect already paid — re-enter the plan as
+        # an Arrow LocalRelation (broadcasts with no build job)
+        import pandas as pd
+
+        local = df.sparkSession.createDataFrame(
+            pd.DataFrame({
+                **{b: [r[b] for r in rows] for b in by},
+                "__wlo": pd.Series([r["__wlo"] for r in rows], dtype="float64"),
+                "__whi": pd.Series([r["__whi"] for r in rows], dtype="float64"),
+            }),
+            stats.schema,
+        )
+        stats = F.broadcast(local)
+        joined = df.join(stats, list(by), "left")
+        return joined.withColumn(
+            out, _clip(F.col("__wlo"), F.col("__whi"))
+        ).drop("__wlo", "__whi")
+
     joined = df.join(F.broadcast(stats), list(by), "left")
-    v = F.col(value)
-    vd = F.nanvl(v.cast("double"), F.lit(None))
-    clipped = F.least(F.greatest(vd, F.col("__wlo")), F.col("__whi"))
-    expr = F.when(
-        vd.isNotNull() & F.col("__wlo").isNotNull() & F.col("__whi").isNotNull(),
-        clipped,
-    ).otherwise(v.cast("double"))
-    return joined.withColumn(out, expr).drop("__wlo", "__whi")
+    return joined.withColumn(
+        out, _clip(F.col("__wlo"), F.col("__whi"))
+    ).drop("__wlo", "__whi")
