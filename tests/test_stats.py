@@ -481,3 +481,66 @@ def test_winsorize_validates_bounds(spark, sdata):
 
     with pytest.raises(ValueError, match="lower"):
         winsorize_group(spark.createDataFrame(sdata), "k", value="v", lower=0.9, upper=0.1)
+
+
+def test_winsorize_literal_fences_branches(spark):
+    # r10: the small-gate literal-fences path must agree with the
+    # declarative broadcast join on every branch — multi-key groups,
+    # NULL group keys (pass-through), float values with NaN, and the
+    # >256-group Arrow-LocalRelation fallback
+    import pandas as pd
+
+    from flox_spark import winsorize_group
+
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "k1": [None if i % 17 == 0 else f"g{i % 3}" for i in range(n)],
+            "k2": [i % 2 for i in range(n)],
+            "v": [
+                float("nan") if i % 29 == 0 else ((i * 37) % 500) / 7.0
+                for i in range(n)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)  # LocalRelation: small stats -> literal path
+    lit_rows = sorted(
+        map(
+            tuple,
+            winsorize_group(df, "k1", "k2", value="v", out="w")
+            .fillna({"w": -1.0})
+            .collect(),
+        ),
+        key=str,
+    )
+    # force the declarative join by funneling through a stats-less
+    # frame (localCheckpoint loses plan stats -> gate skips)
+    dfu = df.localCheckpoint(eager=True)
+    join_rows = sorted(
+        map(
+            tuple,
+            winsorize_group(dfu, "k1", "k2", value="v", out="w")
+            .fillna({"w": -1.0})
+            .collect(),
+        ),
+        key=str,
+    )
+    assert lit_rows == join_rows
+    # >256 groups: the collected fences re-enter as an Arrow frame
+    pdf2 = pd.DataFrame(
+        {
+            "k": [f"g{i % 400}" for i in range(4000)],
+            "v": [((i * 13) % 997) / 3.0 for i in range(4000)],
+        }
+    )
+    df2 = spark.createDataFrame(pdf2)
+    a = sorted(map(tuple, winsorize_group(df2, "k", value="v", out="w").collect()))
+    b = sorted(
+        map(
+            tuple,
+            winsorize_group(
+                df2.localCheckpoint(eager=True), "k", value="v", out="w"
+            ).collect(),
+        )
+    )
+    assert a == b
