@@ -212,7 +212,13 @@ def _collect_literal_model(
         {
             "w1": pd.Series(keys, dtype=object),
             "__cm": pd.Series([cm[w] for w in keys], dtype=object),
-            "c1": pd.Series([c1[w] for w in keys], dtype="int64" if keys else object),
+            # .get(w, 0), not [w]: a supplied contexts frame pruned
+            # MORE aggressively than the bigrams leaves a bigram's w1
+            # without a c1 row — the declarative left join scores it
+            # coalesce(c1, 0), so the literal lookup must too
+            "c1": pd.Series(
+                [c1.get(w, 0) for w in keys], dtype="int64" if keys else object
+            ),
         }
     )
     return spark.createDataFrame(pdf, schema), (

@@ -416,3 +416,39 @@ def test_scoped_tiny_collect_thread_isolation(spark):
     for i in range(0, len(seen), 2):
         assert seen[i][0] == seen[i + 1][0]
         assert (seen[i][1], seen[i + 1][1]) == ("in", "out")
+
+
+def test_supplied_overpruned_contexts_matches_declarative(spark):
+    # a contexts frame pruned MORE aggressively than the bigrams (a
+    # bigram's w1 with no c1 row) must score like the declarative left
+    # join (coalesce(c1, 0)), not crash the literal collapse
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": list(DOCS), "text": list(DOCS.values())})
+    corpus = spark.createDataFrame(pdf)
+    bigrams, contexts, vocab = train_bigram_lm(corpus)
+    bp = bigrams.toPandas()
+    cp = contexts.toPandas()
+    cp = cp[cp["w1"] != "the"]  # prune the most common context
+    vp = vocab.toPandas()
+    pruned = (
+        spark.createDataFrame(bp, schema=bigrams.schema),
+        spark.createDataFrame(cp, schema=contexts.schema),
+        spark.createDataFrame(vp, schema=vocab.schema),
+    )
+    lit = sorted(map(tuple, doc_perplexity(corpus, model=pruned).collect()))
+    dec = sorted(
+        map(
+            tuple,
+            doc_perplexity(corpus, model=pruned, broadcast_model=False).collect(),
+        )
+    )
+    assert len(lit) == len(dec)
+    for a, b in zip(lit, dec):
+        assert a[:2] == b[:2]
+        # scores agree to last-ulp class (avg fold order differs
+        # between the fused lookup and the two-join shape)
+        if a[2] is None:
+            assert b[2] is None
+        else:
+            assert a[2] == pytest.approx(b[2], rel=1e-12)
