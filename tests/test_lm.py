@@ -285,6 +285,23 @@ def test_literal_model_hypothesis_parity(spark, tmp_path):
                 else:
                     assert got["n_bigrams"] == nb, i
                     assert got["ppl"] == pytest.approx(ppl, rel=1e-12), i
+        # r10: the fused keep-in-plan filter must keep exactly the
+        # python-derived set at a threshold that splits the scores
+        finite = sorted(p for _, p in exp.values() if p is not None)
+        thr = finite[len(finite) // 2] if finite else 1.0
+        want = {
+            i for i, (_, p) in exp.items() if p is None or round(p, 6) <= thr
+        }
+        got_fused = {
+            r["doc_id"] for r in perplexity_filter(pq, max_ppl=thr).collect()
+        }
+        got_decl = {
+            r["doc_id"]
+            for r in perplexity_filter(
+                pq, max_ppl=thr, broadcast_model=False
+            ).collect()
+        }
+        assert got_fused == got_decl == want
 
     check()
 
