@@ -437,17 +437,18 @@ def q_ann_topk_768(s, d):
     # arithmetic at 12x the cost, while the check that matters is the
     # forced Arrow kernel running under the driver's harness)
     emb = _t(s, d, "embeddings")
-    tiles = F.flatten(
-        F.array(
-            *[
-                F.transform(
-                    "embedding",
-                    lambda x, i=i: x.cast("double") * F.lit(1.0 + 0.1 * i),
-                )
-                for i in range(12)
-            ]
+
+    # single-arg lambda with the tile scale baked in: a 2-param
+    # F.transform lambda binds its SECOND parameter to the array
+    # element index, shadowing any captured tile index (r10 ADVICE —
+    # that variant scaled all 12 tiles identically per element,
+    # making the synthesized vectors degenerate repeats)
+    def _tile(scale: float):
+        return F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(scale)
         )
-    )
+
+    tiles = F.flatten(F.array(*[_tile(1.0 + 0.1 * i) for i in range(12)]))
     base = emb.select("vec_id", tiles.alias("embedding"))
     queries_df = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -272,7 +272,13 @@ def kmeans_fit(
     (``semantic_dedup_pairs``) skips a whole re-assignment pass — at
     web-scale k that pass is the dominant cost (SCALE.md, 6M x
     k=24000).  ``assigned`` is None when ``max_iter <= 0`` (the seed
-    draw assigns nothing)."""
+    draw assigns nothing).
+
+    NB the driver loop runs eager per-iteration collects through
+    ``scoped_tiny_collect`` (k-sized traffic, never data-sized): the
+    fit is not session-concurrent with arbitrary OUTSIDE queries on
+    the same SparkSession — each collect briefly scopes session-global
+    conf (see that helper's docstring for the full caveat)."""
     from flox_spark.plans import ensure_parallelism
     from flox_spark.plans.util import estimate_size_bytes
 
@@ -498,31 +504,40 @@ def _kmeans_driver_loop(
 
     use_literal = False
     assign_cents: list | None = None
-    with scoped_tiny_collect(spark):
-        for it in range(max(max_iter, 0)):
-            if it == 0:
-                # seed collect first: a 2k-sized TakeOrderedAndProject
-                # job (never data-sized); ragged-drop + k-select in
-                # Python (_seed_cents).  Fewer than k surviving seeds
-                # (input smaller than k): only the seeded clusters
-                # exist, matching the plan loop.
-                cents = _seed_cents(cand.collect(), k)
-                if not cents:
-                    empty = spark.createDataFrame(
-                        [], schema="__cid int, centroid array<double>"
-                    )
-                    return (empty, None) if return_assignment else empty
-                dim = len(cents[0])
-                use_literal = len(cents) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
-            assign_cents = cents  # the centroids this E-step labels with
-            if use_literal:
-                assigned = base.withColumn("__cents", _literal_centroids(cents))
-            else:
-                packed = spark.createDataFrame(
-                    [([(i, c) for i, c in enumerate(cents)],)],
-                    schema=_PACKED_SCHEMA,
+    # guard PER COLLECT, never around the whole Lloyd loop: the guard
+    # holds a process-wide lock, so wrapping the full fit would block
+    # every other operator's scoped collect (LM literal model,
+    # winsorize fences, semdedup cap) on ANY session in the process
+    # for the fit's entire duration (r10 ADVICE liveness note).  The
+    # per-collect flip/restore is four conf round-trips (~ms) against
+    # a per-iteration Spark job.
+    for it in range(max(max_iter, 0)):
+        if it == 0:
+            # seed collect first: a 2k-sized TakeOrderedAndProject
+            # job (never data-sized); ragged-drop + k-select in
+            # Python (_seed_cents).  Fewer than k surviving seeds
+            # (input smaller than k): only the seeded clusters
+            # exist, matching the plan loop.
+            with scoped_tiny_collect(spark):
+                cand_rows = cand.collect()
+            cents = _seed_cents(cand_rows, k)
+            if not cents:
+                empty = spark.createDataFrame(
+                    [], schema="__cid int, centroid array<double>"
                 )
-                assigned = base.crossJoin(F.broadcast(packed))
+                return (empty, None) if return_assignment else empty
+            dim = len(cents[0])
+            use_literal = len(cents) * dim <= _LITERAL_CENTROIDS_MAX_VALUES
+        assign_cents = cents  # the centroids this E-step labels with
+        if use_literal:
+            assigned = base.withColumn("__cents", _literal_centroids(cents))
+        else:
+            packed = spark.createDataFrame(
+                [([(i, c) for i, c in enumerate(cents)],)],
+                schema=_PACKED_SCHEMA,
+            )
+            assigned = base.crossJoin(F.broadcast(packed))
+        with scoped_tiny_collect(spark):
             rows = (
                 assigned.select(_nearest_cid("__v").alias("__cid"), "__v")
                 .select("__cid", F.posexplode("__v").alias("pos", "x"))
@@ -530,46 +545,48 @@ def _kmeans_driver_loop(
                 .agg(F.avg("x").alias("m"))
                 .collect()
             )
-            new_cents = [list(c) for c in cents]  # empty keep previous
-            for r in rows:
-                # cid -1 is the all-invalid-distance sentinel from
-                # _nearest_cid (NaN/NULL/short vectors): those rows
-                # belong to NO cluster — dropping them here matches
-                # the plan loop's left-join (an unmatched cid keeps
-                # the previous centroid); indexing with -1 would
-                # silently overwrite the LAST centroid
-                if r["__cid"] >= 0:
-                    new_cents[r["__cid"]][r["pos"]] = r["m"]
-            if tol is not None:
-                # NULL-element seed coordinates persist across
-                # iterations (no row ever assigns to a NULL-element
-                # centroid) — skip any pair that isn't two finite
-                # floats instead of raising on None/NaN
-                shift = max(
-                    (
-                        abs(a - b)
-                        for nc, oc in zip(new_cents, cents)
-                        for a, b in zip(nc, oc)
-                        if a is not None
-                        and b is not None
-                        and math.isfinite(a)
-                        and math.isfinite(b)
-                    ),
-                    default=0.0,
-                )
-                cents = new_cents
-                if shift <= tol:
-                    break
-            else:
-                cents = new_cents
-        if max_iter <= 0:
-            # no iterations requested: the seed draw IS the fit
-            cents = _seed_cents(cand.collect(), k)
-            if not cents:
-                empty = spark.createDataFrame(
-                    [], schema="__cid int, centroid array<double>"
-                )
-                return (empty, None) if return_assignment else empty
+        new_cents = [list(c) for c in cents]  # empty keep previous
+        for r in rows:
+            # cid -1 is the all-invalid-distance sentinel from
+            # _nearest_cid (NaN/NULL/short vectors): those rows
+            # belong to NO cluster — dropping them here matches
+            # the plan loop's left-join (an unmatched cid keeps
+            # the previous centroid); indexing with -1 would
+            # silently overwrite the LAST centroid
+            if r["__cid"] >= 0:
+                new_cents[r["__cid"]][r["pos"]] = r["m"]
+        if tol is not None:
+            # NULL-element seed coordinates persist across
+            # iterations (no row ever assigns to a NULL-element
+            # centroid) — skip any pair that isn't two finite
+            # floats instead of raising on None/NaN
+            shift = max(
+                (
+                    abs(a - b)
+                    for nc, oc in zip(new_cents, cents)
+                    for a, b in zip(nc, oc)
+                    if a is not None
+                    and b is not None
+                    and math.isfinite(a)
+                    and math.isfinite(b)
+                ),
+                default=0.0,
+            )
+            cents = new_cents
+            if shift <= tol:
+                break
+        else:
+            cents = new_cents
+    if max_iter <= 0:
+        # no iterations requested: the seed draw IS the fit
+        with scoped_tiny_collect(spark):
+            cand_rows = cand.collect()
+        cents = _seed_cents(cand_rows, k)
+        if not cents:
+            empty = spark.createDataFrame(
+                [], schema="__cid int, centroid array<double>"
+            )
+            return (empty, None) if return_assignment else empty
 
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"

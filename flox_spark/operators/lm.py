@@ -317,13 +317,23 @@ def doc_perplexity(
                 # small reference: collect the counts agg directly —
                 # train_bigram_lm's checkpoint + contexts/vocab frames
                 # are dead weight on the literal path (c1/V derive on
-                # the driver); saves the checkpoint job
-                literal_model = _collect_literal_model(
+                # the driver); saves the checkpoint job.  The collect
+                # itself is bounded by the 8 MB MODEL gate on the agg's
+                # plan stats, not the corpus gate: compressed text
+                # stats undershoot ~5-10x, so a 32 MB-stats reference
+                # can hold millions of distinct bigram types — the
+                # corpus gate alone would ship them all to the driver
+                # (r10 ADVICE)
+                cnt = (
                     _doc_bigrams(reference, id_col, text_col)
                     .groupBy("w1", "w2")
-                    .agg(F.count(F.lit(1)).alias("c")),
-                    corpus.sparkSession,
+                    .agg(F.count(F.lit(1)).alias("c"))
                 )
+                msize = _est(cnt)
+                if msize is not None and msize < (8 << 20):
+                    literal_model = _collect_literal_model(
+                        cnt, corpus.sparkSession
+                    )
             if literal_model is None:
                 model = train_bigram_lm(reference, id_col, text_col)
     bigrams = contexts = vocab = None
@@ -427,8 +437,9 @@ def _fused_filter_small(
     PHYSICAL corpus row attaches its struct to exactly one exploded
     row (pos 0, or the NULL sentinel for bigram-less docs), duplicate
     ids pool their bigrams in the per-id aggregate exactly like
-    ``doc_perplexity``, and the surviving groups explode back to all
-    their original rows.
+    ``doc_perplexity``, the surviving groups explode back to all
+    their original rows, and NULL-id rows drop (the declarative
+    semi-join's equality key never matches NULL).
 
     Returns None when the model can't collapse to a literal lookup
     (stats-unknown or >8 MB supplied/reference model) — the caller
@@ -472,17 +483,24 @@ def _fused_filter_small(
         lookup, V = _collect_literal_model(bigrams, spark, contexts, vocab)
     elif reference is not None:
         rsize = estimate_size_bytes(reference)
+        rcnt = None
         if rsize is not None and rsize < (32 << 20):
             # small reference corpus: ONE counts agg straight to the
             # driver.  train_bigram_lm's contexts/vocab frames and the
             # shared checkpoint it stages for its three consumers are
             # dead weight on the literal path (c1/V derive on the
-            # driver) — skipping them saves the checkpoint job
+            # driver) — skipping them saves the checkpoint job.  Like
+            # doc_perplexity's twin, the collect is bounded by the
+            # 8 MB MODEL gate on the agg's plan stats (compressed text
+            # stats undershoot ~5-10x — r10 ADVICE), never the corpus
+            # gate alone
             rbg = _doc_bigrams(reference, id_col, text_col)
-            lookup, V = _collect_literal_model(
-                rbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")),
-                spark,
-            )
+            rcnt = rbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+            rmsize = estimate_size_bytes(rcnt)
+            if rmsize is None or rmsize >= (8 << 20):
+                rcnt = None
+        if rcnt is not None:
+            lookup, V = _collect_literal_model(rcnt, spark)
         else:
             bigrams, contexts, vocab = train_bigram_lm(
                 reference, id_col, text_col
@@ -514,7 +532,15 @@ def _fused_filter_small(
     )
     ppl = F.exp(-F.col("__mlp"))
     scr = F.round(ppl, round_digits) if round_digits is not None else ppl
-    kept = per_doc.filter(scr.isNull() | (scr <= F.lit(float(max_ppl))))
+    # NULL-id rows ALWAYS drop: the declarative path's left-semi
+    # equality join can never match a NULL key, so those physical rows
+    # never survive there — the fused plan must agree regardless of
+    # which side of the stats gate the input lands on (their bigrams
+    # still train the self-model, same as train_bigram_lm over the
+    # full corpus)
+    kept = per_doc.filter(
+        F.col("__id").isNotNull() & (scr.isNull() | (scr <= F.lit(float(max_ppl))))
+    )
     return kept.select(F.explode("__rows").alias("__r")).select("__r.*")
 
 

@@ -1157,7 +1157,14 @@ def semantic_dedup_pairs(
     small path, plan-stats-estimated otherwise — dominates the Arrow
     round trip; oracle-scale inputs keep the bit-exact declarative
     arithmetic).  Same split, gates, and corrupt-row semantics as
-    ``embedding_near_duplicates``."""
+    ``embedding_near_duplicates``.
+
+    NB on the small-gate path the seed draw and the ``max_cluster``
+    cap run eager collects at PLAN-BUILD time through
+    ``scoped_tiny_collect`` (k-/cell-sized traffic): small inputs make
+    this builder not session-concurrent with arbitrary OUTSIDE queries
+    on the same SparkSession (see that helper's docstring).  The large
+    path is fully declarative."""
     from flox_spark.operators.dedup import cap_buckets
     from flox_spark.operators.kmeans import (
         _nearest_cid,

@@ -452,7 +452,14 @@ def winsorize_group(
     vector-q quantile reduction (q=[lower, upper] shares the scan /
     sketch / candidate passes) pivoted to columns on the group-sized
     result — measured ~2x over two independent quantile
-    aggregations."""
+    aggregations.
+
+    NB under the small-input gate the fences are collected at
+    PLAN-BUILD time through ``scoped_tiny_collect`` (group-sized
+    traffic): on small inputs this builder has action-time side
+    effects and is not session-concurrent with arbitrary OUTSIDE
+    queries on the same SparkSession (see that helper's docstring).
+    Web-scale inputs keep the fully declarative broadcast join."""
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
     out = out or value
@@ -523,8 +530,17 @@ def winsorize_group(
         keyed = [
             r for r in rows if all(r[b] is not None for b in by)
         ]
-        if len(keyed) <= 256:
-            sep = "\x1f"
+        # multi-key literal maps join the group parts with '\x1f'; a
+        # string key CONTAINING that byte can alias two distinct group
+        # tuples to one map key (DUPLICATED_MAP_KEY at runtime, or the
+        # wrong fences under LAST_WIN — r10 ADVICE).  Detect it in the
+        # collected rows and take the Arrow-LocalRelation join branch,
+        # which keys on the real columns
+        sep = "\x1f"
+        sep_unsafe = len(by) > 1 and any(
+            isinstance(r[b], str) and sep in r[b] for r in keyed for b in by
+        )
+        if len(keyed) <= 256 and not sep_unsafe:
             if len(by) == 1:
                 key = F.col(by[0]).cast("string")
             else:

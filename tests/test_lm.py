@@ -350,9 +350,12 @@ def test_fused_filter_matches_declarative_and_keeps_duplicates(spark):
     texts = dict(DOCS)
     pdf = pd.DataFrame(
         {
-            "doc_id": list(texts) + [0],  # duplicate id 0
-            "text": list(texts.values()) + [texts[0]],
-            "extra": [f"x{i}" for i in range(len(texts))] + ["xdup"],
+            # duplicate id 0 plus a NULL id: the fused plan must keep
+            # both dup rows and DROP the NULL-id row (the declarative
+            # left-semi equality join never matches NULL — r10 ADVICE)
+            "doc_id": pd.Series(list(texts) + [0, None], dtype="Int64"),
+            "text": list(texts.values()) + [texts[0], texts[1]],
+            "extra": [f"x{i}" for i in range(len(texts))] + ["xdup", "xnull"],
         }
     )
     corpus = spark.createDataFrame(pdf)
@@ -371,6 +374,7 @@ def test_fused_filter_matches_declarative_and_keeps_duplicates(spark):
     )
     assert fused == decl
     assert [r[0] for r in fused].count(0) == 2  # both dup-id rows survive
+    assert all(r[0] is not None for r in fused)  # NULL-id row dropped
     # schema passes through unchanged (order, names)
     out = perplexity_filter(corpus, max_ppl=thr, reference=ref)
     assert out.columns == corpus.columns
@@ -418,7 +422,29 @@ def test_scoped_tiny_collect_thread_isolation(spark):
         except Exception as e:  # pragma: no cover
             errs.append((tag, e))
 
+    # r10 VERDICT #7: one of the guard users is a REAL operator-level
+    # call (perplexity_filter's fused path collects the literal model
+    # through the guard at plan-build time) — the operator must
+    # interleave with the raw guard users without deadlock or conf
+    # leak, and still return the right rows
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(DOCS), "text": list(DOCS.values())}
+    )
+    corpus = spark.createDataFrame(pdf)
+    op_rows = []
+
+    def op_worker():
+        try:
+            op_rows.extend(
+                perplexity_filter(corpus, max_ppl=1e9).select("doc_id").collect()
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(("op", e))
+
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    ts.append(threading.Thread(target=op_worker))
     for t in ts:
         t.start()
     for t in ts:
@@ -429,6 +455,7 @@ def test_scoped_tiny_collect_thread_isolation(spark):
         conf.get("spark.sql.shuffle.partitions", "200"),
     )
     assert after == before
+    assert {r["doc_id"] for r in op_rows} == set(DOCS)  # nothing dropped
     # the lock serializes: each thread's in/out are adjacent
     for i in range(0, len(seen), 2):
         assert seen[i][0] == seen[i + 1][0]

@@ -544,3 +544,38 @@ def test_winsorize_literal_fences_branches(spark):
         )
     )
     assert a == b
+
+
+def test_winsorize_separator_bearing_keys(spark):
+    # r10 ADVICE: multi-key literal maps concat group parts with
+    # '\x1f'; keys CONTAINING that byte must not alias two distinct
+    # group tuples to one map key (DUPLICATED_MAP_KEY / wrong fences)
+    # — the gate detects them and takes the Arrow-join branch
+    import pandas as pd
+
+    from flox_spark import winsorize_group
+
+    # ('a\x1fb', 'c') and ('a', 'b\x1fc') concat to the SAME string
+    pdf = pd.DataFrame(
+        {
+            "k1": ["a\x1fb"] * 6 + ["a"] * 6,
+            "k2": ["c"] * 6 + ["b\x1fc"] * 6,
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0] * 2,
+        }
+    )
+    df = spark.createDataFrame(pdf)  # small stats -> literal gate fires
+    got = sorted(
+        map(tuple, winsorize_group(df, "k1", "k2", value="v", out="w").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            winsorize_group(
+                df.localCheckpoint(eager=True), "k1", "k2", value="v", out="w"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # both distinct groups were actually clipped independently
+    ws = {(r[0], r[1]) for r in got}
+    assert len(ws) == 2
