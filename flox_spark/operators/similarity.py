@@ -1232,33 +1232,26 @@ def semantic_dedup_pairs(
             F.col(id_col), F.col("__v").alias(vec_col), F.col("__cid").alias("__cl")
         )
     elif small and centroids is None and max_iter == 0 and not two_level:
-        # SMALL seed-draw path (r9): collect the 2k candidate rows
-        # (one TakeOrderedAndProject job, never data-sized) and embed
-        # the seeds as LITERAL centroids — the declarative seed
-        # subtree costs TWO AQE jobs here (the top-k stage plus the
-        # packed-broadcast build); the driver selection is
-        # _seed_cents, which mirrors the declarative window
-        # bit-exactly (kmeans driver loop's contract), so the oracle
-        # assignment is unchanged
-        from flox_spark.operators.kmeans import (
-            _literal_centroids,
-            _seed_candidates,
-            _seed_cents,
+        # SMALL seed-draw path (r11): the hash-draw init rides INSIDE
+        # the pair plan as a collect-free fragment again — but joined
+        # through a CARTESIAN with the one-row packed-seed aggregate
+        # (shuffle_replicate_nl) instead of a broadcast subquery, so
+        # there is no broadcast-build job and no separate seed-collect
+        # job: the whole seed+fold subtree materializes under the
+        # single AQE-off checkpoint job below (r10 VERDICT #1 — the
+        # seed collect was the path's 5th structural job).  Selection
+        # is ``seed_centroids``, the bit-exact plan twin of
+        # ``_seed_cents`` (kmeans contract), so the oracle assignment
+        # is unchanged; the right side is ONE row, so the cartesian
+        # replicates k*dim doubles per task, never data.
+        packed = seed_centroids(df, k, id_col=id_col, vec_col=vec_col).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cid"), F.col("centroid")))
+            ).alias("__cents")
         )
-
-        raw = df.select(
-            F.col(id_col),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        folded = fanned.crossJoin(packed.hint("shuffle_replicate_nl")).withColumn(
+            "__cl", _nearest_cid(vec_col)
         )
-        cents_list = _seed_cents(_seed_candidates(raw, k, id_col, "0").collect(), k)
-        if not cents_list:
-            return spark.createDataFrame(
-                [], schema=f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
-            )
-        folded = fanned.withColumn(
-            "__cents", _literal_centroids(cents_list)
-        ).withColumn("__cl", _nearest_cid(vec_col))
     elif two_level:
         # the numpy coarse partition needs the centroid VALUES: one
         # k-sized collect (only on this path)
@@ -1343,58 +1336,59 @@ def semantic_dedup_pairs(
     # 3. the cap window and the self-join both require
     #    hashpartitioning(__cl) and REUSE that one pinned exchange.
     if small:
-        # share the assignment fold between the probe and broadcast
-        # branches: without it the broadcast build re-runs the whole
-        # seed + fold + cap subtree (measured 1.05 s -> 0.93 s at
-        # sf0.1); the lazy local checkpoint costs no extra job — the
-        # first branch to execute materializes it
-        assigned = materialize_shared(assigned)
-        if max_cluster is not None:
-            # r9: LITERAL cap — cluster sizes are a k-row aggregate
-            # over the checkpoint, so collect them (k-sized driver
-            # traffic, the kmeans class) and cap with a literal NOT
-            # IN filter.  The declarative cap_buckets window costs a
-            # __cl exchange + window pass PER BRANCH here (probe and
-            # broadcast build both re-evaluate it); the literal
-            # filter costs zero exchanges.  The LARGE path keeps the
-            # windowed cap: its k can be huge and it already pins a
-            # reusable __cl exchange that the window shares.
-            # coalesce(1): the two-phase agg (partial + exchange +
-            # final) costs three AQE stages for a k-row result; one
-            # narrow single-task stage over the (gated-small)
-            # checkpoint collapses it — the lm.py _small vocab trick.
-            # AQE scoped off for the collect via the shared guard
-            # (plans/util.scoped_tiny_collect owns the conf flip,
-            # restore, and cross-thread lock): nothing to re-plan.
-            from flox_spark.plans.util import scoped_tiny_collect
+        # ONE structural job for the whole staging (r11): the probe
+        # fan-out exchange moves BEFORE the checkpoint, and the
+        # checkpoint RDD is CREATED inside the AQE-off guard — plan ->
+        # RDD conversion freezes the adaptive context, so the entire
+        # seed + fold + repartition subtree materializes as plain
+        # shuffle stages UNDER the sizes collect instead of a fan of
+        # separate AQE stage jobs (the r10 decomposition's extra
+        # jobs).  The checkpoint keeps the 32-way physical layout
+        # (metadata is lost, the partitions aren't), so the pair
+        # probe inherits full parallelism with no post-checkpoint
+        # exchange, and the broadcast build reads the same cache.
+        # Sharing the checkpoint between probe and broadcast branches
+        # still saves re-running the fold (measured 1.05 s -> 0.93 s
+        # at sf0.1 before the r11 restructure).
+        from flox_spark.plans.util import scoped_tiny_collect
 
-            with scoped_tiny_collect(spark):
-                sizes = assigned.coalesce(1).groupBy("__cl").count().collect()
+        with scoped_tiny_collect(spark):
+            assigned = assigned.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+            assigned = materialize_shared(assigned)
+            if max_cluster is not None:
+                # r9: LITERAL cap — cluster sizes are a k-row
+                # aggregate over the checkpoint, so collect them
+                # (k-sized driver traffic, the kmeans class) and cap
+                # with a literal NOT IN filter.  The declarative
+                # cap_buckets window costs a __cl exchange + window
+                # pass PER BRANCH here (probe and broadcast build
+                # both re-evaluate it); the literal filter costs zero
+                # exchanges.  The LARGE path keeps the windowed cap:
+                # its k can be huge and it already pins a reusable
+                # __cl exchange that the window shares.  coalesce(1):
+                # one narrow single-task stage over the (gated-small)
+                # post-shuffle cache collapses the two-phase agg —
+                # the lm.py _small vocab trick; the CPU-bound fold
+                # stays parallel on the repartition's map side.
+                sizes = (
+                    assigned.coalesce(1).groupBy("__cl").count().collect()
+                )
+        if max_cluster is not None:
             bad = [r["__cl"] for r in sizes if r["count"] > max_cluster]
             if bad:
                 assigned = assigned.filter(~F.col("__cl").isin(*[F.lit(x) for x in bad]))
-            # the sizes also give the EXACT pair-expansion work: when
-            # the quadratic stage is provably tiny (well under a
-            # second on one core), skip the probe-side exchange — its
-            # scheduling costs more than the parallelism buys.  The
-            # per-element budget depends on which kernel evaluates
-            # the pair dot: unrolled codegen (~2 ns/element, dim <=
-    	    # _UNROLL_MAX_DIM) affords ~1e8 elements; past the unroll
-            # limit the fold runs INTERPRETED at ~0.3 us/element
-            # (measured, SCALE.md) — a 5 s single-task stage at a
-            # "tiny" 3e7 — so the budget drops to ~2e6
+            # the sizes also give the EXACT pair-expansion work for
+            # the verify-kernel choice below: unrolled codegen
+            # (~2 ns/element, dim <= _UNROLL_MAX_DIM) affords ~1e8
+            # elements; past the unroll limit the fold runs
+            # INTERPRETED at ~0.3 us/element (measured, SCALE.md), so
+            # the Arrow crossover budget drops to ~2e6
             pair_work = sum(
                 r["count"] * r["count"] for r in sizes if r["count"] <= max_cluster
             ) * max(1, dim) // 2
-            budget = (1 << 27) if dim <= _UNROLL_MAX_DIM else (1 << 21)
-            if pair_work < budget:
-                a = assigned.alias("a")
-            else:
-                a = assigned.repartition(
-                    spark.sparkContext.defaultParallelism
-                ).alias("a")
-        else:
-            a = assigned.repartition(spark.sparkContext.defaultParallelism).alias("a")
+        a = assigned.alias("a")
         b = F.broadcast(assigned).alias("b")
     else:
         assigned = materialize_shared(assigned)

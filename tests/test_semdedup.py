@@ -150,3 +150,45 @@ def test_semdedup_pairs_verify_numpy_matches_expr(spark):
     assert e == n and len(e) > 0
     with _pytest.raises(ValueError, match="verify"):
         semantic_dedup_pairs(emb, verify="blas", **kw)
+
+
+def test_semdedup_small_path_is_three_jobs(spark, vecs):
+    # r11 (VERDICT #1): the small seed-draw path's whole staging —
+    # declarative cartesian-packed seeds + fold + probe fan-out — is
+    # ONE AQE-off checkpoint job under the sizes collect, then the
+    # pair query pays broadcast build + final stage: 3 jobs total
+    # (was 5: separate seed collect, checkpoint stage jobs, probe
+    # exchange).  Count via a job group around build + execution.
+    df, _ = vecs
+    sc = spark.sparkContext
+    group = "semdedup-jobs-pin"
+    sc.setJobGroup(group, "pin")
+    try:
+        out = semantic_dedup_pairs(df, k=3, dim=DIM, max_iter=0)
+        out.write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    njobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert njobs <= 3, njobs
+
+
+def test_semdedup_declarative_seed_edge_shapes(spark):
+    # the r11 declarative seed path no longer early-returns on the
+    # driver: empty inputs, fewer rows than k, and all-NULL vectors
+    # must flow through the plan to the same (typed, empty/tiny)
+    # results the literal path produced
+    from flox_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup_pairs(empty, k=4, max_iter=0, dim=DIM).collect() == []
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert semantic_dedup_pairs(nulls, k=2, max_iter=0, dim=DIM).collect() == []
+    two = spark.createDataFrame(
+        [(1, [1.0] * DIM), (2, [1.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    pairs = semantic_dedup_pairs(two, k=4, threshold=0.9, max_iter=0, dim=DIM).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    kept = semantic_dedup(two, k=4, threshold=0.9, dim=DIM, max_iter=0).collect()
+    assert [r["vec_id"] for r in kept] == [1]
