@@ -425,35 +425,84 @@ def q_ann_topk(s, d):
     return cosine_topk(emb, queries_df, k=10, dim=64)
 
 
-def q_ann_topk_768(s, d):
-    # driver-visible evidence for the high-dim Arrow kernel routes
-    # (r9 VERDICT #5): every other registry row runs at dim 64 under
-    # the stats gates, so the driver harness had never executed the
-    # matmul scorers.  Synthesize dim-768 vectors declaratively from
-    # the dim-64 embeddings (12 differently-scaled tiles), FORCE
-    # kernel='numpy', and return the top-10 per query — a k*queries
-    # row-count check (5 queries x 10 = 50 rows; rows-only like the
-    # xxhash64 twins: a SQL oracle here would just re-verify dim-64
-    # arithmetic at 12x the cost, while the check that matters is the
-    # forced Arrow kernel running under the driver's harness)
-    emb = _t(s, d, "embeddings")
-
-    # single-arg lambda with the tile scale baked in: a 2-param
-    # F.transform lambda binds its SECOND parameter to the array
-    # element index, shadowing any captured tile index (r10 ADVICE —
-    # that variant scaled all 12 tiles identically per element,
-    # making the synthesized vectors degenerate repeats)
+def _tiles768(emb):
+    # dim-768 vectors synthesized declaratively from the dim-64
+    # embeddings: 12 differently-scaled tiles.  Single-arg lambda with
+    # the tile scale baked in: a 2-param F.transform lambda binds its
+    # SECOND parameter to the array element index, shadowing any
+    # captured tile index (r10 ADVICE — that variant scaled all 12
+    # tiles identically per element, making the synthesized vectors
+    # degenerate repeats)
     def _tile(scale: float):
         return F.transform(
             "embedding", lambda x: x.cast("double") * F.lit(scale)
         )
 
     tiles = F.flatten(F.array(*[_tile(1.0 + 0.1 * i) for i in range(12)]))
-    base = emb.select("vec_id", tiles.alias("embedding"))
+    return emb.select("vec_id", tiles.alias("embedding"))
+
+
+def q_ann_topk_768(s, d):
+    # driver-visible evidence for the high-dim Arrow kernel routes
+    # (r9 VERDICT #5): every other registry row runs at dim 64 under
+    # the stats gates, so the driver harness had never executed the
+    # matmul scorers.  Synthesize dim-768 vectors (_tiles768), FORCE
+    # kernel='numpy', and return the top-10 per query — a k*queries
+    # row-count check (5 queries x 10 = 50 rows; rows-only like the
+    # xxhash64 twins: a SQL oracle here would just re-verify dim-64
+    # arithmetic at 12x the cost, while the check that matters is the
+    # forced Arrow kernel running under the driver's harness)
+    base = _tiles768(_t(s, d, "embeddings"))
     queries_df = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(base, queries_df, k=10, dim=768, kernel="numpy")
+
+
+def q_lsh_sig_768(s, d):
+    # rows-only driver evidence for _numpy_signature_pass (r10
+    # VERDICT #3): dim-768 signatures through the FORCED Arrow matmul
+    # kernel, folded to a per-band distinct-bucket count — 4 bands of
+    # 4 bits -> exactly 4 rows, with deterministic bucket counts
+    # (plane weights are a fixed integer mix).  Pytest pins the
+    # numpy/expr signature bit-parity; this row is the kernel running
+    # under the driver harness.
+    from flox_spark.operators.similarity import lsh_signature_bits
+
+    base = _tiles768(_t(s, d, "embeddings"))
+    sigs = lsh_signature_bits(base, planes=16, dim=768, kernel="numpy")
+    bands = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("sig", i * 4 + 1, 4).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.*")
+    return (
+        bands.groupBy("band")
+        .agg(F.count_distinct("bucket").alias("n_buckets"))
+        .orderBy("band")
+    )
+
+
+def q_neardup_768(s, d):
+    # rows-only driver evidence for _arrow_cosine_pass (r10 VERDICT
+    # #3): the near-dup verify stage at dim 768 through the FORCED
+    # Arrow einsum pass.  Tiling with fixed per-tile scales preserves
+    # cosine exactly (numerator and both norms scale by the same
+    # factor), so the pair decisions match the dim-64 geometry while
+    # the kernel does 12x the arithmetic; pair count is deterministic.
+    base = _tiles768(_t(s, d, "embeddings"))
+    return embedding_near_duplicates(
+        base, threshold=0.45, planes=16, bands=4, dim=768, verify="numpy",
+        round_to=6,
+    )
 
 
 def q_embed_neardup(s, d):
@@ -2089,25 +2138,71 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict.  Round-10 window: [1-10] every row
-    # whose implementation changed this round (fused perplexity_filter
-    # keep-in-plan rewrite + literal-model supplied-contexts fix,
-    # normalize dim-parity kernel fix, the scoped_tiny_collect conf
-    # guard under kmeans/semdedup/ann) plus the NEW rows-only
-    # ann_topk_768 forced-Arrow-kernel row, [11-22] the r2-r4 rows the
-    # r9 VERDICT named as longest without driver hash-evidence,
-    # [23-50] the r5-r7 dedup/similarity/session/encoding families not
-    # windowed since their landing rounds.  All pass
-    # tools/check_oracle.py at sf0.001/0.01/0.1 regardless of window
-    # position.
+    # 50-query prefix of this dict.  Round-11 window: [1-10] every row
+    # whose implementation changed this round (fused-filter NULL-id
+    # fix, literal-model collect bound, winsorize separator guard,
+    # kmeans per-collect conf guard, the semdedup_pairs one-job
+    # staging restructure, the ann_topk_768 tile-scale fix) plus the
+    # NEW rows-only lsh_sig_768 / neardup_768 forced-Arrow-kernel rows
+    # and simhash_pairs (the r10 watch item), [11-27] the seventeen
+    # r7-era rows the r10 VERDICT named as longest without driver hash
+    # evidence, [28-50] the oldest 23 of the r8 cohort (the remaining
+    # nine — chunk_docs, profile, quality_report, salted_sum,
+    # weighted_mean, rank_pct, skew, kurtosis, leakage_split — lead
+    # the r12 rotation).  All pass tools/check_oracle.py at
+    # sf0.001/0.01/0.1 regardless of window position.
     return {
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
-        "embed_normalize": q_embed_normalize,
+        "winsorize": q_winsorize,
         "kmeans": q_kmeans,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup": q_semdedup,
         "ann_topk_768": q_ann_topk_768,
+        "lsh_sig_768": q_lsh_sig_768,
+        "neardup_768": q_neardup_768,
+        "simhash_pairs": q_simhash_pairs,
+        "sample_weighted": q_sample_weighted,
+        "scan_diff": q_scan_diff,
+        "scan_pct_change": q_pct_change,
+        "corr_spearman": q_corr_spearman,
+        "rolling_rows": q_rolling_rows,
+        "quantile_refine2": q_quantile_refine2,
+        "simhash_xx": q_simhash_xx,
+        "sample_bernoulli": q_sample_bernoulli,
+        "sample_stratified": q_sample_stratified,
+        "split_train_test": q_split_train_test,
+        "nunique_plain": q_nunique_plain,
+        "embed_pool": q_embed_pool,
+        "weighted_var": q_weighted_var,
+        "frame_sample": q_frame_sample,
+        "media_sniff": q_media_sniff,
+        "minhash_estimate": q_minhash_estimate,
+        "k_anonymity": q_k_anonymity,
+        "multimodal_features": q_multimodal_features,
+        "entropy": q_entropy,
+        "token_budget": q_token_budget,
+        "dedup_against": q_dedup_against,
+        "levenshtein_refine": q_levenshtein_refine,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "ngram_counts": q_ngram_counts,
+        "dedup_lines": q_dedup_lines,
+        "scan_shift": q_scan_shift,
+        "rank_avg": q_rank_avg,
+        "pivot_sum": q_pivot_sum,
+        "corr_pearson": q_corr_pearson,
+        "twa": q_twa,
+        "rolling_time": q_rolling_time,
+        "resample": q_resample,
+        "quantile_refine": q_quantile_refine,
+        "sample_group": q_sample_group,
+        "quantile_sort": q_quantile_sort,
+        "transform_mean": q_transform_mean,
+        "grouped_topk": q_grouped_topk,
+        "nunique": q_nunique,
+        "redact_pii": q_redact_pii,
+        "boilerplate": q_boilerplate,
+        "embed_normalize": q_embed_normalize,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
@@ -2123,14 +2218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_group": q_split_by_group,
         "pack_sequences": q_pack_sequences,
         "distinct_rollup": q_distinct_rollup,
-        "winsorize": q_winsorize,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bands": q_minhash_bands,
         "minhash_against": q_minhash_against,
         "minhash_clusters": q_minhash_clusters,
         "minhash_pairs_xx": q_minhash_pairs_xx,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "decontaminate": q_decontaminate,
         "fuzzy_join": q_fuzzy_join,
@@ -2196,52 +2289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew": q_skew,
         "kurtosis": q_kurtosis,
         "rank_pct": q_rank_pct,
-        "multimodal_features": q_multimodal_features,
         "leakage_split": q_leakage_split,
-        "dedup_against": q_dedup_against,
-        "levenshtein_refine": q_levenshtein_refine,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "ngram_counts": q_ngram_counts,
-        "dedup_lines": q_dedup_lines,
-        "scan_shift": q_scan_shift,
-        "rank_avg": q_rank_avg,
-        "pivot_sum": q_pivot_sum,
-        "corr_pearson": q_corr_pearson,
-        "twa": q_twa,
-        "rolling_time": q_rolling_time,
-        "resample": q_resample,
-        "quantile_refine": q_quantile_refine,
-        "sample_group": q_sample_group,
-        "quantile_sort": q_quantile_sort,
-        "transform_mean": q_transform_mean,
-        "grouped_topk": q_grouped_topk,
-        "nunique": q_nunique,
-        "redact_pii": q_redact_pii,
-        "boilerplate": q_boilerplate,
         "chunk_docs": q_chunk_docs,
         "profile": q_profile,
         "quality_report": q_quality_report,
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
-        "entropy": q_entropy,
-        "token_budget": q_token_budget,
-        "sample_weighted": q_sample_weighted,
-        "scan_diff": q_scan_diff,
-        "scan_pct_change": q_pct_change,
-        "corr_spearman": q_corr_spearman,
-        "rolling_rows": q_rolling_rows,
-        "quantile_refine2": q_quantile_refine2,
-        "simhash_xx": q_simhash_xx,
-        "sample_bernoulli": q_sample_bernoulli,
-        "sample_stratified": q_sample_stratified,
-        "split_train_test": q_split_train_test,
-        "nunique_plain": q_nunique_plain,
-        "embed_pool": q_embed_pool,
-        "weighted_var": q_weighted_var,
-        "frame_sample": q_frame_sample,
-        "media_sniff": q_media_sniff,
-        "minhash_estimate": q_minhash_estimate,
-        "k_anonymity": q_k_anonymity,
     }
 
 

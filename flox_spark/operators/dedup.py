@@ -704,6 +704,18 @@ def simhash_pairs(
         )
     r = hex_chars // bands
     sigs = simhash_signatures(df, id_col, text_col, hex_chars, hash_impl)
+    # per-ROW slice longs for the hamming term: conv() over the
+    # <=8-hex-char (32-bit) slices runs n times here instead of twice
+    # per candidate PAIR (sf0.1: 5k rows vs 9.5M candidates).  Slices,
+    # not one conv of the full signature: a 16-char signature with the
+    # top bit set exceeds Long.MAX and casts to NULL, silently
+    # dropping pairs.
+    slice_cols = [
+        F.conv(F.substring(F.col("simhash"), p + 1, 8), 16, 10)
+        .cast("long")
+        .alias(f"__sl{p // 8}")
+        for p in range(0, hex_chars, 8)
+    ]
     band_structs = F.array(
         *[
             F.struct(
@@ -714,43 +726,71 @@ def simhash_pairs(
         ]
     )
     buckets = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        F.col(id_col), F.col("simhash"), *slice_cols, F.explode(band_structs).alias("bb")
+    ).select(
+        id_col, "simhash", *[f"__sl{i}" for i in range(len(slice_cols))],
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
+    )
     buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     from flox_spark.plans.util import materialize_shared
 
     buckets = materialize_shared(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ham_terms = [
+        F.bit_count(
+            F.col(f"a.__sl{i}").bitwiseXOR(F.col(f"b.__sl{i}"))
         )
+        for i in range(len(slice_cols))
+    ]
+    ham = ham_terms[0]
+    for h in ham_terms[1:]:
+        ham = ham + h
+    base_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if max_bucket is None:
+        # FIRST-MATCHING-BAND dedup (r11): a pair sharing m bands
+        # would reach the hamming filter m times and need a
+        # candidate-sized distinct to collapse — instead each pair is
+        # emitted only from its lowest matching band (no earlier band
+        # substring agrees), which is a pure projection predicate
+        # over columns already on both sides.  Kills the 9.5M-row
+        # distinct exchange at sf0.1 (measured in SCALE.md r11).
+        # Only valid UNCAPPED: with max_bucket, a pair whose first
+        # matching band got capped away must still surface through a
+        # later surviving band, so the capped path keeps distinct.
+        first_match = F.expr(
+            f"a.band = 0 OR NOT exists(sequence(0, a.band - 1), "
+            f"j -> substring(a.simhash, j * {r} + 1, {r}) = "
+            f"substring(b.simhash, j * {r} + 1, {r}))"
+        )
+        return (
+            a.join(b, base_cond & first_match)
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                "hamming",
+            )
+        )
+    cand = (
+        a.join(b, base_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("__sa"),
-            F.col("b.simhash").alias("__sb"),
+            *[F.col(f"a.__sl{i}").alias(f"__sla{i}") for i in range(len(slice_cols))],
+            *[F.col(f"b.__sl{i}").alias(f"__slb{i}") for i in range(len(slice_cols))],
         )
         .distinct()
     )
-    # hamming over <=8-hex-char (32-bit) slices: conv().cast(long) on a
-    # full 16-char signature with the top bit set exceeds Long.MAX and
-    # casts to NULL, silently dropping pairs
-    slices = [
-        F.bit_count(
-            F.conv(F.substring(F.col("__sa"), p + 1, 8), 16, 10).cast("long")
-            .bitwiseXOR(F.conv(F.substring(F.col("__sb"), p + 1, 8), 16, 10).cast("long"))
-        )
-        for p in range(0, hex_chars, 8)
-    ]
-    ham = slices[0]
-    for s in slices[1:]:
-        ham = ham + s
+    ham2 = F.bit_count(F.col("__sla0").bitwiseXOR(F.col("__slb0")))
+    for i in range(1, len(slice_cols)):
+        ham2 = ham2 + F.bit_count(F.col(f"__sla{i}").bitwiseXOR(F.col(f"__slb{i}")))
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        cand.withColumn("hamming", ham2.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -16,7 +16,7 @@ from flox_spark.streaming.stream import (
 )
 from flox_spark.streaming.stateful import stream_ffill
 from flox_spark.streaming.enrich import stream_asof_enrich
-from flox_spark.streaming.sessions import stream_sessionize
+from flox_spark.streaming.sessions import stream_session_stats, stream_sessionize
 from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neardup
 
 __all__ = [
@@ -38,5 +38,6 @@ __all__ = [
     "minhash_band_keys",
     "stream_asof_enrich",
     "stream_minhash_neardup",
+    "stream_session_stats",
     "stream_sessionize",
 ]

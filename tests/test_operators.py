@@ -473,6 +473,30 @@ def test_simhash_pairs_validates(spark, docs):
         simhash_pairs(docs, hex_chars=8, bands=3)
 
 
+def test_simhash_pairs_first_match_band_dedup(spark, docs):
+    # r11: the UNCAPPED path (max_bucket=None) dedups by emitting a
+    # pair only from its first matching band instead of a
+    # candidate-sized distinct.  Exact dups share ALL bands — they
+    # must surface exactly once — and the whole uncapped pair set
+    # must equal the capped path's on an input with no degenerate
+    # buckets (both equal brute force by the pigeonhole guarantee).
+    from flox_spark.operators import simhash_pairs
+
+    unc = [
+        ((r["id_a"], r["id_b"]), r["hamming"])
+        for r in simhash_pairs(
+            docs, max_hamming=3, bands=4, max_bucket=None
+        ).collect()
+    ]
+    assert len(unc) == len(dict(unc))  # no pair emitted twice
+    capped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert dict(unc) == capped
+    assert capped.get((0, 1)) == 0  # the all-bands-match exact dup
+
+
 def test_simhash_pairs_16_chars_no_overflow(spark, docs):
     # 64-bit signatures with the top bit set: hamming must not
     # silently NULL out (conv->long overflow on the full string)

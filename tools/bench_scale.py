@@ -752,6 +752,31 @@ def streaming_state_scaling(spark, quick: bool) -> dict:
         stream_sessionize(stream, "user_id", ts="ts", gap_seconds=60.0), "sess"
     )
 
+    # 1b) the ROLLUP route (r10 VERDICT #2): the same event stream
+    # through the JVM session_window aggregation
+    # (stream_session_stats) — rollup-shaped sessionization must not
+    # pay the stateful Python operator's per-group worker cost, so
+    # this leg records the throughput ratio between the two routes
+    from flox_spark.streaming import stream_session_stats
+
+    stream_roll = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    roll = run(
+        stream_session_stats(
+            stream_roll, "user_id", ts="ts", gap_seconds=60.0,
+            watermark="10 minutes",
+        ),
+        "sessroll",
+    )
+    stateful = out[f"sessionize_{n_events}ev_{n_keys}keys"]
+    roll["speedup_vs_stateful"] = (
+        round(roll["rows_per_sec"] / stateful["rows_per_sec"], 2)
+        if stateful.get("rows_per_sec")
+        else None
+    )
+    out[f"session_stats_rollup_{n_events}ev_{n_keys}keys"] = roll
+
     # 2) LSH near-dup bucket memory: state is one (rep, n) row per
     # (band, bkey) bucket — O(distinct buckets), the family whose
     # growth is data-dependent
