@@ -624,3 +624,70 @@ def test_carry_rejects_reserved_names(spark, docs):
         staged = docs.withColumn(bad, F.lit("x"))
         with pytest.raises(ValueError, match="carry"):
             band_buckets(staged, num_hashes=8, bands=2, carry=(bad,)).collect()
+
+
+def test_simhash_first_match_hypothesis_differential(spark):
+    # property differential for the r11 first-match-band dedup:
+    # random small corpora (repeated words so signatures cluster and
+    # pairs share MULTIPLE bands) must produce identical pair sets
+    # through the uncapped first-match path, the capped distinct
+    # path (cap high enough to never bite), and brute force.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flox_spark.operators import simhash_pairs, simhash_signatures
+
+    words = ["aa", "bb", "cc", "dd"]
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(4, 9))
+        return {
+            i: " ".join(
+                draw(st.lists(st.sampled_from(words), min_size=1, max_size=5))
+            )
+            for i in range(n)
+        }
+
+    @given(corpora())
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def check(texts):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            )
+        )
+        sigs = {
+            r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()
+        }
+        ids = sorted(sigs)
+        want = {}
+        for ix, a in enumerate(ids):
+            for b in ids[ix + 1:]:
+                h = bin(int(sigs[a], 16) ^ int(sigs[b], 16)).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+        unc = [
+            ((r["id_a"], r["id_b"]), r["hamming"])
+            for r in simhash_pairs(
+                df, max_hamming=3, bands=4, max_bucket=None
+            ).collect()
+        ]
+        assert len(unc) == len(dict(unc))  # first-match: exactly once
+        assert dict(unc) == want
+        capped = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(
+                df, max_hamming=3, bands=4, max_bucket=10**6
+            ).collect()
+        }
+        assert capped == want
+
+    check()
