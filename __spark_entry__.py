@@ -2143,14 +2143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, literal-model collect bound, winsorize separator guard,
     # kmeans per-collect conf guard, the semdedup_pairs one-job
     # staging restructure, the ann_topk_768 tile-scale fix) plus the
-    # NEW rows-only lsh_sig_768 / neardup_768 forced-Arrow-kernel rows
-    # and simhash_pairs (the r10 watch item), [11-27] the seventeen
-    # r7-era rows the r10 VERDICT named as longest without driver hash
-    # evidence, [28-50] the oldest 23 of the r8 cohort (the remaining
-    # nine — chunk_docs, profile, quality_report, salted_sum,
-    # weighted_mean, rank_pct, skew, kurtosis, leakage_split — lead
-    # the r12 rotation).  All pass tools/check_oracle.py at
-    # sf0.001/0.01/0.1 regardless of window position.
+    # NEW rows-only lsh_sig_768 / neardup_768 forced-Arrow-kernel
+    # rows, simhash_pairs (first-match banding rewrite), and
+    # minhash_clusters / leakage_split (they ride the r11
+    # dedup_clusters fused-probe change), [13-29] the seventeen
+    # r7-era rows the r10 VERDICT named as longest without driver
+    # hash evidence, [30-50] the oldest 21 of the r8 cohort (the
+    # remaining eleven — redact_pii, boilerplate, chunk_docs,
+    # profile, quality_report, salted_sum, weighted_mean, rank_pct,
+    # skew, kurtosis, the r10 cohort tail — lead the r12 rotation).
+    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
+    # of window position.
     return {
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
@@ -2162,6 +2165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sig_768": q_lsh_sig_768,
         "neardup_768": q_neardup_768,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
+        "leakage_split": q_leakage_split,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
@@ -2200,8 +2205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mean": q_transform_mean,
         "grouped_topk": q_grouped_topk,
         "nunique": q_nunique,
-        "redact_pii": q_redact_pii,
-        "boilerplate": q_boilerplate,
         "embed_normalize": q_embed_normalize,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -2221,7 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_bands": q_minhash_bands,
         "minhash_against": q_minhash_against,
-        "minhash_clusters": q_minhash_clusters,
         "minhash_pairs_xx": q_minhash_pairs_xx,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -2289,7 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew": q_skew,
         "kurtosis": q_kurtosis,
         "rank_pct": q_rank_pct,
-        "leakage_split": q_leakage_split,
+        "redact_pii": q_redact_pii,
+        "boilerplate": q_boilerplate,
         "chunk_docs": q_chunk_docs,
         "profile": q_profile,
         "quality_report": q_quality_report,

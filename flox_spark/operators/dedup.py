@@ -819,14 +819,20 @@ def dedup_clusters(
     converges in graph-diameter rounds (duplicate clusters are
     near-cliques, so typically 2-3).  Each round is one join + one
     groupBy, localCheckpointed to truncate lineage; convergence is
-    detected by COUNTING CHANGED LABELS (join new vs old on the node
-    id, limit 1) — type-agnostic, so string document ids work; a
-    label-sum check would be NULL==NULL-vacuous for non-numeric ids
-    and silently stop after one round, mislabeling any component of
-    diameter >= 3.  At 100 TB scale the edge list is |candidate
-    pairs|-sized — orders of magnitude below the corpus — and every
-    round shuffles only that (both label frames are checkpointed, so
-    the convergence probe joins two materialized node-sized frames).
+    detected by COUNTING CHANGED LABELS — type-agnostic, so string
+    document ids work; a label-sum check would be NULL==NULL-vacuous
+    for non-numeric ids and silently stop after one round,
+    mislabeling any component of diameter >= 3.  The changed flag is
+    FUSED into the round's label aggregate (r11): the union rows are
+    tagged by source, so the per-node old label is available inside
+    the same groupBy (``min(case when src=0)`` — every node has
+    exactly one labels-side row) and the probe is a cheap
+    filter-limit scan of the just-checkpointed frame instead of a
+    second node-sized join per round.  Labels are elementwise
+    non-increasing under min-propagation, so ``new < old`` is exact
+    change detection for any ordered id type.  At 100 TB scale the
+    edge list is |candidate pairs|-sized — orders of magnitude below
+    the corpus — and every round shuffles only that.
 
     Output: (doc_id, cluster_id) for every id present in ``pairs``;
     docs in no pair are implicitly their own singleton cluster.
@@ -840,20 +846,28 @@ def dedup_clusters(
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
-        prop = edges.join(labels, "u").select(F.col("v").alias("u"), "lbl")
+        prop = edges.join(labels, "u").select(
+            F.col("v").alias("u"), "lbl", F.lit(1).alias("__src")
+        )
+        base = labels.select("u", "lbl", F.lit(0).alias("__src"))
+        old_lbl = F.min(F.when(F.col("__src") == 0, F.col("lbl")))
         new_labels = (
-            labels.union(prop).groupBy("u").agg(F.min("lbl").alias("lbl")).localCheckpoint()
+            base.union(prop)
+            .groupBy("u")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (F.min("lbl") < old_lbl).alias("__chg"),
+            )
+            # EAGER on purpose: the probe below is a limit(1) —
+            # CollectLimit computes partitions incrementally and can
+            # short-circuit, which would leave a lazy checkpoint
+            # PARTIALLY materialized and force the next round to
+            # recompute the whole union+agg from lineage (measured:
+            # the lazy variant ran slower despite one fewer job)
+            .localCheckpoint()
         )
-        # labels are elementwise non-increasing, so "any row changed"
-        # is exact convergence; limit(1) short-circuits the probe
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("u", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
