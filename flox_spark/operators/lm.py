@@ -281,25 +281,38 @@ def doc_perplexity(
                 # scale bg stays lazy: the exploded bigram rows are
                 # LARGER than the corpus, so re-running the projection
                 # beats writing them out (the original rationale).
-                from flox_spark.plans.util import materialize_shared
+                from flox_spark.plans.util import (
+                    materialize_shared,
+                    scoped_tiny_collect,
+                )
 
-                bg = materialize_shared(bg)
                 if broadcast_model is not False:
                     # the whole model rides to the driver ONCE as the
                     # (bounded, vocab-type-sized) count rows and comes
                     # back as a literal LocalRelation broadcast — the
                     # vocab agg, lookup agg, and their AQE broadcast
-                    # build jobs all disappear (r8 floor: 6 structural
-                    # jobs; this path: bg checkpoint + counts collect
-                    # + scoring = 3).  Gated on the 32 MB corpus
-                    # stats, so the collect is smaller than a kmeans
-                    # seed draw's traffic class.
-                    literal_model = _collect_literal_model(
-                        bg.groupBy("w1", "w2").agg(
-                            F.count(F.lit(1)).alias("c")
-                        ),
-                        corpus.sparkSession,
-                    )
+                    # build jobs all disappear.  r11: the checkpoint
+                    # RDD is CREATED inside the AQE-off guard (the
+                    # semdedup staging trick — plan->RDD conversion
+                    # freezes the adaptive context), so tokenize +
+                    # explode + checkpoint materialize as plain stages
+                    # UNDER the counts collect: bg checkpoint + counts
+                    # collect fuse to ONE job and the path is 2 jobs
+                    # end-to-end (was 4 with AQE stage jobs).  The
+                    # explicit ensure_parallelism repartition inside
+                    # _doc_bigrams pins its count, so the 4-partition
+                    # window only touches the vocab-sized counts
+                    # exchange.  Gated on the 32 MB corpus stats.
+                    with scoped_tiny_collect(corpus.sparkSession):
+                        bg = materialize_shared(bg)
+                        literal_model = _collect_literal_model(
+                            bg.groupBy("w1", "w2").agg(
+                                F.count(F.lit(1)).alias("c")
+                            ),
+                            corpus.sparkSession,
+                        )
+                else:
+                    bg = materialize_shared(bg)
             if literal_model is None:
                 model = train_bigram_lm(
                     corpus, id_col, text_col, _bg=bg,
@@ -512,11 +525,17 @@ def _fused_filter_small(
             lookup, V = _collect_literal_model(bigrams, spark)
     else:
         # self-perplexity: train and score share the ONE checkpointed
-        # carry-struct bigram frame — the doc_perplexity small shape
-        bg = materialize_shared(bg)
-        lookup, V = _collect_literal_model(
-            bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), spark
-        )
+        # carry-struct bigram frame — the doc_perplexity small shape.
+        # r11: checkpoint RDD created inside the guard so tokenize +
+        # carry-struct explode + checkpoint run as plain stages under
+        # the counts collect (one job, not an AQE stage fan)
+        from flox_spark.plans.util import scoped_tiny_collect
+
+        with scoped_tiny_collect(spark):
+            bg = materialize_shared(bg)
+            lookup, V = _collect_literal_model(
+                bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), spark
+            )
     joined = bg.join(F.broadcast(lookup), ["w1"], "left")
     k = F.lit(float(smooth_k))
     logp = F.log(
