@@ -673,6 +673,19 @@ def q_semdedup(s, d):
     return semantic_dedup(emb, k=4, threshold=0.4, max_iter=0).select("vec_id")
 
 
+def q_dedup_documents(s, d):
+    # the one-call near-dedup PIPELINE (candidates -> connected
+    # components -> keep min-id representatives), driver-checked
+    # end-to-end with the same params as minhash_clusters so the
+    # oracle's recursive-CC CTE is shared
+    from flox_spark.operators.pipeline import dedup_documents
+
+    return dedup_documents(
+        _t(s, d, "documents"), method="minhash", num_hashes=16, bands=4,
+        shingle_k=3, max_bucket=None, hash_impl="md5",
+    ).select("doc_id")
+
+
 def q_sessionize(s, d):
     # gap-based session ids: one hash shuffle + streaming window pass
     from flox_spark.operators import sessionize
@@ -1862,6 +1875,19 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
             )
             SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""",
+        "dedup_documents": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+            ),
+            cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM cl WHERE doc_id != cluster_id)""",
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -2146,7 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW rows-only lsh_sig_768 / neardup_768 forced-Arrow-kernel
     # rows, simhash_pairs (first-match banding rewrite), and
     # minhash_clusters / leakage_split (they ride the r11
-    # dedup_clusters fused-probe change), [13-29] the seventeen
+    # dedup_clusters fused-probe change) and the NEW dedup_documents
+    # pipeline row, [14-30] the seventeen
     # r7-era rows the r10 VERDICT named as longest without driver
     # hash evidence, [30-50] the oldest 21 of the r8 cohort (the
     # remaining eleven — redact_pii, boilerplate, chunk_docs,
@@ -2167,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_clusters": q_minhash_clusters,
         "leakage_split": q_leakage_split,
+        "dedup_documents": q_dedup_documents,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
@@ -2204,7 +2232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sort": q_quantile_sort,
         "transform_mean": q_transform_mean,
         "grouped_topk": q_grouped_topk,
-        "nunique": q_nunique,
         "embed_normalize": q_embed_normalize,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -2291,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew": q_skew,
         "kurtosis": q_kurtosis,
         "rank_pct": q_rank_pct,
+        "nunique": q_nunique,
         "redact_pii": q_redact_pii,
         "boilerplate": q_boilerplate,
         "chunk_docs": q_chunk_docs,
