@@ -515,6 +515,12 @@ def test_simhash_pairs_16_chars_no_overflow(spark, docs):
            simhash_pairs(docs, hex_chars=16, bands=4, max_hamming=3).collect()}
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 0
+    # the uncapped first-match path at 16 chars (two xor slices, r=4
+    # band substrings) must agree too
+    unc = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(docs, hex_chars=16, bands=4, max_hamming=3,
+                         max_bucket=None).collect()}
+    assert unc == want
 
 
 def test_simhash_pairs_rejects_hamming_ge_bands(spark, docs):
