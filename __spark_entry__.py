@@ -410,11 +410,14 @@ def q_minhash_clusters(s, d):
     # decision step of a near-dedup pipeline (A~B, B~C => one cluster)
     from flox_spark.operators import dedup_clusters
 
+    docs = _t(s, d, "documents")
     pairs = minhash_candidates(
-        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3, max_bucket=None,
+        docs, num_hashes=16, bands=4, shingle_k=3, max_bucket=None,
         hash_impl="md5",
     )
-    return dedup_clusters(pairs)
+    from flox_spark.operators.dedup import _literal_cc_cap
+
+    return dedup_clusters(pairs, literal_max_pairs=_literal_cc_cap(docs))
 
 
 def q_ann_topk(s, d):

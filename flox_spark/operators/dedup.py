@@ -801,11 +801,66 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _literal_cc_cap(df: DataFrame) -> int | None:
+    """Caller-side gate for ``dedup_clusters``' literal path: the
+    standard 32 MB plan-stats gate every other literal collect here
+    uses, applied to the CORPUS/EMBEDDING input (the pair frame's own
+    post-join stats are size products — useless).  Returns the pair
+    cap to pass as ``literal_max_pairs``, or None for the iterative
+    loop."""
+    from flox_spark.plans.util import estimate_size_bytes
+
+    size = estimate_size_bytes(df)
+    if size is not None and size < (32 << 20) and not df.isStreaming:
+        return 100_000
+    return None
+
+
+def _literal_cc(spark, rows, id_type) -> DataFrame:
+    """Driver-side union-find over a collected (bounded) pair list:
+    union-by-minimum keeps each component's root at its minimum id,
+    so ``find(n)`` IS the min-reachable representative — bit-identical
+    to the iterative min-label propagation and the oracle's recursive
+    CTE.  Returns an Arrow LocalRelation (no job to broadcast)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    t = id_type.simpleString()
+    if not parent:
+        return spark.createDataFrame([], schema=f"doc_id {t}, cluster_id {t}")
+    import pandas as pd
+
+    data = sorted((n, find(n)) for n in parent)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in data],
+            "cluster_id": [c for _, c in data],
+        }
+    )
+    return spark.createDataFrame(pdf, schema=f"doc_id {t}, cluster_id {t}")
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    literal_max_pairs: int | None = None,
 ) -> DataFrame:
     """Connected components over candidate-pair edges: every document
     that appears in a pair is assigned the MINIMUM id reachable
@@ -834,9 +889,34 @@ def dedup_clusters(
     edge list is |candidate pairs|-sized — orders of magnitude below
     the corpus — and every round shuffles only that.
 
+    ``literal_max_pairs`` (r11, callers pass ``_literal_cc_cap(df)``
+    under their 32 MB input gates): probe the pair frame with ONE
+    bounded ``limit(cap+1)`` collect; when the whole graph fits (and
+    carries no NULL ids), run union-find ON THE DRIVER — microseconds
+    against the loop's per-round join+checkpoint+probe jobs (sf0.1
+    semdedup: 52 jobs -> ~a handful) — and re-enter the plan as an
+    Arrow LocalRelation.  Union-by-minimum makes the result
+    bit-identical to the loop.  Over the cap (or NULL ids, or id
+    types pandas can't round-trip) the probe is abandoned and the
+    loop runs unchanged — worst case one extra cheap pass over a
+    gated-small pair subtree; web-scale graphs never probe because
+    their callers' gates never fire.
+
     Output: (doc_id, cluster_id) for every id present in ``pairs``;
     docs in no pair are implicitly their own singleton cluster.
     """
+    if literal_max_pairs and not pairs.isStreaming:
+        cap = int(literal_max_pairs)
+        head = pairs.select(id_a, id_b).limit(cap + 1).collect()
+        if len(head) <= cap and all(
+            r[0] is not None and r[1] is not None for r in head
+        ):
+            try:
+                return _literal_cc(
+                    pairs.sparkSession, head, pairs.schema[id_a].dataType
+                )
+            except Exception:
+                pass  # exotic id type: the declarative loop handles it
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))

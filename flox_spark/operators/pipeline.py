@@ -86,7 +86,9 @@ def dedup_documents(
         raise ValueError(
             f"method must be exact|minhash|simhash|embedding, got {method!r}"
         )
-    clusters = dedup_clusters(pairs)
+    from flox_spark.operators.dedup import _literal_cc_cap
+
+    clusters = dedup_clusters(pairs, literal_max_pairs=_literal_cc_cap(df))
     return dedup_keep_representatives(df, clusters, id_col=id_col)
 
 

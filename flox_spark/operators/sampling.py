@@ -327,7 +327,9 @@ def leakage_safe_split(
             df, id_col, text_col, num_hashes, bands, shingle_k,
             max_bucket, hash_impl,
         )
-        clusters = dedup_clusters(pairs)
+        from flox_spark.operators.dedup import _literal_cc_cap
+
+        clusters = dedup_clusters(pairs, literal_max_pairs=_literal_cc_cap(df))
     cl = clusters.select(
         F.col("doc_id").alias("__lss_id"),
         F.col("cluster_id").alias("__lss_cluster"),

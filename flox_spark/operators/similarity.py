@@ -1472,13 +1472,15 @@ def semantic_dedup(
     minimum id, via connected components over the pair graph) from
     every group of semantically near-duplicate embeddings.  Returns
     the surviving rows of ``df`` unchanged."""
-    from flox_spark.operators.dedup import dedup_clusters
+    from flox_spark.operators.dedup import _literal_cc_cap, dedup_clusters
 
     pairs = semantic_dedup_pairs(
         df, k, threshold, id_col, vec_col, dim, centroids, max_iter, max_cluster,
         round_to=None,
     )
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), literal_max_pairs=_literal_cc_cap(df)
+    )
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

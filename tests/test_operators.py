@@ -275,6 +275,47 @@ def test_dedup_clusters_vs_union_find(spark):
     assert got == want
 
 
+def test_dedup_clusters_literal_path_parity(spark):
+    # r11: the bounded-probe union-find path must be bit-identical to
+    # the iterative loop — int ids, string ids, chains, empty input —
+    # and fall back to the loop over the cap or on NULL ids
+    from flox_spark.operators import dedup_clusters
+
+    rng = np.random.default_rng(31)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(60, 2)) if a != b]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    loop = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    lit = sorted(
+        map(tuple, dedup_clusters(pairs, literal_max_pairs=100_000).collect())
+    )
+    assert lit == loop and len(lit) > 0
+    # over-cap: falls back to the loop, same answer
+    over = sorted(map(tuple, dedup_clusters(pairs, literal_max_pairs=3).collect()))
+    assert over == loop
+    # string ids, diameter-4 chain
+    sp = spark.createDataFrame(
+        [("d", "e"), ("c", "d"), ("b", "c"), ("a", "b")], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(sp, literal_max_pairs=100).collect()
+    }
+    assert got == {x: "a" for x in "abcde"}
+    # NULL ids: literal path declines, loop semantics apply either way
+    np_pairs = spark.createDataFrame(
+        [(None, 2), (2, 3)], "id_a int, id_b int"
+    )
+    a = sorted(map(tuple, dedup_clusters(np_pairs).collect()), key=str)
+    b = sorted(
+        map(tuple, dedup_clusters(np_pairs, literal_max_pairs=100).collect()),
+        key=str,
+    )
+    assert a == b
+    # empty input
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty, literal_max_pairs=100).collect() == []
+
+
 def test_dedup_keep_representatives(spark):
     from flox_spark.operators import dedup_clusters, dedup_keep_representatives
 
