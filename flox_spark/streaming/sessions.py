@@ -76,6 +76,8 @@ def stream_sessionize(
     ts: str = "ts",
     gap_seconds: float = 1800.0,
     alias: str = "session_id",
+    evict_idle_after: float | None = None,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Add a 0-based per-entity ``session_id`` to a streaming frame,
     carrying (last ts, counter) in the state store.
@@ -85,10 +87,30 @@ def stream_sessionize(
     ``stream_session_stats`` — this operator's Python worker is
     per-group-bound (~0.1-0.15 ms per active group per batch,
     SCALE.md r10), so a 100k-key rollup through it pays 12-15 s per
-    batch per box that the session_window route does not."""
+    batch per box that the session_window route does not.
+
+    ``evict_idle_after`` (seconds, r11): WITHOUT it state is one row
+    per key FOREVER (NoTimeout) — 0.35 KB/key (SCALE.md r10) is fine
+    at 100M keys but unbounded key cardinality (session ids per URL,
+    per query string) eventually isn't.  When set, a key whose last
+    event is more than this far behind the EVENT-TIME watermark has
+    its state dropped (EventTimeTimeout — data-driven, so runs are
+    reproducible); a later event for that key restarts its counter at
+    session 0.  That restart is the deliberate trade — the same class
+    as watermark lateness — and only affects keys idle longer than
+    the horizon, which by the gap rule were starting a new session
+    anyway (choose ``evict_idle_after >= gap_seconds`` so ids stay
+    0-based per retention window; numbering across evictions is
+    per-key-epoch, not global).  Requires an event-time watermark:
+    one is applied here from ``watermark``."""
     gap_us = int(round(gap_seconds * 1_000_000))
     if gap_us <= 0:
         raise ValueError("gap_seconds must be positive")
+    evict_ms = None
+    if evict_idle_after is not None:
+        evict_ms = int(round(float(evict_idle_after) * 1000))
+        if evict_ms <= 0:
+            raise ValueError("evict_idle_after must be positive")
 
     out_schema = StructType(list(df.schema.fields)).add(alias, LongType())
     state_schema = StructType().add("last_ts", df.schema[ts].dataType).add("sid", LongType())
@@ -99,6 +121,9 @@ def stream_sessionize(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if evict_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         last_ts, sid = (state.get[0], state.get[1]) if state.exists else (None, -1)
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
@@ -112,8 +137,22 @@ def stream_sessionize(
             sids.append(sid)
         rows[alias] = pd.array(sids, dtype="int64")
         state.update((last_ts.to_pydatetime() if hasattr(last_ts, "to_pydatetime") else last_ts, sid))
+        if evict_ms is not None:
+            # timeout at last event time + horizon; Spark rejects a
+            # timestamp at-or-before the current watermark (a very
+            # late straggler could compute one), so clamp just past it
+            target = last_ts.value // 1_000_000 + evict_ms
+            state.setTimeoutTimestamp(
+                max(target, state.getCurrentWatermarkMs() + 1)
+            )
         yield rows[cols + [alias]]
 
-    return df.groupBy(*by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if evict_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    src = df.withWatermark(ts, watermark) if evict_ms is not None else df
+    return src.groupBy(*by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
     )

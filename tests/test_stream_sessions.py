@@ -154,3 +154,67 @@ def test_stream_session_stats_equals_batch_and_python_rollup(spark):
         assert got == py_roll
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_sessionize_event_time_eviction(spark):
+    # r11: evict_idle_after drops a key's state once the event-time
+    # watermark passes last_event + horizon; the key's NEXT event
+    # restarts its counter at session 0 (observable differential vs
+    # the NoTimeout run, where the same event continues as session 1).
+    # EventTimeTimeout is data-driven, so the availableNow run is
+    # deterministic.
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(k, eids, minutes):
+        return pd.DataFrame(
+            {"k": [k] * len(eids), "eid": eids,
+             "ts": [base + dt.timedelta(minutes=m) for m in minutes]}
+        )
+
+    batches = [
+        mk(1, [0, 1], [0, 5]),        # key 1: session 0
+        mk(2, [2], [180]),            # advances the watermark past 1's horizon
+        mk(2, [3], [181]),            # key 1 times out during this batch
+        mk(1, [4], [190]),            # key 1 returns
+    ]
+
+    def run(evict, name):
+        tmp = tempfile.mkdtemp(prefix=f"flox_evict_{name}_")
+        try:
+            for i, pdf in enumerate(batches):
+                spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+                time.sleep(1.1)
+            schema = spark.read.parquet(f"{tmp}/in/f0").schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/in/*")
+            )
+            out = stream_sessionize(
+                stream, "k", ts="ts", gap_seconds=1800,
+                evict_idle_after=evict, watermark="10 minutes",
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"flox_evict_{name}")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {
+                r["eid"]: r["session_id"]
+                for r in spark.sql(f"SELECT * FROM flox_evict_{name}").collect()
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    evicted = run(1800.0, "on")    # 30-min idle horizon
+    kept = run(None, "off")
+    # shared prefix identical
+    for eid in (0, 1, 2, 3):
+        assert evicted[eid] == kept[eid], eid
+    # key 1's return: fresh state (0) with eviction, continued (1) without
+    assert kept[4] == 1
+    assert evicted[4] == 0
