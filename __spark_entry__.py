@@ -501,10 +501,16 @@ def q_neardup_768(s, d):
     # cosine exactly (numerator and both norms scale by the same
     # factor), so the pair decisions match the dim-64 geometry while
     # the kernel does 12x the arithmetic; pair count is deterministic.
+    # max_bucket=200: 16 planes / 4-bit bands barely prune this
+    # clustered corpus at sf0.1 (527k candidate pairs from 2000
+    # vectors = 6.5 GB of dim-768 arrays through the verify join) —
+    # the quadratic guard drops the degenerate buckets exactly as it
+    # would at 100 TB, while every sf0.01 bucket is under the cap so
+    # the driver-checked pair set is unchanged
     base = _tiles768(_t(s, d, "embeddings"))
     return embedding_near_duplicates(
         base, threshold=0.45, planes=16, bands=4, dim=768, verify="numpy",
-        round_to=6,
+        signature_kernel="numpy", max_bucket=200, round_to=6,
     )
 
 

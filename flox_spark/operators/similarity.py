@@ -541,10 +541,14 @@ def lsh_bucket_candidates(
     bands: int = 4,
     dim: int = 64,
     max_bucket: int | None = 1000,
+    signature_kernel: str = "auto",
 ) -> DataFrame:
-    """Candidate pairs sharing any LSH band bucket (id_a < id_b)."""
+    """Candidate pairs sharing any LSH band bucket (id_a < id_b).
+    ``signature_kernel`` passes through to ``lsh_signature_bits``."""
     r = planes // bands
-    sigs = lsh_signature_bits(df, id_col, vec_col, planes, dim)
+    sigs = lsh_signature_bits(
+        df, id_col, vec_col, planes, dim, kernel=signature_kernel
+    )
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.substring(F.col("sig"), b * r + 1, r).alias("bkey"))
@@ -568,11 +572,19 @@ def lsh_bucket_candidates(
         )
     # materialize: the self-join would otherwise recompute all 16
     # hyperplane projections for each side (see dedup.py note).
-    # Size-gated: below 8 MB the double projection is cheaper than
-    # the extra checkpoint job.
+    # Size-gated below the unroll limit only: below 8 MB the double
+    # CODEGEN projection is cheaper than the extra checkpoint job,
+    # but past _UNROLL_MAX_DIM the projections run INTERPRETED
+    # (planes x dim expr evals per row) and the byte gate measures
+    # none of that CPU (the compressed-stats-vs-CPU trap) — measured
+    # 19 s at sf0.1/dim 768 from the double fold, so high dims always
+    # checkpoint.
     from flox_spark.plans.util import materialize_shared
 
-    buckets = materialize_shared(buckets, min_bytes=8 << 20)
+    buckets = materialize_shared(
+        buckets,
+        min_bytes=(8 << 20) if dim <= _UNROLL_MAX_DIM else None,
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -861,9 +873,20 @@ def embedding_near_duplicates(
     dim: int = 64,
     round_to: int | None = 6,
     verify: str = "auto",
+    signature_kernel: str = "auto",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH candidates verified with exact
     cosine >= threshold.  Output (id_a, id_b, cos_sim).
+
+    ``signature_kernel`` routes the bucketing signatures
+    (``lsh_signature_bits``): past the unroll limit the expr path is
+    an interpreted planes x dim fold per row, so high-dim forced-numpy
+    callers should force the (bit-identical, pytest-pinned) Arrow
+    matmul here too.  ``max_bucket`` is the quadratic guard on
+    degenerate buckets (``lsh_bucket_candidates``) — it matters
+    doubly here because every surviving candidate pair ships TWO
+    ``dim``-sized arrays into the verify stage.
 
     ``verify``: how the exact cosine runs over the candidate pairs —
     ``'expr'`` (declarative: unrolled codegen below
@@ -880,7 +903,10 @@ def embedding_near_duplicates(
     absorbs except for exact threshold-boundary pairs."""
     if verify not in ("auto", "expr", "numpy"):
         raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
-    cands = lsh_bucket_candidates(df, id_col, vec_col, planes, bands, dim)
+    cands = lsh_bucket_candidates(
+        df, id_col, vec_col, planes, bands, dim, max_bucket=max_bucket,
+        signature_kernel=signature_kernel,
+    )
     if verify == "auto":
         from flox_spark.plans.util import estimate_size_bytes
 
@@ -893,7 +919,16 @@ def embedding_near_duplicates(
     if verify == "numpy":
         # no norm staging: past the unroll limit the expr norm is
         # itself an interpreted per-row fold — the Arrow pass computes
-        # norms from the vectors it already ships
+        # norms from the vectors it already ships.
+        # Pin the pair list's parallelism FIRST: candidates are two
+        # ids per row (byte-small), but the vector joins expand each
+        # row by 2*dim doubles — AQE sizes the post-join stage by the
+        # pair list's bytes and coalesces the gather + einsum to ONE
+        # task (the byte-gate-vs-CPU trap; observed single-task
+        # stages over a 3 GB expansion at sf0.1/dim 768, 32-way after
+        # the pin).  An explicit repartition count is
+        # AQE-coalesce-proof, and the exchange only carries id pairs.
+        cands = cands.repartition(df.sparkSession.sparkContext.defaultParallelism)
         va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         scored = _arrow_cosine_pass(cands.join(va, "id_a").join(vb, "id_b"), dim)
