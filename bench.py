@@ -105,6 +105,13 @@ BENCH_EXTRA = [
     "minhash_estimate",
     "ewm_mean",         # Arrow-hatch EWM recurrence
     "leakage_split",    # near-dup-aware train/test split
+    # r11 wave: the pipeline composite + the forced dim-768 Arrow
+    # kernels (rows-only rows — no DuckDB denominator, wall budget
+    # still applies).  neardup_768 stays correctness-only: its wall
+    # is dominated by the deliberate 3 GB pair-expansion stress.
+    "dedup_documents",
+    "ann_topk_768",
+    "lsh_sig_768",
 ]
 
 
