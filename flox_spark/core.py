@@ -1037,11 +1037,27 @@ def _narrow_quantile_brackets(
         tc = F.ceil(t).cast("long")
         rf = tf - clt - ceq  # target floor rank within the bracket
         rc = F.least(tc - clt - ceq, n2 - F.lit(1))
+        # ADAPTIVE pad (r11): the fixed 2-cell pad only absorbs the
+        # level-2 sketch's deviation when cells are wide (>= ~1 rank
+        # each, i.e. n2 >> G).  The deviation is one cell of index
+        # truncation + n2/ACC ranks of compression error + ~2 ranks of
+        # GK rank-convention slop, so the pad must be
+        # ceil(1 + G/ACC + 2G/n2) cells — which degrades gracefully
+        # toward the full level-1 bracket as n2 shrinks instead of
+        # silently mis-bracketing (same failure family as the level-1
+        # cutoff fix above; production n2 > cutoff >= 1024 keeps this
+        # at the old 2 cells, tiny forced-knob runs now stay exact)
+        padc = F.greatest(
+            F.lit(pad).cast("long"),
+            F.ceil(
+                F.lit(1.0 + G / _REFINE2_ACC) + F.lit(2.0 * G) / n2d
+            ).cast("long"),
+        )
         jlo = F.greatest(
-            F.lit(0), (F.lit(G) * rf / n2d).cast("long") - F.lit(pad)
+            F.lit(0), (F.lit(G) * rf / n2d).cast("long") - padc
         )
         jhi = F.least(
-            F.lit(G), F.ceil(F.lit(G) * rc / n2d).cast("long") + F.lit(pad)
+            F.lit(G), F.ceil(F.lit(G) * rc / n2d).cast("long") + padc
         )
         # rank-overflow guards: with many duplicates AT a bracket
         # edge, the target rank can sit entirely below (rf <= rc < 0,
@@ -1083,11 +1099,12 @@ def _quantile_refine(
 
     Pass 1 (one hash aggregate): per group, the non-missing count
     ``n`` and a deterministic-error rank bracket from
-    ``percentile_approx`` at q -/+ 3/accuracy (Spark's GK summary
-    guarantees rank error <= n/accuracy, so the bracket provably
-    contains the floor/ceil target ranks once n > accuracy/2; smaller
-    groups skip the bracket and collect everything — bounded by the
-    cutoff).  Pass 2 (broadcast-join the tiny per-group bracket back,
+    ``percentile_approx`` at q -/+ 3/accuracy (the GK summary's
+    compression error is <= n/accuracy ranks and its query rank
+    convention adds up to ~2 more, so the bracket provably contains
+    the floor/ceil target ranks once n > accuracy — see the cutoff
+    note below; smaller groups skip the bracket and collect
+    everything — bounded by the cutoff).  Pass 2 (broadcast-join the tiny per-group bracket back,
     one more hash aggregate): count values below the bracket, collect
     ONLY the ~6n/accuracy candidate values strictly inside it, and
     read the floor/ceil rank values straight out of the sorted
@@ -1117,9 +1134,16 @@ def _quantile_refine(
     acc = _refine_accuracy(work)
     slack = 3.0 / acc
     # below this size a group's values are collected outright (exact,
-    # bounded); above it the bracket's rank-error margin 3n/acc >= 1.5
-    # provably covers the target ranks
-    cutoff = max(_REFINE_CUTOFF_FLOOR, acc // 2)
+    # bounded).  The bracket is trusted only above n = acc, NOT acc/2:
+    # the sketch's real deviation is its compression error (n/acc
+    # ranks) PLUS up to ~2 ranks of rank-convention slop — GK query
+    # targets ceil(q*n) while the exact target is floor/ceil((n-1)*q)
+    # — so the 3n/acc-rank slack margin only dominates once
+    # 3n/acc >= n/acc + 2, i.e. n >= acc.  (Found by hypothesis:
+    # percentile_approx returned the group MINIMUM for a rank-1.66
+    # target at n=17, acc=32 — inside the old (acc/2, acc) trust
+    # window — silently mis-bracketing the quantile.)
+    cutoff = max(_REFINE_CUTOFF_FLOOR, acc)
 
     av, _ = _ai(ctx.v_skip, ctx.dt)
     work2 = work.withColumn("__qv", av).withColumn("__miss", ctx.missing)
