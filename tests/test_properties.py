@@ -330,3 +330,40 @@ def test_refine2_property_matches_numpy(spark, case):
             assert g is None or (isinstance(g, float) and math.isnan(g))
         else:
             assert g == pytest.approx(want, rel=1e-12, abs=1e-12), (k, q, g, want)
+
+
+def test_refine_bracket_trust_boundary_regression(spark):
+    # r11 regression pin (hypothesis catch, reproduced): with the old
+    # cutoff = acc//2, n=17 at acc=32 sat inside the bracket-trust
+    # window but percentile_approx's rank-convention slop (+~2 ranks
+    # beyond the n/acc compression error) degenerated the q=0.01
+    # bracket to [min, min] and refine/refine2 returned the group
+    # MINIMUM instead of the rank-0/1 interpolation.  The fixed
+    # cutoff (= acc) must route this group through collect-all and
+    # match numpy exactly on both strategies.
+    import flox_spark.core as core
+    from flox_spark import set_options
+
+    vals = [
+        -102.806366, 48.709295, -68.624406, 16.94711, 7.452679,
+        -30.251955, 24.891984, 8.292018, 90.474569, 28.34445,
+        32.013032, 64.464674, -60.213574, -41.369847, 20.817167,
+        -61.828827, 3.062037,
+    ]
+    pdf = pd.DataFrame({"k": [0] * len(vals), "v": vals})
+    df = spark.createDataFrame(pdf)
+    orig_acc, orig_floor = core._refine_accuracy, core._REFINE_CUTOFF_FLOOR
+    core._refine_accuracy = lambda work: 32
+    core._REFINE_CUTOFF_FLOOR = 4
+    try:
+        for impl in ("refine", "refine2"):
+            with set_options(quantile_impl=impl):
+                got = groupby_reduce(
+                    df, "k", func="nanquantile", value="v",
+                    finalize_kwargs={"q": 0.01},
+                ).collect()[0]["nanquantile"]
+            want = float(np.quantile(np.array(vals), 0.01))
+            assert got == pytest.approx(want, rel=1e-12), (impl, got, want)
+            assert got != min(vals)  # the old failure returned the min
+    finally:
+        core._refine_accuracy, core._REFINE_CUTOFF_FLOOR = orig_acc, orig_floor
