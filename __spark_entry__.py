@@ -1143,6 +1143,29 @@ def q_dedup_lines(s, d):
     return out.select("doc_id", "text_clean")
 
 
+def q_dup_spans(s, d):
+    # Lee-et-al-2021-style exact substring dedup REPORT: maximal token
+    # spans covered by 8-word windows repeating anywhere in the corpus
+    # (default xxhash64 gram keys — the scale path; the oracle groups
+    # the gram strings directly, identical modulo ~1e-8 collisions)
+    from flox_spark.operators import duplicate_spans
+
+    return duplicate_spans(_t(s, d, "documents"), k=8).select(
+        "doc_id", "span_start", "span_end", "n_tokens"
+    )
+
+
+def q_dup_spans_removed(s, d):
+    # keep-one-copy span REMOVAL: duplicated 8-word spans drop
+    # everywhere except their global first occurrence (smallest
+    # (doc_id, pos)); every doc survives, possibly reduced to ""
+    from flox_spark.operators import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(s, d, "documents"), k=8).select(
+        "doc_id", "text_clean"
+    )
+
+
 def q_binned_left(s, d):
     # left-closed IntervalIndex bins (closed='left'): the reference
     # digitizes by expect.closed_right (flox/factorize.py:57-76);
@@ -2182,12 +2205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows, simhash_pairs (first-match banding rewrite), and
     # minhash_clusters / leakage_split (they ride the r11
     # dedup_clusters fused-probe change) and the NEW dedup_documents
-    # pipeline row, [14-30] the seventeen
+    # pipeline row, [14-15] the NEW r11 span-dedup family (dup_spans /
+    # dup_spans_removed — Lee-et-al-2021 exact substring dedup, both
+    # full-oracle), [16-32] the seventeen
     # r7-era rows the r10 VERDICT named as longest without driver
-    # hash evidence, [30-50] the oldest 21 of the r8 cohort (the
-    # remaining eleven — redact_pii, boilerplate, chunk_docs,
-    # profile, quality_report, salted_sum, weighted_mean, rank_pct,
-    # skew, kurtosis, the r10 cohort tail — lead the r12 rotation).
+    # hash evidence, [33-50] the oldest of the r8 cohort (the
+    # remainder — transform_mean, grouped_topk, redact_pii,
+    # boilerplate, chunk_docs, profile, quality_report, salted_sum,
+    # weighted_mean, rank_pct, skew, kurtosis, the r10 cohort tail —
+    # lead the r12 rotation).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
@@ -2204,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "leakage_split": q_leakage_split,
         "dedup_documents": q_dedup_documents,
+        "dup_spans": q_dup_spans,
+        "dup_spans_removed": q_dup_spans_removed,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
@@ -2725,6 +2753,89 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
             )
             SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN kept k USING (doc_id)""",
+        "dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i::INTEGER AS pos,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(range(1, len(w) - 8 + 2)) AS r(i)
+              WHERE len(w) >= 8
+            ),
+            dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2),
+            marked AS (
+              SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)
+            ),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM marked
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pos - lp > 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   (max(pos) + 7)::INTEGER AS span_end,
+                   (max(pos) + 7 - min(pos) + 1)::INTEGER AS n_tokens
+            FROM isl GROUP BY doc_id, island""",
+        "dup_spans_removed": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i::INTEGER AS pos,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(range(1, len(w) - 8 + 2)) AS r(i)
+              WHERE len(w) >= 8
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY g) AS c,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              FROM wins
+            ),
+            marked AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM marked
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pos - lp > 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+              FROM isl GROUP BY doc_id, island
+            ),
+            otoks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            tokens AS (
+              SELECT doc_id, i::INTEGER AS i, w[i] AS tok
+              FROM otoks, unnest(range(1, len(w) + 1)) AS r(i)
+            ),
+            keep AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM tokens t LEFT JOIN spans s
+                ON t.doc_id = s.doc_id
+               AND t.i BETWEEN s.span_start AND s.span_end
+              WHERE s.doc_id IS NULL
+            )
+            SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+              FROM keep GROUP BY doc_id
+            ) k USING (doc_id)""",
         "quantile_refine": """
             SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_lines", "k_anonymity_report", "normalize_whitespace", "redact_pii", "remove_boilerplate_lines"]
+__all__ = [
+    "dedup_lines",
+    "duplicate_spans",
+    "k_anonymity_report",
+    "normalize_whitespace",
+    "redact_pii",
+    "remove_boilerplate_lines",
+    "remove_duplicate_spans",
+]
 
 # portable across Java regex and RE2 (no lookaround)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -340,4 +348,233 @@ def k_anonymity_report(
         df.groupBy(*quasi_identifiers)
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
+    )
+
+
+def _gram_key(hash_impl: str, gram: Column) -> Column:
+    """Shuffle key for a window's content.  'exact' keys on the gram
+    string itself (exact semantics, widest shuffle rows);
+    'xxhash64' (default) narrows every shuffled row to one long —
+    at 100k distinct windows the birthday-collision odds are ~3e-10,
+    and a collision only ever merges two windows' occurrence counts
+    (never loses a real duplicate); 'md5' is the 128-bit middle
+    ground shared with the dedup family's oracle rows."""
+    if hash_impl == "exact":
+        return gram
+    if hash_impl == "md5":
+        return F.md5(gram)
+    if hash_impl == "xxhash64":
+        return F.xxhash64(gram)
+    raise ValueError(f"hash_impl must be exact|md5|xxhash64, got {hash_impl!r}")
+
+
+def _dup_window_marks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_occurrences: int,
+    cross_doc_only: bool,
+    hash_impl: str,
+    drop_first: bool,
+) -> DataFrame:
+    """(id, pos) rows — 1-based token positions starting a k-token
+    window whose content repeats corpus-wide.  ``drop_first`` excludes
+    each window-content's global first occurrence (smallest
+    (id, pos)), the keep-one-copy rule removal wants.
+
+    Scale shape (the reason the default path is a groupBy + shuffle
+    join, not a window over the gram): the exploded window frame is
+    corpus-token-sized but narrow (hash + id + pos).  The occurrence
+    count is a hash aggregate — map-side partial combine collapses a
+    billion-fold-repeated boilerplate gram to one row per task before
+    the exchange — and the mark-back join is a shuffle join AQE can
+    skew-split.  A ``count(*) over (partition by gram)`` window would
+    compute the same thing in ONE exchange but pins every occurrence
+    of the hottest gram to a single un-splittable task; at C4-scale
+    corpora that task is the job.
+
+    Small inputs (compressed scan stats under 32 MB, the repo-wide
+    small-path gate) DO take the one-exchange window form: a hot-gram
+    task is bounded by the whole input there, and the saved
+    exchange + broadcast stages are the measured difference between
+    6 and 4 jobs at sf0.1 (the gate mis-firing small is safe — the
+    window path is exact, just less splittable)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
+    from flox_spark.plans import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _word_tokens(F.col(text_col)).alias("__t"))
+        # docs under k tokens cannot contain a k-token span (and
+        # _shingles_from_tokens would emit their whole content as one
+        # short pseudo-window)
+        .filter(F.size("__t") >= k)
+    )
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(_shingles_from_tokens(F.col("__t"), k)).alias("__p0", "__g"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        _gram_key(hash_impl, F.col("__g")).alias("__g"),
+    )
+    from flox_spark.plans.util import estimate_size_bytes
+
+    sts = estimate_size_bytes(df)
+    if sts is not None and sts < (32 << 20) and not df.isStreaming:
+        # small path: ONE gram exchange — count / first-occurrence /
+        # distinct-doc test all ride the same window partition
+        w_g = Window.partitionBy("__g")
+        keep = F.count(F.lit(1)).over(w_g) >= min_occurrences
+        if cross_doc_only:
+            keep = keep & (
+                F.min(id_col).over(w_g) != F.max(id_col).over(w_g)
+            )
+        if drop_first:
+            first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_g)
+            keep = keep & ~(
+                (F.col(id_col) == first[id_col])
+                & (F.col("pos") == first["pos"])
+            )
+        # window expressions cannot sit in a filter directly
+        return (
+            wins.withColumn("__keep", keep)
+            .filter("__keep")
+            .select(id_col, "pos")
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+    ]
+    if cross_doc_only:
+        # >= 2 distinct docs <=> min(id) != max(id); no two-phase
+        # count_distinct expansion needed
+        aggs += [F.min(id_col).alias("__dlo"), F.max(id_col).alias("__dhi")]
+    dup = wins.groupBy("__g").agg(*aggs).filter(F.col("__c") >= min_occurrences)
+    if cross_doc_only:
+        dup = dup.filter(F.col("__dlo") != F.col("__dhi"))
+    marked = wins.join(
+        dup.select("__g", "__first"), "__g"
+    )
+    if drop_first:
+        marked = marked.filter(
+            ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("pos") == F.col("__first")["pos"])
+            )
+        )
+    return marked.select(id_col, "pos")
+
+
+def _merge_window_islands(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge marked window starts into maximal spans: windows at
+    token positions p < q cover a contiguous duplicated region iff
+    q <= p + k (ranges [p, p+k-1] and [q, q+k-1] touch or overlap).
+    Classic gaps-and-islands — one per-doc window pass; the island
+    groupBy reuses the window exchange's hash partitioning on id."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    return (
+        marked.withColumn("__isl", F.sum(gap).over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "n_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .drop("__isl")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Exact substring-level duplication report (the train-data span
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, at word granularity):
+    one row ``(id, span_start, span_end, n_tokens)`` per maximal token
+    span covered by k-token windows whose lower-cased content occurs
+    at least ``min_occurrences`` times anywhere in the corpus
+    (``cross_doc_only=True`` additionally requires >= 2 distinct
+    documents, so within-doc repetition alone does not mark).
+    Positions are 1-based token indices over whitespace tokens of
+    ``lower(trim(text))``; overlapping/adjacent duplicated windows
+    merge into one span, so ``n_tokens >= k``.
+
+    Beyond the reference's surface (SURVEY §2.5) — the span-granular
+    sibling of ``dedup_lines``.  Plan: one posexplode (corpus-token-
+    sized, narrow hashed rows), one gram hash-aggregate (map-side
+    partial combine eats hot boilerplate grams), one AQE-skew-
+    splittable mark-back join, one per-doc island merge.  No UDFs, no
+    driver collects, no self-joins."""
+    marked = _dup_window_marks(
+        df, id_col, text_col, k, min_occurrences, cross_doc_only,
+        hash_impl, drop_first=False,
+    )
+    return _merge_window_islands(marked, id_col, k)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+    hash_impl: str = "xxhash64",
+    out: str = "text_clean",
+) -> DataFrame:
+    """Keep-one-copy span dedup: every token covered by a duplicated
+    k-token window (see ``duplicate_spans``) is removed, EXCEPT in
+    the window-content's global first occurrence — smallest
+    (id, pos), the same first-wins rule as ``dedup_lines`` — so one
+    copy of every duplicated span survives the corpus.  Every input
+    row survives with ``out`` holding the surviving tokens rejoined
+    by single spaces (original token case is preserved; whitespace
+    runs are normalized, like ``dedup_lines``'s joiner), reduced to
+    "" when nothing remains.  NULL ids order before non-NULL in the
+    first-occurrence rule (Spark struct ordering).
+
+    Plan: the mark/merge stages of ``duplicate_spans`` minus first
+    occurrences, then the per-doc span list (bounded by doc length)
+    joins back by id and a row-local ``F.filter`` over the original
+    token array drops covered positions — the reassembly never
+    explodes tokens."""
+    marked = _dup_window_marks(
+        df, id_col, text_col, k, min_occurrences, cross_doc_only,
+        hash_impl, drop_first=True,
+    )
+    spans = _merge_window_islands(marked, id_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
+    )
+    while out in df.columns:
+        out += "_"
+    # original-case tokens: the same whitespace split as the window
+    # keys (positions align 1:1), without the lower()
+    orig_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        orig_toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("__rm"), F.array()),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out, F.concat_ws(" ", kept))
+        .drop("__rm")
     )

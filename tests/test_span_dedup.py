@@ -1,0 +1,261 @@
+"""duplicate_spans / remove_duplicate_spans vs a pure-Python oracle.
+
+The reference implementation below is the direct transcription of the
+declared semantics (Lee et al. 2021-style exact span dedup at word
+granularity): mark every 1-based token position starting a k-token
+window whose lower-cased content occurs >= min_occurrences times
+corpus-wide (optionally in >= 2 distinct docs), merge marks p < q
+with q <= p + k into maximal spans, and for removal drop covered
+tokens everywhere except the window-content's global first
+occurrence (smallest (id, pos))."""
+
+import random
+
+import pandas as pd
+import pytest
+
+from flox_spark.operators import duplicate_spans, remove_duplicate_spans
+
+
+def _toks(text):
+    return text.strip().lower().split()
+
+
+def _orig_toks(text):
+    return text.strip().split()
+
+
+def _ref_marks(corpus, k, min_occurrences, cross_doc_only, drop_first):
+    # corpus: dict id -> text
+    occ = {}
+    for i, text in corpus.items():
+        t = _toks(text)
+        for p in range(len(t) - k + 1):
+            occ.setdefault(" ".join(t[p : p + k]), []).append((i, p + 1))
+    marks = {}
+    for g, sites in occ.items():
+        if len(sites) < min_occurrences:
+            continue
+        if cross_doc_only and len({i for i, _ in sites}) < 2:
+            continue
+        keep = set(sites)
+        if drop_first:
+            keep.discard(min(sites))
+        for i, p in keep:
+            marks.setdefault(i, set()).add(p)
+    return marks
+
+
+def _ref_spans(corpus, k, min_occurrences=2, cross_doc_only=False, drop_first=False):
+    marks = _ref_marks(corpus, k, min_occurrences, cross_doc_only, drop_first)
+    out = []
+    for i, ps in marks.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > k:
+                out.append((i, start, prev + k - 1, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k - 1, prev + k - start))
+    return sorted(out)
+
+
+def _ref_removed(corpus, k, min_occurrences=2, cross_doc_only=False):
+    spans = _ref_spans(corpus, k, min_occurrences, cross_doc_only, drop_first=True)
+    out = {}
+    for i, text in corpus.items():
+        t = _orig_toks(text)
+        rm = set()
+        for di, s, e, _ in spans:
+            if di == i:
+                rm.update(range(s, e + 1))
+        out[i] = " ".join(tok for j, tok in enumerate(t, 1) if j not in rm)
+    return out
+
+
+def _spark_spans(spark, corpus, **kw):
+    pdf = pd.DataFrame(
+        {"doc_id": list(corpus), "text": [corpus[i] for i in corpus]}
+    )
+    rows = duplicate_spans(spark.createDataFrame(pdf), **kw).collect()
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"]) for r in rows
+    )
+
+
+def _spark_removed(spark, corpus, **kw):
+    pdf = pd.DataFrame(
+        {"doc_id": list(corpus), "text": [corpus[i] for i in corpus]}
+    )
+    rows = remove_duplicate_spans(spark.createDataFrame(pdf), **kw).collect()
+    return {r["doc_id"]: r["text_clean"] for r in rows}
+
+
+CORPUS = {
+    # doc 1/2 share an 8-token run ("the quick brown fox jumps over the lazy")
+    1: "Alpha the quick brown fox jumps over the lazy dog tail omega",
+    2: "Beta prefix the quick brown fox jumps over the lazy dog end",
+    # doc 3 repeats a 6-token phrase WITHIN itself, twice
+    3: "one two three four five six filler one two three four five six",
+    # doc 4 is shorter than most k values
+    4: "tiny doc",
+    # doc 5 shares nothing
+    5: "completely unrelated content with no duplicated window at all here",
+}
+
+
+@pytest.mark.parametrize("k", [4, 6, 8])
+def test_spans_match_python_reference(spark, k):
+    assert _spark_spans(spark, CORPUS, k=k) == _ref_spans(CORPUS, k)
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_cross_doc_only_ignores_within_doc_repeats(spark, k):
+    got = _spark_spans(spark, CORPUS, k=k, cross_doc_only=True)
+    assert got == _ref_spans(CORPUS, k, cross_doc_only=True)
+    # doc 3's self-repeat must be gone; the doc-1/2 share must survive
+    assert all(d != 3 for d, *_ in got)
+    assert {d for d, *_ in got} >= {1, 2}
+
+
+def test_min_occurrences_threshold(spark):
+    c = {
+        1: "a b c d x1 filler1 end1",
+        2: "a b c d x2 filler2 end2",
+        3: "a b c d x3 filler3 end3",
+    }
+    # the 4-gram "a b c d" occurs 3 times: >=3 keeps it, >=4 drops it
+    assert _spark_spans(spark, c, k=4, min_occurrences=3) == _ref_spans(
+        c, 4, min_occurrences=3
+    )
+    assert _spark_spans(spark, c, k=4, min_occurrences=4) == []
+
+
+def test_overlapping_windows_merge_to_one_span(spark):
+    # a 10-token shared run with k=4 marks 7 window starts that must
+    # merge into ONE span of 10 tokens
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    c = {1: f"left {run} right", 2: f"other {run} tail"}
+    got = _spark_spans(spark, c, k=4)
+    assert got == _ref_spans(c, 4)
+    assert got == [(1, 2, 11, 10), (2, 2, 11, 10)]
+
+
+def test_gapped_duplicates_stay_separate_spans(spark):
+    # two shared 4-gram runs separated by > k unshared tokens
+    c = {
+        1: "s1 s2 s3 s4 u1 u2 u3 u4 u5 t1 t2 t3 t4",
+        2: "s1 s2 s3 s4 v1 v2 v3 v4 v5 t1 t2 t3 t4",
+    }
+    got = _spark_spans(spark, c, k=4)
+    assert got == _ref_spans(c, 4)
+    assert got == [
+        (1, 1, 4, 4), (1, 10, 13, 4), (2, 1, 4, 4), (2, 10, 13, 4),
+    ]
+
+
+def test_short_docs_produce_no_windows(spark):
+    got = _spark_spans(spark, CORPUS, k=8)
+    assert all(d != 4 for d, *_ in got)
+
+
+@pytest.mark.parametrize("hash_impl", ["exact", "md5", "xxhash64"])
+def test_hash_impls_agree(spark, hash_impl):
+    assert _spark_spans(spark, CORPUS, k=6, hash_impl=hash_impl) == _ref_spans(
+        CORPUS, 6
+    )
+
+
+def test_removal_matches_python_reference(spark):
+    got = _spark_removed(spark, CORPUS, k=6)
+    assert got == _ref_removed(CORPUS, 6)
+    # every doc survives, the global first occurrence keeps its copy
+    assert set(got) == set(CORPUS)
+
+
+def test_removal_keeps_exactly_one_copy(spark):
+    run = "p1 p2 p3 p4 p5 p6"
+    c = {1: f"a {run} b", 2: f"c {run} d", 3: f"e {run} f"}
+    got = _spark_removed(spark, c, k=6)
+    assert got == _ref_removed(c, 6)
+    # doc 1 (smallest id) keeps the run; docs 2/3 lose it
+    assert got[1] == f"a {run} b"
+    assert got[2] == "c d"
+    assert got[3] == "e f"
+
+
+def test_removal_preserves_original_case(spark):
+    c = {1: "AAA SHARED RUN OF WORDS x", 2: "yy shared run of words zz"}
+    got = _spark_removed(spark, c, k=4)
+    assert got == _ref_removed(c, 4)
+    assert got[1] == "AAA SHARED RUN OF WORDS x"  # first occurrence, case kept
+    assert got[2] == "yy zz"
+
+
+def test_removal_can_empty_a_doc(spark):
+    c = {1: "x1 x2 x3 x4", 2: "x1 x2 x3 x4"}
+    got = _spark_removed(spark, c, k=4)
+    assert got[1] == "x1 x2 x3 x4"
+    assert got[2] == ""
+
+
+def test_no_duplicates_is_identity_modulo_whitespace(spark):
+    c = {1: "some  spaced   text here", 2: "other words entirely now"}
+    assert _spark_spans(spark, c, k=3) == []
+    got = _spark_removed(spark, c, k=3)
+    assert got[1] == "some spaced text here"  # whitespace normalized, tokens kept
+    assert got[2] == "other words entirely now"
+
+
+def test_validation(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, min_occurrences=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, hash_impl="sha9000").collect()
+
+
+def test_randomized_differential(spark):
+    rng = random.Random(11)
+    vocab = [f"t{j}" for j in range(12)]
+    for trial in range(4):
+        corpus = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24)))
+            for i in range(1, 9)
+        }
+        for k in (3, 5):
+            for cdo in (False, True):
+                assert _spark_spans(
+                    spark, corpus, k=k, cross_doc_only=cdo
+                ) == _ref_spans(corpus, k, cross_doc_only=cdo), (trial, k, cdo, corpus)
+        assert _spark_removed(spark, corpus, k=3) == _ref_removed(corpus, 3), (
+            trial,
+            corpus,
+        )
+
+
+def test_small_window_path_matches_groupby_join_path(spark):
+    # the <32MB stats gate takes a one-exchange window form; a
+    # stats-less frame (localCheckpoint) forces the groupBy + join
+    # scale path — every (k, cross_doc_only, drop_first) combination
+    # must agree between them
+    pdf = pd.DataFrame(
+        {"doc_id": list(CORPUS), "text": [CORPUS[i] for i in CORPUS]}
+    )
+    df = spark.createDataFrame(pdf)  # LocalRelation: small stats
+    dfu = df.localCheckpoint(eager=True)  # stats-less: big path
+    for k in (4, 6):
+        for cdo in (False, True):
+            a = sorted(map(tuple, duplicate_spans(df, k=k, cross_doc_only=cdo).collect()))
+            b = sorted(map(tuple, duplicate_spans(dfu, k=k, cross_doc_only=cdo).collect()))
+            assert a == b == _ref_spans(CORPUS, k, cross_doc_only=cdo)
+        ra = {r["doc_id"]: r["text_clean"]
+              for r in remove_duplicate_spans(df, k=k).collect()}
+        rb = {r["doc_id"]: r["text_clean"]
+              for r in remove_duplicate_spans(dfu, k=k).collect()}
+        assert ra == rb == _ref_removed(CORPUS, k)
