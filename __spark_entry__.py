@@ -1166,6 +1166,35 @@ def q_dup_spans_removed(s, d):
     )
 
 
+def q_dup_spans_against(s, d):
+    # cross-corpus span contamination: odd-id "new batch" spans whose
+    # 8-word windows appear anywhere in the even-id "existing corpus"
+    # (the span-granular dedup_against / position-level
+    # contamination_report)
+    from flox_spark.operators import duplicate_spans_against
+
+    docs = _t(s, d, "documents")
+    return duplicate_spans_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        k=8,
+    ).select("doc_id", "span_start", "span_end", "n_tokens")
+
+
+def q_decontaminate_spans(s, d):
+    # span-level decontamination: cut every odd-id batch token covered
+    # by an 8-word window present in the even-id reference (no
+    # keep-first — the reference holds the canonical copy)
+    from flox_spark.operators import remove_spans_against
+
+    docs = _t(s, d, "documents")
+    return remove_spans_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        k=8,
+    ).select("doc_id", "text_clean")
+
+
 def q_binned_left(s, d):
     # left-closed IntervalIndex bins (closed='left'): the reference
     # digitizes by expect.closed_right (flox/factorize.py:57-76);
@@ -2205,15 +2234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows, simhash_pairs (first-match banding rewrite), and
     # minhash_clusters / leakage_split (they ride the r11
     # dedup_clusters fused-probe change) and the NEW dedup_documents
-    # pipeline row, [14-15] the NEW r11 span-dedup family (dup_spans /
-    # dup_spans_removed — Lee-et-al-2021 exact substring dedup, both
-    # full-oracle), [16-32] the seventeen
+    # pipeline row, [14-17] the NEW r11 span-dedup family (dup_spans /
+    # dup_spans_removed / dup_spans_against / decontaminate_spans —
+    # Lee-et-al-2021 exact substring dedup + its cross-corpus
+    # decontamination twins, all full-oracle), [18-34] the seventeen
     # r7-era rows the r10 VERDICT named as longest without driver
-    # hash evidence, [33-50] the oldest of the r8 cohort (the
-    # remainder — transform_mean, grouped_topk, redact_pii,
-    # boilerplate, chunk_docs, profile, quality_report, salted_sum,
-    # weighted_mean, rank_pct, skew, kurtosis, the r10 cohort tail —
-    # lead the r12 rotation).
+    # hash evidence, [35-50] the oldest of the r8 cohort (the
+    # remainder — sample_group, quantile_sort, transform_mean,
+    # grouped_topk, redact_pii, boilerplate, chunk_docs, profile,
+    # quality_report, salted_sum, weighted_mean, rank_pct, skew,
+    # kurtosis, the r10 cohort tail — lead the r12 rotation;
+    # quantile_refine/refine2 stay in-window since the r11 sketch-
+    # trust fix touched them).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
@@ -2232,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_documents": q_dedup_documents,
         "dup_spans": q_dup_spans,
         "dup_spans_removed": q_dup_spans_removed,
+        "dup_spans_against": q_dup_spans_against,
+        "decontaminate_spans": q_decontaminate_spans,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
@@ -2833,6 +2867,89 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
             )
             SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+              FROM keep GROUP BY doc_id
+            ) k USING (doc_id)""",
+        "dup_spans_against": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i::INTEGER AS pos,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(range(1, len(w) - 8 + 2)) AS r(i)
+              WHERE len(w) >= 8
+            ),
+            refg AS (SELECT DISTINCT g FROM wins WHERE doc_id % 2 = 0),
+            marked AS (
+              SELECT doc_id, pos FROM wins
+              WHERE doc_id % 2 = 1 AND g IN (SELECT g FROM refg)
+            ),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM marked
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pos - lp > 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   (max(pos) + 7)::INTEGER AS span_end,
+                   (max(pos) + 7 - min(pos) + 1)::INTEGER AS n_tokens
+            FROM isl GROUP BY doc_id, island""",
+        "decontaminate_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i::INTEGER AS pos,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(range(1, len(w) - 8 + 2)) AS r(i)
+              WHERE len(w) >= 8
+            ),
+            refg AS (SELECT DISTINCT g FROM wins WHERE doc_id % 2 = 0),
+            marked AS (
+              SELECT doc_id, pos FROM wins
+              WHERE doc_id % 2 = 1 AND g IN (SELECT g FROM refg)
+            ),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM marked
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pos - lp > 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+              FROM isl GROUP BY doc_id, island
+            ),
+            otoks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tokens AS (
+              SELECT doc_id, i::INTEGER AS i, w[i] AS tok
+              FROM otoks, unnest(range(1, len(w) + 1)) AS r(i)
+            ),
+            keep AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM tokens t LEFT JOIN spans s
+                ON t.doc_id = s.doc_id
+               AND t.i BETWEEN s.span_start AND s.span_end
+              WHERE s.doc_id IS NULL
+            )
+            SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN (
               SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
               FROM keep GROUP BY doc_id
             ) k USING (doc_id)""",

@@ -27,11 +27,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "dedup_lines",
     "duplicate_spans",
+    "duplicate_spans_against",
     "k_anonymity_report",
     "normalize_whitespace",
     "redact_pii",
     "remove_boilerplate_lines",
     "remove_duplicate_spans",
+    "remove_spans_against",
 ]
 
 # portable across Java regex and RE2 (no lookaround)
@@ -368,6 +370,33 @@ def _gram_key(hash_impl: str, gram: Column) -> Column:
     raise ValueError(f"hash_impl must be exact|md5|xxhash64, got {hash_impl!r}")
 
 
+def _kgram_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_impl: str
+) -> DataFrame:
+    """(id, pos, __g) rows: every k-token window of lower-cased
+    whitespace tokens, keyed per ``_gram_key``.  ``pos`` is the
+    1-based token index of the window start.  Docs under k tokens
+    produce no windows (they cannot contain a k-token span, and
+    ``_shingles_from_tokens`` would emit their whole content as one
+    short pseudo-window)."""
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
+    from flox_spark.plans import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _word_tokens(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(_shingles_from_tokens(F.col("__t"), k)).alias("__p0", "__g"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        _gram_key(hash_impl, F.col("__g")).alias("__g"),
+    )
+
+
 def _dup_window_marks(
     df: DataFrame,
     id_col: str,
@@ -404,26 +433,9 @@ def _dup_window_marks(
         raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
-    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
-    from flox_spark.plans import ensure_parallelism
-
-    toks = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), _word_tokens(F.col(text_col)).alias("__t"))
-        # docs under k tokens cannot contain a k-token span (and
-        # _shingles_from_tokens would emit their whole content as one
-        # short pseudo-window)
-        .filter(F.size("__t") >= k)
-    )
-    wins = toks.select(
-        F.col(id_col),
-        F.posexplode(_shingles_from_tokens(F.col("__t"), k)).alias("__p0", "__g"),
-    ).select(
-        F.col(id_col),
-        (F.col("__p0") + 1).alias("pos"),
-        _gram_key(hash_impl, F.col("__g")).alias("__g"),
-    )
     from flox_spark.plans.util import estimate_size_bytes
+
+    wins = _kgram_windows(df, id_col, text_col, k, hash_impl)
 
     sts = estimate_size_bytes(df)
     if sts is not None and sts < (32 << 20) and not df.isStreaming:
@@ -558,6 +570,19 @@ def remove_duplicate_spans(
         hash_impl, drop_first=True,
     )
     spans = _merge_window_islands(marked, id_col, k)
+    return _cut_spans(df, spans, id_col, text_col, out)
+
+
+def _cut_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str, out: str
+) -> DataFrame:
+    """Reassemble each doc without the tokens its span rows cover:
+    the per-doc span list (bounded by doc length) joins back by id
+    and a row-local ``F.filter`` over the original token array drops
+    covered 1-based positions — the reassembly never explodes
+    tokens.  Every input row survives; ``out`` holds the surviving
+    ORIGINAL-CASE tokens rejoined by single spaces ("" when nothing
+    remains)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
     )
@@ -578,3 +603,79 @@ def remove_duplicate_spans(
         .withColumn(out, F.concat_ws(" ", kept))
         .drop("__rm")
     )
+
+
+def _spans_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_impl: str,
+    ref_text_col: str | None,
+) -> DataFrame:
+    """Marked-window island merge for the cross-corpus case: batch
+    windows whose content appears ANYWHERE in ``reference``.  The
+    reference side reduces to its DISTINCT gram keys (an aggregate
+    with map-side partial combine — reference-distinct-gram-sized,
+    never reference-token-sized, after the exchange) and the batch
+    marks via a LEFT SEMI join on the key: no occurrence counting, no
+    keep-first bookkeeping, AQE-skew-splittable, broadcastable when
+    the reference is benchmark-sized."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
+    ref_grams = (
+        _kgram_windows(
+            reference, id_col, ref_text_col or text_col, k, hash_impl
+        ).select("__g").distinct()
+    )
+    wins = _kgram_windows(df, id_col, text_col, k, hash_impl)
+    marked = wins.join(ref_grams, "__g", "left_semi").select(id_col, "pos")
+    return _merge_window_islands(marked, id_col, k)
+
+
+def duplicate_spans_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_impl: str = "xxhash64",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus span contamination report — the span-granular
+    sibling of ``dedup_against``/``minhash_against`` and the
+    position-level refinement of ``contamination_report``: one row
+    ``(id, span_start, span_end, n_tokens)`` per maximal token span
+    of ``df`` covered by k-token windows whose lower-cased content
+    appears ANYWHERE in ``reference`` (an existing training corpus, a
+    benchmark suite).  Positions/merging as in ``duplicate_spans``;
+    ``df``-internal repetition alone does NOT mark.
+
+    The reference needs no id column (``ref_text_col`` defaults to
+    ``text_col``); its windows collapse to a distinct gram-key set
+    before the semi join, so the join build side is
+    distinct-gram-sized."""
+    return _spans_against(df, reference, id_col, text_col, k, hash_impl, ref_text_col)
+
+
+def remove_spans_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_impl: str = "xxhash64",
+    ref_text_col: str | None = None,
+    out: str = "text_clean",
+) -> DataFrame:
+    """Span-level decontamination: cut every token of ``df`` covered
+    by a k-token window that appears anywhere in ``reference`` (the
+    reference holds the canonical copy, so unlike
+    ``remove_duplicate_spans`` there is no keep-first exception).
+    Every input row survives with ``out`` holding the surviving
+    original-case tokens rejoined by single spaces ("" when nothing
+    remains) — the redaction alternative to ``decontaminate``'s
+    whole-doc drop."""
+    spans = _spans_against(df, reference, id_col, text_col, k, hash_impl, ref_text_col)
+    return _cut_spans(df, spans, id_col, text_col, out)

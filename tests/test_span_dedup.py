@@ -259,3 +259,121 @@ def test_small_window_path_matches_groupby_join_path(spark):
         rb = {r["doc_id"]: r["text_clean"]
               for r in remove_duplicate_spans(dfu, k=k).collect()}
         assert ra == rb == _ref_removed(CORPUS, k)
+
+
+# ---- cross-corpus (against) family ----------------------------------
+
+
+def _ref_against_spans(batch, reference, k):
+    ref_grams = set()
+    for text in reference.values():
+        t = _toks(text)
+        for p in range(len(t) - k + 1):
+            ref_grams.add(" ".join(t[p : p + k]))
+    marks = {}
+    for i, text in batch.items():
+        t = _toks(text)
+        for p in range(len(t) - k + 1):
+            if " ".join(t[p : p + k]) in ref_grams:
+                marks.setdefault(i, set()).add(p + 1)
+    out = []
+    for i, ps in marks.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > k:
+                out.append((i, start, prev + k - 1, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k - 1, prev + k - start))
+    return sorted(out)
+
+
+def _ref_against_removed(batch, reference, k):
+    spans = _ref_against_spans(batch, reference, k)
+    out = {}
+    for i, text in batch.items():
+        t = _orig_toks(text)
+        rm = set()
+        for di, s, e, _ in spans:
+            if di == i:
+                rm.update(range(s, e + 1))
+        out[i] = " ".join(tok for j, tok in enumerate(t, 1) if j not in rm)
+    return out
+
+
+REFERENCE = {
+    101: "held out benchmark question about the quick brown fox jumps over things",
+    102: "another eval item one two three four five six answer key",
+}
+
+
+def _mk(spark, corpus):
+    pdf = pd.DataFrame({"doc_id": list(corpus), "text": [corpus[i] for i in corpus]})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_against_spans_match_python_reference(spark, k):
+    from flox_spark.operators import duplicate_spans_against
+
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(
+                _mk(spark, CORPUS), _mk(spark, REFERENCE), k=k
+            ).collect(),
+        )
+    )
+    assert got == _ref_against_spans(CORPUS, REFERENCE, k)
+    assert got  # the shared fox run / one-two-three run must mark
+
+
+def test_against_ignores_batch_internal_repeats(spark):
+    from flox_spark.operators import duplicate_spans_against
+
+    batch = {1: "z1 z2 z3 z4 mid z1 z2 z3 z4", 2: "z1 z2 z3 z4 tail pad pad2"}
+    ref = {9: "nothing shared here at all right now"}
+    got = duplicate_spans_against(_mk(spark, batch), _mk(spark, ref), k=4).collect()
+    assert got == []
+
+
+def test_against_removed_matches_python_reference(spark):
+    from flox_spark.operators import remove_spans_against
+
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_spans_against(
+            _mk(spark, CORPUS), _mk(spark, REFERENCE), k=4
+        ).collect()
+    }
+    assert got == _ref_against_removed(CORPUS, REFERENCE, 4)
+    assert set(got) == set(CORPUS)  # every batch doc survives
+
+
+def test_against_removes_all_copies_no_keep_first(spark):
+    from flox_spark.operators import remove_spans_against
+
+    batch = {1: "a p1 p2 p3 p4 b", 2: "c p1 p2 p3 p4 d"}
+    ref = {9: "x p1 p2 p3 p4 y"}
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_spans_against(_mk(spark, batch), _mk(spark, ref), k=4).collect()
+    }
+    # BOTH batch copies cut (the reference holds the canonical copy)
+    assert got == {1: "a b", 2: "c d"}
+
+
+def test_against_ref_text_col(spark):
+    from flox_spark.operators import duplicate_spans_against
+
+    ref = _mk(spark, REFERENCE).withColumnRenamed("text", "content")
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(
+                _mk(spark, CORPUS), ref, k=4, ref_text_col="content"
+            ).collect(),
+        )
+    )
+    assert got == _ref_against_spans(CORPUS, REFERENCE, 4)
