@@ -377,3 +377,58 @@ def test_against_ref_text_col(spark):
         )
     )
     assert got == _ref_against_spans(CORPUS, REFERENCE, 4)
+
+
+# ---- hypothesis property differential --------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+hyp = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def corpora(draw):
+    # tiny vocab + random case flips + messy separators: forces heavy
+    # gram collisions, exercises lowercasing and the \s+ tokenizer
+    vocab = ["aa", "Bb", "CC", "d"]
+    sep = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
+    n_docs = draw(st.integers(1, 7))
+    docs = {}
+    for i in range(1, n_docs + 1):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=18))
+        seps = [draw(sep) for _ in toks]
+        docs[i] = "".join(t + s for t, s in zip(toks, seps)).rstrip()
+    return docs
+
+
+@hyp
+@given(corpora(), st.integers(2, 4), st.booleans())
+def test_hypothesis_spans_differential(spark, corpus, k, cdo):
+    assert _spark_spans(spark, corpus, k=k, cross_doc_only=cdo) == _ref_spans(
+        corpus, k, cross_doc_only=cdo
+    )
+
+
+@hyp
+@given(corpora(), st.integers(2, 3))
+def test_hypothesis_removal_differential(spark, corpus, k):
+    assert _spark_removed(spark, corpus, k=k) == _ref_removed(corpus, k)
+
+
+@hyp
+@given(corpora(), corpora(), st.integers(2, 3))
+def test_hypothesis_against_differential(spark, batch, ref, k):
+    from flox_spark.operators import duplicate_spans_against
+
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(_mk(spark, batch), _mk(spark, ref), k=k).collect(),
+        )
+    )
+    assert got == _ref_against_spans(batch, ref, k)
