@@ -548,7 +548,7 @@ def groupby_reduce(
         oc = [F.col("__occ").asc_nulls_last(), *(["q"] if qlist is not None else [])]
         declared_card = _declared_cardinality(isbin_t, expected_t)
         if declared_card is not None and declared_card <= OPTIONS["single_partition_sort_max"]:
-            result = result.repartition(1).sortWithinPartitions(*oc).drop("__occ")
+            result = _tiny_sorted(result, *oc, input_df=work).drop("__occ")
         else:
             result = result.orderBy(*oc).drop("__occ")
     return result
@@ -564,6 +564,57 @@ def _declared_cardinality(isbin_t: tuple, expected_t: tuple) -> int | None:
             return None
         card *= (len(e) - 1) if isbin_t[i] else len(e)
     return card
+
+
+def _tiny_sorted(
+    result: DataFrame, *sort_cols, input_df: DataFrame | None = None
+) -> DataFrame:
+    """Single-task sort for provably tiny (group-cardinality-sized)
+    outputs.  ``coalesce(1)`` rides the upstream aggregate's existing
+    shuffle read — the final aggregate and the sort share ONE task in
+    ONE stage, no new exchange, one fewer AQE job than the
+    ``repartition(1)`` form (measured 3 -> 2 jobs on every plain
+    groupby row at sf0.1).  Two guards decide when that is safe:
+
+    - the coalesce collapses everything back to the LAST shuffle
+      boundary, so it must only fire when the FINAL AGGREGATE's
+      single-task merge is provably cheap: the merge volume is
+      (map tasks x group cardinality) partial rows, bounded only
+      when the INPUT is small.  Gate on the input's plan stats at
+      ``single_partition_sort_input_max_bytes`` — at 100 TB the
+      stats blow the bound and the distributed final aggregate +
+      explicit single-partition exchange (the old shape) stays;
+    - a plan with no shuffle upstream at all (a bucketed-read
+      aggregate, where the scan itself satisfies the group
+      distribution) would serialize its data-sized SCAN stage —
+      those always keep the explicit exchange."""
+    import re
+
+    from flox_spark.plans.util import estimate_size_bytes
+
+    in_size = estimate_size_bytes(input_df) if input_df is not None else None
+    small_input = (
+        in_size is not None
+        and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]
+    )
+    has_shuffle = False
+    if small_input:
+        try:
+            # executedPlan (not sparkPlan: that is pre-
+            # EnsureRequirements and carries no exchanges yet) — on an
+            # unexecuted adaptive plan this prints the initial
+            # physical plan, exchanges included, running nothing
+            plan = result._jdf.queryExecution().executedPlan().toString()
+            # shuffle exchanges only; BroadcastExchange is not a
+            # coalesce-able boundary
+            has_shuffle = re.search(
+                r"(?<!Broadcast)Exchange (hash|range|Single|RoundRobin)", plan
+            ) is not None
+        except Exception:  # pragma: no cover - py4j hiccups
+            has_shuffle = False
+    if small_input and has_shuffle:
+        return result.coalesce(1).sortWithinPartitions(*sort_cols)
+    return result.repartition(1).sortWithinPartitions(*sort_cols)
 
 
 def _sorted_output(
@@ -582,10 +633,11 @@ def _sorted_output(
     doubles the most expensive stage.  Strategy:
 
     - declared grid <= ``single_partition_sort_max``: the output is
-      provably tiny — ``repartition(1).sortWithinPartitions`` sorts it
-      in one post-shuffle task with NO sampling pass and no range
-      exchange (the upstream aggregate keeps full parallelism; only
-      the group-cardinality-sized result funnels to one task).
+      provably tiny — ``_tiny_sorted`` sorts it in one post-shuffle
+      task with NO sampling pass and no extra exchange at all (the
+      sort rides the aggregate's own shuffle read via coalesce; the
+      upstream aggregate keeps full parallelism, only the
+      group-cardinality-sized result funnels to one task).
     - unknown cardinality, but the INPUT's plan-stats size is at most
       ``single_partition_sort_input_max_bytes``: the output (<= one
       row per input row) provably fits one sort task too — same
@@ -601,7 +653,7 @@ def _sorted_output(
       re-running the aggregate."""
     if declared_card is not None:
         if declared_card <= OPTIONS["single_partition_sort_max"]:
-            return result.repartition(1).sortWithinPartitions(*sort_cols)
+            return _tiny_sorted(result, *sort_cols, input_df=input_df)
         import warnings
 
         warnings.warn(
@@ -616,7 +668,7 @@ def _sorted_output(
 
         in_size = estimate_size_bytes(input_df)
         if in_size is not None and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]:
-            return result.repartition(1).sortWithinPartitions(*sort_cols)
+            return _tiny_sorted(result, *sort_cols, input_df=input_df)
     if heavy:
         from flox_spark.plans.util import materialize_shared
 
@@ -743,7 +795,7 @@ def groupby_reduce_multi(
         oc = F.col("__occ").asc_nulls_last()
         declared_card = _declared_cardinality(isbin_t, expected_t)
         if declared_card is not None and declared_card <= OPTIONS["single_partition_sort_max"]:
-            result = result.repartition(1).sortWithinPartitions(oc).drop("__occ")
+            result = _tiny_sorted(result, oc, input_df=work).drop("__occ")
         else:
             result = result.orderBy(oc).drop("__occ")
     return result
@@ -1329,15 +1381,23 @@ def _reindex_expected(
             n_part = nbins
         else:
             kdt = result.schema[kc].dataType
+            # local_frame, not a plain-list createDataFrame: the list
+            # path is a python-RDD whose 32 slices re-enter the python
+            # worker PER SCAN — an 8-row declared grid measured ~9 s
+            # per execution at sf0.1; the Arrow LocalRelation scans
+            # free (plans/util.py:local_frame)
+            from flox_spark.plans.util import local_frame
+
             if with_pos:
-                part = spark.createDataFrame(
+                part = local_frame(
+                    spark,
                     [(v, j) for j, v in enumerate(exp)],
                     schema=f"`{kc}` {kdt.simpleString()}, `__pos{i}` bigint",
                 )
                 part_sizes.append(len(exp))
             else:
-                part = spark.createDataFrame(
-                    [(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}"
+                part = local_frame(
+                    spark, [(v,) for v in exp], schema=f"`{kc}` {kdt.simpleString()}"
                 )
             grid_card *= len(exp)
             n_part = len(exp)

@@ -218,7 +218,10 @@ def assign_clusters(
                 # types fall through to the original frame — the flat
                 # pack supports them, the SQL-typed rebuild doesn't.
                 try:
-                    centroids = df.sparkSession.createDataFrame(
+                    from flox_spark.plans.util import local_frame
+
+                    centroids = local_frame(
+                        df.sparkSession,
                         cents_rows,
                         f"__cid {_cid_sql_type(cents_rows)}, centroid array<double>",
                     )
@@ -532,7 +535,10 @@ def _kmeans_driver_loop(
         if use_literal:
             assigned = base.withColumn("__cents", _literal_centroids(cents))
         else:
-            packed = spark.createDataFrame(
+            from flox_spark.plans.util import local_frame
+
+            packed = local_frame(
+                spark,
                 [([(i, c) for i, c in enumerate(cents)],)],
                 schema=_PACKED_SCHEMA,
             )
@@ -588,8 +594,11 @@ def _kmeans_driver_loop(
             )
             return (empty, None) if return_assignment else empty
 
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], schema="__cid int, centroid array<double>"
+    from flox_spark.plans.util import local_frame
+
+    centroids = local_frame(
+        spark, [(i, c) for i, c in enumerate(cents)],
+        schema="__cid int, centroid array<double>",
     )
     if return_assignment:
         last_assigned = None
@@ -603,9 +612,12 @@ def _kmeans_driver_loop(
             if use_literal:
                 src = base.withColumn("__cents", _literal_centroids(assign_cents))
             else:
+                from flox_spark.plans.util import local_frame
+
                 src = base.crossJoin(
                     F.broadcast(
-                        spark.createDataFrame(
+                        local_frame(
+                            spark,
                             [([(i, c) for i, c in enumerate(assign_cents)],)],
                             schema=_PACKED_SCHEMA,
                         )
@@ -725,8 +737,10 @@ def _packed_two_level(spark, cents_rows: list, coarse_k: int) -> DataFrame:
     if not cents_rows:
         raise ValueError("empty centroid table — guard before packing")
     groups = _coarse_partition(cents_rows, coarse_k)
-    return spark.createDataFrame(
-        [(groups,)], schema=_two_level_schema(_cid_sql_type(cents_rows))
+    from flox_spark.plans.util import local_frame
+
+    return local_frame(
+        spark, [(groups,)], schema=_two_level_schema(_cid_sql_type(cents_rows))
     )
 
 

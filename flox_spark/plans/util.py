@@ -268,3 +268,48 @@ def materialize_shared(df: DataFrame, min_bytes: int | None = None) -> DataFrame
     if mode == "persist":
         return df.persist()
     return df
+
+
+def local_frame(spark, rows, schema: str):
+    """Tiny driver-known frames (declared grids, packed centroids,
+    literal model re-entry) as Arrow ``LocalRelation``s.
+
+    ``spark.createDataFrame(<python list>)`` plans as a 32-slice
+    PYTHON RDD: every scan re-enters a Python worker once per slice
+    (~125 ms each on this box), so even a ONE-ROW frame costs ~1 s
+    per execution and an 8-row declared grid under ``coalesce(1)``
+    measured ~9 s.  The pandas/Arrow route plans as a pure-JVM
+    ``LocalRelation`` — scans are free, broadcasts need no Python
+    round trip, and plan stats are exact.  Rows are shipped as
+    object-dtype pandas columns so Nones stay NULL and ints never
+    drift through float64; the explicit ``schema`` string still
+    fixes the Spark-side types.  Falls back to the classic list path
+    when Arrow cannot convert (exotic element types, empty frames —
+    pandas empty frames skip Arrow anyway) and when any value is a
+    float NaN: pandas/Arrow apply pandas null semantics and would
+    silently turn the NaN into NULL (caught by the kmeans
+    non-finite-centroid pin), where the list path keeps NaN."""
+
+    def _no_nan(v) -> bool:
+        if isinstance(v, float):
+            return v == v
+        if isinstance(v, (list, tuple)):
+            return all(_no_nan(x) for x in v)
+        if isinstance(v, dict):
+            return all(_no_nan(x) for x in v.values())
+        return True
+
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        names = [f.name for f in StructType.fromDDL(schema)]
+        if rows and all(_no_nan(r) for r in rows):
+            pdf = pd.DataFrame({
+                n: pd.Series([r[j] for r in rows], dtype=object)
+                for j, n in enumerate(names)
+            })
+            return spark.createDataFrame(pdf, schema=schema)
+    except Exception:  # pragma: no cover - arrow conversion surprises
+        pass
+    return spark.createDataFrame(rows, schema=schema)
