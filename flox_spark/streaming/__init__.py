@@ -9,6 +9,7 @@ from flox_spark.streaming.stream import (
     groupby_skew_stream,
     outlier_fences_stream,
     groupby_session_stream,
+    stream_decontaminate_spans,
     stream_dedup_against,
     stream_dedup_exact,
     groupby_value_counts_stream,
@@ -30,6 +31,7 @@ __all__ = [
     "groupby_skew_stream",
     "outlier_fences_stream",
     "groupby_session_stream",
+    "stream_decontaminate_spans",
     "stream_dedup_against",
     "stream_dedup_exact",
     "groupby_value_counts_stream",

@@ -803,3 +803,78 @@ def winsorize_bounds_stream(
         F.col("q_hi").cast("double").alias("q_hi"),
         "n",
     )
+
+
+def stream_decontaminate_spans(
+    stream: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_impl: str = "xxhash64",
+    ref_text_col: str | None = None,
+    out: str = "text_clean",
+) -> DataFrame:
+    """Streaming twin of ``operators.clean.remove_spans_against``:
+    cut every token of an incoming document covered by a k-token
+    window whose lower-cased content appears anywhere in a STATIC
+    reference corpus (live-crawl decontamination against a benchmark
+    suite).  Output matches the batch operator exactly: every input
+    row survives with ``out`` holding the surviving original-case
+    tokens rejoined by single spaces.
+
+    Spark-first and STATELESS (plain append mode, no state store):
+    the reference's distinct gram keys aggregate into a ONE-ROW
+    packed array that broadcasts onto the stream — the same
+    tiny-static-side contract as ``decontaminate``'s benchmark
+    shingle broadcast — and the window marking, span coverage test,
+    and reassembly are all row-local array expressions (each doc's
+    spans depend only on its own tokens plus the static set, so no
+    explode and no re-group is ever needed).  Membership is a linear
+    ``array_contains`` per window: right-sized for benchmark-scale
+    references (thousands to low millions of grams); decontaminating
+    against a full corpus-sized reference belongs to the batch
+    operator, whose semi join scales out."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
+    from flox_spark.operators.clean import _gram_key, _kgram_windows
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
+
+    packed = (
+        _kgram_windows(reference, id_col, ref_text_col or text_col, k, hash_impl)
+        .select("__g")
+        .distinct()
+        .agg(F.collect_set("__g").alias("__refg"))
+    )
+    while out in stream.columns:
+        out += "_"
+    joined = stream.crossJoin(F.broadcast(packed))
+    toks = _word_tokens(F.col(text_col))
+    shingles = _shingles_from_tokens(toks, k)
+    n = F.size(toks)
+    # 1-based window starts whose gram is in the reference set; docs
+    # under k tokens mark nothing (matches _kgram_windows' filter)
+    marks = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda p: F.array_contains(
+                F.col("__refg"), _gram_key(hash_impl, F.element_at(shingles, p))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # original-case tokens; 0-based index i covered iff some marked
+    # window start p satisfies p <= i+1 <= p+k-1
+    orig = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        orig,
+        lambda t, i: ~F.exists(
+            F.col("__marks"),
+            lambda p: (i + 1 >= p) & (i + 1 <= p + F.lit(k - 1)),
+        ),
+    )
+    return (
+        joined.withColumn("__marks", marks)
+        .withColumn(out, F.concat_ws(" ", kept))
+        .drop("__refg", "__marks")
+    )

@@ -432,3 +432,74 @@ def test_hypothesis_against_differential(spark, batch, ref, k):
         )
     )
     assert got == _ref_against_spans(batch, ref, k)
+
+
+# ---- streaming twin ---------------------------------------------------
+
+
+def test_stream_decontaminate_spans_matches_batch(spark):
+    # stateless stream-static span decontamination: identical output
+    # to the batch remove_spans_against over the union of all batches
+    import shutil
+    import tempfile
+    import time as _time
+
+    from flox_spark.operators import remove_spans_against
+    from flox_spark.streaming import stream_decontaminate_spans
+
+    tmp = tempfile.mkdtemp(prefix="flox_sspans_")
+    try:
+        ref = _mk(spark, REFERENCE)
+        f0 = pd.DataFrame(
+            {"doc_id": [1, 2], "text": [CORPUS[1], CORPUS[2]]}
+        )
+        f1 = pd.DataFrame(
+            {"doc_id": [3, 4, 5], "text": [CORPUS[3], CORPUS[4], CORPUS[5]]}
+        )
+        spark.createDataFrame(f0).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        _time.sleep(1.1)
+        spark.createDataFrame(f1).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        out = stream_decontaminate_spans(stream, ref, k=4)
+        q = (
+            out.writeStream.format("memory").queryName("flox_sspans")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in spark.sql("SELECT * FROM flox_sspans").collect()
+        }
+        want = {
+            r["doc_id"]: r["text_clean"]
+            for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()
+        }
+        assert got == want == _ref_against_removed(CORPUS, REFERENCE, 4)
+        assert set(got) == set(CORPUS)  # nothing dropped, every doc rewritten
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_decontaminate_spans_empty_reference(spark):
+    # an empty reference marks nothing: output is whitespace-normalized
+    # identity (collect_set over zero rows -> empty array)
+    from flox_spark.operators import remove_spans_against
+    from flox_spark.streaming import stream_decontaminate_spans
+
+    ref = _mk(spark, {}) if False else _mk(spark, {9: "zz"}).filter("doc_id < 0")
+    # batch comparison on a static frame exercises the same expressions
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in stream_decontaminate_spans(_mk(spark, CORPUS), ref, k=4).collect()
+    }
+    want = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()
+    }
+    assert got == want

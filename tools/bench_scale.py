@@ -132,6 +132,47 @@ def synth_docs(spark, n: int):
     )
 
 
+def spans_scaling(spark, quick: bool) -> dict:
+    """100x-data wall ratios for the r11 span-dedup family.  The
+    synthetic word-soup docs (500-word vocab, 40 words/doc) collide
+    heavily at k=8, so the gram aggregate and mark-back join both
+    carry real volume.  At the big point the >32 MB estimated input
+    leaves the small-path gate and the groupBy + AQE-skew-splittable
+    join shape (the 100 TB plan) runs — the ratio column is the
+    linearity evidence, and big_path confirms which branch executed."""
+    from flox_spark.operators import duplicate_spans, duplicate_spans_against
+
+    # both points sit ABOVE the 32 MB small-path gate (~200k docs
+    # estimate ~50 MB), so the ratio compares the SAME plan — the
+    # groupBy + AQE-skew-splittable join shape that runs at 100 TB
+    small_n, big_n = (200_000, 2_000_000) if quick else (200_000, 6_000_000)
+    out: dict = {}
+    small, big = synth_docs(spark, small_n), synth_docs(spark, big_n)
+    for name, fn in {
+        "dup_spans": lambda d: duplicate_spans(d, k=8),
+        "dup_spans_against": lambda d: duplicate_spans_against(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            k=8,
+        ),
+    }.items():
+        t_small = force(fn(small))
+        t_big = force(fn(big))
+        plan = fn(big)._jdf.queryExecution().executedPlan().toString()
+        out[name] = {
+            "small_n": small_n,
+            "big_n": big_n,
+            "t_small_s": t_small,
+            "t_big_s": t_big,
+            "ratio": round(t_big / max(t_small, 1e-9), 2),
+            "data_ratio": round(big_n / small_n, 1),
+            # dup_spans' small path is join-free (pure windows); a
+            # Join node in the big plan proves the scale branch ran
+            "big_path_join": "Join" in plan,
+        }
+    return out
+
+
 def corpus_scaling(spark, quick: bool) -> dict:
     """10x-data wall ratios for the corpus operators: all are
     single-pass explode+aggregate (or window) plans, so the ratio
@@ -807,6 +848,10 @@ def main() -> None:
                 indent=2,
             )
         )
+        return
+    if "--spans" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"spans_100x": spans_scaling(spark, quick)}, indent=2))
         return
     if "--extras-sf1" in sys.argv:
         spark = get_spark("bench_scale")
