@@ -449,8 +449,11 @@ def _dup_window_marks(
             )
         if drop_first:
             first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_g)
+            # eqNullSafe: a plain == against a NULL first-occurrence id
+            # nulls the WHOLE predicate and silently drops every mark
+            # for that gram (caught by the NULL-id pin test)
             keep = keep & ~(
-                (F.col(id_col) == first[id_col])
+                F.col(id_col).eqNullSafe(first[id_col])
                 & (F.col("pos") == first["pos"])
             )
         # window expressions cannot sit in a filter directly
@@ -474,9 +477,11 @@ def _dup_window_marks(
         dup.select("__g", "__first"), "__g"
     )
     if drop_first:
+        # eqNullSafe — see the small-path note: NULL first-occurrence
+        # ids must compare as equal-to-themselves, not as NULL
         marked = marked.filter(
             ~(
-                (F.col(id_col) == F.col("__first")[id_col])
+                F.col(id_col).eqNullSafe(F.col("__first")[id_col])
                 & (F.col("pos") == F.col("__first")["pos"])
             )
         )

@@ -503,3 +503,25 @@ def test_stream_decontaminate_spans_empty_reference(spark):
         for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()
     }
     assert got == want
+
+
+def test_null_text_and_null_id_edges(spark):
+    # NULL text: no windows (size(NULL) = -1), removal rewrites to ""
+    # (split(NULL) -> NULL tokens -> concat_ws skips) — the doc
+    # SURVIVES.  NULL id: windows still count toward occurrence
+    # totals; spans report under the NULL id
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    df = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 x"), (2, None), (None, "s1 s2 s3 s4 y")], schema=schema
+    )
+    spans = duplicate_spans(df, k=4).collect()
+    by_id = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans}
+    assert by_id == {1: (1, 4), None: (1, 4)}
+    removed = {r["doc_id"]: r["text_clean"] for r in remove_duplicate_spans(df, k=4).collect()}
+    assert set(removed.keys()) == {1, 2, None}
+    assert removed[2] == ""  # NULL text -> empty, row kept
+    # keep-first: struct ordering puts NULL id first, so it keeps
+    assert removed[None] == "s1 s2 s3 s4 y"
+    assert removed[1] == "x"

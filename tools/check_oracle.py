@@ -67,7 +67,13 @@ def rows_key(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(sf_dir: str, only: list[str] | None = None, timed: bool = False) -> int:
+    """``--time`` prints per-query Spark collect walls and a
+    slowest-15 table at the end — the outlier hunt that caught the
+    python-RDD declared-grid pathology (expected_fill, 9.9 s at
+    sf0.1) now runs on demand every round."""
+    import time as _time
+
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -78,8 +84,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    walls: list[tuple[float, str]] = []
     for name, fn in qs.items():
         try:
+            t0 = _time.perf_counter() if timed else 0.0
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             # Lint: the driver canonicalizes results by pandas-lexsorting
@@ -93,6 +101,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                       f"{complex_cols} — driver canonicalizer may not "
                       f"lexsort these; emit strings or exploded rows")
             srows = sdf.collect()
+            if timed:
+                walls.append((_time.perf_counter() - t0, name))
             if name not in oracles:
                 print(f"{name:20s} SPARK-ONLY rows={len(srows)}")
                 continue
@@ -121,12 +131,20 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         except Exception as e:
             n_fail += 1
             print(f"{name:20s} ERROR {type(e).__name__}: {e}")
+    if timed and walls:
+        walls.sort(reverse=True)
+        print("\nslowest spark walls (build+collect, cold):")
+        for w, name in walls[:15]:
+            print(f"  {name:24s} {w:7.2f}s")
+        print(f"  total {sum(w for w, _ in walls):.1f}s over {len(walls)} queries")
     print(f"\n{'FAIL' if n_fail else 'PASS'}: {len(qs) - n_fail}/{len(qs)} queries match")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--time"]
     sys.exit(main(
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-        only=sys.argv[2:] or None,
+        argv[0] if argv else "/root/testdata/sf0.01",
+        argv[1:] or None,
+        timed="--time" in sys.argv,
     ))
