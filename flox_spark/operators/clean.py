@@ -397,6 +397,27 @@ def _kgram_windows(
     )
 
 
+def _reference_grams(
+    reference: DataFrame, text_col: str, k: int, hash_impl: str
+) -> DataFrame:
+    """The DISTINCT gram keys of a reference corpus — one ``__g``
+    column, no id required (the documented ``duplicate_spans_against``
+    contract: references are often bare text suites)."""
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
+    from flox_spark.plans import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(reference)
+        .select(_word_tokens(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    return (
+        toks.select(F.explode(_shingles_from_tokens(F.col("__t"), k)).alias("__g"))
+        .select(_gram_key(hash_impl, F.col("__g")).alias("__g"))
+        .distinct()
+    )
+
+
 def _dup_window_marks(
     df: DataFrame,
     id_col: str,
@@ -442,10 +463,20 @@ def _dup_window_marks(
         # small path: ONE gram exchange — count / first-occurrence /
         # distinct-doc test all ride the same window partition
         w_g = Window.partitionBy("__g")
-        keep = F.count(F.lit(1)).over(w_g) >= min_occurrences
+        cnt_all = F.count(F.lit(1)).over(w_g)
+        keep = cnt_all >= min_occurrences
         if cross_doc_only:
+            # >= 2 distinct id VALUES, NULL counted as one value (the
+            # python-reference spec): min/max skip NULLs, so a
+            # NULL-id doc sharing a gram with exactly one non-NULL
+            # doc needs the explicit has-null-and-non-null term
+            cnt_id = F.count(F.col(id_col)).over(w_g)
             keep = keep & (
-                F.min(id_col).over(w_g) != F.max(id_col).over(w_g)
+                F.coalesce(
+                    F.min(id_col).over(w_g) != F.max(id_col).over(w_g),
+                    F.lit(False),
+                )
+                | ((cnt_id < cnt_all) & (cnt_id > 0))
             )
         if drop_first:
             first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_g)
@@ -467,12 +498,19 @@ def _dup_window_marks(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
     ]
     if cross_doc_only:
-        # >= 2 distinct docs <=> min(id) != max(id); no two-phase
-        # count_distinct expansion needed
-        aggs += [F.min(id_col).alias("__dlo"), F.max(id_col).alias("__dhi")]
+        # >= 2 distinct id VALUES (NULL one value, see small path);
+        # min/max + null-count instead of a two-phase count_distinct
+        aggs += [
+            F.min(id_col).alias("__dlo"),
+            F.max(id_col).alias("__dhi"),
+            F.count(F.col(id_col)).alias("__cid"),
+        ]
     dup = wins.groupBy("__g").agg(*aggs).filter(F.col("__c") >= min_occurrences)
     if cross_doc_only:
-        dup = dup.filter(F.col("__dlo") != F.col("__dhi"))
+        dup = dup.filter(
+            F.coalesce(F.col("__dlo") != F.col("__dhi"), F.lit(False))
+            | ((F.col("__cid") < F.col("__c")) & (F.col("__cid") > 0))
+        )
     marked = wins.join(
         dup.select("__g", "__first"), "__g"
     )
@@ -529,7 +567,9 @@ def duplicate_spans(
     documents, so within-doc repetition alone does not mark).
     Positions are 1-based token indices over whitespace tokens of
     ``lower(trim(text))``; overlapping/adjacent duplicated windows
-    merge into one span, so ``n_tokens >= k``.
+    merge into one span, so ``n_tokens >= k``.  Rows sharing an id
+    contribute windows under ONE key, so their positions collide —
+    give duplicate-id frames a unique id first (like ``dedup_lines``).
 
     Beyond the reference's surface (SURVEY §2.5) — the span-granular
     sibling of ``dedup_lines``.  Plan: one posexplode (corpus-token-
@@ -588,9 +628,12 @@ def _cut_spans(
     tokens.  Every input row survives; ``out`` holds the surviving
     ORIGINAL-CASE tokens rejoined by single spaces ("" when nothing
     remains)."""
+    # eqNullSafe join: NULL-id rows are real documents in this family
+    # (the mark/merge stages handle them), so a NULL-rejecting equi
+    # join would silently keep their duplicated/contaminated text
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
-    )
+    ).withColumnRenamed(id_col, "__rm_id")
     while out in df.columns:
         out += "_"
     # original-case tokens: the same whitespace split as the window
@@ -604,9 +647,9 @@ def _cut_spans(
         ),
     )
     return (
-        df.join(per_doc, id_col, "left")
+        df.join(per_doc, F.col(id_col).eqNullSafe(F.col("__rm_id")), "left")
         .withColumn(out, F.concat_ws(" ", kept))
-        .drop("__rm")
+        .drop("__rm", "__rm_id")
     )
 
 
@@ -629,11 +672,7 @@ def _spans_against(
     the reference is benchmark-sized."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
-    ref_grams = (
-        _kgram_windows(
-            reference, id_col, ref_text_col or text_col, k, hash_impl
-        ).select("__g").distinct()
-    )
+    ref_grams = _reference_grams(reference, ref_text_col or text_col, k, hash_impl)
     wins = _kgram_windows(df, id_col, text_col, k, hash_impl)
     marked = wins.join(ref_grams, "__g", "left_semi").select(id_col, "pos")
     return _merge_window_islands(marked, id_col, k)

@@ -837,21 +837,23 @@ def stream_decontaminate_spans(
     operator, whose semi join scales out."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-token 'span' is a word count), got {k}")
-    from flox_spark.operators.clean import _gram_key, _kgram_windows
+    from flox_spark.operators.clean import _gram_key, _reference_grams
     from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
 
-    packed = (
-        _kgram_windows(reference, id_col, ref_text_col or text_col, k, hash_impl)
-        .select("__g")
-        .distinct()
-        .agg(F.collect_set("__g").alias("__refg"))
-    )
+    packed = _reference_grams(
+        reference, ref_text_col or text_col, k, hash_impl
+    ).agg(F.collect_set("__g").alias("__refg"))
     while out in stream.columns:
         out += "_"
     joined = stream.crossJoin(F.broadcast(packed))
-    toks = _word_tokens(F.col(text_col))
-    shingles = _shingles_from_tokens(toks, k)
-    n = F.size(toks)
+    # STAGE tokens and shingles in their own columns: inline forms
+    # re-evaluate the \s+ split (and the whole shingle transform)
+    # once per window position inside the filter lambda — the same
+    # measured ~40% trap _word_tokens' docstring warns about
+    joined = joined.withColumn("__t", _word_tokens(F.col(text_col))).withColumn(
+        "__sh", _shingles_from_tokens(F.col("__t"), k)
+    )
+    n = F.size(F.col("__t"))
     # 1-based window starts whose gram is in the reference set; docs
     # under k tokens mark nothing (matches _kgram_windows' filter)
     marks = F.when(
@@ -859,7 +861,8 @@ def stream_decontaminate_spans(
         F.filter(
             F.sequence(F.lit(1), n - k + 1),
             lambda p: F.array_contains(
-                F.col("__refg"), _gram_key(hash_impl, F.element_at(shingles, p))
+                F.col("__refg"),
+                _gram_key(hash_impl, F.element_at(F.col("__sh"), p)),
             ),
         ),
     ).otherwise(F.array().cast("array<int>"))
@@ -876,5 +879,5 @@ def stream_decontaminate_spans(
     return (
         joined.withColumn("__marks", marks)
         .withColumn(out, F.concat_ws(" ", kept))
-        .drop("__refg", "__marks")
+        .drop("__refg", "__marks", "__t", "__sh")
     )

@@ -492,17 +492,23 @@ def test_stream_decontaminate_spans_empty_reference(spark):
     from flox_spark.operators import remove_spans_against
     from flox_spark.streaming import stream_decontaminate_spans
 
-    ref = _mk(spark, {}) if False else _mk(spark, {9: "zz"}).filter("doc_id < 0")
-    # batch comparison on a static frame exercises the same expressions
-    got = {
-        r["doc_id"]: r["text_clean"]
-        for r in stream_decontaminate_spans(_mk(spark, CORPUS), ref, k=4).collect()
-    }
-    want = {
-        r["doc_id"]: r["text_clean"]
-        for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()
-    }
-    assert got == want
+    # two empty shapes: a filtered-to-empty frame and a truly
+    # zero-row createDataFrame reference
+    for ref in (
+        _mk(spark, {9: "zz"}).filter("doc_id < 0"),
+        spark.createDataFrame([], schema="doc_id bigint, text string"),
+    ):
+        # batch comparison on a static frame exercises the same
+        # expressions (collect_set over zero rows -> empty array)
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in stream_decontaminate_spans(_mk(spark, CORPUS), ref, k=4).collect()
+        }
+        want = {
+            r["doc_id"]: r["text_clean"]
+            for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()
+        }
+        assert got == want
 
 
 def test_null_text_and_null_id_edges(spark):
@@ -525,3 +531,76 @@ def test_null_text_and_null_id_edges(spark):
     # keep-first: struct ordering puts NULL id first, so it keeps
     assert removed[None] == "s1 s2 s3 s4 y"
     assert removed[1] == "x"
+
+
+def test_null_id_non_first_occurrence_is_cut(spark):
+    # code-review finding: _cut_spans' plain left join dropped spans
+    # computed FOR NULL-id rows (NULL-rejecting equality) — the
+    # NULL-id doc whose gram first occurs in doc 1 must lose its copy
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    df = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 x"), (None, "y s1 s2 s3 s4")], schema=schema
+    )
+    # first occurrence = (NULL, 2)? No: struct min orders NULL id
+    # FIRST, so the NULL doc keeps and doc 1 is cut
+    removed = {r["doc_id"]: r["text_clean"]
+               for r in remove_duplicate_spans(df, k=4).collect()}
+    assert removed[None] == "y s1 s2 s3 s4"
+    assert removed[1] == "x"
+    # and cross-corpus removal (no keep-first) cuts the NULL-id row
+    from flox_spark.operators import remove_spans_against
+
+    batch = spark.createDataFrame([(None, "a s1 s2 s3 s4 b")], schema=schema)
+    ref = spark.createDataFrame([(9, "s1 s2 s3 s4")], schema=schema)
+    got = remove_spans_against(batch, ref, k=4).collect()
+    assert got[0]["text_clean"] == "a b"
+
+
+def test_against_reference_without_id_column(spark):
+    # the documented contract: references are often bare text suites
+    from flox_spark.operators import duplicate_spans_against, remove_spans_against
+    from flox_spark.streaming import stream_decontaminate_spans
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"text": [REFERENCE[i] for i in REFERENCE]})
+    )
+    got = sorted(
+        map(tuple, duplicate_spans_against(_mk(spark, CORPUS), ref, k=4).collect())
+    )
+    assert got == _ref_against_spans(CORPUS, REFERENCE, 4)
+    rem = {r["doc_id"]: r["text_clean"]
+           for r in remove_spans_against(_mk(spark, CORPUS), ref, k=4).collect()}
+    assert rem == _ref_against_removed(CORPUS, REFERENCE, 4)
+    srem = {r["doc_id"]: r["text_clean"]
+            for r in stream_decontaminate_spans(_mk(spark, CORPUS), ref, k=4).collect()}
+    assert srem == rem
+
+
+def test_cross_doc_only_counts_null_id_as_a_document(spark):
+    # code-review finding: min(id) != max(id) skips NULLs, dropping a
+    # genuine cross-doc duplicate between a NULL-id doc and one
+    # non-NULL doc.  Spec (python reference): NULL is ONE id value —
+    # (NULL, 1) share -> 2 docs (marked); (NULL, NULL) -> 1 (not)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    df = spark.createDataFrame(
+        [(None, "s1 s2 s3 s4 a"), (1, "b s1 s2 s3 s4")], schema=schema
+    )
+    dfu = df.localCheckpoint(eager=True)  # big path too
+    for frame in (df, dfu):
+        got = sorted(
+            (
+                (r["doc_id"], r["span_start"])
+                for r in duplicate_spans(frame, k=4, cross_doc_only=True).collect()
+            ),
+            key=str,
+        )
+        assert got == sorted([(1, 2), (None, 1)], key=str)
+    two_nulls = spark.createDataFrame(
+        [(None, "s1 s2 s3 s4 a"), (None, "b s1 s2 s3 s4")], schema=schema
+    )
+    for frame in (two_nulls, two_nulls.localCheckpoint(eager=True)):
+        assert duplicate_spans(frame, k=4, cross_doc_only=True).collect() == []

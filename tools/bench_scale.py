@@ -158,7 +158,6 @@ def spans_scaling(spark, quick: bool) -> dict:
     }.items():
         t_small = force(fn(small))
         t_big = force(fn(big))
-        plan = fn(big)._jdf.queryExecution().executedPlan().toString()
         out[name] = {
             "small_n": small_n,
             "big_n": big_n,
@@ -166,10 +165,14 @@ def spans_scaling(spark, quick: bool) -> dict:
             "t_big_s": t_big,
             "ratio": round(t_big / max(t_small, 1e-9), 2),
             "data_ratio": round(big_n / small_n, 1),
-            # dup_spans' small path is join-free (pure windows); a
-            # Join node in the big plan proves the scale branch ran
-            "big_path_join": "Join" in plan,
         }
+        if name == "dup_spans":
+            # only dup_spans HAS a small/window branch; its small path
+            # is join-free (pure windows), so a Join node in the big
+            # plan proves the scale branch ran.  _spans_against always
+            # semi-joins — the flag would be vacuously true there.
+            plan = fn(big)._jdf.queryExecution().executedPlan().toString()
+            out[name]["big_path_join"] = "Join" in plan
     return out
 
 
