@@ -65,6 +65,13 @@ def pack_sequences(
     (boolean).  Row set and values are otherwise unchanged."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if token_col not in df.columns:
+        # fail at build time with the fix, not as an executor-side
+        # pandas KeyError mid-job
+        raise ValueError(
+            f"pack_sequences: no {token_col!r} column; compute token "
+            "counts first (operators.token_count adds one)"
+        )
     if strategy not in ("first_fit", "best_fit"):
         raise ValueError(f"strategy must be first_fit|best_fit, got {strategy!r}")
     best = strategy == "best_fit"

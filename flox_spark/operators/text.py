@@ -276,7 +276,16 @@ def tfidf_top_terms(
         df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
-    dfreq = toks.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    # + the NULL-id document: count_distinct skips NULLs, so a term
+    # appearing ONLY in NULL-id docs would get __df = 0 and the ANSI
+    # division below would throw (NULL is one id value here, the same
+    # rule as the span family's cross_doc_only test)
+    dfreq = toks.groupBy("term").agg(
+        (
+            F.count_distinct(F.col(id_col))
+            + F.max(F.col(id_col).isNull().cast("long"))
+        ).alias("__df")
+    )
     n = df.select(F.count(F.lit(1)).alias("__n"))
     scored = (
         tf.join(dfreq, "term")

@@ -317,3 +317,38 @@ def test_table_diff_compare_subset_and_validation(spark):
     assert table_diff(old, new, "k", compare=["a"]).count() == 0
     with pytest.raises(ValueError, match="absent"):
         table_diff(old, new, "k", compare=["zzz"])
+
+
+def test_tfidf_null_id_document(spark):
+    # a term appearing ONLY in NULL-id docs: count_distinct skips
+    # NULLs, so __df was 0 and the ANSI division threw; NULL is one
+    # document value (same rule as the span family)
+    from pyspark.sql.types import StructType
+
+    from flox_spark.operators import tfidf_top_terms
+
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    df = spark.createDataFrame(
+        [(None, "solo unique words here"), (1, "shared shared tokens"),
+         (2, None), (3, "")],
+        schema=schema,
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert None in ids and 1 in ids
+    # the NULL-id doc's exclusive terms score with df=1: tf*ln(4/1)
+    import math
+
+    solo = {r["term"]: r["score"] for r in rows if r["doc_id"] is None}
+    assert all(abs(v - round(math.log(4.0), 6)) < 1e-9 for v in solo.values())
+
+
+def test_pack_sequences_missing_column_fails_at_build(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from flox_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with _pytest.raises(ValueError, match="n_tokens"):
+        pack_sequences(df, budget=10)
