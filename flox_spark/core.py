@@ -441,6 +441,8 @@ def groupby_reduce(
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
     elif qfam and quantile_impl == "sort":
         result = _quantile_sort(work, key_cols, ctx, agg, out_name, min_count, fill_value)
+    elif qfam and quantile_impl == "arrow":
+        result = _quantile_arrow(work, key_cols, ctx, agg, out_name, min_count, fill_value)
     elif qfam and quantile_impl in ("refine", "refine2"):
         result = _quantile_refine(
             work, key_cols, ctx, agg, out_name, min_count, fill_value,
@@ -537,7 +539,7 @@ def groupby_reduce(
             # buffer merge) is worth materializing before the range
             # sort; for sort/refine the checkpoint cost measured equal
             # to the sampling re-run it saves
-            heavy=(qfam and quantile_impl == "agg"),
+            heavy=(qfam and quantile_impl in ("agg", "arrow")),
             input_df=work,
         )
     elif "__occ" in result.columns:
@@ -740,7 +742,7 @@ def groupby_reduce_multi(
             raise ValueError(f"func {agg.name!r} requires order_by=")
         if (
             agg.name in ("median", "nanmedian", "quantile", "nanquantile")
-            and OPTIONS["quantile_impl"] in ("sort", "refine", "refine2")
+            and OPTIONS["quantile_impl"] in ("sort", "refine", "refine2", "arrow")
             and not OPTIONS["approx_quantile"]
         ):
             # the sort/refine strategies need their own multi-stage
@@ -913,6 +915,111 @@ def _quantile_sort(
     return per_q.select(*key_cols, val.alias(out_name))
 
 
+def _quantile_arrow(
+    work: DataFrame,
+    key_cols: list[str],
+    ctx: AggContext,
+    agg: Aggregation,
+    out_name: str,
+    min_count: int | None,
+    fill_value: Any,
+) -> DataFrame:
+    """Exact quantile via one Arrow-batched ``np.quantile`` per group —
+    the stats-chosen kernel for the small-input zone (input provably
+    under ``quantile_agg_max_bytes``, where the whole-group buffering
+    is safe by construction).
+
+    Spark's ``percentile`` ObjectHashAggregate is exact but
+    interpreted: an OpenHashMap counting buffer merged per row, then a
+    sort at finalization — measured ~0.7 s of compute for 600k
+    rows x 3 groups at sf0.1.  numpy IS the reference semantics
+    (flox computes np.quantile, reference aggregations.py:688-710),
+    so one GROUPED_AGG kernel per group — introselect + the same
+    linear interpolation — replaces it wholesale: measured ~5 ms per
+    200k-value group, and the Arrow transfer ships each value once
+    (the same raw-row volume the percentile buffers shuffle, through
+    the same pinned keyed exchange — grouped-agg UDFs have no
+    map-side reduction to lose either).
+
+    One UDF call returns ``[q_0..q_{m-1}, n, n_nan]`` packed in a
+    single array (grouped-agg pandas UDFs cannot mix with built-in
+    aggregates in one pass): ``n`` is the non-NULL-non-NaN count the
+    whole quantile family uses for ``min_count``, ``n_nan`` drives
+    the non-skipna NaN-poison rule.  Returns the same shape as the
+    aggregate path (scalar double or per-q array), so
+    reindex/explode/sort downstream are shared."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from flox_spark.aggregations import _nan_sentinel
+    from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
+    from flox_spark.plans.util import pin_keyed_parallelism
+
+    skipna = agg.name.startswith("nan")
+    qv_arg = ctx.kwargs.get("q")
+    if agg.name in ("median", "nanmedian") or qv_arg is None:
+        qv_arg = 0.5
+    is_vec = isinstance(qv_arg, (list, tuple))
+    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+    qs = tuple(qlist)
+    m = len(qs)
+
+    av, _ = _ai(ctx.v_skip, ctx.dt)
+    # v_skip already nulled policy-NaNs, so after the Arrow transfer
+    # every pandas NaN means "missing of either kind" and one isnan
+    # mask is the whole cleaning pass; __miss separately counts REAL
+    # NaNs for the poison rule
+    work2 = work.withColumn("__qv", av.cast("double")).withColumn(
+        "__miss", ctx.missing.cast("double")
+    )
+
+    # explicit GROUPED_AGG: the hint-based form cannot infer the
+    # (Series, Series) -> array agg shape
+    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def _qnk(v, miss):
+        import numpy as np
+
+        a = v.to_numpy(dtype="float64")
+        a = a[~np.isnan(a)]
+        out = (
+            np.quantile(a, qs).tolist() if a.size else [float("nan")] * m
+        )
+        out.append(float(a.size))
+        out.append(float(np.nansum(miss.to_numpy(dtype="float64"))))
+        return out
+
+    res = (
+        pin_keyed_parallelism(work2, key_cols)
+        .groupBy(*key_cols)
+        .agg(_qnk("__qv", "__miss").alias("__qa"))
+    )
+
+    n = F.element_at(F.col("__qa"), m + 1)
+    poison = F.element_at(F.col("__qa"), m + 2) > 0
+    dtish = is_datetime_type(ctx.dt) or is_timedelta_type(ctx.dt)
+    sentinel = _nan_sentinel(ctx.dt) if dtish else _nan_sentinel("double")
+    fill_scalar = fill_value if fill_value is not None else agg.default_fill
+
+    if is_vec:
+        arr = F.slice(F.col("__qa"), 1, m)
+        if dtish:
+            arr = F.transform(arr, lambda x: arith_restore(x, ctx.dt))
+        if not skipna:
+            arr = F.when(poison, F.array_repeat(sentinel, m)).otherwise(arr)
+        if min_count is not None and min_count > 0:
+            arr = F.when(
+                n >= F.lit(min_count), arr
+            ).otherwise(_fill_literal([fill_scalar] * m))
+        return res.select(*key_cols, arr.alias(out_name))
+    val = F.element_at(F.col("__qa"), 1)
+    if dtish:
+        val = arith_restore(val, ctx.dt)
+    if not skipna:
+        val = F.when(poison, sentinel).otherwise(val)
+    if min_count is not None and min_count > 0:
+        val = F.when(n >= F.lit(min_count), val).otherwise(_fill_literal(fill_scalar))
+    return res.select(*key_cols, val.alias(out_name))
+
+
 def _choose_quantile_impl(work: DataFrame) -> str:
     """Stats-driven exact-quantile strategy selection (the Spark
     analog of flox's ``_choose_engine``, flox/core.py:712-736 — pick
@@ -922,10 +1029,13 @@ def _choose_quantile_impl(work: DataFrame) -> str:
     statistics (parquet footers / LocalRelation actual bytes — free
     at plan time):
 
-    - small input (<= ``quantile_agg_max_bytes``): ``"agg"`` —
-      Spark's ``percentile`` ObjectHashAggregate.  Fastest single-pass
-      plan, but it buffers every group's values in an in-memory map,
-      so it is only chosen when the WHOLE input provably fits.
+    - small input (<= ``quantile_agg_max_bytes``): ``"arrow"`` —
+      one ``np.quantile`` grouped-agg kernel per group
+      (``_quantile_arrow``); whole-group buffering is safe by the
+      same provably-fits argument the old ``"agg"`` pick relied on,
+      and the kernel beats the ``percentile`` ObjectHashAggregate
+      2.4x at the zone top (5M rows) while tying at floor-dominated
+      sizes.  ``"agg"`` stays reachable explicitly.
     - medium input (<= ``quantile_refine_max_bytes``, default 1 TB):
       ``"refine"`` — exact two-scan approx-bracket + candidate-collect
       (``_quantile_refine``).  The sketch accuracy adapts to the
@@ -955,7 +1065,7 @@ def _choose_quantile_impl(work: DataFrame) -> str:
     if size is None:
         return "sort"
     if size <= OPTIONS["quantile_agg_max_bytes"]:
-        return "agg"
+        return "arrow"
     if size <= OPTIONS["quantile_refine_max_bytes"]:
         return "refine"
     if size <= OPTIONS["quantile_refine2_max_bytes"]:

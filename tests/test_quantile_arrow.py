@@ -1,0 +1,152 @@
+"""The r11 "arrow" exact-quantile strategy (one np.quantile grouped-agg
+kernel per group) vs the other exact strategies and numpy itself.
+numpy IS the reference semantics, so the kernel must agree with the
+agg/sort/refine paths on every policy axis: NaN poison vs skip,
+min_count + fill_value, vector q, datetimes, empty/all-missing groups.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark import groupby_reduce, set_options
+
+STRATS = ("agg", "arrow", "sort", "refine")
+
+
+def _frame(spark, with_nan=True, with_null=True):
+    rng = np.random.RandomState(7)
+    n = 400
+    v = rng.uniform(-50, 50, n)
+    if with_nan:
+        v[::17] = np.nan
+    vals = [None if (with_null and i % 23 == 0) else float(x) for i, x in enumerate(v)]
+    pdf = pd.DataFrame({"k": [f"g{i % 4}" for i in range(n)], "v": vals})
+    return spark.createDataFrame(pdf), pdf
+
+
+def _collect(df, cols=("k",)):
+    return sorted(
+        (tuple(r[c] for c in cols) + (r["out"],) for r in df.collect()),
+        key=str,
+    )
+
+
+def _close(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x[:-1] == y[:-1], (x, y)
+        xv, yv = x[-1], y[-1]
+        if xv is None or yv is None:
+            assert xv == yv, (x, y)
+        elif isinstance(xv, float) and np.isnan(xv):
+            assert np.isnan(yv), (x, y)
+        else:
+            assert abs(xv - yv) < 1e-9, (x, y)
+
+
+@pytest.mark.parametrize("func", ["quantile", "nanquantile", "median", "nanmedian"])
+def test_four_strategies_agree(spark, func):
+    df, pdf = _frame(spark)
+    kw = {"q": 0.37} if "quantile" in func else None
+    outs = {}
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            outs[s] = _collect(
+                groupby_reduce(df, "k", func=func, value="v", alias="out",
+                               finalize_kwargs=kw)
+            )
+    for s in STRATS[1:]:
+        _close(outs["agg"], outs[s])
+    # numpy golden per the engine's missing rule (README/correctness
+    # spec): NULL and NaN are both "missing"; nan* funcs SKIP missing,
+    # plain funcs POISON the group to NaN when ANY value is missing.
+    # (The pandas source conflates None and np.nan in a float column,
+    # so per-kind goldens are unrepresentable here anyway.)
+    q = 0.37 if "quantile" in func else 0.5
+    want = []
+    for k, grp in pdf.groupby("k"):
+        isna = pd.isna(grp["v"]).to_numpy()
+        a = grp["v"].astype(float).to_numpy()[~isna]
+        if func.startswith("nan"):
+            want.append((k, float(np.quantile(a, q)) if a.size else float("nan")))
+        else:
+            want.append((k, float("nan") if isna.any() else float(np.quantile(a, q))))
+    _close(sorted(want, key=str), outs["arrow"])
+
+
+def test_vector_q_and_min_count(spark):
+    df, _ = _frame(spark)
+    outs = {}
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            out = groupby_reduce(
+                df, "k", func="nanquantile", value="v", alias="out",
+                finalize_kwargs={"q": [0.1, 0.5, 0.9]},
+                min_count=1000, fill_value=-1.0,
+            )
+            outs[s] = sorted(
+                ((r["k"], r["q"], r["out"]) for r in out.collect()), key=str
+            )
+    assert all(v == -1.0 for _, _, v in outs["arrow"])  # min_count trips
+    for s in STRATS[1:]:
+        assert outs["agg"] == outs[s]
+
+
+def test_all_missing_group_and_expected_fill(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b"], "v": [1.0, 3.0, None, float("nan")]}
+    )
+    df = spark.createDataFrame(pdf)
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            rows = {
+                r["k"]: r["out"]
+                for r in groupby_reduce(
+                    df, "k", func="nanmedian", value="v", alias="out",
+                    expected_groups=["a", "b", "c"], fill_value=-9.0,
+                ).collect()
+            }
+        assert rows["a"] == 2.0, s
+        # expected_groups + fill_value defaults min_count to 1 (the
+        # flox rule), so the zero-countable-value group FILLS
+        assert rows["b"] == -9.0, s
+        assert rows["c"] == -9.0, s     # absent group, filled
+        # non-skipna: b's NaN poisons
+        with set_options(quantile_impl=s):
+            rows = {
+                r["k"]: r["out"]
+                for r in groupby_reduce(
+                    df, "k", func="median", value="v", alias="out"
+                ).collect()
+            }
+        assert rows["a"] == 2.0 and np.isnan(rows["b"]), s
+
+
+def test_datetime_values(spark):
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "v": [base + dt.timedelta(minutes=m) for m in (0, 10, 20, 31)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    outs = []
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            outs.append(
+                groupby_reduce(df, "k", func="nanmedian", value="v", alias="out")
+                .collect()[0]["out"]
+            )
+    assert len(set(outs)) == 1
+    assert outs[0] == base + dt.timedelta(minutes=15)
+
+
+def test_stats_auto_picks_arrow_small(spark):
+    from flox_spark.core import _choose_quantile_impl
+
+    df, _ = _frame(spark)
+    assert _choose_quantile_impl(df) == "arrow"
