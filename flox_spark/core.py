@@ -973,19 +973,26 @@ def _quantile_arrow(
     )
 
     # explicit GROUPED_AGG: the hint-based form cannot infer the
-    # (Series, Series) -> array agg shape
-    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
-    def _qnk(v, miss):
-        import numpy as np
+    # (Series, Series) -> array agg shape.  The functionType spelling
+    # is the only one that can express it, so silence its
+    # prefer-type-hints FutureWarning (emitted once per plan build)
+    import warnings as _warnings
 
-        a = v.to_numpy(dtype="float64")
-        a = a[~np.isnan(a)]
-        out = (
-            np.quantile(a, qs).tolist() if a.size else [float("nan")] * m
-        )
-        out.append(float(a.size))
-        out.append(float(np.nansum(miss.to_numpy(dtype="float64"))))
-        return out
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+
+        @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+        def _qnk(v, miss):
+            import numpy as np
+
+            a = v.to_numpy(dtype="float64")
+            a = a[~np.isnan(a)]
+            out = (
+                np.quantile(a, qs).tolist() if a.size else [float("nan")] * m
+            )
+            out.append(float(a.size))
+            out.append(float(np.nansum(miss.to_numpy(dtype="float64"))))
+            return out
 
     res = (
         pin_keyed_parallelism(work2, key_cols)
