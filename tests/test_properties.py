@@ -367,3 +367,29 @@ def test_refine_bracket_trust_boundary_regression(spark):
             assert got != min(vals)  # the old failure returned the min
     finally:
         core._refine_accuracy, core._REFINE_CUTOFF_FLOOR = orig_acc, orig_floor
+
+
+@given(data=arrays(), q=st.floats(0.0, 1.0))
+@ex
+def test_quantile_arrow_matches_numpy_property(spark, data, q):
+    # the r11 np.quantile grouped-agg kernel must be numpy-exact for
+    # ANY q/data — including duplicate-heavy and all-NaN groups
+    from flox_spark import set_options
+
+    v, lab = data
+    pdf = pd.DataFrame({"k": lab, "v": v})
+    df = spark.createDataFrame(pdf)
+    with set_options(quantile_impl="arrow"):
+        res = groupby_reduce(
+            df, "k", func="nanquantile", value="v", finalize_kwargs={"q": q}
+        ).collect()
+    got = {r["k"]: r["nanquantile"] for r in res}
+    for g in np.unique(lab):
+        vals = v[lab == g]
+        vals = vals[~np.isnan(vals)]
+        want = float(np.quantile(vals, q)) if len(vals) else None
+        gv = got[int(g)]
+        if want is None:
+            assert gv is None or math.isnan(gv), (g, gv)
+        else:
+            assert gv == pytest.approx(want, rel=1e-12, abs=1e-12), (g, q, gv, want)
