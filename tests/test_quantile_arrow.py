@@ -150,3 +150,25 @@ def test_stats_auto_picks_arrow_small(spark):
 
     df, _ = _frame(spark)
     assert _choose_quantile_impl(df) == "arrow"
+
+
+def test_all_missing_group_without_fill_is_null(spark):
+    # no min_count/fill: the empty group is NULL on every strategy
+    # (the arrow kernel's [nan] empty-group marker becomes NULL
+    # through the Arrow array conversion — exactly percentile-of-
+    # empty's NULL, pinned here so the coincidence stays load-bearing)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k string, v double")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)], schema=schema
+    )
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            rows = {
+                r["k"]: r["out"]
+                for r in groupby_reduce(
+                    df, "k", func="nanmedian", value="v", alias="out"
+                ).collect()
+            }
+        assert rows == {"a": 2.0, "b": None}, s
