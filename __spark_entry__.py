@@ -2237,15 +2237,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline row, [14-17] the NEW r11 span-dedup family (dup_spans /
     # dup_spans_removed / dup_spans_against / decontaminate_spans —
     # Lee-et-al-2021 exact substring dedup + its cross-corpus
-    # decontamination twins, all full-oracle), [18-34] the seventeen
-    # r7-era rows the r10 VERDICT named as longest without driver
-    # hash evidence, [35-50] the oldest of the r8 cohort (the
-    # remainder — sample_group, quantile_sort, transform_mean,
-    # grouped_topk, redact_pii, boilerplate, chunk_docs, profile,
-    # quality_report, salted_sum, weighted_mean, rank_pct, skew,
-    # kurtosis, the r10 cohort tail — lead the r12 rotation;
-    # quantile_refine/refine2 stay in-window since the r11 sketch-
-    # trust fix touched them).
+    # decontamination twins, all full-oracle), [18-28] representatives
+    # of the three r11 session-2 core changes — the np.quantile Arrow
+    # strategy (quantile/median/quantile_vector), the one-stage tiny
+    # sort on every sorted groupby (sum/mean/var/dayofyear_mean/
+    # monthhour_sum/describe), and the LocalRelation literal grids
+    # (expected_fill/binned_count) — plus quantile_refine/refine2 for
+    # the sketch-trust fix, [29-48] the r7-era rotation rows the r10
+    # VERDICT named, [49-50] the oldest r8 cohort heads (the
+    # remainder — levenshtein_refine, tfidf_top_terms (NULL-id fix,
+    # behavior-identical on the NULL-free testdata, pytest-pinned),
+    # ngram_counts, dedup_lines, scan_shift, rank_avg, pivot_sum,
+    # corr_pearson, twa, rolling_time, resample, sample_group,
+    # quantile_sort, transform_mean, grouped_topk, redact_pii,
+    # boilerplate, chunk_docs, profile, quality_report, salted_sum,
+    # weighted_mean, rank_pct, skew, kurtosis, the r10 cohort tail —
+    # lead the r12 rotation).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
     # of window position.
     return {
@@ -2266,12 +2273,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_removed": q_dup_spans_removed,
         "dup_spans_against": q_dup_spans_against,
         "decontaminate_spans": q_decontaminate_spans,
+        "quantile": q_quantile,
+        "median": q_median,
+        "quantile_vector": q_quantile_vector,
+        "sum": q_sum,
+        "mean": q_mean,
+        "var": q_var,
+        "expected_fill": q_expected_fill,
+        "describe": q_describe,
+        "dayofyear_mean": q_dayofyear_mean,
+        "monthhour_sum": q_monthhour_sum,
+        "binned_count": q_binned_count,
         "sample_weighted": q_sample_weighted,
         "scan_diff": q_scan_diff,
         "scan_pct_change": q_pct_change,
         "corr_spearman": q_corr_spearman,
         "rolling_rows": q_rolling_rows,
         "quantile_refine2": q_quantile_refine2,
+        "quantile_refine": q_quantile_refine,
         "simhash_xx": q_simhash_xx,
         "sample_bernoulli": q_sample_bernoulli,
         "sample_stratified": q_sample_stratified,
@@ -2298,7 +2317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa": q_twa,
         "rolling_time": q_rolling_time,
         "resample": q_resample,
-        "quantile_refine": q_quantile_refine,
         "sample_group": q_sample_group,
         "quantile_sort": q_quantile_sort,
         "transform_mean": q_transform_mean,
@@ -2308,10 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "embed_quantize": q_embed_quantize,
-        "dayofyear_mean": q_dayofyear_mean,
         "highcard_random": q_highcard_random,
         "json_extract": q_json_extract,
-        "monthhour_sum": q_monthhour_sum,
         "dedup_exact": q_dedup_exact,
         "ntile_buckets": q_ntile,
         "fillna_group": q_fillna_group,
@@ -2344,14 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": q_label_encode,
         "frequency_encode": q_frequency_encode,
         "ewm_mean": q_ewm_mean,
-        "quantile": q_quantile,
-        "median": q_median,
-        "quantile_vector": q_quantile_vector,
-        "sum": q_sum,
         "nansum": q_nansum,
         "count": q_count,
-        "mean": q_mean,
-        "var": q_var,
         "var_ddof1": q_var_ddof1,
         "std": q_std,
         "prod": q_prod,
@@ -2372,14 +2382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_ffill": q_scan_ffill,
         "scan_cumcount": q_scan_cumcount,
         "scan_bfill": q_scan_bfill,
-        "binned_count": q_binned_count,
         "binned_labels": q_binned_labels,
         "binned_datetime": q_binned_datetime,
         "binned_left": q_binned_left,
-        "expected_fill": q_expected_fill,
         "multiby_highcard": q_multiby_highcard,
         "q1_multi": q_q1_multi,
-        "describe": q_describe,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
