@@ -817,6 +817,19 @@ def _np_lerp(vf: Column, vc: Column, frac: Column) -> Column:
     ).otherwise(vf + frac * d)
 
 
+def _q_params(ctx: AggContext, agg: Aggregation) -> tuple[bool, bool, list[float]]:
+    """The quantile family's shared parameter normalization: NaN
+    policy from the func name, q defaulting (median == q 0.5), and
+    the scalar-vs-vector-q shape — one place for all multi-stage
+    strategies (sort / refine / arrow)."""
+    skipna = agg.name.startswith("nan")
+    qv_arg = ctx.kwargs.get("q")
+    if agg.name in ("median", "nanmedian") or qv_arg is None:
+        qv_arg = 0.5
+    is_vec = isinstance(qv_arg, (list, tuple))
+    return skipna, is_vec, [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+
+
 def _quantile_sort(
     work: DataFrame,
     key_cols: list[str],
@@ -846,12 +859,7 @@ def _quantile_sort(
     from flox_spark.aggregations import _nan_sentinel
     from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
 
-    skipna = agg.name.startswith("nan")
-    qv_arg = ctx.kwargs.get("q")
-    if agg.name in ("median", "nanmedian") or qv_arg is None:
-        qv_arg = 0.5
-    is_vec = isinstance(qv_arg, (list, tuple))
-    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+    skipna, is_vec, qlist = _q_params(ctx, agg)
 
     av, _ = _ai(ctx.v_skip, ctx.dt)
     work2 = work.withColumn("__qv", av).withColumn("__miss", ctx.missing)
@@ -941,63 +949,66 @@ def _quantile_arrow(
     the same pinned keyed exchange — grouped-agg UDFs have no
     map-side reduction to lose either).
 
-    One UDF call returns ``[q_0..q_{m-1}, n, n_nan]`` packed in a
+    One UDF call returns ``[q_0..q_{m-1}, n, n_miss]`` packed in a
     single array (grouped-agg pandas UDFs cannot mix with built-in
     aggregates in one pass): ``n`` is the non-NULL-non-NaN count the
-    whole quantile family uses for ``min_count``, ``n_nan`` drives
-    the non-skipna NaN-poison rule.  Returns the same shape as the
-    aggregate path (scalar double or per-q array), so
-    reindex/explode/sort downstream are shared."""
+    whole quantile family uses for ``min_count``, ``n_miss`` counts
+    missing of EITHER kind (NULL or NaN — ``v_skip`` conflates them
+    before the transfer) and drives the non-skipna poison rule,
+    exactly like the sort path's ``bool_or(missing)``.  Returns the
+    same shape as the aggregate path (scalar double or per-q array),
+    so reindex/explode/sort downstream are shared.
+
+    NaN-vs-NULL at the Arrow boundary: pyarrow serializes a NaN
+    INSIDE the returned array as null, so the SQL side reconstructs
+    explicitly from ``n`` — a non-empty group's null slot was a real
+    numpy NaN (e.g. a quantile interpolated across mixed infinities)
+    and coalesces back to NaN; an empty group (n = 0) is NULL, the
+    same as ``percentile`` of no rows.  Nothing load-bearing rides
+    the serializer's nan-as-null choice."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     from flox_spark.aggregations import _nan_sentinel
     from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
     from flox_spark.plans.util import pin_keyed_parallelism
 
-    skipna = agg.name.startswith("nan")
-    qv_arg = ctx.kwargs.get("q")
-    if agg.name in ("median", "nanmedian") or qv_arg is None:
-        qv_arg = 0.5
-    is_vec = isinstance(qv_arg, (list, tuple))
-    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+    skipna, is_vec, qlist = _q_params(ctx, agg)
     qs = tuple(qlist)
     m = len(qs)
 
     av, _ = _ai(ctx.v_skip, ctx.dt)
     # v_skip already nulled policy-NaNs, so after the Arrow transfer
     # every pandas NaN means "missing of either kind" and one isnan
-    # mask is the whole cleaning pass; __miss separately counts REAL
-    # NaNs for the poison rule
-    work2 = work.withColumn("__qv", av.cast("double")).withColumn(
-        "__miss", ctx.missing.cast("double")
-    )
+    # mask is the whole cleaning pass — n_miss is then just
+    # len(v) - kept, no second column shipped
+    work2 = work.withColumn("__qv", av.cast("double"))
 
     # explicit GROUPED_AGG: the hint-based form cannot infer the
-    # (Series, Series) -> array agg shape.  The functionType spelling
-    # is the only one that can express it, so silence its
-    # prefer-type-hints FutureWarning (emitted once per plan build)
+    # Series -> array agg shape.  The functionType spelling is the
+    # only one that can express it, so silence exactly its
+    # prefer-type-hints advisory (emitted once per plan build)
     import warnings as _warnings
 
     with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore")
+        _warnings.filterwarnings("ignore", message=".*type hints.*")
 
         @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
-        def _qnk(v, miss):
+        def _qnk(v):
             import numpy as np
 
-            a = v.to_numpy(dtype="float64")
-            a = a[~np.isnan(a)]
+            raw = v.to_numpy(dtype="float64")
+            a = raw[~np.isnan(raw)]
             out = (
                 np.quantile(a, qs).tolist() if a.size else [float("nan")] * m
             )
             out.append(float(a.size))
-            out.append(float(np.nansum(miss.to_numpy(dtype="float64"))))
+            out.append(float(raw.size - a.size))
             return out
 
     res = (
         pin_keyed_parallelism(work2, key_cols)
         .groupBy(*key_cols)
-        .agg(_qnk("__qv", "__miss").alias("__qa"))
+        .agg(_qnk("__qv").alias("__qa"))
     )
 
     n = F.element_at(F.col("__qa"), m + 1)
@@ -1006,10 +1017,18 @@ def _quantile_arrow(
     sentinel = _nan_sentinel(ctx.dt) if dtish else _nan_sentinel("double")
     fill_scalar = fill_value if fill_value is not None else agg.default_fill
 
+    # see the docstring's Arrow-boundary note: non-empty group's
+    # null slot = serialized NaN; empty group (n = 0) = NULL
+    if dtish:
+        elem = lambda c: arith_restore(c, ctx.dt)  # noqa: E731
+    else:
+        elem = lambda c: F.coalesce(c, F.lit(NAN))  # noqa: E731
+
     if is_vec:
-        arr = F.slice(F.col("__qa"), 1, m)
-        if dtish:
-            arr = F.transform(arr, lambda x: arith_restore(x, ctx.dt))
+        arr = F.when(
+            n > 0,
+            F.transform(F.slice(F.col("__qa"), 1, m), elem),
+        )
         if not skipna:
             arr = F.when(poison, F.array_repeat(sentinel, m)).otherwise(arr)
         if min_count is not None and min_count > 0:
@@ -1017,9 +1036,7 @@ def _quantile_arrow(
                 n >= F.lit(min_count), arr
             ).otherwise(_fill_literal([fill_scalar] * m))
         return res.select(*key_cols, arr.alias(out_name))
-    val = F.element_at(F.col("__qa"), 1)
-    if dtish:
-        val = arith_restore(val, ctx.dt)
+    val = F.when(n > 0, elem(F.element_at(F.col("__qa"), 1)))
     if not skipna:
         val = F.when(poison, sentinel).otherwise(val)
     if min_count is not None and min_count > 0:
@@ -1293,12 +1310,7 @@ def _quantile_refine(
     from flox_spark.aggregations import _nan_sentinel
     from flox_spark.dtypes import arith_input as _ai, arith_restore, is_timedelta_type
 
-    skipna = agg.name.startswith("nan")
-    qv_arg = ctx.kwargs.get("q")
-    if agg.name in ("median", "nanmedian") or qv_arg is None:
-        qv_arg = 0.5
-    is_vec = isinstance(qv_arg, (list, tuple))
-    qlist = [float(x) for x in (qv_arg if is_vec else [qv_arg])]
+    skipna, is_vec, qlist = _q_params(ctx, agg)
 
     acc = _refine_accuracy(work)
     slack = 3.0 / acc

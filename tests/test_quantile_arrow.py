@@ -13,7 +13,7 @@ import pytest
 
 from flox_spark import groupby_reduce, set_options
 
-STRATS = ("agg", "arrow", "sort", "refine")
+STRATS = ("agg", "arrow", "sort", "refine", "refine2")
 
 
 def _frame(spark, with_nan=True, with_null=True):
@@ -172,3 +172,28 @@ def test_all_missing_group_without_fill_is_null(spark):
                 ).collect()
             }
         assert rows == {"a": 2.0, "b": None}, s
+
+
+def test_inf_mixed_group_yields_nan_not_null(spark):
+    # review finding: pyarrow serializes NaN inside the returned array
+    # as null, so a legitimately-NaN quantile (interpolating across
+    # mixed infinities) came back NULL on the arrow path; the n>0
+    # coalesce reconstructs the NaN.  numpy: quantile([-inf, inf],
+    # 0.5) -> nan
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k string, v double")
+    df = spark.createDataFrame(
+        [("a", float("-inf")), ("a", float("inf")), ("b", 1.0), ("b", 2.0)],
+        schema=schema,
+    )
+    for s in STRATS:
+        with set_options(quantile_impl=s):
+            rows = {
+                r["k"]: r["out"]
+                for r in groupby_reduce(
+                    df, "k", func="nanmedian", value="v", alias="out"
+                ).collect()
+            }
+        assert rows["b"] == 1.5, s
+        assert rows["a"] is not None and np.isnan(rows["a"]), (s, rows["a"])
