@@ -132,6 +132,38 @@ def synth_docs(spark, n: int):
     )
 
 
+def quantile_arrow_zone(spark, quick: bool) -> dict:
+    """The r11 arrow-vs-agg exact-quantile comparison at the top of
+    the stats-auto small zone (~40 MB parquet, the largest input the
+    zone admits): the np.quantile grouped-agg kernel vs the JVM
+    percentile ObjectHashAggregate vs refine, identical results."""
+    import os
+    import tempfile
+
+    from flox_spark import groupby_reduce, set_options
+
+    n = 1_000_000 if quick else 5_000_000
+    path = os.path.join(tempfile.gettempdir(), f"flox_qzone_{n}.parquet")
+    if not os.path.exists(path):
+        spark.range(n).select(
+            (F.col("id") % 8).cast("string").alias("k"),
+            (F.rand(7) * 1000).alias("v"),
+        ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    from flox_spark.plans.util import estimate_size_bytes
+
+    out: dict = {"rows": n, "stats_bytes": estimate_size_bytes(df)}
+    for s in ("agg", "arrow", "refine"):
+        with set_options(quantile_impl=s):
+            q = groupby_reduce(
+                df, "k", func="quantile", value="v", alias="p",
+                finalize_kwargs={"q": 0.9},
+            )
+            force(q)
+            out[s] = {"wall_s": min(force(q) for _ in range(3))}
+    return out
+
+
 def spans_scaling(spark, quick: bool) -> dict:
     """100x-data wall ratios for the r11 span-dedup family.  The
     synthetic word-soup docs (500-word vocab, 40 words/doc) collide
@@ -851,6 +883,10 @@ def main() -> None:
                 indent=2,
             )
         )
+        return
+    if "--qarrow" in sys.argv:
+        spark = get_spark("bench_scale")
+        print(json.dumps({"quantile_arrow_zone": quantile_arrow_zone(spark, quick)}, indent=2))
         return
     if "--spans" in sys.argv:
         spark = get_spark("bench_scale")
