@@ -937,17 +937,19 @@ def _quantile_arrow(
     under ``quantile_agg_max_bytes``, where the whole-group buffering
     is safe by construction).
 
-    Spark's ``percentile`` ObjectHashAggregate is exact but
-    interpreted: an OpenHashMap counting buffer merged per row, then a
-    sort at finalization — measured ~0.7 s of compute for 600k
-    rows x 3 groups at sf0.1.  numpy IS the reference semantics
-    (flox computes np.quantile, reference aggregations.py:688-710),
-    so one GROUPED_AGG kernel per group — introselect + the same
-    linear interpolation — replaces it wholesale: measured ~5 ms per
-    200k-value group, and the Arrow transfer ships each value once
-    (the same raw-row volume the percentile buffers shuffle, through
-    the same pinned keyed exchange — grouped-agg UDFs have no
-    map-side reduction to lose either).
+    The "agg" strategy's JVM kernel (aggregations._quantile:
+    ``array_sort(collect_list)`` + lerp — itself already measured
+    ~2x Spark's ``percentile`` aggregate) still pays per-row
+    ArrayBuffer appends and a full comparison sort per group.  numpy
+    IS the reference semantics (flox computes np.quantile, reference
+    aggregations.py:688-710), so one GROUPED_AGG kernel per group —
+    vectorized introselect + the same linear interpolation — beats
+    it 2.4-2.7x at the zone top (bench_scale --qarrow: 5M rows,
+    agg 6.9 s vs arrow 2.6 s) and ties at floor-dominated sizes;
+    the Arrow transfer ships each value once (the same raw-row
+    volume the collect_list buffers shuffle, through the same pinned
+    keyed exchange — grouped-agg UDFs have no map-side reduction to
+    lose either).
 
     One UDF call returns ``[q_0..q_{m-1}, n, n_miss]`` packed in a
     single array (grouped-agg pandas UDFs cannot mix with built-in
@@ -1057,9 +1059,12 @@ def _choose_quantile_impl(work: DataFrame) -> str:
       one ``np.quantile`` grouped-agg kernel per group
       (``_quantile_arrow``); whole-group buffering is safe by the
       same provably-fits argument the old ``"agg"`` pick relied on,
-      and the kernel beats the ``percentile`` ObjectHashAggregate
-      2.4x at the zone top (5M rows) while tying at floor-dominated
-      sizes.  ``"agg"`` stays reachable explicitly.
+      and the kernel beats the JVM collect_list+sort kernel 2.4x at
+      the zone top (5M rows) while tying at floor-dominated sizes.
+      ``"agg"`` stays reachable explicitly.  The 64 MB zone bound
+      deliberately does NOT rise with the faster kernel: it also
+      caps the worst case of ONE group's values crossing Arrow into
+      a single python worker.
     - medium input (<= ``quantile_refine_max_bytes``, default 1 TB):
       ``"refine"`` — exact two-scan approx-bracket + candidate-collect
       (``_quantile_refine``).  The sketch accuracy adapts to the

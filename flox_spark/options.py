@@ -26,10 +26,11 @@ OPTIONS: dict[str, Any] = {
     # - "arrow" (r11): one np.quantile grouped-agg kernel per group —
     #   numpy IS the reference semantics; measured equal to "agg" at
     #   sf0.1 (floor-dominated) and 2.4x faster at the zone top
-    #   (5M rows/40 MB: 2.74 s vs 6.50 s);
-    # - "agg": Spark's percentile aggregate (ObjectHashAggregate
-    #   buffering every group's values in memory — pure JVM, but the
-    #   one OOM-able plan at giant group sizes);
+    #   (5M rows/40 MB: 2.74 s vs 6.50 s, bench_scale --qarrow);
+    # - "agg": the JVM array_sort(collect_list)+lerp kernel
+    #   (aggregations._quantile; buffers every group's values in
+    #   memory — pure JVM, but the one OOM-able plan at giant group
+    #   sizes);
     # - "refine": exact two-scan approx-bracket + candidate collect
     #   (bounded ~6n/accuracy memory at ANY group size, zero
     #   data-sized shuffles);
