@@ -225,7 +225,13 @@ def test_sessionize_gap_invariants(spark, offsets, gap_s):
 @given(data=arrays())
 @ex
 def test_salted_equals_plain_property(spark, func, data):
-    # the salted two-phase combine is exact for any data/NaN layout
+    # the salted two-phase combine is ALGEBRAICALLY exact for any
+    # data/NaN layout — but float addition is not associative, and
+    # the two plans sum partials in different orders, so sum/mean
+    # comparisons get a condition-aware bound (~eps * sum|v| per
+    # group: a cancellation-heavy group like [1e-5, 999520, -999560]
+    # legitimately differs by ~4e-11 between associations).  Order-
+    # insensitive funcs (count/min/max) stay bit-exact.
     from flox_spark.salting import groupby_reduce_salted
 
     v, lab = data
@@ -235,12 +241,17 @@ def test_salted_equals_plain_property(spark, func, data):
     b = {r["k"]: r[func] for r in
          groupby_reduce(df, "k", func=func, value="v").collect()}
     assert set(a) == set(b)
+    summy = func in ("sum", "nansum", "mean", "nanmean")
     for g in b:
         x, y = a[g], b[g]
         if y is None or (isinstance(y, float) and math.isnan(y)):
             assert x is None or (isinstance(x, float) and math.isnan(x)), (func, g)
         elif isinstance(y, float):
-            assert x == pytest.approx(y, rel=1e-12, abs=1e-12), (func, g)
+            tol = 1e-12
+            if summy:
+                gv = np.abs(v[lab == g])
+                tol += 1e-12 * float(np.nansum(gv))
+            assert x == pytest.approx(y, rel=1e-12, abs=tol), (func, g)
         else:
             assert x == y, (func, g)
 
