@@ -422,6 +422,96 @@ def groupby_kurtosis(
     return res.orderBy(*by) if sort else res
 
 
+# value dtypes whose Arrow -> float64 conversion is bit-identical to
+# Spark's cast-to-double (IEEE round-nearest widening): the driver
+# fence kernel is only taken for these, so its np.quantile sees the
+# exact bytes the distributed Arrow kernel would
+_WINSOR_VALUE_TYPES = {"double", "float", "bigint", "int", "smallint", "tinyint"}
+
+
+def _driver_fence_rows(df, by, value, lower, upper):
+    """Driver-side exact winsorize fences for the small-input zone.
+
+    Under the operator's 32 MB plan-stats gate the fence aggregate's
+    distributed form is pure overhead: a shuffle of every row into a
+    GROUPED_AGG python worker, just to produce a GROUP-sized frame the
+    caller collects anyway.  This collapses it to ONE no-shuffle Arrow
+    collect of the pruned ``(keys..., value)`` projection plus an
+    in-driver ``np.quantile`` per group — the same numpy kernel (and
+    the same post-cast float64 bytes) as ``_quantile_arrow``
+    (core.py:926), so the fences are BIT-IDENTICAL by construction
+    (pinned by ``tests/test_stats.py``'s driver-vs-arrow differential).
+
+    Returns fence rows ``[{key...: v, "__wlo": lo, "__whi": hi}]`` for
+    non-NULL-key groups only (NULL-keyed rows pass through in every
+    consumer branch — same outcome as the left join), or None when the
+    Arrow route is unavailable (caller falls back to the distributed
+    fence aggregate).  Groups whose values are all missing get NULL
+    fences (pass-through), matching the aggregate path's n=0 rule.
+
+    NB this runs at PLAN-BUILD time (one bounded, gated collect — the
+    lm/kmeans literal-model pattern): same operator-level concurrency
+    caveat as the literal-fences branch below."""
+    import numpy as np
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = df.select(
+            *[F.col(b) for b in by], F.col(value).alias("__v")
+        ).toArrow().combine_chunks()
+    except Exception:
+        return None
+    if tbl.num_rows == 0:
+        return []
+
+    def chunk(name):
+        col = tbl.column(name)
+        return col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+
+    valid = np.ones(tbl.num_rows, dtype=bool)
+    for b in by:
+        valid &= pc.is_valid(chunk(b)).to_numpy(zero_copy_only=False)
+    if not valid.all():
+        tbl = tbl.filter(pa.array(valid))
+        if tbl.num_rows == 0:
+            return []
+        tbl = tbl.combine_chunks()
+    v = chunk("__v").to_numpy(zero_copy_only=False).astype("float64", copy=False)
+
+    combined = None
+    dics = []
+    maxcode = 1
+    for b in by:
+        enc = pc.dictionary_encode(chunk(b))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype("int64")
+        dic = enc.dictionary.to_pylist()
+        dics.append(dic)
+        maxcode *= max(1, len(dic))
+        if maxcode > (1 << 62):  # combined-code overflow guard
+            return None
+        combined = codes if combined is None else combined * len(dic) + codes
+
+    order = np.argsort(combined, kind="stable")
+    sc, sv = combined[order], v[order]
+    bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    qs = [lower, upper]
+    rows = []
+    for i, start in enumerate(bounds):
+        stop = bounds[i + 1] if i + 1 < len(bounds) else len(sc)
+        a = sv[start:stop]
+        a = a[~np.isnan(a)]
+        lo, hi = (np.quantile(a, qs).tolist() if a.size else (None, None))
+        code = sc[start]
+        key = {}
+        for b, dic in zip(reversed(by), reversed(dics)):
+            code, idx = divmod(code, len(dic))
+            key[b] = dic[int(idx)]
+        rows.append({**key, "__wlo": lo, "__whi": hi})
+    return rows
+
+
 def winsorize_group(
     df: DataFrame,
     *by: str,
@@ -454,11 +544,17 @@ def winsorize_group(
     result — measured ~2x over two independent quantile
     aggregations.
 
-    NB under the small-input gate the fences are collected at
-    PLAN-BUILD time through ``scoped_tiny_collect`` (group-sized
-    traffic): on small inputs this builder has action-time side
-    effects and is not session-concurrent with arbitrary OUTSIDE
-    queries on the same SparkSession (see that helper's docstring).
+    NB under the small-input gate the fences are computed at
+    PLAN-BUILD time: numeric values take the driver fence kernel
+    (``_driver_fence_rows`` — ONE no-shuffle Arrow collect of the
+    pruned ``(keys, value)`` projection, bounded by the same 32 MB
+    plan-stats gate, then in-driver ``np.quantile``: bit-identical to
+    the distributed Arrow kernel and ~2x less wall + no fence-plan
+    build); other value dtypes collect the group-sized fence frame
+    through ``scoped_tiny_collect``.  Either way the builder has
+    action-time side effects on small inputs and is not
+    session-concurrent with arbitrary OUTSIDE queries on the same
+    SparkSession (see ``scoped_tiny_collect``'s docstring).
     Web-scale inputs keep the fully declarative broadcast join."""
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
@@ -479,18 +575,45 @@ def winsorize_group(
             alias="__wq", explode_q=False,
         )
 
-    if approx:
-        from flox_spark.options import set_options
+    # small-path gate decided BEFORE the fence plan is built: when the
+    # driver fence kernel below applies, the groupby_reduce fence plan
+    # is never constructed at all (its py4j plan build was ~0.3 s of
+    # the sf0.1 wall — the r11 VERDICT's winsorize residue)
+    _SAFE_KEYS = {"string", "bigint", "int", "smallint", "tinyint", "date"}
+    from flox_spark.plans.util import estimate_size_bytes
 
-        with set_options(approx_quantile=True):
-            qrows = _stats()
-    else:
-        qrows = _stats()
-    stats = qrows.select(
-        *[F.col(b) for b in by],
-        F.element_at("__wq", 1).alias("__wlo"),
-        F.element_at("__wq", 2).alias("__whi"),
+    sts = estimate_size_bytes(df)
+    small = (
+        sts is not None
+        and sts < (32 << 20)
+        and not df.isStreaming
+        and all(df.schema[b].dataType.simpleString() in _SAFE_KEYS for b in by)
     )
+
+    rows = None
+    if (
+        small
+        and not approx
+        and df.schema[value].dataType.simpleString() in _WINSOR_VALUE_TYPES
+    ):
+        # driver fence kernel: one no-shuffle Arrow collect + in-driver
+        # np.quantile — bit-identical to the distributed Arrow kernel
+        rows = _driver_fence_rows(df, list(by), value, float(lower), float(upper))
+
+    stats = None
+    if rows is None:
+        if approx:
+            from flox_spark.options import set_options
+
+            with set_options(approx_quantile=True):
+                qrows = _stats()
+        else:
+            qrows = _stats()
+        stats = qrows.select(
+            *[F.col(b) for b in by],
+            F.element_at("__wq", 1).alias("__wlo"),
+            F.element_at("__wq", 2).alias("__whi"),
+        )
 
     def _clip(lo_col, hi_col):
         v = F.col(value)
@@ -513,20 +636,12 @@ def winsorize_group(
     # concat yields a NULL key -> NULL fences -> pass-through, the
     # same outcome as the left join.  Web-scale inputs keep the
     # declarative broadcast join.
-    _SAFE_KEYS = {"string", "bigint", "int", "smallint", "tinyint", "date"}
-    from flox_spark.plans.util import estimate_size_bytes
+    if small:
+        if rows is None:
+            from flox_spark.plans.util import scoped_tiny_collect
 
-    sts = estimate_size_bytes(df)
-    if (
-        sts is not None
-        and sts < (32 << 20)
-        and not df.isStreaming
-        and all(df.schema[b].dataType.simpleString() in _SAFE_KEYS for b in by)
-    ):
-        from flox_spark.plans.util import scoped_tiny_collect
-
-        with scoped_tiny_collect(df.sparkSession):
-            rows = stats.collect()
+            with scoped_tiny_collect(df.sparkSession):
+                rows = stats.collect()
         keyed = [
             r for r in rows if all(r[b] is not None for b in by)
         ]
@@ -570,13 +685,23 @@ def winsorize_group(
         # an Arrow LocalRelation (broadcasts with no build job)
         import pandas as pd
 
+        if stats is not None:
+            stats_schema = stats.schema
+        else:  # driver-fence rows: no aggregate plan was ever built
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            stats_schema = StructType(
+                [df.schema[b] for b in by]
+                + [StructField("__wlo", DoubleType()),
+                   StructField("__whi", DoubleType())]
+            )
         local = df.sparkSession.createDataFrame(
             pd.DataFrame({
                 **{b: [r[b] for r in rows] for b in by},
                 "__wlo": pd.Series([r["__wlo"] for r in rows], dtype="float64"),
                 "__whi": pd.Series([r["__whi"] for r in rows], dtype="float64"),
             }),
-            stats.schema,
+            stats_schema,
         )
         stats = F.broadcast(local)
         joined = df.join(stats, list(by), "left")

@@ -579,3 +579,84 @@ def test_winsorize_separator_bearing_keys(spark):
     # both distinct groups were actually clipped independently
     ws = {(r[0], r[1]) for r in got}
     assert len(ws) == 2
+
+
+def test_winsorize_driver_fences_bit_stable(spark):
+    # r12 (r11 VERDICT #1): the driver fence kernel (no-shuffle Arrow
+    # collect + in-driver np.quantile) must produce BIT-IDENTICAL
+    # fences to the distributed Arrow quantile kernel it replaced on
+    # the small path — same numpy function over the same post-cast
+    # float64 bytes, pinned here so a future kernel edit can't drift
+    import pandas as pd
+
+    from flox_spark.options import set_options
+    from flox_spark.stats import _driver_fence_rows
+    from pyspark.sql import functions as F
+    from flox_spark.core import groupby_reduce
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "k1": [None if i % 31 == 0 else f"g{i % 5}" for i in range(n)],
+            "k2": rng.integers(0, 3, n),
+            "vf": np.where(rng.random(n) < 0.08, np.nan, rng.normal(0, 1e6, n)),
+            "vi": rng.integers(-(2**60), 2**60, n),  # > 2^53: cast rounding
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for by, val in ((["k1"], "vf"), (["k2"], "vi"), (["k1", "k2"], "vf")):
+        drows = _driver_fence_rows(df, by, val, 0.13, 0.87)
+        dmap = {
+            tuple(r[b] for b in by): (r["__wlo"], r["__whi"]) for r in drows
+        }
+        with set_options(quantile_impl="arrow"):
+            q = groupby_reduce(
+                df, *by, func="nanquantile", value=val, sort=False,
+                finalize_kwargs={"q": [0.13, 0.87]}, alias="__wq",
+                explode_q=False,
+            )
+            smap = {
+                tuple(r[b] for b in by): (r["lo"], r["hi"])
+                for r in q.select(
+                    *by,
+                    F.element_at("__wq", 1).alias("lo"),
+                    F.element_at("__wq", 2).alias("hi"),
+                ).collect()
+                if all(r[b] is not None for b in by)
+            }
+        assert set(dmap) == set(smap), (by, val)
+        for k in dmap:  # exact ==, not approx: bit stability is the point
+            assert dmap[k] == smap[k], (by, val, k, dmap[k], smap[k])
+
+
+def test_winsorize_driver_fence_branch_fires(spark, monkeypatch):
+    # the gate itself is load-bearing: a silent regression that stops
+    # routing small numeric inputs through the driver kernel would
+    # reintroduce the fence aggregate's shuffle + plan build.  Count
+    # calls through the kernel to pin that it fires (and that the
+    # non-numeric value dtype falls back).
+    import pandas as pd
+
+    import flox_spark.stats as S
+    from flox_spark import winsorize_group
+
+    calls = []
+    orig = S._driver_fence_rows
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    monkeypatch.setattr(S, "_driver_fence_rows", spy)
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b"], "v": [1.0, 2.0, 3.0, 4.0]})
+    winsorize_group(spark.createDataFrame(pdf), "k", value="v", out="w").collect()
+    assert calls == [True]
+    # decimal value dtype: driver kernel ineligible, never invoked
+    calls.clear()
+    dfd = spark.createDataFrame(pdf).withColumn(
+        "v", S.F.col("v").cast("decimal(10,2)")
+    )
+    winsorize_group(dfd, "k", value="v", out="w").collect()
+    assert calls == []
