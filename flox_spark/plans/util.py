@@ -291,8 +291,15 @@ def local_frame(spark, rows, schema: str):
     non-finite-centroid pin), where the list path keeps NaN."""
 
     def _no_nan(v) -> bool:
-        if isinstance(v, float):
-            return v == v
+        # generic NaN probe (NaN != NaN), not isinstance(float): an
+        # np.float32/np.float16 NaN is not a Python-float subclass and
+        # would slip through to the Arrow path, which silently turns
+        # it into NULL — exactly the corruption this guard prevents
+        try:
+            if v != v:
+                return False
+        except Exception:
+            pass  # values without well-defined != (arrays) fall through
         if isinstance(v, (list, tuple)):
             return all(_no_nan(x) for x in v)
         if isinstance(v, dict):
@@ -312,4 +319,19 @@ def local_frame(spark, rows, schema: str):
             return spark.createDataFrame(pdf, schema=schema)
     except Exception:  # pragma: no cover - arrow conversion surprises
         pass
-    return spark.createDataFrame(rows, schema=schema)
+
+    import numpy as np
+
+    def _plain(v):
+        # the list path's row verifier rejects numpy scalars outright
+        # (np.float32 NaN for a double field raises, it doesn't
+        # convert) — unwrap them to Python scalars, preserving NaN
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, (list, tuple)):
+            return type(v)(_plain(x) for x in v)
+        return v
+
+    return spark.createDataFrame(
+        [tuple(_plain(v) for v in r) for r in rows], schema=schema
+    )

@@ -285,3 +285,55 @@ def test_k_anonymity_report(spark):
         k_anonymity_report(spark.createDataFrame(pdf), [], k=5)
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_report(spark.createDataFrame(pdf), ["age"], k=1)
+
+
+def test_decontaminate_literal_path_matches_declarative(spark):
+    # r12: the gated literal NOT-IN fast path must agree with the
+    # declarative anti-join on every branch — NULL corpus ids are
+    # KEPT, NULL hit ids are dropped from the literal list (one NULL
+    # inside NOT IN(...) would null the predicate and drop every
+    # clean row), string ids take the local-frame branch, and a
+    # stats-less corpus keeps the declarative join
+    import pandas as pd
+
+    from flox_spark.operators import decontaminate
+
+    rows = []
+    for i in range(200):
+        txt = f"alpha beta gamma delta {i % 7} epsilon zeta"
+        rows.append((None if i % 19 == 0 else i, txt))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    corpus = spark.createDataFrame(pdf.astype({"doc_id": "object"}),
+                                   "doc_id bigint, text string")
+    bench = corpus.filter((F.col("doc_id") % 5 == 0) | F.col("doc_id").isNull())
+    for ms in (1, 3):
+        lit_ids = sorted(
+            (r["doc_id"] is None, r["doc_id"])
+            for r in decontaminate(corpus, bench, n=3, min_shared=ms).collect()
+        )
+        dec_ids = sorted(
+            (r["doc_id"] is None, r["doc_id"])
+            for r in decontaminate(
+                corpus.localCheckpoint(eager=True), bench, n=3, min_shared=ms
+            ).collect()
+        )
+        assert lit_ids == dec_ids, ms
+    # string ids: local-frame branch, same agreement
+    scorp = corpus.withColumn("doc_id", F.concat(F.lit("d"), "doc_id"))
+    sbench = bench.withColumn("doc_id", F.concat(F.lit("d"), "doc_id"))
+    a = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in decontaminate(scorp, sbench, n=3, min_shared=3).collect()
+    )
+    b = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in decontaminate(
+            scorp.localCheckpoint(eager=True), sbench, n=3, min_shared=3
+        ).collect()
+    )
+    assert a == b
+    # no contamination at all: corpus returned whole
+    clean_bench = spark.createDataFrame(
+        [("totally unrelated words only here",)], "text string"
+    )
+    assert decontaminate(corpus, clean_bench, n=3).count() == corpus.count()

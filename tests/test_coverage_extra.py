@@ -354,3 +354,31 @@ def test_write_table_formats(spark, tmp_path):
     ):
         with pytest.raises(RuntimeError, match=hint):
             write_table(df, str(tmp_path / fmt), fmt=fmt)
+
+
+def test_local_frame_np_float32_nan_keeps_nan(spark):
+    # r11 ADVICE: the Arrow-path NaN guard must detect NaN generically
+    # (NaN != NaN), not via isinstance(float) — an np.float32 NaN is
+    # not a Python-float subclass, and the pandas/Arrow route would
+    # silently convert it to NULL (the exact corruption the fallback
+    # exists to prevent).  The list path keeps it as a real NaN.
+    import math
+
+    import numpy as np
+
+    from flox_spark.plans.util import local_frame
+
+    df = local_frame(
+        spark,
+        [(1, np.float32("nan")), (2, np.float64(3.5)), (3, float("nan"))],
+        "id bigint, v double",
+    )
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert got[1] is not None and math.isnan(got[1])
+    assert got[2] == 3.5
+    assert got[3] is not None and math.isnan(got[3])
+    # and the happy path (no NaN anywhere) still takes Arrow: ints
+    # survive exactly and Nones stay NULL
+    df2 = local_frame(spark, [(1, None), (2, 7.25)], "id bigint, v double")
+    got2 = {r["id"]: r["v"] for r in df2.collect()}
+    assert got2 == {1: None, 2: 7.25}

@@ -26,6 +26,7 @@ PINS = {
     "perplexity_filter": 4,  # == perplexity + 0 (the r10 fusion)
     "winsorize": 2,          # literal fences (r10 rewrite)
     "semdedup_pairs": 3,     # r11 staging collapse (was 5)
+    "decontaminate": 4,      # r12 literal NOT-IN path (was 6)
 }
 
 
