@@ -1326,13 +1326,63 @@ sh AS (SELECT DISTINCT doc_id,
 
 
 def q_pack_sequences(s, d):
-    # sequence packing (iterative FFD, no SQL form -> rows-only check):
-    # hash-partition by doc_id first so bin assignment is deterministic
+    # FFD packing verified through a DuckDB INVARIANT oracle (r11
+    # VERDICT #6): the exact bin assignment is iterative and
+    # engine-specific (no SQL form), but every invariant of a CORRECT
+    # packing is relational — each doc packed exactly once, oversize
+    # flags == (n_tokens > budget), non-oversize bin loads <= budget,
+    # oversize bins singleton, and the realized bin count inside
+    # [ceil(packable/budget), floor(packable/(budget/2+1)) + n_parts]
+    # (first-fit keeps at most ONE bin at <= half capacity per
+    # partition, so all others hold > budget/2 tokens).  The oracle
+    # recomputes the doc-side facts from raw text and pins the
+    # violation counts at zero / the bound check at true; a packing
+    # bug flips a value and the hash-compare catches it.
     from flox_spark.operators import pack_sequences, token_count
 
     docs = token_count(_t(s, d, "documents")).repartition(4, "doc_id")
     out = pack_sequences(docs, "n_tokens", budget=512)
-    return out.select("doc_id", "n_tokens", "bin_id", "oversize")
+    doc_side = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(
+            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("packable_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.sum(
+            (F.col("oversize") != (F.col("n_tokens") > 512)).cast("long")
+        ).alias("oversize_mismatch"),
+    )
+    bins = out.groupBy("bin_id").agg(
+        F.sum(
+            F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("load"),
+        F.max(F.col("oversize").cast("int")).alias("has_over"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+    )
+    # the bound check is computed INSIDE the bin branch (its own
+    # sum(load) is self-consistent with its own bin count even if the
+    # two plan branches re-run the nondeterministic-ordered pack)
+    bin_side = bins.agg(
+        F.sum(
+            F.when((F.col("has_over") == 0) & (F.col("load") > 512), 1).otherwise(0)
+        ).cast("long").alias("over_cap_bins"),
+        F.sum(
+            F.when((F.col("has_over") == 1) & (F.col("n_in_bin") > 1), 1).otherwise(0)
+        ).cast("long").alias("mixed_oversize_bins"),
+        F.sum(F.when(F.col("has_over") == 0, 1).otherwise(0)).alias("__npack"),
+        F.sum(
+            F.when(F.col("has_over") == 0, F.col("load")).otherwise(F.lit(0))
+        ).alias("__ptok"),
+    )
+    bins_ok = (
+        (F.col("__npack") >= F.ceil(F.col("__ptok") / F.lit(512.0)))
+        & (F.col("__npack") <= F.floor(F.col("__ptok") / F.lit(257.0)) + F.lit(4))
+    ).alias("bins_ok")
+    return doc_side.crossJoin(bin_side).select(
+        "n_rows", "n_docs", "packable_tokens", "n_oversize",
+        "oversize_mismatch", "over_cap_bins", "mixed_oversize_bins", bins_ok,
+    )
 
 
 def q_redact_pii(s, d):
@@ -1925,6 +1975,25 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
                          WHEN 2 THEN 4 ELSE 12 END)::BIGINT AS n_bytes
             FROM documents""",
         "minhash_pairs": _minhash_oracle(),
+        # pack_sequences: the bin ASSIGNMENT is iterative/engine-specific
+        # (no SQL form), but the invariants of a correct packing are
+        # relational — the oracle recomputes the doc-side facts from raw
+        # text (token counts, oversize split, packable total) and pins
+        # the packing-side violation counters at zero / the first-fit
+        # bin-count bound at true (r11 VERDICT #6)
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   sum(CASE WHEN n_tokens <= 512 THEN n_tokens ELSE 0 END)::BIGINT
+                     AS packable_tokens,
+                   sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_oversize,
+                   0::BIGINT AS oversize_mismatch,
+                   0::BIGINT AS over_cap_bins,
+                   0::BIGINT AS mixed_oversize_bins,
+                   true AS bins_ok
+            FROM t""",
         "minhash_bands": _minhash_bands_oracle(),
         "minhash_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle()}),

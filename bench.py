@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "asof_join",        # union+window as-of join
     "sample_group",     # WindowGroupLimit per-group draw
     "minhash_bands",    # row-local streaming-capable banding
-    "pack_sequences",   # FFD packing via mapInPandas (no DuckDB row)
+    "pack_sequences",   # FFD packing via mapInPandas (invariant oracle)
     "grouped_topk",     # WindowGroupLimit top-k per group
     "nunique",          # exact distinct-count reduction
     "redact_pii",       # regex projection chain
@@ -173,6 +173,15 @@ def main() -> None:
     # floor and produced three headline flags that did not reproduce).
     tracker = spark.sparkContext.statusTracker()
     job_counts: dict[str, int] = {}
+    # per-query BUILD time (DataFrame construction: py4j plan assembly
+    # plus any gated plan-build collects — winsorize fences, lm model,
+    # semdedup seeds/sizes).  The r11 SCALE decomposition showed this
+    # driver-side term dominating the residual flag-line gap
+    # (semdedup_pairs: 0.7 s of its 1.1 s wall); recording it per run
+    # lets the record separate fixed per-QUERY driver cost (amortized
+    # by plan reuse in a real pipeline) from per-DATA execution cost.
+    # The primary wall stays build+exec — the protocol is unchanged.
+    build_s: dict[str, float] = {}
 
     def run_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -184,7 +193,9 @@ def main() -> None:
                 spark.sparkContext.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 try:
-                    force(qs[name](spark, sf_dir))
+                    df = qs[name](spark, sf_dir)
+                    tb = time.perf_counter() - t0
+                    force(df)
                 except Exception as e:  # never lose the whole bench to one query
                     print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
                     continue  # keep any successful run's timing
@@ -193,6 +204,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if best is None or dt < best:
                     best = dt
+                    build_s[name] = round(tb, 4)
                     try:
                         job_counts[name] = len(tracker.getJobIdsForGroup(group))
                     except Exception:
@@ -301,6 +313,11 @@ def main() -> None:
         "extra_duckdb": extra_duck,
         "extra_net_ratio": extra_net,
         "jobs": job_counts,  # Spark jobs per query (best run's group)
+        # plan-BUILD seconds inside each best wall (py4j assembly +
+        # gated plan-build collects); wall - build_s = execution.
+        # Fixed per QUERY, not per data: a real pipeline builds the
+        # plan once and amortizes this term, the per-run bench cannot
+        "build_s": build_s,
         # ---- headline tail (everything below must survive truncation)
         "metric": "headline_queries_total_wall",
         "value": total,

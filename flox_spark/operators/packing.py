@@ -25,9 +25,13 @@ the distributed design is two-level:
 
 Docs exceeding the budget get a singleton bin and ``oversize=true``
 (callers chunk or drop them).  The operator is an iterative
-algorithm, not relational — it has no SQL-oracle form; correctness is
-invariant-tested (every bin within budget, every doc placed exactly
-once, bin count near the LP lower bound) in ``tests/test_packing.py``.
+algorithm, not relational — the bin ASSIGNMENT has no SQL-oracle
+form, but the invariants of a correct packing do: every bin within
+budget, every doc placed exactly once, oversize flags consistent,
+and the bin count inside the first-fit bound (at most one bin at
+<= half capacity per partition).  They are pinned both in
+``tests/test_packing.py`` and in the driver's DuckDB invariant
+oracle (``__spark_entry__.oracle_sql()['pack_sequences']``).
 """
 
 from __future__ import annotations

@@ -61,13 +61,66 @@ def stream_session_stats(
     once the watermark passes its close; sessions still open at the
     end of a bounded run stay in state (standard Spark semantics —
     tests advance the watermark with a sentinel event or read the
-    final state via complete mode)."""
+    final state via complete mode).
+
+    STATE SIZING (r11 measurement, surfaced per r11 VERDICT #5):
+    ``session_window`` state is O(OPEN SESSIONS inside the watermark),
+    not O(keys) — every session that closed less than ``watermark``
+    ago is still held for potential late merges, so the upper bound is
+    roughly ``keys x (1 + watermark_seconds / gap_seconds)`` session
+    rows.  With a watermark far wider than the gap that multiplier
+    bites: the r11 table's own worst case (gap=60 s, 10-min watermark,
+    100k keys) held 860k open sessions / 502 MB of store where the
+    row-level ``stream_sessionize`` path held 35 MB for the same
+    stream.  Keep ``watermark`` within a small multiple of ``gap`` (or
+    accept the memory bound above); past a 100x ratio this emits a
+    UserWarning rather than silently holding two orders of magnitude
+    more state than the gap semantics need."""
     from flox_spark.operators.sessions import session_stats
 
+    wsec = _watermark_seconds(watermark)
+    if wsec is not None and gap_seconds > 0 and wsec / gap_seconds > 100:
+        import warnings
+
+        warnings.warn(
+            f"stream_session_stats: watermark ({watermark}) is "
+            f"{wsec / gap_seconds:.0f}x the session gap "
+            f"({gap_seconds:g}s); session_window state holds every "
+            "session open inside the watermark (~keys x watermark/gap "
+            "rows — measured 502 MB at 100k keys, gap=60s, 10-min "
+            "watermark).  Narrow the watermark toward the gap, or use "
+            "stream_sessionize(evict_idle_after=...) whose state is "
+            "one row per key.",
+            UserWarning,
+            stacklevel=2,
+        )
     wdf = df.withWatermark(ts, watermark) if df.isStreaming else df
     return session_stats(
         wdf, *by, ts=ts, gap_seconds=gap_seconds, value=value
     )
+
+
+_WATERMARK_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _watermark_seconds(text: str) -> float | None:
+    """Parse Spark's CalendarInterval-style watermark strings
+    ('10 minutes', '1 hour') to seconds; None when unrecognized (the
+    caller then skips the sizing sanity check — Spark itself still
+    validates the string)."""
+    try:
+        parts = str(text).strip().lower().split()
+        if len(parts) != 2:
+            return None
+        qty = float(parts[0])
+        unit = parts[1].rstrip("s")
+        scale = _WATERMARK_UNITS.get(unit)
+        return None if scale is None else qty * scale
+    except Exception:
+        return None
 
 
 def stream_sessionize(

@@ -218,3 +218,49 @@ def test_stream_sessionize_event_time_eviction(spark):
     # key 1's return: fresh state (0) with eviction, continued (1) without
     assert kept[4] == 1
     assert evicted[4] == 0
+
+
+def test_session_stats_watermark_gap_sanity_warning(spark):
+    # r11 VERDICT #5: session_window state is O(open sessions in the
+    # watermark) ~ keys x watermark/gap — warn when the ratio passes
+    # 100x (the regime where the r11 measurement held 502 MB vs the
+    # stateful path's 35 MB), stay silent at sane ratios
+    import warnings
+
+    import pandas as pd
+
+    from flox_spark.streaming import stream_session_stats
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:30", "2024-01-01 00:01:00"]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)  # batch frame: operator still validates
+    with pytest.warns(UserWarning, match="watermark"):
+        stream_session_stats(df, "user_id", ts="ts", gap_seconds=60.0,
+                             watermark="10 hours")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning fails
+        stream_session_stats(df, "user_id", ts="ts", gap_seconds=60.0,
+                             watermark="10 minutes")
+    # unparseable watermark: check skipped, no crash (Spark validates
+    # the string itself at stream start)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        stream_session_stats(df, "user_id", ts="ts", gap_seconds=60.0,
+                             watermark="interval weirdness here")
+
+
+def test_watermark_seconds_parser():
+    from flox_spark.streaming.sessions import _watermark_seconds
+
+    assert _watermark_seconds("10 minutes") == 600.0
+    assert _watermark_seconds("1 hour") == 3600.0
+    assert _watermark_seconds("500 milliseconds") == 0.5
+    assert _watermark_seconds("2 days") == 172800.0
+    assert _watermark_seconds("nonsense") is None
+    assert _watermark_seconds("3 fortnights") is None
