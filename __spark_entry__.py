@@ -2294,37 +2294,21 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict.  Round-11 window: [1-10] every row
-    # whose implementation changed this round (fused-filter NULL-id
-    # fix, literal-model collect bound, winsorize separator guard,
-    # kmeans per-collect conf guard, the semdedup_pairs one-job
-    # staging restructure, the ann_topk_768 tile-scale fix) plus the
-    # NEW rows-only lsh_sig_768 / neardup_768 forced-Arrow-kernel
-    # rows, simhash_pairs (first-match banding rewrite), and
-    # minhash_clusters / leakage_split (they ride the r11
-    # dedup_clusters fused-probe change) and the NEW dedup_documents
-    # pipeline row, [14-17] the NEW r11 span-dedup family (dup_spans /
-    # dup_spans_removed / dup_spans_against / decontaminate_spans —
-    # Lee-et-al-2021 exact substring dedup + its cross-corpus
-    # decontamination twins, all full-oracle), [18-28] representatives
-    # of the three r11 session-2 core changes — the np.quantile Arrow
-    # strategy (quantile/median/quantile_vector), the one-stage tiny
-    # sort on every sorted groupby (sum/mean/var/dayofyear_mean/
-    # monthhour_sum/describe), and the LocalRelation literal grids
-    # (expected_fill/binned_count) — plus quantile_refine/refine2 for
-    # the sketch-trust fix, [29-48] the r7-era rotation rows the r10
-    # VERDICT named, [49-50] the oldest r8 cohort heads (the
-    # remainder — levenshtein_refine, tfidf_top_terms (NULL-id fix,
-    # behavior-identical on the NULL-free testdata, pytest-pinned),
-    # ngram_counts, dedup_lines, scan_shift, rank_avg, pivot_sum,
-    # corr_pearson, twa, rolling_time, resample, sample_group,
-    # quantile_sort, transform_mean, grouped_topk, redact_pii,
-    # boilerplate, chunk_docs, profile, quality_report, salted_sum,
-    # weighted_mean, rank_pct, skew, kurtosis, the r10 cohort tail —
-    # lead the r12 rotation).
-    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless
-    # of window position.
-    return {
+    # 50-query prefix of this dict, assembled from `_R12_WINDOW` below
+    # over the full registry.  Round-12 window: [1-3] the rows whose
+    # implementation changed this round — winsorize (driver-side
+    # np.quantile fence kernel), decontaminate (gated literal NOT-IN
+    # path, 6 -> 3-4 jobs), pack_sequences (upgraded from rows-only to
+    # a DuckDB INVARIANT oracle) — then [4-29] the 26 rows whose last
+    # driver hash check was r8 (the r11 VERDICT #3 staleness list:
+    # boilerplate .. weighted_mean), then [30-50] representatives of
+    # the r11 work that must stay continuously evidenced: the span
+    # family (full oracle), the five-strategy quantile family incl.
+    # the arrow kernel, the LM pair, the semdedup/cluster consumers of
+    # the fused union-find, and the two rows-only forced dim-768
+    # kernels.  All pass tools/check_oracle.py at sf0.001/0.01/0.1
+    # regardless of window position.
+    base = {
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
         "winsorize": q_winsorize,
@@ -2474,7 +2458,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
     }
+    return {**{k: base[k] for k in _R12_WINDOW}, **base}
 
+
+# the driver-checked 50-query prefix (see the rotation comment above);
+# dict insertion order puts these first, then every remaining registry
+# row in its stable order.  Keep this list in sync with the comment.
+_R12_WINDOW = [
+    # r12-changed rows
+    "winsorize", "decontaminate", "pack_sequences",
+    # r8-stale rotation (r11 VERDICT #3, all 26)
+    "boilerplate", "chunk_docs", "corr_pearson", "dedup_lines",
+    "grouped_topk", "kurtosis", "levenshtein_refine", "ngram_counts",
+    "nunique", "pivot_sum", "profile", "quality_report",
+    "quantile_sort", "rank_avg", "rank_pct", "redact_pii", "resample",
+    "rolling_time", "salted_sum", "sample_group", "scan_shift", "skew",
+    "tfidf_top_terms", "transform_mean", "twa", "weighted_mean",
+    # r11 evidence carry-over
+    "dup_spans", "dup_spans_removed", "dup_spans_against",
+    "decontaminate_spans", "quantile", "median", "quantile_vector",
+    "quantile_refine", "quantile_refine2", "perplexity",
+    "perplexity_filter", "semdedup_pairs", "semdedup", "kmeans",
+    "simhash_pairs", "minhash_clusters", "leakage_split",
+    "dedup_documents", "lsh_sig_768", "neardup_768", "sum",
+]
 
 def oracle_sql() -> dict[str, str]:
     out = _operator_oracles()

@@ -590,8 +590,6 @@ def _tiny_sorted(
       aggregate, where the scan itself satisfies the group
       distribution) would serialize its data-sized SCAN stage —
       those always keep the explicit exchange."""
-    import re
-
     from flox_spark.plans.util import estimate_size_bytes
 
     in_size = estimate_size_bytes(input_df) if input_df is not None else None
@@ -599,24 +597,38 @@ def _tiny_sorted(
         in_size is not None
         and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]
     )
-    has_shuffle = False
-    if small_input:
-        try:
-            # executedPlan (not sparkPlan: that is pre-
-            # EnsureRequirements and carries no exchanges yet) — on an
-            # unexecuted adaptive plan this prints the initial
-            # physical plan, exchanges included, running nothing
-            plan = result._jdf.queryExecution().executedPlan().toString()
-            # shuffle exchanges only; BroadcastExchange is not a
-            # coalesce-able boundary
-            has_shuffle = re.search(
-                r"(?<!Broadcast)Exchange (hash|range|Single|RoundRobin)", plan
-            ) is not None
-        except Exception:  # pragma: no cover - py4j hiccups
-            has_shuffle = False
-    if small_input and has_shuffle:
+    if small_input and _plan_has_shuffle(result):
         return result.coalesce(1).sortWithinPartitions(*sort_cols)
     return result.repartition(1).sortWithinPartitions(*sort_cols)
+
+
+def _plan_has_shuffle(result: DataFrame) -> bool:
+    """True when the physical plan contains a SHUFFLE exchange the
+    ``coalesce(1)`` in ``_tiny_sorted`` can ride.
+
+    Probes ``executedPlan`` (not ``sparkPlan``: that is
+    pre-EnsureRequirements and carries no exchanges yet) — on an
+    unexecuted adaptive plan this prints the initial physical plan,
+    exchanges included, running nothing beyond one extra physical
+    planning pass (the measured 3->2-job win absorbs it).  The match
+    is textual over the plan string — the partitioning spellings
+    ('Exchange hashpartitioning/rangepartitioning/SinglePartition/
+    RoundRobinPartitioning') are Spark's stable plan-node format but
+    ARE a cross-version surface, so ``tests/test_reduce.py::
+    test_plan_has_shuffle_probe`` pins both polarities against real
+    plans: a Spark upgrade that reformats the string trips the pin
+    instead of silently flipping every sorted groupby to the
+    two-exchange shape.  BroadcastExchange is deliberately not a
+    match — it is not a coalesce-able boundary."""
+    import re
+
+    try:
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        return re.search(
+            r"(?<!Broadcast)Exchange (hash|range|Single|RoundRobin)", plan
+        ) is not None
+    except Exception:  # pragma: no cover - py4j hiccups
+        return False
 
 
 def _sorted_output(
@@ -967,7 +979,17 @@ def _quantile_arrow(
     numpy NaN (e.g. a quantile interpolated across mixed infinities)
     and coalesces back to NaN; an empty group (n = 0) is NULL, the
     same as ``percentile`` of no rows.  Nothing load-bearing rides
-    the serializer's nan-as-null choice."""
+    the serializer's nan-as-null choice.
+
+    Precision (r11 ADVICE, the shared-cast assumption made explicit):
+    the arith view is cast to double BEFORE the transfer, so int64 /
+    timestamp-microsecond values beyond 2^53 round pre-kernel — the
+    same double-lerp precision the agg/sort strategies share, but
+    here it also reaches EXACT (integral-rank) order statistics,
+    whose raw values the other strategies would return unrounded.
+    Acceptable by policy: 2^53 us is ~year 2255, and flox's own
+    kernel is np.quantile over float64 (reference
+    aggregations.py:688-710), i.e. identical rounding."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     from flox_spark.aggregations import _nan_sentinel

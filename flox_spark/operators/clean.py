@@ -662,7 +662,9 @@ def remove_duplicate_spans(
     copy of every duplicated span survives the corpus.  Every input
     row survives with ``out`` holding the surviving tokens rejoined
     by single spaces (original token case is preserved; whitespace
-    runs are normalized, like ``dedup_lines``'s joiner), reduced to
+    runs are normalized, like ``dedup_lines``'s joiner — and like it,
+    an ``out`` name already present on the input raises at build
+    time), reduced to
     "" when nothing remains.  NULL ids order before non-NULL in the
     first-occurrence rule (Spark struct ordering).
 
@@ -695,8 +697,14 @@ def _cut_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
     ).withColumnRenamed(id_col, "__rm_id")
-    while out in df.columns:
-        out += "_"
+    if out in df.columns:
+        # loud build-time validation like the family's other contract
+        # checks (r11 ADVICE): a silent rename ("text_clean_") made
+        # the output column undiscoverable to the caller
+        raise ValueError(
+            f"output column {out!r} already exists on the input frame; "
+            "pass out=<fresh name> (dedup_lines raises the same way)"
+        )
     # original-case tokens: the same whitespace split as the window
     # keys (positions align 1:1), without the lower()
     orig_toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -780,7 +788,8 @@ def remove_spans_against(
     ``remove_duplicate_spans`` there is no keep-first exception).
     Every input row survives with ``out`` holding the surviving
     original-case tokens rejoined by single spaces ("" when nothing
-    remains) — the redaction alternative to ``decontaminate``'s
+    remains; an ``out`` name already present on the input raises at
+    build time) — the redaction alternative to ``decontaminate``'s
     whole-doc drop."""
     spans = _spans_against(df, reference, id_col, text_col, k, hash_impl, ref_text_col)
     return _cut_spans(df, spans, id_col, text_col, out)

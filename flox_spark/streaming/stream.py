@@ -843,8 +843,13 @@ def stream_decontaminate_spans(
     packed = _reference_grams(
         reference, ref_text_col or text_col, k, hash_impl
     ).agg(F.collect_set("__g").alias("__refg"))
-    while out in stream.columns:
-        out += "_"
+    if out in stream.columns:
+        # loud build-time validation, matching batch _cut_spans
+        # (r11 ADVICE: the silent rename hid the output column)
+        raise ValueError(
+            f"output column {out!r} already exists on the input stream; "
+            "pass out=<fresh name>"
+        )
     joined = stream.crossJoin(F.broadcast(packed))
     # STAGE tokens and shingles in their own columns: inline forms
     # re-evaluate the \s+ split (and the whole shingle transform)

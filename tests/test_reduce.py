@@ -371,3 +371,29 @@ def test_public_bin_column(spark):
     ).collect()
     got = [(r["x"], r["b"]) for r in out]
     assert got == [(0.5, 0), (5.0, 0), (15.0, 1), (99.0, None)]
+
+
+def test_plan_has_shuffle_probe(spark):
+    # r11 ADVICE: _tiny_sorted's coalesce(1) gate matches the plan
+    # STRING for shuffle exchanges — pin both polarities on real plans
+    # so a Spark upgrade that renames the node text trips here instead
+    # of silently changing every sorted groupby's job shape
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from flox_spark.core import _plan_has_shuffle
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"] * 50, "v": range(100)})
+    )
+    # plain grouped aggregate: hash exchange present
+    assert _plan_has_shuffle(df.groupBy("k").agg(F.sum("v").alias("s")))
+    # orderBy: range exchange present
+    assert _plan_has_shuffle(df.orderBy("v"))
+    # pure projection: no exchange of any kind
+    assert not _plan_has_shuffle(df.select((F.col("v") * 2).alias("w")))
+    # broadcast join: BroadcastExchange must NOT count (not a
+    # coalesce-able boundary)
+    dim = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lbl": ["x"]}))
+    assert not _plan_has_shuffle(df.join(F.broadcast(dim), "k"))

@@ -604,3 +604,56 @@ def test_cross_doc_only_counts_null_id_as_a_document(spark):
     )
     for frame in (two_nulls, two_nulls.localCheckpoint(eager=True)):
         assert duplicate_spans(frame, k=4, cross_doc_only=True).collect() == []
+
+
+@hyp
+@given(corpora(), st.integers(2, 4), st.booleans(), st.integers(2, 3))
+def test_hypothesis_small_vs_big_branch(spark, corpus, k, cdo, mo):
+    # r11 VERDICT #7: the <32MB window form and the groupBy+join scale
+    # form are ALGORITHMICALLY different implementations of the same
+    # mark rule; the fixed-corpus branch test can't see a divergence a
+    # future edit introduces off its corpus.  Force BOTH branches on
+    # the same random corpus (LocalRelation = small stats -> window
+    # path; localCheckpoint = stats-less -> join path) and require
+    # identical span sets, for spans AND removal.
+    pdf = pd.DataFrame(
+        {"doc_id": list(corpus), "text": [corpus[i] for i in corpus]}
+    )
+    df = spark.createDataFrame(pdf)
+    dfu = df.localCheckpoint(eager=True)
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])  # noqa: E731
+    small = sorted(
+        map(key, duplicate_spans(df, k=k, cross_doc_only=cdo,
+                                 min_occurrences=mo).collect())
+    )
+    big = sorted(
+        map(key, duplicate_spans(dfu, k=k, cross_doc_only=cdo,
+                                 min_occurrences=mo).collect())
+    )
+    assert small == big
+    rs = {r["doc_id"]: r["text_clean"]
+          for r in remove_duplicate_spans(df, k=k).collect()}
+    rb = {r["doc_id"]: r["text_clean"]
+          for r in remove_duplicate_spans(dfu, k=k).collect()}
+    assert rs == rb
+
+
+def test_removal_out_column_collision_raises(spark):
+    # r11 ADVICE: a pre-existing `out` column used to be silently
+    # renamed to 'text_clean_' (undiscoverable); now it raises at
+    # build time like the family's other contract checks
+    from flox_spark.operators import remove_duplicate_spans, remove_spans_against
+    from flox_spark.streaming import stream_decontaminate_spans
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a b c d"],
+                        "text_clean": ["already here"]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="text_clean"):
+        remove_duplicate_spans(df, k=2)
+    with pytest.raises(ValueError, match="text_clean"):
+        remove_spans_against(df, df.select("text"), k=2)
+    with pytest.raises(ValueError, match="text_clean"):
+        stream_decontaminate_spans(df, df.select("text"), k=2)
+    # a fresh name still works
+    out = remove_duplicate_spans(df, k=2, out="cleaned")
+    assert "cleaned" in out.columns and "text_clean" in out.columns
