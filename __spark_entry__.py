@@ -1439,14 +1439,36 @@ def q_heavy_hitters(s, d):
 
 
 def q_distinct_rollup(s, d):
-    # mergeable HLL sketches: per-(event_type, day) sketches unioned up
-    # to event_type; estimate only — no cross-engine oracle (DuckDB's
-    # HLL differs), rows-only check
+    # mergeable HLL sketches through a DuckDB INVARIANT oracle (the
+    # pack_sequences pattern): the estimate VALUE is engine-specific
+    # (DuckDB's HLL differs), but the invariants of a correct rollup
+    # are relational — the oracle recomputes the exact per-type
+    # distinct count from raw events, and the sketch path must land
+    # inside the published HLL error envelope (lgk=12 -> 1.04/2^6 ~
+    # 1.6% rse; 5% here = >3 sigma) on the estimate it unioned up
+    # from per-(type, day) sketches.  The mergeable path itself stays
+    # exercised: the estimate comes from hll_union_agg over the
+    # persisted per-day sketches, never from re-sketching raw rows.
     from flox_spark.operators import build_distinct_sketches, rollup_distinct
 
     ev = _t(s, d, "events").withColumn("day", F.to_date("ts"))
     sk = build_distinct_sketches(ev, "event_type", "day", col="user_id")
-    return rollup_distinct(sk, "event_type").orderBy("event_type")
+    est = rollup_distinct(sk, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    tol_ok = F.when(
+        F.col("exact_distinct") == 0, F.col("approx_distinct") == 0
+    ).otherwise(
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= 0.05
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "exact_distinct", tol_ok.alias("within_tol"))
+        .orderBy("event_type")
+    )
 
 
 def q_chunk_docs(s, d):
@@ -1994,6 +2016,14 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
                    0::BIGINT AS mixed_oversize_bins,
                    true AS bins_ok
             FROM t""",
+        # distinct_rollup: same invariant-oracle pattern — exact
+        # per-type distinct recomputed from raw events; the HLL union
+        # estimate must sit inside the 5% (>3 sigma at lgk=12) envelope
+        "distinct_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS exact_distinct,
+                   true AS within_tol
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "minhash_bands": _minhash_bands_oracle(),
         "minhash_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle()}),
