@@ -337,3 +337,56 @@ def test_decontaminate_literal_path_matches_declarative(spark):
         [("totally unrelated words only here",)], "text string"
     )
     assert decontaminate(corpus, clean_bench, n=3).count() == corpus.count()
+
+
+# ---- hypothesis branch differential (r12) -----------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hyp = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _decon_corpora(draw):
+    # tiny vocab forces heavy shingle collisions; sprinkle NULL ids
+    # and empty docs to exercise the NULL/empty contracts
+    vocab = ["x", "yy", "Zz", "q"]
+    n = draw(st.integers(2, 12))
+    rows = []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=12))
+        rid = None if draw(st.booleans()) and i % 5 == 0 else i
+        rows.append((rid, " ".join(toks)))
+    return rows
+
+
+@_hyp
+@given(_decon_corpora(), st.integers(1, 4), st.integers(2, 3))
+def test_hypothesis_decontaminate_branch_differential(spark, rows, ms, n):
+    # r12: the gated literal NOT-IN path and the declarative anti-join
+    # are different physical shapes of the same drop rule — force both
+    # on the same random corpus (LocalRelation = stats -> literal;
+    # localCheckpoint = stats-less -> declarative) and require the
+    # same surviving id multiset, NULL ids included
+    from flox_spark.operators import decontaminate
+
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = corpus.filter(
+        F.coalesce(F.col("doc_id") % 3 == 0, F.lit(True))
+    )
+    lit = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in decontaminate(corpus, bench, n=n, min_shared=ms).collect()
+    )
+    dec = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in decontaminate(
+            corpus.localCheckpoint(eager=True), bench, n=n, min_shared=ms
+        ).collect()
+    )
+    assert lit == dec
