@@ -660,3 +660,53 @@ def test_winsorize_driver_fence_branch_fires(spark, monkeypatch):
     )
     winsorize_group(dfd, "k", value="v", out="w").collect()
     assert calls == []
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(
+                st.none(),
+                st.just(float("nan")),
+                st.floats(-1e9, 1e9, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(0.0, 0.5),
+    st.floats(0.5, 1.0),
+)
+def test_hypothesis_winsorize_driver_vs_distributed(spark, rows, lo, hi):
+    # r12 breadth pass over the driver fence kernel: random NULL-keyed
+    # groups, NULL/NaN values, arbitrary (lo, hi) — the gated literal
+    # path and the distributed fence aggregate (forced by stripping
+    # plan stats) must produce identical clipped outputs
+    import math
+
+    from flox_spark import winsorize_group
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k string, v double, id bigint",
+    )
+
+    def run(frame):
+        out = {}
+        for r in winsorize_group(frame, "k", value="v", lower=lo, upper=hi,
+                                 out="w").collect():
+            w = r["w"]
+            out[r["id"]] = ("nan" if w is not None and math.isnan(w) else w)
+        return out
+
+    assert run(df) == run(df.localCheckpoint(eager=True))
