@@ -1341,6 +1341,11 @@ def q_pack_sequences(s, d):
     from flox_spark.operators import pack_sequences, token_count
 
     docs = token_count(_t(s, d, "documents")).repartition(4, "doc_id")
+    # NB deliberately NOT materialized: the two audit branches re-run
+    # the pack, but the doc-side facts are assignment-independent and
+    # the bin-side bound check is self-consistent within its own
+    # branch (see below) — a checkpoint job measured costlier than
+    # the repeated mapInPandas fold at this scale
     out = pack_sequences(docs, "n_tokens", budget=512)
     doc_side = out.agg(
         F.count(F.lit(1)).alias("n_rows"),
