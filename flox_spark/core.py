@@ -441,6 +441,10 @@ def groupby_reduce(
         result = _mode_two_stage(work, key_cols, ctx, skipna=agg.name.startswith("nan"), out_name=out_name)
     elif qfam and quantile_impl == "sort":
         result = _quantile_sort(work, key_cols, ctx, agg, out_name, min_count, fill_value)
+    elif qfam and quantile_impl == "driver":
+        result = _quantile_driver(work, key_cols, ctx, agg, out_name, min_count, fill_value)
+        if result is None:  # streaming / high-card / Arrow-hostile keys
+            result = _quantile_arrow(work, key_cols, ctx, agg, out_name, min_count, fill_value)
     elif qfam and quantile_impl == "arrow":
         result = _quantile_arrow(work, key_cols, ctx, agg, out_name, min_count, fill_value)
     elif qfam and quantile_impl in ("refine", "refine2"):
@@ -1034,6 +1038,30 @@ def _quantile_arrow(
         .groupBy(*key_cols)
         .agg(_qnk("__qv").alias("__qa"))
     )
+    return _finalize_qarrays(res, key_cols, ctx, agg, out_name, min_count, fill_value)
+
+
+def _finalize_qarrays(
+    res: DataFrame,
+    key_cols: list[str],
+    ctx: AggContext,
+    agg: Aggregation,
+    out_name: str,
+    min_count: int | None,
+    fill_value: Any,
+) -> DataFrame:
+    """Shared SQL tail for the two np.quantile kernels (distributed
+    GROUPED_AGG and driver): ``res`` holds (keys..., __qa) where
+    ``__qa`` packs ``[q_0..q_{m-1}, n, n_miss]`` — NaN inside the
+    array may arrive as NULL (pyarrow's serialization, or the driver
+    kernel's deliberate None re-entry) and is reconstructed from
+    ``n`` here, so both kernels share one NaN/NULL/min_count/poison
+    rule by construction."""
+    from flox_spark.aggregations import _nan_sentinel
+    from flox_spark.dtypes import arith_restore, is_timedelta_type
+
+    skipna, is_vec, qlist = _q_params(ctx, agg)
+    m = len(qlist)
 
     n = F.element_at(F.col("__qa"), m + 1)
     poison = F.element_at(F.col("__qa"), m + 2) > 0
@@ -1068,6 +1096,131 @@ def _quantile_arrow(
     return res.select(*key_cols, val.alias(out_name))
 
 
+# past this many observed groups the driver kernel's LocalRelation
+# re-entry (a pandas/Arrow build of one row per group) stops paying
+# for itself vs the distributed hash aggregate — fall back to "arrow"
+_QUANTILE_DRIVER_MAX_GROUPS = 65_536
+
+
+def _quantile_driver(
+    work: DataFrame,
+    key_cols: list[str],
+    ctx: AggContext,
+    agg: Aggregation,
+    out_name: str,
+    min_count: int | None,
+    fill_value: Any,
+) -> DataFrame | None:
+    """Exact quantile for the TINY zone (input plan-stats under
+    ``quantile_driver_max_bytes``): ONE no-shuffle Arrow collect of
+    the pruned ``(keys, value-as-double)`` projection, per-group
+    ``np.quantile`` in the driver, re-entered as a LocalRelation with
+    the same ``(keys, __qa)`` shape the distributed Arrow kernel
+    aggregates to — ``_finalize_qarrays`` is shared, so the two
+    kernels are bit-identical by construction (the winsorize driver
+    fence kernel generalized into the strategy ladder; pinned by the
+    strategy matrix in tests/test_quantile_arrow.py).
+
+    What it saves vs "arrow" at this size: the keyed exchange of
+    every row, the GROUPED_AGG python-worker round trip, and one AQE
+    stage job — measured 2 jobs -> 1 data job + 1 LocalRelation-side
+    job and ~0.3 s at the sf0.1 bench shape.  NaN inside the packed
+    array re-enters as None ON PURPOSE (the list-path LocalRelation
+    would keep NaN, but the pandas path would flip it silently —
+    None is the one representation both the GROUPED_AGG transfer and
+    the local re-entry agree on, and the shared tail reconstructs
+    from ``n`` either way).
+
+    Returns None when ineligible (streaming input, >
+    ``_QUANTILE_DRIVER_MAX_GROUPS`` observed groups, Arrow-hostile
+    key types) — the caller falls back to the "arrow" kernel."""
+    import numpy as np
+
+    from flox_spark.dtypes import arith_input as _ai
+
+    skipna, is_vec, qlist = _q_params(ctx, agg)
+    qs = list(qlist)
+    m = len(qs)
+    if work.isStreaming:
+        return None
+    av, _ = _ai(ctx.v_skip, ctx.dt)
+    sel = work.select(*[F.col(k) for k in key_cols], av.cast("double").alias("__qv"))
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = sel.toArrow().combine_chunks()
+
+        def chunk(name):
+            col = tbl.column(name)
+            return col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+
+        nrows = tbl.num_rows
+        rows: list[tuple] = []
+        if nrows:
+            v = chunk("__qv").to_numpy(zero_copy_only=False).astype(
+                "float64", copy=False
+            )
+            # group codes with NULL keys as their own group (Spark
+            # groupBy semantics): null dictionary indices -> code 0,
+            # real values shift by +1
+            combined = np.zeros(nrows, dtype="int64")
+            dims: list[list] = []
+            maxcode = 1
+            for k in key_cols:
+                enc = pc.dictionary_encode(chunk(k))
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                codes = np.where(
+                    np.isnan(codes.astype("float64")), -1.0, codes
+                ).astype("int64") + 1
+                dic = enc.dictionary.to_pylist()
+                dims.append(dic)
+                maxcode *= len(dic) + 1
+                if maxcode > (1 << 62):
+                    return None
+                combined = combined * (len(dic) + 1) + codes
+            order = np.argsort(combined, kind="stable")
+            sc, sv = combined[order], v[order]
+            bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            if len(bounds) > _QUANTILE_DRIVER_MAX_GROUPS:
+                return None
+            for i, start in enumerate(bounds):
+                stop = bounds[i + 1] if i + 1 < len(bounds) else len(sc)
+                raw = sv[start:stop]
+                a = raw[~np.isnan(raw)]
+                out = np.quantile(a, qs).tolist() if a.size else [None] * m
+                # NaN -> None on purpose (see docstring)
+                qa = [None if x is not None and x != x else x for x in out]
+                qa.append(float(a.size))
+                qa.append(float(raw.size - a.size))
+                code = int(sc[start])
+                key_vals: dict = {}
+                for k, dic in zip(reversed(key_cols), reversed(dims)):
+                    code, idx = divmod(code, len(dic) + 1)
+                    key_vals[k] = None if idx == 0 else dic[idx - 1]
+                rows.append(tuple(key_vals[k] for k in key_cols) + (qa,))
+
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+        schema = StructType(
+            [work.schema[k] for k in key_cols]
+            + [StructField("__qa", ArrayType(DoubleType()))]
+        )
+        spark = work.sparkSession
+        if rows:
+            pdf = pd.DataFrame({
+                f.name: pd.Series([r[j] for r in rows], dtype=object)
+                for j, f in enumerate(schema.fields)
+            })
+            res = spark.createDataFrame(pdf, schema=schema)
+        else:
+            res = spark.createDataFrame([], schema=schema)
+    except Exception:
+        return None  # Arrow-hostile types etc. — distributed kernel instead
+    return _finalize_qarrays(res, key_cols, ctx, agg, out_name, min_count, fill_value)
+
+
 def _choose_quantile_impl(work: DataFrame) -> str:
     """Stats-driven exact-quantile strategy selection (the Spark
     analog of flox's ``_choose_engine``, flox/core.py:712-736 — pick
@@ -1077,6 +1230,12 @@ def _choose_quantile_impl(work: DataFrame) -> str:
     statistics (parquet footers / LocalRelation actual bytes — free
     at plan time):
 
+    - tiny input (<= ``quantile_driver_max_bytes``, non-streaming):
+      ``"driver"`` — one no-shuffle Arrow collect + in-driver
+      ``np.quantile`` (``_quantile_driver``), bit-identical to
+      "arrow" via the shared finalize; NB this strategy runs its
+      collect at PLAN-BUILD time (bounded by the gate — the
+      winsorize/lm/kmeans literal pattern)
     - small input (<= ``quantile_agg_max_bytes``): ``"arrow"`` —
       one ``np.quantile`` grouped-agg kernel per group
       (``_quantile_arrow``); whole-group buffering is safe by the
@@ -1115,6 +1274,14 @@ def _choose_quantile_impl(work: DataFrame) -> str:
     size = estimate_size_bytes(work)
     if size is None:
         return "sort"
+    if size <= OPTIONS["quantile_driver_max_bytes"] and not work.isStreaming:
+        # tiny zone: driver np.quantile over one no-shuffle Arrow
+        # collect (r12 — the winsorize fence kernel generalized);
+        # bit-identical to "arrow" via the shared finalize, minus the
+        # keyed exchange and the python-worker hop.  Falls back to
+        # "arrow" inside the kernel on high group cardinality or
+        # Arrow-hostile key types.
+        return "driver"
     if size <= OPTIONS["quantile_agg_max_bytes"]:
         return "arrow"
     if size <= OPTIONS["quantile_refine_max_bytes"]:

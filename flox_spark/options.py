@@ -20,9 +20,16 @@ OPTIONS: dict[str, Any] = {
     # (the aggregate side is |groups| rows — almost always tiny).
     "broadcast_reindex": True,
     # Exact-quantile physical strategy.  "auto" (default) picks from
-    # plan-size statistics (core._choose_quantile_impl): "arrow" for
-    # provably-small inputs, "refine" for medium, "sort" for large or
-    # stats-less inputs.  Explicit values force one strategy:
+    # plan-size statistics (core._choose_quantile_impl): "driver" for
+    # tiny inputs, "arrow" for provably-small, "refine" for medium,
+    # "sort" for large or stats-less inputs.  Explicit values force
+    # one strategy:
+    # - "driver" (r12): one no-shuffle Arrow collect + in-driver
+    #   np.quantile, re-entered as a LocalRelation — bit-identical to
+    #   "arrow" (shared finalize) minus the keyed exchange and the
+    #   python-worker hop; runs its collect at plan-build time,
+    #   bounded by the tiny-zone gate.  Falls back to "arrow" on
+    #   streaming inputs / high group cardinality / Arrow-hostile keys;
     # - "arrow" (r11): one np.quantile grouped-agg kernel per group —
     #   numpy IS the reference semantics; measured equal to "agg" at
     #   sf0.1 (floor-dominated) and 2.4x faster at the zone top
@@ -59,6 +66,11 @@ OPTIONS: dict[str, Any] = {
     # and fits any sane executor; past it refine's O(sqrt(n)*log n)
     # bound takes over.
     "quantile_agg_max_bytes": 64 << 20,
+    # the "driver" tiny zone: one bounded plan-build collect of the
+    # pruned (keys, value) projection — the same 32 MB bound the
+    # repo's other literal paths use (winsorize fences, decontaminate
+    # ids, lm model)
+    "quantile_driver_max_bytes": 32 << 20,
     "quantile_refine_max_bytes": 1 << 40,
     # inputs past refine_max but at most this take "refine2": the
     # two-level bracket (one extra narrowing scan) whose collected
@@ -91,8 +103,9 @@ _VALIDATORS = {
     "approx_quantile": lambda v: isinstance(v, bool),
     "approx_quantile_accuracy": lambda v: isinstance(v, int) and v > 0,
     "broadcast_reindex": lambda v: isinstance(v, bool),
-    "quantile_impl": lambda v: v in ("auto", "agg", "arrow", "sort", "refine", "refine2"),
+    "quantile_impl": lambda v: v in ("auto", "agg", "arrow", "driver", "sort", "refine", "refine2"),
     "quantile_agg_max_bytes": lambda v: isinstance(v, int) and v >= 0,
+    "quantile_driver_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "quantile_refine_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "quantile_refine2_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "single_partition_sort_max": lambda v: isinstance(v, int) and v >= 0,

@@ -294,21 +294,24 @@ def test_multi_interval_index_expected_groups(spark):
 def test_quantile_auto_impl_selection(spark):
     # the stats-driven strategy pick (core._choose_quantile_impl,
     # mirroring flox's _choose_engine spirit, flox/core.py:712-736):
-    # small input -> "arrow" (r11: the numpy grouped-agg kernel),
-    # medium -> "refine", huge/unknown -> "sort"
+    # tiny input -> "driver" (r12), small -> "arrow" (r11: the numpy
+    # grouped-agg kernel), medium -> "refine", huge/unknown -> "sort"
     from flox_spark import set_options
     from flox_spark.core import _choose_quantile_impl
 
     pdf = pd.DataFrame({"k": [0, 1] * 50, "v": np.arange(100.0)})
     df = spark.createDataFrame(pdf)
-    assert _choose_quantile_impl(df) == "arrow"  # tiny LocalRelation
-    with set_options(quantile_agg_max_bytes=0):
+    assert _choose_quantile_impl(df) == "driver"  # tiny LocalRelation
+    with set_options(quantile_driver_max_bytes=0):
+        assert _choose_quantile_impl(df) == "arrow"
+    with set_options(quantile_driver_max_bytes=0, quantile_agg_max_bytes=0):
         assert _choose_quantile_impl(df) == "refine"
-    with set_options(quantile_agg_max_bytes=0, quantile_refine_max_bytes=0):
+    with set_options(quantile_driver_max_bytes=0, quantile_agg_max_bytes=0,
+                     quantile_refine_max_bytes=0):
         assert _choose_quantile_impl(df) == "refine2"
     with set_options(
-        quantile_agg_max_bytes=0, quantile_refine_max_bytes=0,
-        quantile_refine2_max_bytes=0,
+        quantile_driver_max_bytes=0, quantile_agg_max_bytes=0,
+        quantile_refine_max_bytes=0, quantile_refine2_max_bytes=0,
     ):
         assert _choose_quantile_impl(df) == "sort"
     with set_options(quantile_impl="agg", quantile_agg_max_bytes=0):

@@ -13,7 +13,7 @@ import pytest
 
 from flox_spark import groupby_reduce, set_options
 
-STRATS = ("agg", "arrow", "sort", "refine", "refine2")
+STRATS = ("agg", "arrow", "driver", "sort", "refine", "refine2")
 
 
 def _frame(spark, with_nan=True, with_null=True):
@@ -146,10 +146,15 @@ def test_datetime_values(spark):
 
 
 def test_stats_auto_picks_arrow_small(spark):
+    # r12: the tiny zone now routes to "driver"; "arrow" owns the band
+    # between the driver and agg bounds
     from flox_spark.core import _choose_quantile_impl
+    from flox_spark.options import set_options
 
     df, _ = _frame(spark)
-    assert _choose_quantile_impl(df) == "arrow"
+    assert _choose_quantile_impl(df) == "driver"
+    with set_options(quantile_driver_max_bytes=0):
+        assert _choose_quantile_impl(df) == "arrow"
 
 
 def test_all_missing_group_without_fill_is_null(spark):
@@ -197,3 +202,31 @@ def test_inf_mixed_group_yields_nan_not_null(spark):
             }
         assert rows["b"] == 1.5, s
         assert rows["a"] is not None and np.isnan(rows["a"]), (s, rows["a"])
+
+
+def test_driver_kernel_fallback_on_high_cardinality(spark, monkeypatch):
+    # past the group cap the driver kernel declines (returns None) and
+    # the dispatch falls back to the distributed arrow kernel — same
+    # results either way
+    import flox_spark.core as C
+
+    pdf = pd.DataFrame({"k": [f"g{i}" for i in range(50)] * 2,
+                        "v": np.arange(100.0)})
+    df = spark.createDataFrame(pdf)
+    with set_options(quantile_impl="driver"):
+        want = sorted(map(tuple, groupby_reduce(
+            df, "k", func="nanmedian", value="v", alias="m").collect()))
+        monkeypatch.setattr(C, "_QUANTILE_DRIVER_MAX_GROUPS", 10)
+        calls = []
+        orig = C._quantile_driver
+
+        def spy(*a, **kw):
+            r = orig(*a, **kw)
+            calls.append(r is None)
+            return r
+
+        monkeypatch.setattr(C, "_quantile_driver", spy)
+        got = sorted(map(tuple, groupby_reduce(
+            df, "k", func="nanmedian", value="v", alias="m").collect()))
+    assert calls == [True]  # declined -> arrow fallback ran
+    assert got == want
