@@ -230,3 +230,36 @@ def test_driver_kernel_fallback_on_high_cardinality(spark, monkeypatch):
             df, "k", func="nanmedian", value="v", alias="m").collect()))
     assert calls == [True]  # declined -> arrow fallback ran
     assert got == want
+
+
+def test_driver_kernel_exotic_key_types(spark):
+    # the driver kernel round-trips keys Arrow -> python -> LocalRelation
+    # (dictionary.to_pylist -> createDataFrame): timestamp keys are the
+    # tz-sensitive case (session TZ is UTC), date/bool/float the others
+    # — all must match the distributed kernel exactly, single and
+    # multi-key
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "kt": pd.to_datetime(
+            ["2024-01-01 12:00:00", "2024-06-15 23:59:59"]
+        )[rng.integers(0, 2, 400)],
+        "kd": pd.to_datetime(["2024-01-01", "2024-03-01"])[
+            rng.integers(0, 2, 400)
+        ].date,
+        "kb": rng.integers(0, 2, 400).astype(bool),
+        "kf": np.array([1.5, 2.25])[rng.integers(0, 2, 400)],
+        "v": rng.normal(0, 10, 400),
+    })
+    df = spark.createDataFrame(pdf)
+
+    def run(impl, by):
+        with set_options(quantile_impl=impl):
+            return sorted(
+                tuple(map(str, r))
+                for r in groupby_reduce(
+                    df, *by, func="nanmedian", value="v", alias="m"
+                ).collect()
+            )
+
+    for by in (["kt"], ["kd"], ["kb"], ["kf"], ["kt", "kb"]):
+        assert run("driver", by) == run("arrow", by), by
