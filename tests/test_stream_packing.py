@@ -151,3 +151,54 @@ def test_validation(spark):
         stream_pack_sequences(df, n_shards=4)
     with pytest.raises(ValueError, match="max_open_bins"):
         stream_pack_sequences(df, max_open_bins=0)
+
+
+def test_state_survives_query_restart(spark):
+    # the production guarantee: a NEW query started on the SAME
+    # checkpoint resumes the open-bin state — batch 1 arrives after a
+    # full stop/start and must still ride batch 0's residual capacity
+    tmp = tempfile.mkdtemp(prefix="flox_spack_")
+    try:
+        schema = "doc_id bigint, n_tokens bigint"
+
+        def start():
+            # file sink, not memory: only durable sinks support
+            # restarting from a checkpoint
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/in/*")
+            )
+            out = stream_pack_sequences(stream, "n_tokens", budget=100)
+            return (
+                out.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        f0 = pd.DataFrame({"doc_id": [0, 1], "n_tokens": [60, 90]})
+        spark.createDataFrame(f0).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        q = start()
+        q.awaitTermination(120)
+        first = {r["doc_id"]: r["bin_id"]
+                 for r in spark.read.parquet(f"{tmp}/out").collect()}
+
+        # full stop, new files, new query on the same checkpoint
+        f1 = pd.DataFrame({"doc_id": [2, 3], "n_tokens": [30, 50]})
+        spark.createDataFrame(f1).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        q2 = start()
+        q2.awaitTermination(120)
+        second = {r["doc_id"]: r["bin_id"]
+                  for r in spark.read.parquet(f"{tmp}/out").collect()
+                  if r["doc_id"] in (2, 3)}
+
+        # doc 2 (30 tokens) rides doc 0's bin (40 free after restart);
+        # doc 3 (50) opens a fresh bin with an id the counter never
+        # reused across the restart
+        assert second[2] == first[0]
+        assert second[3] not in (first[0], first[1])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
