@@ -1119,7 +1119,11 @@ def _quantile_driver(
     aggregates to — ``_finalize_qarrays`` is shared, so the two
     kernels are bit-identical by construction (the winsorize driver
     fence kernel generalized into the strategy ladder; pinned by the
-    strategy matrix in tests/test_quantile_arrow.py).
+    strategy matrix in tests/test_quantile_arrow.py).  numpy IS the
+    reference semantics (flox computes np.quantile directly,
+    /root/reference/flox/aggregations.py:688-710), so this kernel is
+    the closest physical analog of the reference's own execution —
+    just over a gated, bounded slice of the data.
 
     What it saves vs "arrow" at this size: the keyed exchange of
     every row, the GROUPED_AGG python-worker round trip, and one AQE
