@@ -67,10 +67,15 @@ OPTIONS: dict[str, Any] = {
     # bound takes over.
     "quantile_agg_max_bytes": 64 << 20,
     # the "driver" tiny zone: one bounded plan-build collect of the
-    # pruned (keys, value) projection — the same 32 MB bound the
-    # repo's other literal paths use (winsorize fences, decontaminate
-    # ids, lm model)
-    "quantile_driver_max_bytes": 32 << 20,
+    # pruned (keys, value) projection.  12 MB is MEASURED, not
+    # inherited: the bench_scale calibration (SCALE.md r12) puts the
+    # driver-vs-arrow trade at ~13-17 MB of work-frame stats (6-group
+    # doubles: driver best 0.46-0.52 s below it, arrow best 1.8 s at
+    # 17 MB where driver drifts to 2.8 s and its variance grows —
+    # single-threaded driver work competes with ambient load where
+    # the distributed kernel spreads it).  Below the gate the win is
+    # 2.4-3x; the bound also caps the plan-build collect.
+    "quantile_driver_max_bytes": 12 << 20,
     "quantile_refine_max_bytes": 1 << 40,
     # inputs past refine_max but at most this take "refine2": the
     # two-level bracket (one extra narrowing scan) whose collected
