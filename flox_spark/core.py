@@ -126,6 +126,18 @@ def _break_lit(b: Any, dt=None) -> Column:
     return F.lit(float(b))
 
 
+def _fold_negzero(b: str, bdt) -> Column:
+    """Fold ``-0.0`` grouping keys into ``0.0`` BEFORE the aggregate.
+    Spark's JVM hash aggregate normalizes float grouping keys
+    (Catalyst's NormalizeFloatingNumbers) and emits ``0.0``, but the
+    GROUPED_AGG python aggregate (the "arrow" quantile kernel) emits
+    the group's first-encountered RAW bits — so an un-normalized
+    ``-0.0`` key makes the emitted key order- and strategy-dependent.
+    One codegen'd projection; NaN labels are already filtered by the
+    ``is_missing`` drop above every call site."""
+    return F.when(F.col(b) == 0, F.lit(0.0).cast(bdt)).otherwise(F.col(b))
+
+
 def _with_bin_labels(
     result: DataFrame, by: Sequence[str], isbin_t: Sequence[bool],
     expected_t: Sequence, dts: Sequence,
@@ -382,6 +394,8 @@ def groupby_reduce(
             work = work.filter(F.col(kc).isNotNull())  # out-of-range
         else:
             kc = b
+            if is_float_type(bdt):
+                work = work.withColumn(b, _fold_negzero(b, bdt))
         key_cols.append(kc)
 
     if dtype is not None:
@@ -735,6 +749,8 @@ def groupby_reduce_multi(
             work = work.filter(F.col(kc).isNotNull())
         else:
             kc = b
+            if is_float_type(bdt):
+                work = work.withColumn(b, _fold_negzero(b, bdt))
         key_cols.append(kc)
 
     exprs = []
@@ -1101,6 +1117,12 @@ def _finalize_qarrays(
 # for itself vs the distributed hash aggregate — fall back to "arrow"
 _QUANTILE_DRIVER_MAX_GROUPS = 65_536
 
+# forced-mode guard: quantile_impl="driver" declines (-> "arrow")
+# when plan stats exceed this multiple of quantile_driver_max_bytes,
+# so a forced strategy can't collect an arbitrarily large input into
+# the driver before the group-count fallback gets a chance to fire
+_QUANTILE_DRIVER_HARD_FACTOR = 32
+
 
 def _quantile_driver(
     work: DataFrame,
@@ -1135,9 +1157,19 @@ def _quantile_driver(
     the local re-entry agree on, and the shared tail reconstructs
     from ``n`` either way).
 
+    Float/double GROUPING keys get Spark's groupBy normalization
+    mirrored Arrow-side before dictionary encoding (``-0.0`` folds
+    into ``0.0``, every NaN payload into one canonical NaN —
+    Catalyst's NormalizeFloatingNumbers rule), and a frame whose keys
+    contain NaN re-enters through the classic list path instead of
+    pandas: pandas/Arrow would coerce a NaN KEY to NULL, silently
+    merging a NaN-key group into a genuine NULL-key group.
+
     Returns None when ineligible (streaming input, >
     ``_QUANTILE_DRIVER_MAX_GROUPS`` observed groups, Arrow-hostile
-    key types) — the caller falls back to the "arrow" kernel."""
+    key types, or — forced-mode guard — plan stats over
+    ``_QUANTILE_DRIVER_HARD_FACTOR`` x the auto gate) — the caller
+    falls back to the "arrow" kernel."""
     import numpy as np
 
     from flox_spark.dtypes import arith_input as _ai
@@ -1146,6 +1178,19 @@ def _quantile_driver(
     qs = list(qlist)
     m = len(qs)
     if work.isStreaming:
+        return None
+    # forced-mode memory guard: `auto` only routes here under the
+    # 12 MB stats gate, but set_options(quantile_impl="driver") lands
+    # here unconditionally — decline before the full collect when the
+    # plan is KNOWN to be far past the tiny zone.  Unknown stats fall
+    # through (the user explicitly forced the strategy; auto never
+    # reaches here stats-less — it picks "sort").
+    from flox_spark.plans.util import estimate_size_bytes as _esb
+
+    _size = _esb(work)
+    if _size is not None and _size > (
+        _QUANTILE_DRIVER_HARD_FACTOR * OPTIONS["quantile_driver_max_bytes"]
+    ):
         return None
     av, _ = _ai(ctx.v_skip, ctx.dt)
     sel = work.select(*[F.col(k) for k in key_cols], av.cast("double").alias("__qv"))
@@ -1172,7 +1217,21 @@ def _quantile_driver(
             dims: list[list] = []
             maxcode = 1
             for k in key_cols:
-                enc = pc.dictionary_encode(chunk(k))
+                ch = chunk(k)
+                if pa.types.is_floating(ch.type):
+                    # mirror Spark's groupBy float normalization
+                    # (NormalizeFloatingNumbers): -0.0 folds into 0.0
+                    # and every NaN payload into ONE canonical NaN, so
+                    # the bitwise dictionary encode groups exactly the
+                    # keys Spark would.  pc.equal/is_nan return NULL on
+                    # NULL slots and if_else propagates it, so NULL
+                    # keys keep their own (shifted code 0) group.
+                    zero = pa.scalar(0.0, ch.type)
+                    ch = pc.if_else(pc.equal(ch, zero), zero, ch)
+                    ch = pc.if_else(
+                        pc.is_nan(ch), pa.scalar(float("nan"), ch.type), ch
+                    )
+                enc = pc.dictionary_encode(ch)
                 codes = enc.indices.to_numpy(zero_copy_only=False)
                 codes = np.where(
                     np.isnan(codes.astype("float64")), -1.0, codes
@@ -1212,7 +1271,22 @@ def _quantile_driver(
             + [StructField("__qa", ArrayType(DoubleType()))]
         )
         spark = work.sparkSession
-        if rows:
+        nkeys = len(key_cols)
+
+        def _nan_key(r: tuple) -> bool:
+            return any(
+                isinstance(x, float) and x != x for x in r[:nkeys]
+            )
+
+        if rows and any(_nan_key(r) for r in rows):
+            # NaN GROUPING key: the pandas/Arrow re-entry would coerce
+            # it to NULL (pandas null semantics), silently merging the
+            # NaN-key group into a genuine NULL-key group — the classic
+            # list path keeps NaN as a double value.  Rare (needs a
+            # float key column containing NaN), so the common path
+            # below stays on the cheaper Arrow LocalRelation.
+            res = spark.createDataFrame(rows, schema=schema)
+        elif rows:
             pdf = pd.DataFrame({
                 f.name: pd.Series([r[j] for r in rows], dtype=object)
                 for j, f in enumerate(schema.fields)

@@ -329,7 +329,12 @@ def local_frame(spark, rows, schema: str):
         if isinstance(v, np.generic):
             return v.item()
         if isinstance(v, (list, tuple)):
-            return type(v)(_plain(x) for x in v)
+            # rebuild as PLAIN list/tuple: tuple subclasses with
+            # positional constructors (pyspark Row, namedtuples) can't
+            # be built from a single generator argument and would
+            # raise or mis-construct here
+            seq = [_plain(x) for x in v]
+            return seq if isinstance(v, list) else tuple(seq)
         return v
 
     return spark.createDataFrame(

@@ -109,13 +109,25 @@ def stream_pack_sequences(
         pdfs: Iterator[pd.DataFrame],
         state,
     ) -> Iterator[pd.DataFrame]:
+        # the batch twin's vectorized shape (operators/packing.py):
+        # residual capacities live in a numpy array so each placement
+        # is ONE C-side compare+argmax over the open bins instead of a
+        # Python list scan — the per-row python first-fit was the
+        # measured throughput bound (~15k rows/s/box, SCALE.md r12)
+        import numpy as np
+
         shard_id = int(key[0])
         if state.exists:
-            rem, bid, n_alloc = (
-                list(state.get[0]), list(state.get[1]), int(state.get[2])
-            )
+            rem0, bid0 = list(state.get[0]), list(state.get[1])
+            n_alloc = int(state.get[2])
         else:
-            rem, bid, n_alloc = [], [], 0
+            rem0, bid0, n_alloc = [], [], 0
+        n_bins = len(rem0)
+        cap = max(1024, n_bins)
+        rem = np.zeros(cap, dtype=np.int64)
+        bid = np.zeros(cap, dtype=np.int64)
+        rem[:n_bins] = rem0
+        bid[:n_bins] = bid0
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -126,42 +138,67 @@ def stream_pack_sequences(
                     f"{token_col!r}; fill or filter before packing"
                 )
             pdf = pdf.reset_index(drop=True)
+            # the batch twin's EXACT sort (pandas mergesort desc) so a
+            # single-batch replay stays bit-identical tie-break for
+            # tie-break
             order = pdf[token_col].sort_values(
                 ascending=False, kind="mergesort"
-            ).index
-            bins = pd.Series(0, index=pdf.index, dtype="int64")
-            overs = pd.Series(False, index=pdf.index)
+            ).index.to_numpy()
+            toks = pdf[token_col].to_numpy(dtype=np.int64)
+            bins = np.zeros(len(pdf), dtype=np.int64)
+            overs = np.zeros(len(pdf), dtype=bool)
             for idx in order:
-                t = int(pdf.at[idx, token_col])
+                t = toks[idx]
                 if t > budget:
-                    bins.at[idx] = n_alloc  # singleton, never in state
-                    overs.at[idx] = True
+                    bins[idx] = n_alloc  # singleton, never in state
+                    overs[idx] = True
                     n_alloc += 1
                     continue
-                placed = -1
-                for i, r in enumerate(rem):  # first-fit over open bins
-                    if r >= t:
-                        placed = i
-                        break
-                if placed >= 0:
-                    rem[placed] -= t
-                    bins.at[idx] = bid[placed]
+                i = -1
+                if n_bins:
+                    ok = rem[:n_bins] >= t  # first-fit over open bins
+                    if ok.any():
+                        i = int(ok.argmax())
+                if i >= 0:
+                    rem[i] -= t
+                    bins[idx] = bid[i]
                 else:
-                    rem.append(budget - t)
-                    bid.append(n_alloc)
-                    bins.at[idx] = n_alloc
+                    if n_bins == len(rem):
+                        rem = np.resize(rem, 2 * len(rem))
+                        bid = np.resize(bid, 2 * len(bid))
+                    rem[n_bins] = budget - t
+                    bid[n_bins] = n_alloc
+                    bins[idx] = n_alloc
+                    n_bins += 1
                     n_alloc += 1
+            if n_alloc >= _SHARD_STRIDE:
+                # the documented "bin ids globally unique" invariant
+                # dies silently past the stride (ids would collide
+                # into the next shard's range) — fail loudly instead,
+                # mirroring the explicit open-bin cap.  2^40 bins per
+                # shard is ~decades of stream at any realistic rate.
+                raise RuntimeError(
+                    "stream_pack_sequences: per-shard bin counter "
+                    f"reached the shard stride (2^40 = {_SHARD_STRIDE}); "
+                    "bin ids would collide across shards.  Restart the "
+                    "stream with a fresh checkpoint (bin ids reset) or "
+                    "raise n_shards to spread allocation."
+                )
             pdf["bin_id"] = shard_id * _SHARD_STRIDE + bins
             pdf["oversize"] = overs
             yield pdf
-        if len(rem) > max_open_bins:
+        if n_bins > max_open_bins:
             # retire the fullest bins (least remaining): emitted
-            # assignments stay valid, they just accept no more rows
-            keep = sorted(range(len(rem)), key=lambda i: -rem[i])[:max_open_bins]
-            keep.sort()
-            rem = [rem[i] for i in keep]
-            bid = [bid[i] for i in keep]
-        state.update((rem, bid, n_alloc))
+            # assignments stay valid, they just accept no more rows.
+            # stable argsort == the old sorted(key=-rem) tie-break
+            # (equal residuals keep the older bin)
+            keep = np.sort(
+                np.argsort(-rem[:n_bins], kind="stable")[:max_open_bins]
+            )
+            rem_keep, bid_keep = rem[keep], bid[keep]
+        else:
+            rem_keep, bid_keep = rem[:n_bins], bid[:n_bins]
+        state.update((rem_keep.tolist(), bid_keep.tolist(), n_alloc))
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -382,3 +382,35 @@ def test_local_frame_np_float32_nan_keeps_nan(spark):
     df2 = local_frame(spark, [(1, None), (2, 7.25)], "id bigint, v double")
     got2 = {r["id"]: r["v"] for r in df2.collect()}
     assert got2 == {1: None, 2: 7.25}
+
+
+def test_local_frame_list_path_tuple_subclass_values(spark):
+    # ADVICE r12 (low): the list-path fallback used to rebuild nested
+    # sequences with type(v)(generator) — tuple subclasses with
+    # positional constructors (pyspark Row, namedtuples) can't be
+    # built from one generator argument and raised or mis-constructed.
+    # Nested sequences now re-enter as plain tuples/lists.
+    import math
+    from collections import namedtuple
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from flox_spark.plans.util import local_frame
+
+    Pt = namedtuple("Pt", ["x", "y"])
+    # the float NaN forces the list path; the struct column carries a
+    # namedtuple and a Row with numpy scalars inside
+    df = local_frame(
+        spark,
+        [
+            (1, float("nan"), Pt(np.float64(1.5), np.int64(2))),
+            (2, 3.5, Row(x=np.float64(7.25), y=np.int64(9))),
+            (3, 4.5, None),
+        ],
+        "id bigint, v double, p struct<x double, y bigint>",
+    )
+    got = {r["id"]: (r["v"], r["p"]) for r in df.collect()}
+    assert math.isnan(got[1][0]) and tuple(got[1][1]) == (1.5, 2)
+    assert got[2] == (3.5, Row(x=7.25, y=9))
+    assert got[3] == (4.5, None)

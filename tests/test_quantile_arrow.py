@@ -263,3 +263,138 @@ def test_driver_kernel_exotic_key_types(spark):
 
     for by in (["kt"], ["kd"], ["kb"], ["kf"], ["kt", "kb"]):
         assert run("driver", by) == run("arrow", by), by
+
+
+def test_driver_kernel_nan_negzero_float_keys(spark):
+    # ADVICE r12 (medium): Spark's groupBy normalizes float keys
+    # (NormalizeFloatingNumbers: -0.0 == 0.0, all NaN payloads one
+    # group) while pc.dictionary_encode distinguishes -0.0 from 0.0 —
+    # without the Arrow-side pre-encode normalization the driver
+    # kernel splits one Spark group into two LocalRelation rows.
+    # NULL/NaN LABELS never reach either kernel through
+    # groupby_reduce (the flox NaN-label drop filters them at
+    # core.py's label prep) but must be dropped IDENTICALLY on both
+    # strategies; the kernel itself additionally normalizes NaN keys
+    # and re-enters them via the list path as defense for any caller
+    # that skips the label filter.
+    rows = [
+        (0.0, 1.0), (-0.0, 2.0), (0.0, 3.0),          # -0.0 folds into 0.0
+        (float("nan"), 10.0), (float("nan"), 20.0),   # dropped (NaN label)
+        (None, 100.0), (None, 200.0),                 # dropped (NULL label)
+        (1.5, 7.0), (1.5, 9.0),
+    ]
+    df = spark.createDataFrame(rows, schema="kf double, v double")
+
+    def run(impl):
+        with set_options(quantile_impl=impl):
+            return sorted(
+                (str(r["kf"]), r["m"])
+                for r in groupby_reduce(
+                    df, "kf", func="nanmedian", value="v", alias="m"
+                ).collect()
+            )
+
+    got, want = run("driver"), run("arrow")
+    assert got == want
+    assert [k for k, _ in got] == ["0.0", "1.5"]  # ONE zero group, no -0.0
+    assert dict(got)["0.0"] == 2.0  # median over the MERGED {1,2,3}
+
+
+def test_driver_forced_mode_size_guard(spark, monkeypatch):
+    # ADVICE r12 (low): forcing quantile_impl="driver" used to collect
+    # the ENTIRE input before any bound applied — now a known plan
+    # size past _QUANTILE_DRIVER_HARD_FACTOR x the auto gate declines
+    # BEFORE the collect and the dispatch falls back to arrow
+    import flox_spark.core as C
+
+    pdf = pd.DataFrame({"k": ["a", "b"] * 50, "v": np.arange(100.0)})
+    df = spark.createDataFrame(pdf)
+    with set_options(quantile_impl="arrow"):
+        want = sorted(map(tuple, groupby_reduce(
+            df, "k", func="nanmedian", value="v", alias="m").collect()))
+
+    collected = []
+    orig = C._quantile_driver
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        collected.append(r is None)
+        return r
+
+    monkeypatch.setattr(C, "_quantile_driver", spy)
+    with set_options(quantile_impl="driver", quantile_driver_max_bytes=0):
+        got = sorted(map(tuple, groupby_reduce(
+            df, "k", func="nanmedian", value="v", alias="m").collect()))
+    assert collected == [True], "forced driver must decline past the hard gate"
+    assert got == want
+
+
+# ---- driver-vs-arrow key-codec property fuzz (r12 VERDICT next #5) ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_CODEC_POOLS = {
+    "int": ("bigint", [0, 1, 7, None]),
+    "float": ("double", [0.0, -0.0, 1.5, float("nan"), None, 2.25]),
+    "str": ("string", ["a", "b", "", None]),
+    "bool": ("boolean", [True, False, None]),
+    "ts": ("timestamp", [
+        dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 6, 15, 23, 59, 59, tzinfo=dt.timezone.utc),
+        None,
+    ]),
+    "date": ("date", [dt.date(2024, 1, 1), dt.date(2024, 3, 1), None]),
+}
+
+
+@hst.composite
+def _codec_case(draw):
+    n = draw(hst.integers(5, 60))
+    ktypes = draw(hst.lists(
+        hst.sampled_from(sorted(_CODEC_POOLS)), min_size=1, max_size=2,
+        unique=True,
+    ))
+    cols, ddl = [], []
+    for i, kt in enumerate(ktypes):
+        typ, pool = _CODEC_POOLS[kt]
+        idx = draw(hst.lists(
+            hst.integers(0, len(pool) - 1), min_size=n, max_size=n))
+        cols.append([pool[j] for j in idx])
+        ddl.append(f"k{i} {typ}")
+    vals = draw(hst.lists(
+        hst.one_of(
+            hst.none(),
+            hst.just(float("nan")),
+            hst.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=n, max_size=n,
+    ))
+    cols.append(vals)
+    ddl.append("v double")
+    rows = list(zip(*cols))
+    return rows, ", ".join(ddl), [f"k{i}" for i in range(len(ktypes))]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_codec_case())
+def test_driver_codec_property(spark, case):
+    # the driver kernel's Arrow -> dictionary-code -> divmod ->
+    # LocalRelation key round trip must equal the distributed arrow
+    # kernel on RANDOM key-type mixes: NULL keys, NaN / -0.0 floats,
+    # tz-aware timestamps, dates, bools, single and multi-key — the
+    # combinatorial cover over the 4 fixed frames pinned above
+    rows, ddl, by = case
+    df = spark.createDataFrame(rows, schema=ddl)
+
+    def run(impl):
+        with set_options(quantile_impl=impl):
+            return sorted(
+                tuple(map(str, r))
+                for r in groupby_reduce(
+                    df, *by, func="nanmedian", value="v", alias="m"
+                ).collect()
+            )
+
+    assert run("driver") == run("arrow")
