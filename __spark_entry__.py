@@ -374,11 +374,81 @@ def q_minhash_pairs(s, d):
 
 def q_minhash_pairs_xx(s, d):
     # production-hash twin of minhash_pairs (xxhash64 longs instead of
-    # md5 hex strings); no DuckDB oracle — cross-engine hashing is the
-    # one thing xxhash64 gives up (rows-only check)
-    return minhash_candidates(
-        _t(s, d, "documents"), num_hashes=16, bands=4, shingle_k=3,
+    # md5 hex strings).  Cross-engine HASHING is the one thing
+    # xxhash64 gives up, but the hash-AGNOSTIC invariants of a correct
+    # banding are relational (r12 VERDICT #6), so this row carries a
+    # DuckDB INVARIANT oracle instead of no_oracle: pair order (a<b)
+    # and distinctness, ids resolvable in the corpus, and COMPLETENESS
+    # on identical shingle sets — equal sets => equal signatures under
+    # ANY hash => every band collides => the pair MUST be emitted when
+    # max_bucket=None.  The oracle recomputes the identical-set pair
+    # count from raw text with the exact shingle definition the green
+    # md5 twin already cross-verifies, and pins the violation counters
+    # at zero.  The real banded operator still runs in full.
+    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
+
+    docs = _t(s, d, "documents")
+    pairs = minhash_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3,
         max_bucket=None, hash_impl="xxhash64",
+    )
+    keys = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\x1f",
+            F.array_sort(F.array_distinct(
+                _shingles_from_tokens(_word_tokens(F.col("text")), 3)
+            )),
+        ).alias("__k"),
+    )
+    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("__k").alias("__ka"))
+    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("__k").alias("__kb"))
+    j = pairs.join(F.broadcast(ka), "id_a", "left").join(
+        F.broadcast(kb), "id_b", "left"
+    )
+    audit = j.agg(
+        F.coalesce(
+            F.sum((F.col("id_a") >= F.col("id_b")).cast("long")), F.lit(0)
+        ).alias("n_bad_order"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("id_a"), F.col("id_b")))
+        .cast("long").alias("n_dup_pairs"),
+        F.coalesce(
+            F.sum((F.col("__ka").isNull() | F.col("__kb").isNull()).cast("long")),
+            F.lit(0),
+        ).alias("n_unknown_ids"),
+        F.coalesce(
+            F.sum((F.col("__ka") == F.col("__kb")).cast("long")), F.lit(0)
+        ).alias("dup_captured"),
+    )
+    total = keys.groupBy("__k").count().agg(
+        F.coalesce(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2), F.lit(0)
+        ).cast("long").alias("dup_shingle_pairs")
+    )
+    # band SHAPE (non-vacuous at every SF, unlike the dup-completeness
+    # term which needs actual near-dup rows): every doc hashes into
+    # exactly ONE bucket per band — 4 x n_docs band rows, 4 distinct
+    # band ids, and per-band row count == n_docs
+    from flox_spark.streaming import minhash_band_keys
+
+    bands = minhash_band_keys(
+        docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__ndocs"))
+    band_shape = (
+        bands.groupBy("band").agg(F.count(F.lit(1)).alias("__nb"))
+        .crossJoin(ndocs)  # one-row audit frame (the pack_sequences BNL class)
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.coalesce(
+                F.sum((F.col("__nb") != F.col("__ndocs")).cast("long")),
+                F.lit(0),
+            ).alias("n_uneven_bands"),
+        )
+    )
+    return audit.crossJoin(total).crossJoin(band_shape).select(
+        "n_bad_order", "n_dup_pairs", "n_unknown_ids",
+        "dup_shingle_pairs", "dup_captured", "n_bands", "n_uneven_bands",
     )
 
 
@@ -401,8 +471,44 @@ def q_simhash_pairs(s, d):
 
 def q_simhash_xx(s, d):
     # production-hash twin of simhash (bit votes over one xxhash64
-    # long per token); no DuckDB oracle (rows-only check)
-    return simhash_signatures(_t(s, d, "documents"), hex_chars=8, hash_impl="xxhash64")
+    # long per token).  Upgraded from rows-only to a DuckDB INVARIANT
+    # oracle (r12 VERDICT #6): exactly one well-formed 8-hex signature
+    # per document, and DETERMINISM over the token SET — equal
+    # distinct-token sets get equal bit votes, hence equal signatures,
+    # under ANY hash impl.  The oracle recomputes doc and token-set
+    # counts from raw text; the violation counters pin at zero.
+    from flox_spark.operators.dedup import _word_tokens
+
+    docs = _t(s, d, "documents")
+    sigs = simhash_signatures(docs, hex_chars=8, hash_impl="xxhash64")
+    keys = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\x1f", F.array_sort(F.array_distinct(_word_tokens(F.col("text"))))
+        ).alias("__k"),
+    )
+    j = sigs.join(F.broadcast(keys), "doc_id", "left")
+    base = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.coalesce(
+            F.sum((~F.col("simhash").rlike("^[0-9a-f]{8}$")).cast("long")),
+            F.lit(0),
+        ).alias("n_bad_format"),
+    )
+    per_key = j.groupBy("__k").agg(
+        F.count_distinct(F.col("simhash")).alias("__ns")
+    )
+    split = per_key.agg(
+        F.count(F.lit(1)).alias("n_token_sets"),
+        F.coalesce(
+            F.sum((F.col("__ns") > 1).cast("long")), F.lit(0)
+        ).alias("n_split_token_sets"),
+    )
+    return base.crossJoin(split).select(
+        "n_rows", "n_docs", "n_bad_format", "n_token_sets",
+        "n_split_token_sets",
+    )
 
 
 def q_minhash_clusters(s, d):
@@ -450,16 +556,43 @@ def q_ann_topk_768(s, d):
     # (r9 VERDICT #5): every other registry row runs at dim 64 under
     # the stats gates, so the driver harness had never executed the
     # matmul scorers.  Synthesize dim-768 vectors (_tiles768), FORCE
-    # kernel='numpy', and return the top-10 per query — a k*queries
-    # row-count check (5 queries x 10 = 50 rows; rows-only like the
-    # xxhash64 twins: a SQL oracle here would just re-verify dim-64
-    # arithmetic at 12x the cost, while the check that matters is the
-    # forced Arrow kernel running under the driver's harness)
+    # kernel='numpy', and run the top-10 per query (a full SQL oracle
+    # would just re-verify dim-64 arithmetic at 12x the cost; the
+    # check that matters is the forced Arrow kernel running under the
+    # driver's harness, now audited through the invariant fold below)
     base = _tiles768(_t(s, d, "embeddings"))
     queries_df = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(base, queries_df, k=10, dim=768, kernel="numpy")
+    out = cosine_topk(base, queries_df, k=10, dim=768, kernel="numpy")
+    # r13 (r12 VERDICT #6): fold the forced-kernel output into a
+    # DuckDB INVARIANT row — exactly k results per query, distinct
+    # neighbors, every cosine in [-1, 1], and each query's best match
+    # at cos 1.0 (the query vector is drawn from the base, so its
+    # self-similarity rounds to exactly 1 at round_to=6).  The oracle
+    # derives the expected counts from the embeddings table.
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("vec_id")).alias("__nd"),
+        F.max("cos_sim").alias("__mx"),
+        F.sum(
+            ((F.col("cos_sim") < -1.0) | (F.col("cos_sim") > 1.0)).cast("long")
+        ).alias("__oob"),
+    )
+    return per_q.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_queries"),
+        F.coalesce(
+            F.sum((F.col("__n") != 10).cast("long")), F.lit(0)
+        ).alias("n_bad_k"),
+        F.coalesce(
+            F.sum((F.col("__nd") != F.col("__n")).cast("long")), F.lit(0)
+        ).alias("n_dup_neighbors"),
+        F.coalesce(F.sum("__oob"), F.lit(0)).alias("n_out_of_range"),
+        F.coalesce(
+            F.sum((F.col("__mx") >= 0.999999).cast("long")), F.lit(0)
+        ).alias("n_self_top"),
+    )
 
 
 def q_lsh_sig_768(s, d):
@@ -2002,6 +2135,48 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
                          WHEN 2 THEN 4 ELSE 12 END)::BIGINT AS n_bytes
             FROM documents""",
         "minhash_pairs": _minhash_oracle(),
+        # the xxhash64 twins + the forced dim-768 topk: hash-agnostic /
+        # kernel-agnostic INVARIANT oracles (r12 VERDICT #6).  DuckDB
+        # cannot compute xxhash64, but it CAN recompute the
+        # identical-shingle-set pair count (equal sets => equal
+        # signatures => the banding MUST pair them), the token-set
+        # group counts a deterministic simhash may never split, and
+        # the exact top-k shape of a base-drawn query set — each with
+        # the same tokenization the green md5 rows already verify.
+        "minhash_pairs_xx": f"""
+            WITH {_SHINGLES_CTE},
+            keys AS (SELECT doc_id,
+                            array_to_string(list_sort(list(shingle)), chr(31)) AS k
+                     FROM sh GROUP BY doc_id),
+            g AS (SELECT k, count(*) AS n FROM keys GROUP BY k)
+            SELECT 0::BIGINT AS n_bad_order,
+                   0::BIGINT AS n_dup_pairs,
+                   0::BIGINT AS n_unknown_ids,
+                   coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS dup_shingle_pairs,
+                   coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS dup_captured,
+                   4::BIGINT AS n_bands,
+                   0::BIGINT AS n_uneven_bands
+            FROM g""",
+        "simhash_xx": f"""
+            WITH toks AS (SELECT doc_id,
+                                 array_to_string(list_sort(list_distinct({_TOKS})),
+                                                 chr(31)) AS k
+                          FROM documents)
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   0::BIGINT AS n_bad_format,
+                   count(DISTINCT k)::BIGINT AS n_token_sets,
+                   0::BIGINT AS n_split_token_sets
+            FROM toks""",
+        "ann_topk_768": """
+            WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 5)
+            SELECT (nq * 10)::BIGINT AS n_rows,
+                   nq::BIGINT AS n_queries,
+                   0::BIGINT AS n_bad_k,
+                   0::BIGINT AS n_dup_neighbors,
+                   0::BIGINT AS n_out_of_range,
+                   nq::BIGINT AS n_self_top
+            FROM q""",
         # pack_sequences: the bin ASSIGNMENT is iterative/engine-specific
         # (no SQL form), but the invariants of a correct packing are
         # relational — the oracle recomputes the doc-side facts from raw
@@ -2329,20 +2504,22 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict, assembled from `_R12_WINDOW` below
-    # over the full registry.  Round-12 window: [1-3] the rows whose
-    # implementation changed this round — winsorize (driver-side
-    # np.quantile fence kernel), decontaminate (gated literal NOT-IN
-    # path, 6 -> 3-4 jobs), pack_sequences (upgraded from rows-only to
-    # a DuckDB INVARIANT oracle) — then [4-29] the 26 rows whose last
-    # driver hash check was r8 (the r11 VERDICT #3 staleness list:
-    # boilerplate .. weighted_mean), then [30-50] representatives of
-    # the r11 work that must stay continuously evidenced: the span
-    # family (full oracle), the five-strategy quantile family incl.
-    # the arrow kernel, the LM pair, the semdedup/cluster consumers of
-    # the fused union-find, and the two rows-only forced dim-768
-    # kernels.  All pass tools/check_oracle.py at sf0.001/0.01/0.1
-    # regardless of window position.
+    # 50-query prefix of this dict, assembled from `_R13_WINDOW` below
+    # over the full registry.  Round-13 window: [1-10] the rows whose
+    # implementation or oracle changed this round — the three
+    # rows-only -> INVARIANT-oracle upgrades (minhash_pairs_xx,
+    # simhash_xx, ann_topk_768), the quantile family re-windowed under
+    # the r13 float-key normalization + driver-kernel NaN/-0.0 fixes,
+    # and the LM pair + semdedup pair/decision rows under the r13
+    # tokenize-fan and SQL-string seed rebuilds — then [11-43] the 33
+    # rows whose last driver hash check was r9 (the r12 VERDICT #1
+    # staleness list: the whole core reduction/scan/binned/text
+    # family), then [44-50] the watch/strategy carry-over:
+    # decontaminate (needs one clean driver window), kmeans, mean/var
+    # (label-prep change coverage), and the sort/refine/refine2
+    # strategies (they flow through the same normalized label prep).
+    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
+    # window position.
     base = {
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
@@ -2493,29 +2670,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
     }
-    return {**{k: base[k] for k in _R12_WINDOW}, **base}
+    return {**{k: base[k] for k in _R13_WINDOW}, **base}
 
 
 # the driver-checked 50-query prefix (see the rotation comment above);
 # dict insertion order puts these first, then every remaining registry
 # row in its stable order.  Keep this list in sync with the comment.
-_R12_WINDOW = [
-    # r12-changed rows
-    "winsorize", "decontaminate", "pack_sequences",
-    # r8-stale rotation (r11 VERDICT #3, all 26)
-    "boilerplate", "chunk_docs", "corr_pearson", "dedup_lines",
-    "grouped_topk", "kurtosis", "levenshtein_refine", "ngram_counts",
-    "nunique", "pivot_sum", "profile", "quality_report",
-    "quantile_sort", "rank_avg", "rank_pct", "redact_pii", "resample",
-    "rolling_time", "salted_sum", "sample_group", "scan_shift", "skew",
-    "tfidf_top_terms", "transform_mean", "twa", "weighted_mean",
-    # r11 evidence carry-over
-    "dup_spans", "dup_spans_removed", "dup_spans_against",
-    "decontaminate_spans", "quantile", "median", "quantile_vector",
-    "quantile_refine", "quantile_refine2", "perplexity",
-    "perplexity_filter", "semdedup_pairs", "semdedup", "kmeans",
-    "simhash_pairs", "minhash_clusters", "leakage_split",
-    "dedup_documents", "lsh_sig_768", "neardup_768", "sum",
+_R13_WINDOW = [
+    # r13-changed rows: invariant-oracle upgrades + the quantile/LM/
+    # semdedup families whose plans changed this round
+    "minhash_pairs_xx", "simhash_xx", "ann_topk_768",
+    "quantile", "median", "quantile_vector",
+    "perplexity", "perplexity_filter", "semdedup_pairs", "semdedup",
+    # r9-stale rotation (r12 VERDICT #1, all 33)
+    "count", "nansum", "prod", "std", "var_ddof1",
+    "min", "max", "min_plain",
+    "first", "last", "first_plain",
+    "argmin", "argmax", "argmax_plain",
+    "mode", "mode_plain", "any", "all",
+    "scan_cumsum", "scan_ffill", "scan_bfill", "scan_cumcount",
+    "binned_labels", "binned_datetime", "binned_left",
+    "multiby_highcard", "q1_multi",
+    "text_quality", "text_tokens", "text_tokens_bpe", "text_langid",
+    "text_repetition", "text_fingerprint",
+    # watch + label-prep coverage carry-over
+    "decontaminate", "kmeans", "mean", "var",
+    "quantile_sort", "quantile_refine", "quantile_refine2",
 ]
 
 def oracle_sql() -> dict[str, str]:

@@ -145,6 +145,9 @@ def _seeds_from_candidates(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+_SEED_VIEW_N = [0]
+
+
 def seed_centroids(
     df: DataFrame,
     k: int,
@@ -157,12 +160,56 @@ def seed_centroids(
     smallest ``md5(id || seed)`` as a (__cid, centroid) frame.  Lets
     callers (``semantic_dedup_pairs``'s fused small path) compose the
     init into ONE action instead of paying a separate seed-collect
-    job; selection is identical to the fit's."""
-    raw = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
-    return _seeds_from_candidates(_seed_candidates(raw, k, id_col, seed), k)
+    job; selection is identical to the fit's.
+
+    Built as ONE ``spark.sql()`` string over a throwaway temp view:
+    the Column-by-Column construction of the same plan (candidate
+    top-k + mode-dim window drop + row_number) cost ~450 py4j round
+    trips ≈ 0.2-1.0 s per BUILD — over half of ``semdedup_pairs``'s
+    measured plan-build wall (r12 VERDICT next #3).  ``spark.sql``
+    analyzes eagerly, so the view is dropped before returning; the
+    logical plan is the same shape (TakeOrderedAndProject twice, two
+    windows over the 2k-row candidate frame) — ``_seeds_from_candidates``
+    stays as the plan-twin documentation of the selection contract."""
+    spark = df.sparkSession
+    _SEED_VIEW_N[0] += 1
+    view = f"__fs_seed_src_{_SEED_VIEW_N[0]}"
+    qid = ".".join("`%s`" % p.replace("`", "``") for p in id_col.split("."))
+    qv = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
+    sq = seed.replace("'", "''")
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            WITH __cand AS (
+                SELECT __id, __v,
+                       md5(concat(CAST(__id AS STRING), ':{sq}')) AS __h
+                FROM (SELECT {qid} AS __id,
+                             transform({qv}, x -> CAST(x AS DOUBLE)) AS __v
+                      FROM {view})
+                WHERE __v IS NOT NULL
+                ORDER BY __h LIMIT {2 * int(k)}
+            ),
+            __sized AS (
+                SELECT __h, __v,
+                       count(1) OVER (PARTITION BY size(__v)) AS __szn
+                FROM __cand
+            ),
+            __dimmed AS (
+                SELECT __h, __v,
+                       (max(named_struct('__szn', __szn,
+                                         '__sz', size(__v))) OVER ()).__sz
+                           AS __dim
+                FROM __sized
+            ),
+            __seeds AS (
+                SELECT __h, __v FROM __dimmed WHERE size(__v) = __dim
+                ORDER BY __h LIMIT {int(k)}
+            )
+            SELECT row_number() OVER (ORDER BY __h) - 1 AS __cid,
+                   __v AS centroid
+            FROM __seeds""")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def assign_clusters(

@@ -60,14 +60,21 @@ def _doc_bigrams(
     ONE (id, NULL, NULL) row for a doc with no valid bigrams — the
     scoring aggregate then covers every document in a single pass,
     with no second corpus-wide distinct + re-attach join."""
-    # min_bytes gate at 1 MB, NOT ensure_parallelism's cheap-work 8 MB:
-    # plan stats report COMPRESSED parquet bytes and text compresses
-    # ~5-10x, while tokenize+explode is regex work per UNCOMPRESSED
-    # byte — measured r10 on a 1 MB-stats/50k-doc corpus: the skipped
-    # fan-out left tokenization on ONE task, 3.6 s vs 0.7 s
-    # repartitioned (doc_perplexity 0.8 -> 0.4); at 0.6 MB stats the
-    # two gates agree (exchange ~ single-task cost)
-    toks = ensure_parallelism(df, min_bytes=1 << 20).select(
+    # min_bytes gate at 256 KB, NOT ensure_parallelism's cheap-work
+    # 8 MB: plan stats report COMPRESSED parquet bytes and text
+    # compresses ~5-10x, while tokenize+explode+model-join is regex +
+    # log work per UNCOMPRESSED byte — measured r10 on a 1 MB-stats/
+    # 50k-doc corpus: the skipped fan-out left tokenization on ONE
+    # task, 3.6 s vs 0.7 s repartitioned (doc_perplexity 0.8 -> 0.4).
+    # r13 lowered 1 MB -> 256 KB from a per-job decomposition at the
+    # sf0.1 bench shape (0.58 MB stats = ~1.5M bigram occurrences):
+    # the un-fanned plan ran the whole explode+join+score pipeline as
+    # ONE AQE-coalesced task, 0.5-1.1 s serial; fanned, the
+    # perplexity_filter wall dropped 1.42 -> 1.03 s (best-of-5,
+    # quiet).  A keyed pin on the per-doc aggregate instead was
+    # measured WORSE (extra exchange, 1.7 s) — the CPU lives in the
+    # map side, so the scan fan is the right knob.
+    toks = ensure_parallelism(df, min_bytes=256 << 10).select(
         F.col(id_col), _word_tokens(F.col(text_col)).alias("__t")
     )
     # ONE expr string: the nested transform/filter built from Python
@@ -464,9 +471,11 @@ def _fused_filter_small(
     from flox_spark.plans.util import estimate_size_bytes, materialize_shared
 
     spark = corpus.sparkSession
-    # 1 MB gate, not 8 MB: compressed stats undershoot tokenize work
-    # by the text compression ratio (see _doc_bigrams' measurement)
-    toks = ensure_parallelism(corpus, min_bytes=1 << 20).select(
+    # 256 KB gate, not 8 MB: compressed stats undershoot tokenize +
+    # score work by the text compression ratio (see _doc_bigrams'
+    # r13 per-job measurement — the un-fanned sf0.1 plan ran the
+    # whole explode+join+score pipeline on ONE AQE-coalesced task)
+    toks = ensure_parallelism(corpus, min_bytes=256 << 10).select(
         F.struct(*[F.col(c) for c in corpus.columns]).alias("__row"),
         F.col(id_col).alias("__id"),
         _word_tokens(F.col(text_col)).alias("__t"),

@@ -1220,8 +1220,12 @@ def semantic_dedup_pairs(
         # the hash-draw init needs no iteration: keep it a DECLARATIVE
         # plan fragment so the whole query is ONE action — the old
         # flow paid a separate seed-collect job (plus its py4j plan
-        # build) before the pair query even started
-        cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+        # build) before the pair query even started.  Built LAZILY:
+        # the small seed-draw path composes its own copy into the
+        # pair plan, and building this one anyway doubled the
+        # dominant py4j term of the plan-build wall (r12 VERDICT
+        # next #3 — seed_centroids measured ~450 round trips each).
+        cents = None
     else:
         # reuse the fit's FINAL E-step labels instead of re-assigning
         # against the returned centroids: at web-scale k that second
@@ -1235,6 +1239,12 @@ def semantic_dedup_pairs(
             df, k, id_col=id_col, vec_col=vec_col, max_iter=max_iter,
             return_assignment=True,
         )
+    def _cents() -> DataFrame:
+        nonlocal cents
+        if cents is None:
+            cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+        return cents
+
     if two_level is None:
         two_level = k >= 1024
     # fixed-cost gating: below this PLAN-STATS size the fold is cheap
@@ -1292,7 +1302,7 @@ def semantic_dedup_pairs(
         # k-sized collect (only on this path)
         cents_rows = [
             (r["__cid"], None if r["centroid"] is None else list(r["centroid"]))
-            for r in cents.select("__cid", "centroid").collect()
+            for r in _cents().select("__cid", "centroid").collect()
         ]
         if not cents_rows:
             return spark.createDataFrame(
@@ -1327,7 +1337,7 @@ def semantic_dedup_pairs(
         # packed as a broadcast SUBQUERY (agg over the k-row centroid
         # frame): referenced by both join sides, Spark's ReuseExchange
         # builds the broadcast once; no driver collect anywhere
-        folded = fanned.crossJoin(_packed_centroids(cents)).withColumn(
+        folded = fanned.crossJoin(_packed_centroids(_cents())).withColumn(
             "__cl", _nearest_cid(vec_col)
         )
     cols = [F.col(id_col), F.col(vec_col), F.col("__cl")]
