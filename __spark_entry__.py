@@ -378,77 +378,80 @@ def q_minhash_pairs_xx(s, d):
     # xxhash64 gives up, but the hash-AGNOSTIC invariants of a correct
     # banding are relational (r12 VERDICT #6), so this row carries a
     # DuckDB INVARIANT oracle instead of no_oracle: pair order (a<b)
-    # and distinctness, ids resolvable in the corpus, and COMPLETENESS
-    # on identical shingle sets — equal sets => equal signatures under
-    # ANY hash => every band collides => the pair MUST be emitted when
-    # max_bucket=None.  The oracle recomputes the identical-set pair
-    # count from raw text with the exact shingle definition the green
-    # md5 twin already cross-verifies, and pins the violation counters
-    # at zero.  The real banded operator still runs in full.
+    # and distinctness, ids resolvable in the corpus, band SHAPE (one
+    # bucket per doc per band), and COMPLETENESS on identical shingle
+    # sets — equal sets => equal signatures under ANY hash => every
+    # band collides => the pair MUST be emitted when max_bucket=None.
+    #
+    # Physical shape (r13): the REAL banded operator runs once and its
+    # AUDIT-SIZED outputs come to the driver — candidate pairs (the
+    # near-dup pair class, the same bounded scale as the union-find
+    # literal path), duplicate shingle-set groups (near-dup groups
+    # only), and 4 band counts — and the checks run in plain python;
+    # the result re-enters as a one-row LocalRelation (the winsorize/
+    # kmeans literal pattern).  A declarative 4-branch audit plan was
+    # measured 9.9 s (every branch re-ran the shingle+minhash
+    # pipeline) and lazy-checkpointing the shared frames 10.7 s (AQE
+    # plan -> RDD conversion); the literal form runs the three
+    # pipelines exactly once — measured 1.8 s quiet at sf0.1.
     from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
-
-    docs = _t(s, d, "documents")
-    pairs = minhash_candidates(
-        docs, num_hashes=16, bands=4, shingle_k=3,
-        max_bucket=None, hash_impl="xxhash64",
-    )
-    keys = docs.select(
-        F.col("doc_id"),
-        F.concat_ws(
-            "\x1f",
-            F.array_sort(F.array_distinct(
-                _shingles_from_tokens(_word_tokens(F.col("text")), 3)
-            )),
-        ).alias("__k"),
-    )
-    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("__k").alias("__ka"))
-    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("__k").alias("__kb"))
-    j = pairs.join(F.broadcast(ka), "id_a", "left").join(
-        F.broadcast(kb), "id_b", "left"
-    )
-    audit = j.agg(
-        F.coalesce(
-            F.sum((F.col("id_a") >= F.col("id_b")).cast("long")), F.lit(0)
-        ).alias("n_bad_order"),
-        (F.count(F.lit(1)) - F.count_distinct(F.col("id_a"), F.col("id_b")))
-        .cast("long").alias("n_dup_pairs"),
-        F.coalesce(
-            F.sum((F.col("__ka").isNull() | F.col("__kb").isNull()).cast("long")),
-            F.lit(0),
-        ).alias("n_unknown_ids"),
-        F.coalesce(
-            F.sum((F.col("__ka") == F.col("__kb")).cast("long")), F.lit(0)
-        ).alias("dup_captured"),
-    )
-    total = keys.groupBy("__k").count().agg(
-        F.coalesce(
-            F.sum(F.col("count") * (F.col("count") - 1) / 2), F.lit(0)
-        ).cast("long").alias("dup_shingle_pairs")
-    )
-    # band SHAPE (non-vacuous at every SF, unlike the dup-completeness
-    # term which needs actual near-dup rows): every doc hashes into
-    # exactly ONE bucket per band — 4 x n_docs band rows, 4 distinct
-    # band ids, and per-band row count == n_docs
+    from flox_spark.plans.util import local_frame
     from flox_spark.streaming import minhash_band_keys
 
-    bands = minhash_band_keys(
-        docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
+    docs = _t(s, d, "documents")
+    pair_rows = minhash_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3,
+        max_bucket=None, hash_impl="xxhash64",
+    ).collect()
+    pair_set = {(r["id_a"], r["id_b"]) for r in pair_rows}
+    n_bad_order = sum(1 for a, b in ((r["id_a"], r["id_b"]) for r in pair_rows) if a >= b)
+    n_dup_pairs = len(pair_rows) - len(pair_set)
+    # duplicate shingle-set groups: ONE aggregate, only n>1 groups
+    # ship.  Tokens STAGED in their own select (the _word_tokens
+    # discipline): inlined, the regex split re-evaluates once per
+    # SHINGLE inside the transform lambda — measured 8.0 s vs 0.65 s
+    # staged for this exact aggregate at sf0.1.
+    toks = docs.select(F.col("doc_id"), _word_tokens(F.col("text")).alias("__t"))
+    key = F.concat_ws(
+        "\x1f",
+        F.array_sort(F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))),
+    ).alias("__k")
+    grp = (
+        toks.select(F.col("doc_id"), key)
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
     )
-    ndocs = docs.agg(F.count(F.lit(1)).alias("__ndocs"))
-    band_shape = (
-        bands.groupBy("band").agg(F.count(F.lit(1)).alias("__nb"))
-        .crossJoin(ndocs)  # one-row audit frame (the pack_sequences BNL class)
-        .agg(
-            F.count(F.lit(1)).alias("n_bands"),
-            F.coalesce(
-                F.sum((F.col("__nb") != F.col("__ndocs")).cast("long")),
-                F.lit(0),
-            ).alias("n_uneven_bands"),
+    dup_groups = grp.filter(F.col("n") > 1).select("ids").collect()
+    doc_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    n_unknown_ids = sum(
+        1 for a, b in pair_set if a not in doc_ids or b not in doc_ids
+    )
+    dup_shingle_pairs = 0
+    dup_captured = 0
+    for r in dup_groups:
+        ids = sorted(r["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dup_shingle_pairs += 1
+                if (ids[i], ids[j]) in pair_set:
+                    dup_captured += 1
+    # band SHAPE: every doc hashes into exactly one bucket per band
+    band_counts = (
+        minhash_band_keys(
+            docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
         )
+        .groupBy("band").agg(F.count(F.lit(1)).alias("nb"))
+        .collect()
     )
-    return audit.crossJoin(total).crossJoin(band_shape).select(
-        "n_bad_order", "n_dup_pairs", "n_unknown_ids",
-        "dup_shingle_pairs", "dup_captured", "n_bands", "n_uneven_bands",
+    n_bands = len(band_counts)
+    n_uneven_bands = sum(1 for r in band_counts if r["nb"] != len(doc_ids))
+    return local_frame(
+        s,
+        [(n_bad_order, n_dup_pairs, n_unknown_ids, dup_shingle_pairs,
+          dup_captured, n_bands, n_uneven_bands)],
+        "n_bad_order bigint, n_dup_pairs bigint, n_unknown_ids bigint, "
+        "dup_shingle_pairs bigint, dup_captured bigint, n_bands bigint, "
+        "n_uneven_bands bigint",
     )
 
 
@@ -478,6 +481,7 @@ def q_simhash_xx(s, d):
     # under ANY hash impl.  The oracle recomputes doc and token-set
     # counts from raw text; the violation counters pin at zero.
     from flox_spark.operators.dedup import _word_tokens
+    from flox_spark.plans.util import materialize_shared
 
     docs = _t(s, d, "documents")
     sigs = simhash_signatures(docs, hex_chars=8, hash_impl="xxhash64")
@@ -487,7 +491,9 @@ def q_simhash_xx(s, d):
             "\x1f", F.array_sort(F.array_distinct(_word_tokens(F.col("text"))))
         ).alias("__k"),
     )
-    j = sigs.join(F.broadcast(keys), "doc_id", "left")
+    # materialized once: the base and per-key audit branches would
+    # otherwise each re-run the signature + token-set pipelines
+    j = materialize_shared(sigs.join(F.broadcast(keys), "doc_id", "left"))
     base = j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("doc_id")).alias("n_docs"),

@@ -226,6 +226,33 @@ def main() -> None:
     times = run_set(BENCH_QUERIES)
     extra_times = run_set(BENCH_EXTRA)
 
+    # plan-REUSE walls for the fixed-cost watch list (r12 VERDICT
+    # next #3/#4): build the DataFrame once, execute twice, record the
+    # second execution — the amortized per-batch cost a real pipeline
+    # pays after the first run (plan, codegen, and literal collects
+    # all cached).  wall - reuse_s is the total per-BUILD fixed term,
+    # a superset of build_s (it adds first-execution codegen compile).
+    # Measured r13 at sf0.1: semdedup_pairs 1.33 fresh vs 0.38 reused
+    # (0.9x DuckDB), perplexity_filter 1.11 vs 0.59.
+    reuse_s: dict[str, float] = {}
+    for name in ("semdedup_pairs", "perplexity_filter", "semdedup",
+                 "decontaminate"):
+        try:
+            spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
+            force(df)
+            best_r = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(df)
+                dt = time.perf_counter() - t0
+                if best_r is None or dt < best_r:
+                    best_r = dt
+            reuse_s[name] = round(best_r, 4)
+        except Exception as e:
+            print(f"reuse probe {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     t0 = time.perf_counter()
     force(qs["sum"](spark, sf_dir))
     floor_end = round(time.perf_counter() - t0, 4)
@@ -318,6 +345,10 @@ def main() -> None:
         # Fixed per QUERY, not per data: a real pipeline builds the
         # plan once and amortizes this term, the per-run bench cannot
         "build_s": build_s,
+        # second execution of an already-built plan (fixed-cost watch
+        # list only): the amortized per-batch wall; see the reuse
+        # probe above
+        "reuse_s": reuse_s,
         # ---- headline tail (everything below must survive truncation)
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -398,3 +398,34 @@ def test_driver_codec_property(spark, case):
             )
 
     assert run("driver") == run("arrow")
+
+
+def test_driver_kernel_nan_key_list_path_direct(spark):
+    # groupby_reduce filters NaN/NULL LABELS before any kernel (flox
+    # parity), so the driver kernel's NaN-key list-path re-entry is
+    # unreachable through the public API — exercise it DIRECTLY: a
+    # work frame whose float key holds NaN, -0.0 and NULL must come
+    # back as three distinct groups (NULL / NaN / folded 0.0) with NaN
+    # kept a VALUE (the pandas re-entry would coerce it to NULL and
+    # merge two groups into one key).
+    import flox_spark.core as C
+    from flox_spark.aggregations import REDUCTIONS, AggContext
+    import pyspark.sql.functions as SF
+
+    work = spark.createDataFrame(
+        [(float("nan"), 1.0), (float("nan"), 3.0),
+         (None, 10.0), (None, 30.0),
+         (0.0, 5.0), (-0.0, 7.0)],
+        "k double, v double",
+    )
+    agg = REDUCTIONS["nanmedian"]
+    ctx = AggContext(value=SF.col("v"), dt=work.schema["v"].dataType)
+    out = C._quantile_driver(work, ["k"], ctx, agg, "m", None, None)
+    assert out is not None, "kernel declined unexpectedly"
+    got = sorted(((str(r["k"]), r["m"]) for r in out.collect()), key=str)
+    assert got == [("-0.0", 6.0), ("None", 20.0), ("nan", 2.0)] or got == [
+        ("0.0", 6.0), ("None", 20.0), ("nan", 2.0)
+    ], got
+    # the zero group must be ONE group (merged -0.0/0.0), NaN and NULL
+    # must not have merged with each other
+    assert len(got) == 3
