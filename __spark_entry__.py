@@ -1042,6 +1042,22 @@ def q_rank_avg(s, d):
     return out.select("l_orderkey", "l_linenumber", F.col("rank").alias("rnk"))
 
 
+def q_rank_avg_blocked(s, d):
+    # the SAME rank through the four-stage blocked plan (value-quantile
+    # blocks -> local rank -> count prefix -> offset join): parallelism
+    # = num_blocks regardless of group count, the 100 TB shape for a
+    # few-groups rank whose one-window form serializes per group.
+    # Oracle-checked against the identical SQL as rank_avg — the two
+    # forms are bitwise-equal by construction (test_rank_blocked.py).
+    from flox_spark import groupby_rank_blocked
+
+    out = groupby_rank_blocked(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_extendedprice",
+        num_blocks=32,
+    )
+    return out.select("l_orderkey", "l_linenumber", F.col("rank").alias("rnk"))
+
+
 def q_rank_pct(s, d):
     # pandas GroupBy.rank(pct=True): average-rank divided by the
     # group's non-missing row count
@@ -2522,8 +2538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness list: the whole core reduction/scan/binned/text
     # family), then [44-50] the watch/strategy carry-over:
     # decontaminate (needs one clean driver window), kmeans, mean/var
-    # (label-prep change coverage), and the sort/refine/refine2
-    # strategies (they flow through the same normalized label prep).
+    # (label-prep change coverage), the sort/refine strategies (they
+    # flow through the same normalized label prep), and the NEW
+    # rank_avg_blocked operator (r13).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
     # window position.
     base = {
@@ -2583,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
         "rank_avg": q_rank_avg,
+        "rank_avg_blocked": q_rank_avg_blocked,
         "pivot_sum": q_pivot_sum,
         "corr_pearson": q_corr_pearson,
         "twa": q_twa,
@@ -2701,7 +2719,7 @@ _R13_WINDOW = [
     "text_repetition", "text_fingerprint",
     # watch + label-prep coverage carry-over
     "decontaminate", "kmeans", "mean", "var",
-    "quantile_sort", "quantile_refine", "quantile_refine2",
+    "quantile_sort", "quantile_refine", "rank_avg_blocked",
 ]
 
 def oracle_sql() -> dict[str, str]:
@@ -3060,6 +3078,12 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
                    round(n / (sum(n) OVER (PARTITION BY source)), 9) AS share
             FROM c""",
         "rank_avg": """
+            SELECT l_orderkey, l_linenumber,
+                   rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+                     AS rnk
+            FROM lineitem""",
+        "rank_avg_blocked": """
             SELECT l_orderkey, l_linenumber,
                    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
                    + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
