@@ -1140,6 +1140,22 @@ def q_ewm_mean(s, d):
     return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
 
 
+def q_ewm_mean_blocked(s, d):
+    # the SAME adjust=True EWM mean through the blocked linear-
+    # recurrence plan (order-quantile blocks -> per-block pandas
+    # ewm.sum pair -> linear-fold carry prefix -> ratio): parallelism
+    # = groups x num_blocks, closing groupby_ewm's declared giant-
+    # group caveat for the mean case.  Shares ewm_mean's closed-form
+    # SQL oracle.
+    from flox_spark.ewm_blocked import groupby_ewm_blocked
+
+    out = groupby_ewm_blocked(
+        _t(s, d, "events"), "user_id", value="value", order_by="ts",
+        span=20, num_blocks=8,
+    )
+    return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
+
+
 def q_winsorize(s, d):
     # per-group quantile clipping (robust-features step): exact
     # [p05, p95] fences, broadcast-joined; rounded output
@@ -2538,9 +2554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness list: the whole core reduction/scan/binned/text
     # family), then [44-50] the watch/strategy carry-over:
     # decontaminate (needs one clean driver window), kmeans, mean/var
-    # (label-prep change coverage), the sort/refine strategies (they
-    # flow through the same normalized label prep), and the NEW
-    # rank_avg_blocked operator (r13).
+    # (label-prep change coverage), the refine strategy (label-prep
+    # coverage), and the two NEW r13 blocked operators
+    # (rank_avg_blocked, ewm_mean_blocked).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
     # window position.
     base = {
@@ -2649,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": q_label_encode,
         "frequency_encode": q_frequency_encode,
         "ewm_mean": q_ewm_mean,
+        "ewm_mean_blocked": q_ewm_mean_blocked,
         "nansum": q_nansum,
         "count": q_count,
         "var_ddof1": q_var_ddof1,
@@ -2719,7 +2736,7 @@ _R13_WINDOW = [
     "text_repetition", "text_fingerprint",
     # watch + label-prep coverage carry-over
     "decontaminate", "kmeans", "mean", "var",
-    "quantile_sort", "quantile_refine", "rank_avg_blocked",
+    "ewm_mean_blocked", "quantile_refine", "rank_avg_blocked",
 ]
 
 def oracle_sql() -> dict[str, str]:
@@ -3041,6 +3058,21 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
             -- oracle scale; weights decay by ROW POSITION (pandas
             -- ignore_na=False), with (user_id, ts) unique in testdata
             -- so the ordering is total.
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            )
+            SELECT a.user_id, a.ts,
+                   round(
+                     sum(pow(19.0/21.0, a.rn - b.rn) * b.value)
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value))
+                     / sum(pow(19.0/21.0, a.rn - b.rn))
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)),
+                     6) AS ewm_mean
+            FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.user_id, a.ts""",
+        "ewm_mean_blocked": """
             WITH t AS (
               SELECT user_id, ts, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn

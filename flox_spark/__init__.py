@@ -29,6 +29,7 @@ from flox_spark.scan_blocked import groupby_scan_blocked
 from flox_spark.options import set_options, get_options
 from flox_spark.pivot import groupby_pivot
 from flox_spark.rank import groupby_rank
+from flox_spark.ewm_blocked import groupby_ewm_blocked
 from flox_spark.rank_blocked import groupby_rank_blocked
 from flox_spark.stats import (
     fillna_group,
@@ -49,6 +50,7 @@ __all__ = [
     "groupby_corr",
     "groupby_pivot",
     "diagnose_skew",
+    "groupby_ewm_blocked",
     "groupby_rank",
     "groupby_rank_blocked",
     "time_weighted_mean",

@@ -1,0 +1,230 @@
+"""Blocked EWM mean: the skew path for giant groups.
+
+``groupby_ewm`` streams whole groups through one pandas kernel per
+group — correct, pandas-exact, but a group's EWM serializes on one
+worker (its docstring's declared caveat).  For ``func="mean"`` with
+``adjust=True`` (the pandas default) the caveat is avoidable: the
+adjust-form mean is a RATIO of two linear recurrences,
+
+    num_t = D_t * num_{t-1} + x_t        (valid rows)
+    den_t = D_t * den_{t-1} + 1          (valid rows)
+    mean_t = num_t / den_t
+
+with a scalar decay ``D = (1-alpha)`` applied per row
+(``ignore_na=False``) or per valid row (``True``) — and linear
+recurrences compose across order-range blocks exactly like
+``scan_blocked``'s cumsums: a block summarizes to ``(A, c)`` with
+``state_out = A * state_in + c`` where ``A`` is the block's total
+decay and ``c`` its zero-init local result.  Verified empirically
+against pandas before building: ``ewm.mean == ewm.sum(x) /
+ewm.sum(valid-indicator)`` at every position for both ``ignore_na``
+modes, and the carry decay is ``(1-a)^(t+1)`` / ``(1-a)^cumvalid``.
+
+    stage 1  order-quantile blocks; per-(key, block) pandas
+             ``ewm.sum`` of x and of the valid indicator, plus the
+             per-row decay-to-block-start          [parallelism =
+             groups x num_blocks, the whole point]
+    stage 2  per-block carries = last row's (A, num, den)   [small]
+    stage 3  per-group linear-fold prefix over blocks (tiny
+             ``F.aggregate`` over a collected block array)
+    stage 4  broadcast-join states back; mean = ratio
+
+Scope: ``func="mean"``, ``adjust=True`` (both ``ignore_na`` modes).
+``adjust=False`` carries a first-observation weight special case and
+var/std carry coupled second-moment states — those stay on
+``groupby_ewm``'s per-group kernel with its documented caveat.
+Results match ``groupby_ewm`` to float tolerance (the blocked form
+computes ``(1-a)^k`` by powers where pandas multiplies iteratively —
+last-ulp drift, pinned at rtol 1e-9 in tests/test_ewm_blocked.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flox_spark.dtypes import NAN, arith_input
+
+__all__ = ["groupby_ewm_blocked"]
+
+
+def _resolve_alpha(alpha, halflife, span) -> float:
+    """pandas' exact parameter mapping (pandas.core.window.common)."""
+    if sum(x is not None for x in (alpha, halflife, span)) != 1:
+        raise ValueError("pass exactly one of alpha=, halflife=, span=")
+    if alpha is not None:
+        a = float(alpha)
+        if not 0 < a <= 1:
+            raise ValueError("alpha must be in (0, 1]")
+        return a
+    if span is not None:
+        if span < 1:
+            raise ValueError("span must be >= 1")
+        return 2.0 / (float(span) + 1.0)
+    if halflife <= 0:
+        raise ValueError("halflife must be > 0")
+    return 1.0 - math.exp(math.log(0.5) / float(halflife))
+
+
+def groupby_ewm_blocked(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    order_by: str,
+    alpha: float | None = None,
+    halflife: float | None = None,
+    span: float | None = None,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    out: str | None = None,
+    num_blocks: int = 32,
+) -> DataFrame:
+    """``groupby_ewm(func="mean", adjust=True)`` through the blocked
+    plan: same parameters and output shape, plus ``num_blocks`` — the
+    order-range split width, i.e. the EWM's parallelism floor
+    regardless of how few groups there are.  ``order_by`` must be
+    non-null (same contract as ``groupby_scan_blocked``)."""
+    if not adjust:
+        raise ValueError(
+            "groupby_ewm_blocked supports adjust=True only (the "
+            "adjust=False recurrence carries a first-observation "
+            "special case); use groupby_ewm"
+        )
+    a = _resolve_alpha(alpha, halflife, span)
+    base = 1.0 - a
+    out = out or "ewm_mean"
+    kw = (
+        {"alpha": alpha}
+        if alpha is not None
+        else {"halflife": halflife}
+        if halflife is not None
+        else {"span": span}
+    )
+
+    in_fields = [f for f in df.schema.fields if f.name in (*by, order_by, value)]
+    in_names = [f.name for f in in_fields]
+
+    # order-quantile blocks (scan_blocked's split): equal-population
+    # even under bursty order columns; ties land in one block
+    onum, _ = arith_input(F.col(order_by), df.schema[order_by].dataType)
+    if num_blocks > 1:
+        qs = [i / num_blocks for i in range(1, num_blocks)]
+        bounds = df.agg(
+            F.percentile_approx(
+                onum, F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+            ).alias("__breaks")
+        )
+        work = (
+            df.select(*in_names)
+            .crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__blk",
+                F.size(F.filter(F.col("__breaks"), lambda b: b < onum)).cast("int"),
+            )
+            .drop("__breaks")
+        )
+    else:
+        work = df.select(*in_names).withColumn("__blk", F.lit(0).cast("int"))
+
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+    schema = ", ".join(
+        schema_parts
+        + ["`__blk` int", "`__num` double", "`__den` double", "`__A` double"]
+    )
+    keys = [*by, "__blk"]
+    ign = ignore_na
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        # ONE cython ewm pass per column across all groups (the
+        # groupby_ewm discipline): groupby(sort=False) preserves the
+        # frame's row order so .to_numpy() aligns positionally
+        g = pdf.groupby(keys, sort=False, dropna=False)
+        x = pdf[value]
+        valid = x.notna()
+        keep = pdf.copy()
+        keep["__num"] = g[value].ewm(
+            adjust=True, ignore_na=ign, **kw
+        ).sum().to_numpy()
+        keep["__ind"] = valid.astype("float64").where(valid, np.nan).to_numpy()
+        keep["__den"] = keep.groupby(keys, sort=False, dropna=False)[
+            "__ind"
+        ].ewm(adjust=True, ignore_na=ign, **kw).sum().to_numpy()
+        if ign:
+            k = keep.assign(__v=valid.astype("int64")).groupby(
+                keys, sort=False, dropna=False
+            )["__v"].cumsum()
+        else:
+            k = g.cumcount() + 1
+        keep["__A"] = np.power(base, k.to_numpy(dtype="float64"))
+        return keep.drop(columns=["__ind"])
+
+    from flox_spark.transform import groupby_apply_batched
+
+    staged = groupby_apply_batched(
+        work, *keys, fn=fn, schema=schema, order_by=order_by
+    )
+
+    # stage 2: per-block carries = the LAST row's (A, num, den); an
+    # all-invalid block carries (A, 0, 0) — the fold's identity shape
+    last = F.max(
+        F.struct(
+            F.col(order_by).alias("o"),
+            F.col("__A").alias("cA"),
+            F.coalesce(F.nanvl(F.col("__num"), F.lit(0.0)), F.lit(0.0)).alias("cn"),
+            F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0)).alias("cd"),
+        )
+    )
+    carries = staged.groupBy(*by, "__blk").agg(
+        last["cA"].alias("__cA"), last["cn"].alias("__cn"), last["cd"].alias("__cd")
+    )
+
+    # stage 3: exclusive linear-fold prefix over blocks per group —
+    # state_in(blk i) = fold_{b < i} (A_b * state + c_b), a tiny
+    # O(blocks^2) F.aggregate over the collected block array
+    arr = F.array_sort(
+        F.collect_list(F.struct("__blk", "__cA", "__cn", "__cd"))
+    ).alias("__arr")
+    zero = F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("d"))
+    states = (
+        carries.groupBy(*by)
+        .agg(arr)
+        .select(*by, F.col("__arr"), F.posexplode("__arr").alias("__pos", "__b"))
+        .select(
+            *by,
+            F.col("__b")["__blk"].alias("__blk"),
+            F.aggregate(
+                F.slice(F.col("__arr"), F.lit(1), F.col("__pos")),
+                zero,
+                lambda s, b: F.struct(
+                    (b["__cA"] * s["n"] + b["__cn"]).alias("n"),
+                    (b["__cA"] * s["d"] + b["__cd"]).alias("d"),
+                ),
+            ).alias("__st"),
+        )
+        .select(
+            *by, "__blk",
+            F.col("__st")["n"].alias("__nin"),
+            F.col("__st")["d"].alias("__din"),
+        )
+    )
+
+    # stage 4: combine.  A pandas-NaN local sum means "no valid obs in
+    # this block yet" — contributes 0 on top of the decayed carry; a
+    # zero global denominator is the leading-rows case, where pandas
+    # emits NaN.
+    joined = staged.join(F.broadcast(states), [*by, "__blk"], "left")
+    numg = (
+        F.coalesce(F.nanvl(F.col("__num"), F.lit(0.0)), F.lit(0.0))
+        + F.col("__A") * F.coalesce(F.col("__nin"), F.lit(0.0))
+    )
+    deng = (
+        F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0))
+        + F.col("__A") * F.coalesce(F.col("__din"), F.lit(0.0))
+    )
+    y = F.when(deng > 0, numg / deng).otherwise(F.lit(NAN))
+    return joined.withColumn(out, y).select(*in_names, out)

@@ -204,9 +204,13 @@ def groupby_ewm(
     group — measured 4.3s -> ~1s on 1 500 small groups) and pandas'
     own ewm kernel runs — bit-identical to pandas by construction.
     Same scale caveat as every per-group sequential op (a group must
-    fit one worker's memory; the blocked-scan remedy does not apply
-    to a non-associative recurrence), and the same legitimacy as the
-    packing operator's hatch (SURVEY §2.6).
+    fit one worker's memory).  For ``func="mean"`` with
+    ``adjust=True`` the caveat IS avoidable — the adjust-form mean is
+    a ratio of two LINEAR recurrences, which compose across blocks:
+    see ``groupby_ewm_blocked`` (r13) for the giant-group path.
+    ``adjust=False`` (first-observation weight special case) and
+    var/std (coupled second-moment states) stay on this hatch, with
+    the same legitimacy as the packing operator's (SURVEY §2.6).
 
     Exactly one of ``alpha`` / ``halflife`` / ``span``; ``func``:
     mean | var | std (pandas ddof=1 ewm variance)."""

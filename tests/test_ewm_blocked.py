@@ -1,0 +1,131 @@
+"""groupby_ewm_blocked vs groupby_ewm: the blocked linear-recurrence
+form must match the pandas-exact per-group kernel to float tolerance
+(rtol 1e-9 — the blocked decay uses powers where pandas multiplies
+iteratively) on both ignore_na modes, every alpha spelling, NaN/NULL
+values, and degenerate block counts.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flox_spark.ewm_blocked import groupby_ewm_blocked
+from flox_spark.scan import groupby_ewm
+
+
+def _frame(spark, n=500, seed=3, groups=3):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0, 10, n)
+    v[::11] = np.nan
+    vals = [None if i % 17 == 0 else float(x) for i, x in enumerate(v)]
+    pdf = pd.DataFrame({
+        "k": [f"g{i % groups}" for i in range(n)],
+        "t": np.arange(n, dtype=np.int64),
+        "v": vals,
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _rows(df):
+    return sorted(
+        ((r["k"], r["t"], r["ewm_mean"]) for r in df.collect()), key=str
+    )
+
+
+def _close(a, b, rtol=1e-9):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x[:2] == y[:2], (x, y)
+        xv, yv = x[2], y[2]
+        if xv is None or yv is None:
+            # pandas leading-NaN may arrive as NaN or NULL per Arrow
+            assert (xv is None or math.isnan(xv)) and (
+                yv is None or math.isnan(yv)
+            ), (x, y)
+        elif math.isnan(xv):
+            assert yv is not None and math.isnan(yv), (x, y)
+        else:
+            assert yv is not None and abs(xv - yv) <= rtol * max(
+                1.0, abs(xv)
+            ), (x, y)
+
+
+@pytest.mark.parametrize("ignore_na", [False, True])
+@pytest.mark.parametrize("nb", [1, 6])
+def test_blocked_ewm_matches_pandas_kernel(spark, ignore_na, nb):
+    df = _frame(spark)
+    want = _rows(groupby_ewm(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na
+    ))
+    got = _rows(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na,
+        num_blocks=nb,
+    ))
+    _close(want, got)
+
+
+@pytest.mark.parametrize("kw", [{"span": 9}, {"halflife": 4.0}])
+def test_blocked_ewm_param_spellings(spark, kw):
+    df = _frame(spark, seed=8)
+    want = _rows(groupby_ewm(df, "k", value="v", order_by="t", **kw))
+    got = _rows(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", num_blocks=5, **kw
+    ))
+    _close(want, got)
+
+
+def test_blocked_ewm_leading_and_all_missing(spark):
+    pdf = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "t": range(8),
+        "v": [None, float("nan"), 2.0, None, 4.0, None, None, None],
+    })
+    df = spark.createDataFrame(pdf)
+    for ign in (False, True):
+        want = _rows(groupby_ewm(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign
+        ))
+        got = _rows(groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+            num_blocks=3,
+        ))
+        _close(want, got)
+
+
+def test_blocked_ewm_rejects_unsupported(spark):
+    df = _frame(spark, n=10)
+    with pytest.raises(ValueError, match="adjust=True only"):
+        groupby_ewm_blocked(df, "k", value="v", order_by="t", alpha=0.3,
+                            adjust=False)
+    with pytest.raises(ValueError, match="exactly one"):
+        groupby_ewm_blocked(df, "k", value="v", order_by="t")
+
+
+# ---- hypothesis fuzz ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=hst.integers(0, 10_000),
+    n=hst.integers(2, 90),
+    groups=hst.integers(1, 3),
+    nb=hst.integers(1, 7),
+    alpha=hst.floats(0.05, 0.95),
+    ign=hst.booleans(),
+)
+def test_blocked_ewm_property(spark, seed, n, groups, nb, alpha, ign):
+    df = _frame(spark, n=n, seed=seed, groups=groups)
+    want = _rows(groupby_ewm(
+        df, "k", value="v", order_by="t", alpha=alpha, ignore_na=ign
+    ))
+    got = _rows(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", alpha=alpha, ignore_na=ign,
+        num_blocks=nb,
+    ))
+    _close(want, got)
