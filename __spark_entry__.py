@@ -1129,9 +1129,10 @@ def q_frequency_encode(s, d):
 
 
 def q_ewm_mean(s, d):
-    # pandas GroupBy.ewm parity via the Arrow hatch (sequential
-    # recurrence, not window-expressible -> no SQL oracle; rows-only
-    # driver check + pandas-differential pytest, like pack_sequences)
+    # pandas GroupBy.ewm parity via the Arrow hatch (per-group
+    # sequential kernel); oracle = the closed-form quadratic SQL over
+    # row positions (fine at oracle scale) — see ewm_mean_blocked for
+    # the giant-group blocked twin sharing the same oracle
     from flox_spark import groupby_ewm
 
     out = groupby_ewm(

@@ -19,6 +19,7 @@ from flox_spark.streaming.stateful import stream_ffill
 from flox_spark.streaming.enrich import stream_asof_enrich
 from flox_spark.streaming.sessions import stream_session_stats, stream_sessionize
 from flox_spark.streaming.neardup import minhash_band_keys, stream_minhash_neardup
+from flox_spark.streaming.ewm import stream_ewm_mean
 from flox_spark.streaming.packing import stream_pack_sequences
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "minhash_band_keys",
     "stream_asof_enrich",
     "stream_minhash_neardup",
+    "stream_ewm_mean",
     "stream_pack_sequences",
     "stream_session_stats",
     "stream_sessionize",
