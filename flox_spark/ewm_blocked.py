@@ -45,7 +45,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flox_spark.dtypes import NAN, arith_input
+from flox_spark.dtypes import arith_input
 
 __all__ = ["groupby_ewm_blocked"]
 
@@ -107,7 +107,14 @@ def groupby_ewm_blocked(
     in_names = [f.name for f in in_fields]
 
     # order-quantile blocks (scan_blocked's split): equal-population
-    # even under bursty order columns; ties land in one block
+    # even under bursty order columns; ties land in one block.  The
+    # numeric order view is STAGED as a real column before the
+    # crossJoin: capturing the derived expression (ts_micros for
+    # timestamps) inside the block-filter lambda mis-binds across the
+    # join under some optimized plan shapes — observed as an
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on one plan and as silently
+    # wrong block assignment (wrong EWM values) on another; a bound
+    # column reference is stable in both.
     onum, _ = arith_input(F.col(order_by), df.schema[order_by].dataType)
     if num_blocks > 1:
         qs = [i / num_blocks for i in range(1, num_blocks)]
@@ -118,12 +125,15 @@ def groupby_ewm_blocked(
         )
         work = (
             df.select(*in_names)
+            .withColumn("__onum", onum)
             .crossJoin(F.broadcast(bounds))
             .withColumn(
                 "__blk",
-                F.size(F.filter(F.col("__breaks"), lambda b: b < onum)).cast("int"),
+                F.size(
+                    F.filter(F.col("__breaks"), lambda b: b < F.col("__onum"))
+                ).cast("int"),
             )
-            .drop("__breaks")
+            .drop("__breaks", "__onum")
         )
     else:
         work = df.select(*in_names).withColumn("__blk", F.lit(0).cast("int"))
@@ -136,24 +146,38 @@ def groupby_ewm_blocked(
     keys = [*by, "__blk"]
     ign = ignore_na
 
+    nkeys = len(keys)
+
     def fn(pdf):
         import numpy as np
         import pandas as pd  # noqa: F401
 
-        # ONE cython ewm pass per column across all groups (the
-        # groupby_ewm discipline): groupby(sort=False) preserves the
-        # frame's row order so .to_numpy() aligns positionally
+        # ONE cython ewm pass per column across all groups.  NB a
+        # windowed groupby op (.ewm) does NOT return rows in frame
+        # order for MULTI-key groupby(sort=False): pandas orders the
+        # output groups by per-level first-appearance codes, so a
+        # later group reusing an earlier-seen key value comes back out
+        # of position (found as silently-wrong EWM values for ~1/6 of
+        # keys at the sf0.1 shape).  Realign through the result's
+        # original-index level instead of trusting positions; the
+        # index is reset first because the harness's carry concat can
+        # produce duplicate labels.
+        pdf = pdf.reset_index(drop=True)
+
+        def aligned_ewm_sum(frame, col):
+            res = frame.groupby(keys, sort=False, dropna=False)[col].ewm(
+                adjust=True, ignore_na=ign, **kw
+            ).sum()
+            return res.droplevel(list(range(nkeys))).sort_index().to_numpy()
+
         g = pdf.groupby(keys, sort=False, dropna=False)
         x = pdf[value]
         valid = x.notna()
         keep = pdf.copy()
-        keep["__num"] = g[value].ewm(
-            adjust=True, ignore_na=ign, **kw
-        ).sum().to_numpy()
+        keep["__num"] = aligned_ewm_sum(pdf, value)
         keep["__ind"] = valid.astype("float64").where(valid, np.nan).to_numpy()
-        keep["__den"] = keep.groupby(keys, sort=False, dropna=False)[
-            "__ind"
-        ].ewm(adjust=True, ignore_na=ign, **kw).sum().to_numpy()
+        keep["__den"] = aligned_ewm_sum(keep, "__ind")
+        # cumcount/cumsum are transform-like: index-aligned, no fixup
         if ign:
             k = keep.assign(__v=valid.astype("int64")).groupby(
                 keys, sort=False, dropna=False
@@ -226,5 +250,7 @@ def groupby_ewm_blocked(
         F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0))
         + F.col("__A") * F.coalesce(F.col("__din"), F.lit(0.0))
     )
-    y = F.when(deng > 0, numg / deng).otherwise(F.lit(NAN))
+    # den == 0 (no valid obs yet) -> NULL, matching the per-group
+    # kernel: its pandas NaN crosses the Arrow boundary as null
+    y = F.when(deng > 0, numg / deng)
     return joined.withColumn(out, y).select(*in_names, out)

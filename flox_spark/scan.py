@@ -237,15 +237,22 @@ def groupby_ewm(
 
     def fn(pdf):
         # pdf holds whole groups, (keys, order_by)-sorted — ONE
-        # cython ewm pass across all of them; groupby(sort=False)
-        # preserves the frame's row order so the result aligns
-        # positionally
+        # cython ewm pass across all of them.  NB (r13, found by the
+        # blocked twin's differential): a WINDOWED groupby op like
+        # .ewm does NOT return rows in frame order for MULTI-key
+        # groupby(sort=False) — pandas orders the output groups by
+        # per-level first-appearance codes, so a later group reusing
+        # an earlier-seen key value comes back out of position.
+        # Realign through the result's original-index level; the
+        # index is reset first because the harness's carry concat can
+        # produce duplicate labels.
+        pdf = pdf.reset_index(drop=True)
         ew = pdf.groupby(keys, sort=False, dropna=False)[value].ewm(
             adjust=adjust, ignore_na=ignore_na, **kw
         )
         res = getattr(ew, func)()
         keep = pdf.copy()
-        keep[out] = res.to_numpy()
+        keep[out] = res.droplevel(list(range(len(keys)))).sort_index().to_numpy()
         return keep
 
     from flox_spark.transform import groupby_apply_batched

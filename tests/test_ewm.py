@@ -78,3 +78,39 @@ def test_ewm_validates_params(spark, tdata):
         groupby_ewm(df, "k", value="v", order_by="t", alpha=0.5, span=3)
     with pytest.raises(ValueError, match="func"):
         groupby_ewm(df, "k", value="v", order_by="t", alpha=0.5, func="median")
+
+
+def test_groupby_ewm_multikey_interleaved_groups(spark):
+    # r13 regression pin (found by the blocked twin's differential):
+    # pandas GroupBy(sort=False).ewm() output is ordered by per-level
+    # first-appearance codes — a MULTI-key groupby whose later groups
+    # reuse earlier-seen key values misaligned positionally.  The
+    # realigned groupby_ewm must equal the per-group pandas golden.
+    import numpy as np
+    import pandas as pd
+
+    from flox_spark.scan import groupby_ewm
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # key reuse pattern that triggers the code-order mismatch:
+    # (a, 2) appears before (b, 1) but b's groups start with key2=2
+    for k1, k2s in (("a", [2]), ("b", [2, 1]), ("c", [1, 0, 2])):
+        for k2 in k2s:
+            for i in range(rng.integers(4, 9)):
+                rows.append((k1, int(k2), len(rows),
+                             float(rng.normal(0, 10))))
+    pdf = pd.DataFrame(rows, columns=["k1", "k2", "t", "v"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["k1"], r["k2"], r["t"]): r["ewm_mean"]
+        for r in groupby_ewm(
+            df, "k1", "k2", value="v", order_by="t", alpha=0.4
+        ).collect()
+    }
+    for (k1, k2), seg in pdf.groupby(["k1", "k2"]):
+        seg = seg.sort_values("t")
+        gold = seg["v"].ewm(alpha=0.4, adjust=True, ignore_na=False).mean()
+        for t, w in zip(seg["t"], gold):
+            assert abs(got[(k1, k2, t)] - w) <= 1e-12 * max(1, abs(w)), (
+                k1, k2, t)

@@ -129,3 +129,44 @@ def test_blocked_ewm_property(spark, seed, n, groups, nb, alpha, ign):
         num_blocks=nb,
     ))
     _close(want, got)
+
+
+def test_blocked_ewm_many_groups_timestamp_order(spark):
+    # r13 regression pin: pandas GroupBy(sort=False).ewm() orders its
+    # OUTPUT groups by per-level first-appearance codes, not frame
+    # order — with the multi-key (user, block) groupby a later group
+    # reusing an earlier-seen block id came back out of position
+    # (silently wrong EWM values for ~1/6 of users at this shape).
+    # The realign-through-the-index fix must hold on many users with
+    # interleaving block ids and a TIMESTAMP order column.
+    rng = np.random.default_rng(1)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(120):
+        ts = rng.choice(1_000_000, size=30, replace=False)
+        ts.sort()
+        for t in ts:
+            v = None if rng.random() < 0.1 else float(rng.normal(50, 30))
+            rows.append((u, base + pd.Timedelta(seconds=int(t)), v))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "v"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["user_id"], r["ts"]): r["ewm_mean"]
+        for r in groupby_ewm_blocked(
+            df, "user_id", value="v", order_by="ts", span=20, num_blocks=8
+        ).collect()
+    }
+    # pandas golden per user
+    nbad = 0
+    for u, seg in pdf.groupby("user_id"):
+        seg = seg.sort_values("ts")
+        gold = seg["v"].ewm(span=20, adjust=True, ignore_na=False).mean()
+        for t, w in zip(seg["ts"], gold):
+            y = got[(u, t.to_pydatetime())]
+            if math.isnan(w):
+                nbad += 0 if (y is None or math.isnan(y)) else 1
+            else:
+                nbad += 0 if (
+                    y is not None and abs(y - w) <= 1e-9 * max(1, abs(w))
+                ) else 1
+    assert nbad == 0
