@@ -1005,6 +1005,26 @@ def q_scan_shift(s, d):
     )
 
 
+def q_scan_shift_blocked(s, d):
+    # the SAME lag through the blocked plan (order-quantile blocks ->
+    # local lag -> concat-tail carry prefix -> offset join), periods=3
+    # so the carried tails actually span rows: parallelism =
+    # num_blocks regardless of group count, closing the shift/diff/
+    # pct_change leg of the few-groups giant-table window gap.
+    # Bitwise == the window form by construction (shift copies
+    # values); shares scan_shift's SQL oracle shape at lag 3.
+    from flox_spark.shift_blocked import groupby_shift_blocked
+
+    df = _t(s, d, "events")
+    out = groupby_shift_blocked(
+        df, "user_id", value="value", order_by="event_id", periods=3,
+        num_blocks=8,
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("shift"), 6).alias("shifted")
+    )
+
+
 def q_scan_diff(s, d):
     # pandas GroupBy.diff parity: v - lag(v) within group
     df = _t(s, d, "events")
@@ -2554,10 +2574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows whose last driver hash check was r9 (the r12 VERDICT #1
     # staleness list: the whole core reduction/scan/binned/text
     # family), then [44-50] the watch/strategy carry-over:
-    # decontaminate (needs one clean driver window), kmeans, mean/var
-    # (label-prep change coverage), the refine strategy (label-prep
-    # coverage), and the two NEW r13 blocked operators
-    # (rank_avg_blocked, ewm_mean_blocked).
+    # decontaminate (needs one clean driver window), kmeans, mean +
+    # the refine strategy (label-prep change coverage), and the three
+    # NEW r13 blocked operators (rank_avg_blocked, ewm_mean_blocked,
+    # scan_shift_blocked).
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
     # window position.
     base = {
@@ -2616,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "dedup_lines": q_dedup_lines,
         "scan_shift": q_scan_shift,
+        "scan_shift_blocked": q_scan_shift_blocked,
         "rank_avg": q_rank_avg,
         "rank_avg_blocked": q_rank_avg_blocked,
         "pivot_sum": q_pivot_sum,
@@ -2736,7 +2757,7 @@ _R13_WINDOW = [
     "text_quality", "text_tokens", "text_tokens_bpe", "text_langid",
     "text_repetition", "text_fingerprint",
     # watch + label-prep coverage carry-over
-    "decontaminate", "kmeans", "mean", "var",
+    "decontaminate", "kmeans", "mean", "scan_shift_blocked",
     "ewm_mean_blocked", "quantile_refine", "rank_avg_blocked",
 ]
 
@@ -2914,6 +2935,11 @@ def oracle_sql() -> dict[str, str]:
         "scan_shift": """
             SELECT event_id, user_id,
                    round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)
+                     AS shifted
+            FROM events""",
+        "scan_shift_blocked": """
+            SELECT event_id, user_id,
+                   round(lag(value, 3) OVER (PARTITION BY user_id ORDER BY event_id), 6)
                      AS shifted
             FROM events""",
         "scan_diff": """

@@ -31,6 +31,7 @@ from flox_spark.pivot import groupby_pivot
 from flox_spark.rank import groupby_rank
 from flox_spark.ewm_blocked import groupby_ewm_blocked
 from flox_spark.rank_blocked import groupby_rank_blocked
+from flox_spark.shift_blocked import groupby_shift_blocked
 from flox_spark.stats import (
     fillna_group,
     flag_outliers,
@@ -53,6 +54,7 @@ __all__ = [
     "groupby_ewm_blocked",
     "groupby_rank",
     "groupby_rank_blocked",
+    "groupby_shift_blocked",
     "time_weighted_mean",
     "groupby_reduce",
     "bin_column",
