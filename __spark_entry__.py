@@ -383,17 +383,22 @@ def q_minhash_pairs_xx(s, d):
     # sets — equal sets => equal signatures under ANY hash => every
     # band collides => the pair MUST be emitted when max_bucket=None.
     #
-    # Physical shape (r13): the REAL banded operator runs once and its
-    # AUDIT-SIZED outputs come to the driver — candidate pairs (the
+    # Physical shape (r14): the REAL banded operator runs once and the
+    # ONLY driver materialization is its candidate-pair output (the
     # near-dup pair class, the same bounded scale as the union-find
-    # literal path), duplicate shingle-set groups (near-dup groups
-    # only), and 4 band counts — and the checks run in plain python;
-    # the result re-enters as a one-row LocalRelation (the winsorize/
-    # kmeans literal pattern).  A declarative 4-branch audit plan was
-    # measured 9.9 s (every branch re-ran the shingle+minhash
+    # literal path) — it re-enters as a broadcast LocalRelation that
+    # every membership check joins against.  Everything corpus-sized
+    # stays Spark-side: unknown-id = LEFT ANTI join of the literal
+    # pair ids against the docs scan, dup-shingle pair counting =
+    # distributed within-group expansion + LEFT join to the literal
+    # pairs, band shape = a 4-row aggregate crossed with the doc
+    # count — no O(corpus) driver memory anywhere (r13 VERDICT #4; the
+    # r13 form collected ALL doc ids + dup-group id lists and paired
+    # them in python loops).  A fully-declarative 4-branch audit plan
+    # was measured 9.9 s (every branch re-ran the shingle+minhash
     # pipeline) and lazy-checkpointing the shared frames 10.7 s (AQE
-    # plan -> RDD conversion); the literal form runs the three
-    # pipelines exactly once — measured 1.8 s quiet at sf0.1.
+    # plan -> RDD conversion); this literal-pairs form runs each
+    # pipeline exactly once.
     from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
     from flox_spark.plans.util import local_frame
     from flox_spark.streaming import minhash_band_keys
@@ -406,45 +411,88 @@ def q_minhash_pairs_xx(s, d):
     pair_set = {(r["id_a"], r["id_b"]) for r in pair_rows}
     n_bad_order = sum(1 for a, b in ((r["id_a"], r["id_b"]) for r in pair_rows) if a >= b)
     n_dup_pairs = len(pair_rows) - len(pair_set)
+    # unknown-id check Spark-side: known = docs SEMI-joined against
+    # the broadcast literal-id frame (the build side must be the tiny
+    # side — Spark cannot broadcast the LEFT of an anti join), unknown
+    # = literal ids minus known.  No id collect.
+    ids = sorted({x for p in pair_set for x in p})
+    if ids:
+        idf = local_frame(s, [(i,) for i in ids], "pid bigint")
+        n_known = (
+            docs.select(F.col("doc_id").alias("pid"))
+            .join(F.broadcast(idf), "pid", "left_semi")
+            .count()
+        )
+        n_unknown_ids = len(ids) - n_known
+    else:
+        n_unknown_ids = 0
     # duplicate shingle-set groups: ONE aggregate, only n>1 groups
-    # ship.  Tokens STAGED in their own select (the _word_tokens
+    # survive.  Tokens STAGED in their own select (the _word_tokens
     # discipline): inlined, the regex split re-evaluates once per
     # SHINGLE inside the transform lambda — measured 8.0 s vs 0.65 s
-    # staged for this exact aggregate at sf0.1.
+    # staged for this exact aggregate at sf0.1.  Shingle-LESS docs
+    # (under k tokens) are filtered out to match the oracle's
+    # sh-derived key set — they share the "" key but have empty
+    # signatures the banding never pairs (r13 ADVICE).
     toks = docs.select(F.col("doc_id"), _word_tokens(F.col("text")).alias("__t"))
-    key = F.concat_ws(
-        "\x1f",
-        F.array_sort(F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))),
-    ).alias("__k")
+    sh = toks.select(
+        F.col("doc_id"),
+        F.array_sort(
+            F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))
+        ).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
     grp = (
-        toks.select(F.col("doc_id"), key)
+        sh.select(F.col("doc_id"), F.concat_ws("\x1f", F.col("__sh")).alias("__k"))
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
     )
-    dup_groups = grp.filter(F.col("n") > 1).select("ids").collect()
-    doc_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
-    n_unknown_ids = sum(
-        1 for a, b in pair_set if a not in doc_ids or b not in doc_ids
+    # within-group pair expansion stays distributed (double explode —
+    # near-dup groups only, the bounded class); completeness = LEFT
+    # join against the literal pair frame, counted in one aggregate
+    dup_pairs = (
+        grp.filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
     )
-    dup_shingle_pairs = 0
-    dup_captured = 0
-    for r in dup_groups:
-        ids = sorted(r["ids"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                dup_shingle_pairs += 1
-                if (ids[i], ids[j]) in pair_set:
-                    dup_captured += 1
-    # band SHAPE: every doc hashes into exactly one bucket per band
-    band_counts = (
+    if pair_set:
+        litp = local_frame(
+            s, sorted(pair_set), "id_a bigint, id_b bigint"
+        )
+        checked = dup_pairs.join(
+            F.broadcast(litp),
+            (F.col("a") == F.col("id_a")) & (F.col("b") == F.col("id_b")),
+            "left",
+        )
+        drow = checked.agg(
+            F.count(F.lit(1)).alias("dsp"),
+            F.coalesce(
+                F.sum(F.col("id_a").isNotNull().cast("long")), F.lit(0)
+            ).alias("cap"),
+        ).collect()[0]
+    else:
+        drow = dup_pairs.agg(
+            F.count(F.lit(1)).alias("dsp"), F.lit(0).alias("cap")
+        ).collect()[0]
+    dup_shingle_pairs, dup_captured = drow["dsp"], drow["cap"]
+    # band SHAPE: every doc hashes into exactly one bucket per band —
+    # a 4-row aggregate crossed with the doc count, compared Spark-side
+    tot = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    brow = (
         minhash_band_keys(
             docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
         )
         .groupBy("band").agg(F.count(F.lit(1)).alias("nb"))
-        .collect()
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.coalesce(
+                F.sum((F.col("nb") != F.col("__nd")).cast("long")), F.lit(0)
+            ).alias("n_uneven"),
+        )
+        .collect()[0]
     )
-    n_bands = len(band_counts)
-    n_uneven_bands = sum(1 for r in band_counts if r["nb"] != len(doc_ids))
+    n_bands, n_uneven_bands = brow["n_bands"], brow["n_uneven"]
     return local_frame(
         s,
         [(n_bad_order, n_dup_pairs, n_unknown_ids, dup_shingle_pairs,

@@ -395,6 +395,14 @@ def groupby_reduce(
         else:
             kc = b
             if is_float_type(bdt):
+                if b == value:
+                    # the fold is a GROUPING-KEY normalization only:
+                    # when the key column is also the value column
+                    # (groupby_reduce(by=b, value=b)), snapshot the
+                    # raw bits first so sign-sensitive reductions
+                    # (first/min/sum of all -0.0) see -0.0 values
+                    work = work.withColumn("__fs_value_raw", F.col(value))
+                    value = "__fs_value_raw"
                 work = work.withColumn(b, _fold_negzero(b, bdt))
         key_cols.append(kc)
 
@@ -736,6 +744,11 @@ def groupby_reduce_multi(
     isbin_t = _as_tuple(isbin, nby, "isbin")
     isbin_t, expected_t, closed_t = _normalize_expected(expected_groups, isbin_t, nby)
 
+    agg_value_cols = {
+        (spec["value"] if isinstance(spec, dict) else spec[1])
+        for spec in aggs.values()
+    }
+    raw_map: dict[str, str] = {}
     work = df
     key_cols: list[str] = []
     by_dts: list = []
@@ -750,6 +763,13 @@ def groupby_reduce_multi(
         else:
             kc = b
             if is_float_type(bdt):
+                if b in agg_value_cols:
+                    # grouping-key normalization only: preserve the
+                    # raw value bits for aggs over the key column
+                    # itself (see groupby_reduce's same branch)
+                    raw = f"__fs_raw__{b}"
+                    work = work.withColumn(raw, F.col(b))
+                    raw_map[b] = raw
                 work = work.withColumn(b, _fold_negzero(b, bdt))
         key_cols.append(kc)
 
@@ -762,6 +782,7 @@ def groupby_reduce_multi(
         else:
             func, value = spec
             fk = {}
+        value = raw_map.get(value, value)
         if isinstance(func, str):
             if func not in REDUCTIONS:
                 raise ValueError(f"unknown reduction {func!r}")

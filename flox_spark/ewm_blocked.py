@@ -85,7 +85,11 @@ def groupby_ewm_blocked(
     plan: same parameters and output shape, plus ``num_blocks`` — the
     order-range split width, i.e. the EWM's parallelism floor
     regardless of how few groups there are.  ``order_by`` must be
-    non-null (same contract as ``groupby_scan_blocked``)."""
+    non-null (same contract as ``groupby_scan_blocked``); it may be
+    TIED — ties land in one block and the carry is selected by
+    processing position, so downstream blocks see the full tie run
+    (per-row values among tied rows are tie-order-dependent, exactly
+    like the one-kernel ``groupby_ewm``)."""
     if not adjust:
         raise ValueError(
             "groupby_ewm_blocked supports adjust=True only (the "
@@ -141,7 +145,13 @@ def groupby_ewm_blocked(
     schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
     schema = ", ".join(
         schema_parts
-        + ["`__blk` int", "`__num` double", "`__den` double", "`__A` double"]
+        + [
+            "`__blk` int",
+            "`__num` double",
+            "`__den` double",
+            "`__A` double",
+            "`__pos` bigint",
+        ]
     )
     keys = [*by, "__blk"]
     ign = ignore_na
@@ -185,6 +195,13 @@ def groupby_ewm_blocked(
         else:
             k = g.cumcount() + 1
         keep["__A"] = np.power(base, k.to_numpy(dtype="float64"))
+        # per-row PROCESSING position within (key, block): the carry
+        # selector.  order_by may be tied (second-granularity
+        # timestamps), and among tied rows cA = base^k is LARGER for
+        # the earlier row — a max-struct keyed on order_by would pick
+        # a non-final state and silently drop the later tied rows'
+        # contributions from every downstream block's mean.
+        keep["__pos"] = g.cumcount().to_numpy(dtype="int64")
         return keep.drop(columns=["__ind"])
 
     from flox_spark.transform import groupby_apply_batched
@@ -193,11 +210,13 @@ def groupby_ewm_blocked(
         work, *keys, fn=fn, schema=schema, order_by=order_by
     )
 
-    # stage 2: per-block carries = the LAST row's (A, num, den); an
+    # stage 2: per-block carries = the LAST row's (A, num, den) in
+    # PROCESSING order (__pos — unique within the block, so the max
+    # struct is deterministic even under tied order_by values); an
     # all-invalid block carries (A, 0, 0) — the fold's identity shape
     last = F.max(
         F.struct(
-            F.col(order_by).alias("o"),
+            F.col("__pos").alias("p"),
             F.col("__A").alias("cA"),
             F.coalesce(F.nanvl(F.col("__num"), F.lit(0.0)), F.lit(0.0)).alias("cn"),
             F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0)).alias("cd"),

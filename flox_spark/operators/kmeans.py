@@ -145,9 +145,6 @@ def _seeds_from_candidates(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
-_SEED_VIEW_N = [0]
-
-
 def seed_centroids(
     df: DataFrame,
     k: int,
@@ -171,9 +168,13 @@ def seed_centroids(
     logical plan is the same shape (TakeOrderedAndProject twice, two
     windows over the 2k-row candidate frame) — ``_seeds_from_candidates``
     stays as the plan-twin documentation of the selection contract."""
+    import uuid
+
     spark = df.sparkSession
-    _SEED_VIEW_N[0] += 1
-    view = f"__fs_seed_src_{_SEED_VIEW_N[0]}"
+    # uuid view name: a module counter is not thread-safe, and two
+    # concurrent builds on one SparkSession could collide through
+    # createOrReplaceTempView / the finally-block drop
+    view = f"__fs_seed_src_{uuid.uuid4().hex}"
     qid = ".".join("`%s`" % p.replace("`", "``") for p in id_col.split("."))
     qv = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
     sq = seed.replace("'", "''")

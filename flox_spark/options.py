@@ -95,6 +95,22 @@ OPTIONS: dict[str, Any] = {
     # (their whole output provably fits one sort task).  At 100 TB the
     # stats blow past this and the distributed range sort runs.
     "single_partition_sort_input_max_bytes": 256 << 20,
+    # Blocked-plan auto-routing (blocked_route.py; SCALE.md r13/r14
+    # crossover tables).  groupby_rank / groupby_scan / groupby_ewm
+    # accept plan="auto"|"window"|"blocked"; "auto" short-circuits to
+    # the one-window form (zero extra work) for inputs whose
+    # plan-stats size is at most min_bytes — no group can cross a
+    # millions-of-rows crossover inside 64 MB — and past the gate pays
+    # ONE key-only probe job to estimate rows-per-group against the
+    # operator's measured crossover.
+    "blocked_route_min_bytes": 64 << 20,
+    # rank: blocked wins 2.1x at 8M rows/group, loses 3x at 200k
+    "blocked_route_rank_rows": 4_000_000,
+    # scans/shift: WindowExec crossover measured at ~8-10M rows/group
+    "blocked_route_scan_rows": 8_000_000,
+    # ewm mean: blocked wins 2.8x at 4M rows/group AND lifts the
+    # whole-group-in-one-worker memory wall, so the switch sits lower
+    "blocked_route_ewm_rows": 2_000_000,
     # How self-join diamond DAGs materialize their shared frame:
     # "local_checkpoint" (default): faster, auto-cleaned by the
     # ContextCleaner when dereferenced, but stored only on executors —
@@ -116,6 +132,10 @@ _VALIDATORS = {
     "single_partition_sort_max": lambda v: isinstance(v, int) and v >= 0,
     "single_partition_sort_input_max_bytes": lambda v: isinstance(v, int) and v >= 0,
     "diamond_materialize": lambda v: v in ("local_checkpoint", "persist", "none"),
+    "blocked_route_min_bytes": lambda v: isinstance(v, int) and v >= 0,
+    "blocked_route_rank_rows": lambda v: isinstance(v, int) and v >= 0,
+    "blocked_route_scan_rows": lambda v: isinstance(v, int) and v >= 0,
+    "blocked_route_ewm_rows": lambda v: isinstance(v, int) and v >= 0,
 }
 
 

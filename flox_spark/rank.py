@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flox_spark.dtypes import arith_input, is_missing
+from flox_spark.options import OPTIONS
 
 __all__ = ["groupby_rank"]
 
@@ -35,6 +36,7 @@ def groupby_rank(
     order_by: str | None = None,
     out: str = "rank",
     pct: bool = False,
+    plan: str = "auto",
 ) -> DataFrame:
     """Add a ``rank`` column: the ``value``'s rank within its group.
 
@@ -49,6 +51,15 @@ def groupby_rank(
     unranked and excluded from the divisor; with top/bottom they are
     ranked and included).  For ``method="dense"`` pandas divides by
     the number of distinct ranked values, not rows — matched here.
+
+    ``plan``: physical strategy.  ``"auto"`` (default) keeps this
+    one-window form unless plan stats say rows-per-group crosses the
+    measured blocked crossover (``blocked_route.route_to_blocked``;
+    OPTIONS["blocked_route_rank_rows"]), in which case the
+    bitwise-equal ``groupby_rank_blocked`` runs — the WindowExec's
+    parallelism is bound by group-key cardinality, so a few-groups
+    giant table would serialize one group's whole sort on one core.
+    ``"window"``/``"blocked"`` force a strategy.
     """
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
@@ -60,6 +71,31 @@ def groupby_rank(
             "does not have — pass order_by="
         )
     vdt = df.schema[value].dataType
+
+    from flox_spark import blocked_route
+    from flox_spark.dtypes import is_bool_type, is_datetime_type, is_timedelta_type
+    from pyspark.sql.types import NumericType
+
+    blocked_route.validate_plan(plan, "groupby_rank")
+    blockable = (
+        isinstance(vdt, NumericType)
+        or is_bool_type(vdt)
+        or is_datetime_type(vdt)
+        or is_timedelta_type(vdt)
+    )
+    if plan == "blocked" or (
+        plan == "auto"
+        and blockable
+        and blocked_route.route_to_blocked(
+            df, by, OPTIONS["blocked_route_rank_rows"]
+        )
+    ):
+        from flox_spark.rank_blocked import groupby_rank_blocked
+
+        return groupby_rank_blocked(
+            df, *by, value=value, method=method, ascending=ascending,
+            na_option=na_option, order_by=order_by, out=out, pct=pct,
+        )
     v = F.col(value)
     missing = is_missing(v, vdt)
     av, _ = arith_input(v, vdt)

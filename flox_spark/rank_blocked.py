@@ -100,6 +100,13 @@ def groupby_rank_blocked(
         miss_blk = -1 if miss_first else num_blocks
     else:
         miss_blk = num_blocks if miss_first else -1
+    # __vord / __miss are STAGED as real columns BEFORE the crossJoin
+    # (the ewm_blocked lesson, ewm_blocked.py stage-0 comment): a
+    # derived expression captured in the block-filter lambda can
+    # mis-bind across the join under some optimized plan shapes —
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on one plan, silently wrong
+    # block assignment on another; a bound column reference is stable.
+    work = df.withColumn("__vord", vord).withColumn("__miss", missing.cast("int"))
     if num_blocks > 1:
         qs = [i / num_blocks for i in range(1, num_blocks)]
         bounds = df.agg(
@@ -107,17 +114,15 @@ def groupby_rank_blocked(
                 vord, F.array(*[F.lit(q) for q in qs]), F.lit(10000)
             ).alias("__breaks")
         )
-        blk = F.size(F.filter(F.col("__breaks"), lambda b: b < vord)).cast("int")
-        work = df.crossJoin(F.broadcast(bounds))
+        blk = F.size(
+            F.filter(F.col("__breaks"), lambda b: b < F.col("__vord"))
+        ).cast("int")
+        work = work.crossJoin(F.broadcast(bounds))
     else:
         blk = F.lit(0)
-        work = df
-    work = (
-        work.withColumn("__vord", vord)
-        .withColumn("__miss", missing.cast("int"))
-        .withColumn(
-            "__blk", F.when(missing, F.lit(miss_blk)).otherwise(blk)
-        )
+    work = work.withColumn(
+        "__blk",
+        F.when(F.col("__miss") == 1, F.lit(miss_blk)).otherwise(blk).cast("int"),
     )
     if num_blocks > 1:
         work = work.drop("__breaks")

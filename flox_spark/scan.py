@@ -35,12 +35,24 @@ def groupby_scan(
     engine: str | None = None,
     method: str | None = None,
     finalize_kwargs: dict | None = None,
+    plan: str = "auto",
 ) -> DataFrame:
     """Grouped scan with flox semantics (flox/scan.py:101-315).
     ``engine``/``method`` accepted for flox call-site compatibility
     and ignored (WindowExec replaces both scan methods); ``dtype``
     casts the value column before the scan (flox scan.py's dtype
     argument — the scan runs in the requested type).
+
+    ``plan``: physical strategy.  ``"auto"`` (default) keeps the
+    one-window form unless plan stats say rows-per-group crosses the
+    measured blocked crossover (``blocked_route.route_to_blocked``;
+    OPTIONS["blocked_route_scan_rows"]) — then the exactly-equal
+    blocked twin runs (``groupby_scan_blocked`` for the cumulative
+    funcs, ``groupby_shift_blocked`` for shift/diff/pct_change),
+    whose parallelism is num_blocks per group instead of one task
+    per group.  ``"window"``/``"blocked"`` force a strategy (blocked
+    raises for custom ``Scan`` specs — their window expressions have
+    no generic carry decomposition).
 
     Supported funcs (flox SCANS registry, flox/aggregations.py:849-878):
 
@@ -76,6 +88,41 @@ def groupby_scan(
         from flox_spark.core import _spark_type
 
         df = df.withColumn(value, F.col(value).cast(_spark_type(dtype)))
+
+    from flox_spark import blocked_route
+
+    blocked_route.validate_plan(plan, "groupby_scan")
+    if plan == "blocked" and custom:
+        raise ValueError(
+            "plan='blocked' does not apply to custom Scan specs (no "
+            "generic carry decomposition for an arbitrary window "
+            "expression); use plan='window'"
+        )
+    if not custom and plan != "window":
+        from flox_spark.options import OPTIONS
+        from flox_spark.scan_blocked import _SUPPORTED as _BLOCKED_SCANS
+
+        _shiftlike = func in ("shift", "diff", "pct_change")
+        blockable = func in _BLOCKED_SCANS or _shiftlike
+        if plan == "blocked" or (
+            blockable
+            and blocked_route.route_to_blocked(
+                df, by, OPTIONS["blocked_route_scan_rows"], order_by=order_by
+            )
+        ):
+            if _shiftlike:
+                from flox_spark.shift_blocked import groupby_shift_blocked
+
+                return groupby_shift_blocked(
+                    df, *by, value=value, order_by=order_by, func=func,
+                    periods=int((finalize_kwargs or {}).get("periods", 1)),
+                    alias=out,
+                )
+            from flox_spark.scan_blocked import groupby_scan_blocked
+
+            return groupby_scan_blocked(
+                df, *by, func=func, value=value, order_by=order_by, alias=out
+            )
     vdt = df.schema[value].dataType
     v = F.col(value)
     missing = is_missing(v, vdt)
@@ -191,6 +238,7 @@ def groupby_ewm(
     adjust: bool = True,
     ignore_na: bool = False,
     out: str | None = None,
+    plan: str = "auto",
 ):
     """Per-group exponentially weighted mean/std/var — pandas
     ``GroupBy.ewm`` parity, including ``adjust`` and ``ignore_na``.
@@ -213,13 +261,46 @@ def groupby_ewm(
     the same legitimacy as the packing operator's (SURVEY §2.6).
 
     Exactly one of ``alpha`` / ``halflife`` / ``span``; ``func``:
-    mean | var | std (pandas ddof=1 ewm variance)."""
+    mean | var | std (pandas ddof=1 ewm variance).
+
+    ``plan``: ``"auto"`` (default) keeps this per-group hatch unless
+    plan stats say rows-per-group crosses the measured blocked
+    crossover (``blocked_route.route_to_blocked``;
+    OPTIONS["blocked_route_ewm_rows"]) AND the call is in
+    ``groupby_ewm_blocked``'s scope (func="mean", adjust=True) — then
+    the blocked linear-recurrence form runs, which also lifts this
+    hatch's whole-group-in-one-worker memory wall.
+    ``"window"``/``"blocked"`` force a strategy ("window" here
+    meaning this one-kernel-per-group form)."""
     import pandas as pd  # noqa: F401 — worker-side dependency
 
     if sum(x is not None for x in (alpha, halflife, span)) != 1:
         raise ValueError("pass exactly one of alpha=, halflife=, span=")
     if func not in ("mean", "var", "std"):
         raise ValueError(f"func must be mean|var|std, got {func!r}")
+
+    from flox_spark import blocked_route
+
+    blocked_route.validate_plan(plan, "groupby_ewm")
+    if plan != "window" and func == "mean" and adjust:
+        from flox_spark.options import OPTIONS
+
+        if plan == "blocked" or blocked_route.route_to_blocked(
+            df, by, OPTIONS["blocked_route_ewm_rows"], order_by=order_by
+        ):
+            from flox_spark.ewm_blocked import groupby_ewm_blocked
+
+            return groupby_ewm_blocked(
+                df, *by, value=value, order_by=order_by, alpha=alpha,
+                halflife=halflife, span=span, adjust=adjust,
+                ignore_na=ignore_na, out=out,
+            )
+    elif plan == "blocked":
+        raise ValueError(
+            "plan='blocked' requires func='mean' with adjust=True "
+            "(groupby_ewm_blocked's scope); var/std and adjust=False "
+            "stay on the per-group kernel"
+        )
     out = out or f"ewm_{func}"
     kw = (
         {"alpha": alpha}

@@ -103,6 +103,45 @@ def test_blocked_ewm_rejects_unsupported(spark):
         groupby_ewm_blocked(df, "k", value="v", order_by="t")
 
 
+@pytest.mark.parametrize("ign", [False, True])
+def test_blocked_ewm_tied_order_carry(spark, ign):
+    # r13 ADVICE (high) regression pin: the stage-2 carry was keyed on
+    # order_by, and when the block's max order value was TIED the
+    # max-struct picked a NON-final state (cA = base^k is larger for
+    # the EARLIER tied row) — silently dropping the later tied rows'
+    # contributions from every downstream block's mean.  The carry is
+    # now keyed on processing position.  Equal values among ties make
+    # the expectation order-invariant, so both the differential and
+    # the hand golden are exact.
+    pdf = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "t": [1, 1, 1, 5, 6, 6, 2, 2, 2, 9],
+        "v": [10.0, 10.0, 10.0, 1.0, 2.0, 2.0, 4.0, 4.0, 4.0, 7.0],
+    })
+    df = spark.createDataFrame(pdf)
+    want = _rows(groupby_ewm(
+        df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign
+    ))
+    for nb in (2, 3, 5):
+        got = _rows(groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+            num_blocks=nb,
+        ))
+        _close(want, got)
+    # hand golden for the first row after the tie run: the carried
+    # denominator must be the FULL tie run's 1 + b + b^2 (old bug: 1)
+    got2 = {
+        (r["k"], r["t"]): r["ewm_mean"]
+        for r in groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+            num_blocks=2,
+        ).collect()
+    }
+    b = 0.5
+    run = b ** 2 + b + 1
+    assert abs(got2[("a", 5)] - (1 + b * 10 * run) / (1 + b * run)) < 1e-9
+
+
 # ---- hypothesis fuzz ----
 
 from hypothesis import HealthCheck, given, settings

@@ -397,3 +397,44 @@ def test_plan_has_shuffle_probe(spark):
     # coalesce-able boundary)
     dim = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lbl": ["x"]}))
     assert not _plan_has_shuffle(df.join(F.broadcast(dim), "k"))
+
+
+def test_key_is_value_negzero_sign_preserved(spark):
+    # ADVICE r13 (low): _fold_negzero normalizes -0.0 GROUPING keys to
+    # 0.0 (Catalyst NormalizeFloatingNumbers parity for the python
+    # aggregate paths) — but when the key column is ALSO the value
+    # column the fold must not rewrite the VALUE bits: first/min/sum
+    # over a group of all -0.0 are sign-sensitive (-0.0, not 0.0).
+    # NB sum is excluded: Spark's Sum zero-initializes its buffer, so
+    # 0.0 + -0.0 = +0.0 by IEEE — the engine itself never emits a
+    # -0.0 sum regardless of the fold (verified on a raw F.sum).
+    rows = [(-0.0, i) for i in range(3)] + [(1.5, 10), (1.5, 11)]
+    df = spark.createDataFrame(rows, schema="kf double, t int")
+    for func, kw in (("first", {"order_by": "t"}), ("min", {}), ("max", {})):
+        got = {
+            r["kf"]: r["r"]
+            for r in groupby_reduce(
+                df, "kf", func=func, value="kf", alias="r", **kw
+            ).collect()
+        }
+        # emitted KEY is normalized (one zero group, +0.0 bits) ...
+        assert set(got) == {0.0, 1.5}
+        assert all(math.copysign(1.0, k) == 1.0 for k in got)
+        # ... but the reduced VALUE keeps the raw -0.0 sign
+        assert math.copysign(1.0, got[0.0]) == -1.0, (func, got)
+
+
+def test_key_is_value_negzero_multi(spark):
+    from flox_spark import groupby_reduce_multi
+
+    rows = [(-0.0, 1.0)] * 3 + [(2.5, 3.0)] * 2
+    df = spark.createDataFrame(rows, schema="kf double, v double")
+    res = {
+        r["kf"]: (r["m_kf"], r["s_v"])
+        for r in groupby_reduce_multi(
+            df, "kf", aggs={"m_kf": ("min", "kf"), "s_v": ("sum", "v")}
+        ).collect()
+    }
+    assert set(res) == {0.0, 2.5}
+    assert math.copysign(1.0, res[0.0][0]) == -1.0
+    assert res[0.0][1] == 3.0
