@@ -650,17 +650,27 @@ def q_ann_topk_768(s, d):
 
 
 def q_lsh_sig_768(s, d):
-    # rows-only driver evidence for _numpy_signature_pass (r10
-    # VERDICT #3): dim-768 signatures through the FORCED Arrow matmul
-    # kernel, folded to a per-band distinct-bucket count — 4 bands of
-    # 4 bits -> exactly 4 rows, with deterministic bucket counts
-    # (plane weights are a fixed integer mix).  Pytest pins the
-    # numpy/expr signature bit-parity; this row is the kernel running
-    # under the driver harness.
+    # driver evidence for _numpy_signature_pass (r10 VERDICT #3):
+    # dim-768 signatures through the FORCED Arrow matmul kernel.
+    # Upgraded from rows-only to a DuckDB INVARIANT oracle (r13
+    # VERDICT #5): exactly one well-formed 16-char '0'/'1' signature
+    # per vector, and per-band bucket-count consistency — each 4-bit
+    # band's distinct-bucket count must be between 1 and
+    # min(2^4, n_vecs).  The oracle recomputes the vector counts from
+    # the embeddings table; the violation counters pin at zero.
+    # Pytest pins the numpy/expr signature bit-parity; this row is
+    # the kernel running under the driver harness.
     from flox_spark.operators.similarity import lsh_signature_bits
 
     base = _tiles768(_t(s, d, "embeddings"))
     sigs = lsh_signature_bits(base, planes=16, dim=768, kernel="numpy")
+    stats = sigs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("vec_id")).alias("n_vecs"),
+        F.coalesce(
+            F.sum((~F.col("sig").rlike("^[01]{16}$")).cast("long")), F.lit(0)
+        ).alias("n_bad_format"),
+    )
     bands = sigs.select(
         F.explode(
             F.array(
@@ -674,30 +684,137 @@ def q_lsh_sig_768(s, d):
             )
         ).alias("bb")
     ).select("bb.*")
-    return (
-        bands.groupBy("band")
-        .agg(F.count_distinct("bucket").alias("n_buckets"))
-        .orderBy("band")
+    per_band = bands.groupBy("band").agg(
+        F.count_distinct("bucket").alias("__nb")
+    )
+    bstats = per_band.crossJoin(F.broadcast(stats.select("n_vecs"))).agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("__nb") < 1)
+                    | (F.col("__nb") > F.least(F.lit(16), F.col("n_vecs")))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_bucket_oob"),
+    )
+    return stats.crossJoin(bstats).select(
+        "n_rows", "n_vecs", "n_bad_format", "n_bands", "n_bucket_oob"
     )
 
 
 def q_neardup_768(s, d):
-    # rows-only driver evidence for _arrow_cosine_pass (r10 VERDICT
-    # #3): the near-dup verify stage at dim 768 through the FORCED
-    # Arrow einsum pass.  Tiling with fixed per-tile scales preserves
+    # driver evidence for _arrow_cosine_pass (r10 VERDICT #3): the
+    # near-dup verify stage at dim 768 through the FORCED Arrow
+    # einsum pass.  Tiling with fixed per-tile scales preserves
     # cosine exactly (numerator and both norms scale by the same
-    # factor), so the pair decisions match the dim-64 geometry while
-    # the kernel does 12x the arithmetic; pair count is deterministic.
+    # factor), so the pair decisions match the dim-64 geometry.
     # max_bucket=200: 16 planes / 4-bit bands barely prune this
     # clustered corpus at sf0.1 (527k candidate pairs from 2000
     # vectors = 6.5 GB of dim-768 arrays through the verify join) —
     # the quadratic guard drops the degenerate buckets exactly as it
     # would at 100 TB, while every sf0.01 bucket is under the cap so
-    # the driver-checked pair set is unchanged
-    base = _tiles768(_t(s, d, "embeddings"))
-    return embedding_near_duplicates(
+    # the driver-checked pair set is unchanged.
+    #
+    # Upgraded from rows-only to a DuckDB INVARIANT oracle (r13
+    # VERDICT #5), the minhash_pairs_xx literal-pairs shape: the
+    # operator runs ONCE, its audit-sized pair output re-enters as a
+    # broadcast LocalRelation, and the counters are (a) pair order/
+    # distinctness, (b) ids resolvable in the corpus, (c) SOUNDNESS —
+    # every emitted pair's dim-64 cosine, recomputed declaratively
+    # from the base embeddings, is >= threshold (tiling preserves
+    # cosine, so a forced-kernel bug shows up here), and (d)
+    # COMPLETENESS on identical vectors: equal embeddings => equal
+    # signatures under ANY plane set => candidate in every band =>
+    # the pair MUST be emitted with cos 1.  DuckDB recomputes the
+    # identical-embedding pair count; everything else pins at zero.
+    from flox_spark.plans.util import local_frame
+
+    emb = _t(s, d, "embeddings")
+    base = _tiles768(emb)
+    pair_rows = embedding_near_duplicates(
         base, threshold=0.45, planes=16, bands=4, dim=768, verify="numpy",
         signature_kernel="numpy", max_bucket=200, round_to=6,
+    ).collect()
+    pair_set = {(r["id_a"], r["id_b"]) for r in pair_rows}
+    n_bad_order = sum(1 for a, b in ((r["id_a"], r["id_b"]) for r in pair_rows) if a >= b)
+    n_dup_pairs = len(pair_rows) - len(pair_set)
+    e = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    ids = sorted({x for p in pair_set for x in p})
+    if ids:
+        idf = local_frame(s, [(i,) for i in ids], "pid bigint")
+        n_known = (
+            e.select(F.col("vec_id").alias("pid"))
+            .join(F.broadcast(idf), "pid", "left_semi")
+            .count()
+        )
+        n_unknown_ids = len(ids) - n_known
+    else:
+        n_unknown_ids = 0
+
+    def _dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    if pair_set:
+        litp = local_frame(s, sorted(pair_set), "id_a bigint, id_b bigint")
+        ea = e.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"))
+        eb = e.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"))
+        cos = _dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+            _dot(F.col("__va"), F.col("__va"))
+            * _dot(F.col("__vb"), F.col("__vb"))
+        )
+        n_false_pairs = (
+            F.broadcast(litp)
+            .join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(cos.alias("__cos"))
+            .filter(F.col("__cos") < 0.45 - 1e-6)
+            .count()
+        )
+    else:
+        n_false_pairs = 0
+    # identical-vector groups: distributed within-group expansion +
+    # completeness check against the literal pair frame
+    grp = e.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("n"), F.collect_list("vec_id").alias("ids")
+    )
+    dup_pairs = (
+        grp.filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    if pair_set:
+        litp2 = local_frame(s, sorted(pair_set), "id_a bigint, id_b bigint")
+        checked = dup_pairs.join(
+            F.broadcast(litp2),
+            (F.col("a") == F.col("id_a")) & (F.col("b") == F.col("id_b")),
+            "left",
+        )
+        drow = checked.agg(
+            F.count(F.lit(1)).alias("dvp"),
+            F.coalesce(
+                F.sum(F.col("id_a").isNotNull().cast("long")), F.lit(0)
+            ).alias("cap"),
+        ).collect()[0]
+    else:
+        drow = dup_pairs.agg(
+            F.count(F.lit(1)).alias("dvp"), F.lit(0).alias("cap")
+        ).collect()[0]
+    return local_frame(
+        s,
+        [(n_bad_order, n_dup_pairs, n_unknown_ids, int(n_false_pairs),
+          drow["dvp"], drow["cap"])],
+        "n_bad_order bigint, n_dup_pairs bigint, n_unknown_ids bigint, "
+        "n_false_pairs bigint, dup_vec_pairs bigint, dup_captured bigint",
     )
 
 
@@ -1221,6 +1338,25 @@ def q_ewm_mean_blocked(s, d):
     out = groupby_ewm_blocked(
         _t(s, d, "events"), "user_id", value="value", order_by="ts",
         span=20, num_blocks=8,
+    )
+    return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
+
+
+def q_ewm_adjf_blocked(s, d):
+    # adjust=False blocked EWM mean (r14): pandas' renormalize-per-
+    # observation kernel through the affine (lam, mu, seed) carry —
+    # driver-visible evidence for the new fold path.  ignore_na=True
+    # here because it has an exact closed form (gaps are skipped, so
+    # weights are b^(V-v) with the first valid observation keeping
+    # weight 1 — a plain weighted sum over valid-rank positions) that
+    # DuckDB can recompute; ignore_na=False (no closed form — the
+    # renormalization chains products of (b^g + a)) is pinned by the
+    # pytest differentials instead.
+    from flox_spark.ewm_blocked import groupby_ewm_blocked
+
+    out = groupby_ewm_blocked(
+        _t(s, d, "events"), "user_id", value="value", order_by="ts",
+        span=20, adjust=False, ignore_na=True, num_blocks=8,
     )
     return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
 
@@ -2284,6 +2420,23 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""",
                    0::BIGINT AS n_out_of_range,
                    nq::BIGINT AS n_self_top
             FROM q""",
+        "lsh_sig_768": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT vec_id)::BIGINT AS n_vecs,
+                   0::BIGINT AS n_bad_format,
+                   4::BIGINT AS n_bands,
+                   0::BIGINT AS n_bucket_oob
+            FROM embeddings""",
+        "neardup_768": """
+            WITH g AS (SELECT embedding, count(*) AS n
+                       FROM embeddings GROUP BY embedding HAVING count(*) > 1)
+            SELECT 0::BIGINT AS n_bad_order,
+                   0::BIGINT AS n_dup_pairs,
+                   0::BIGINT AS n_unknown_ids,
+                   0::BIGINT AS n_false_pairs,
+                   coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS dup_vec_pairs,
+                   coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS dup_captured
+            FROM g""",
         # pack_sequences: the bin ASSIGNMENT is iterative/engine-specific
         # (no SQL form), but the invariants of a correct packing are
         # relational — the oracle recomputes the doc-side facts from raw
@@ -2611,21 +2764,19 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict, assembled from `_R13_WINDOW` below
-    # over the full registry.  Round-13 window: [1-10] the rows whose
-    # implementation or oracle changed this round — the three
-    # rows-only -> INVARIANT-oracle upgrades (minhash_pairs_xx,
-    # simhash_xx, ann_topk_768), the quantile family re-windowed under
-    # the r13 float-key normalization + driver-kernel NaN/-0.0 fixes,
-    # and the LM pair + semdedup pair/decision rows under the r13
-    # tokenize-fan and SQL-string seed rebuilds — then [11-43] the 33
-    # rows whose last driver hash check was r9 (the r12 VERDICT #1
-    # staleness list: the whole core reduction/scan/binned/text
-    # family), then [44-50] the watch/strategy carry-over:
-    # decontaminate (needs one clean driver window), kmeans, mean +
-    # the refine strategy (label-prep change coverage), and the three
-    # NEW r13 blocked operators (rank_avg_blocked, ewm_mean_blocked,
-    # scan_shift_blocked).
+    # 50-query prefix of this dict, assembled from `_R14_WINDOW` below
+    # over the full registry.  Round-14 window: [1-7] the rows whose
+    # implementation changed this round — the NEW adjust=False blocked
+    # EWM row (ewm_adjf_blocked) + the ewm family (shared blocked
+    # module restructure + the tied-order carry fix), the rewritten
+    # minhash_pairs_xx audit (Spark-side certification, no corpus
+    # collects), and the rank family (rank_blocked __vord staging +
+    # the plan="auto" routing default in groupby_rank) — then [8-50]
+    # the r10/r11-era staleness rotation from the r13 VERDICT #2
+    # list: the span-dedup family, the dedup/LSH family, rank/corr/
+    # stats, sessions/asof/funnel, sampling/splits, and the
+    # expected_fill/weighted/resample/pivot/scd2/diff/heavy-hitters/
+    # rollup/range-join/refine2/salted tail.
     # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
     # window position.
     base = {
@@ -2736,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_encode": q_frequency_encode,
         "ewm_mean": q_ewm_mean,
         "ewm_mean_blocked": q_ewm_mean_blocked,
+        "ewm_adjf_blocked": q_ewm_adjf_blocked,
         "nansum": q_nansum,
         "count": q_count,
         "var_ddof1": q_var_ddof1,
@@ -2781,32 +2933,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
     }
-    return {**{k: base[k] for k in _R13_WINDOW}, **base}
+    return {**{k: base[k] for k in _R14_WINDOW}, **base}
 
 
 # the driver-checked 50-query prefix (see the rotation comment above);
 # dict insertion order puts these first, then every remaining registry
 # row in its stable order.  Keep this list in sync with the comment.
-_R13_WINDOW = [
-    # r13-changed rows: invariant-oracle upgrades + the quantile/LM/
-    # semdedup families whose plans changed this round
-    "minhash_pairs_xx", "simhash_xx", "ann_topk_768",
-    "quantile", "median", "quantile_vector",
-    "perplexity", "perplexity_filter", "semdedup_pairs", "semdedup",
-    # r9-stale rotation (r12 VERDICT #1, all 33)
-    "count", "nansum", "prod", "std", "var_ddof1",
-    "min", "max", "min_plain",
-    "first", "last", "first_plain",
-    "argmin", "argmax", "argmax_plain",
-    "mode", "mode_plain", "any", "all",
-    "scan_cumsum", "scan_ffill", "scan_bfill", "scan_cumcount",
-    "binned_labels", "binned_datetime", "binned_left",
-    "multiby_highcard", "q1_multi",
-    "text_quality", "text_tokens", "text_tokens_bpe", "text_langid",
-    "text_repetition", "text_fingerprint",
-    # watch + label-prep coverage carry-over
-    "decontaminate", "kmeans", "mean", "scan_shift_blocked",
-    "ewm_mean_blocked", "quantile_refine", "rank_avg_blocked",
+_R14_WINDOW = [
+    # r14-changed rows
+    "ewm_adjf_blocked", "ewm_mean_blocked", "ewm_mean",
+    "minhash_pairs_xx", "rank_avg_blocked", "rank_avg", "rank_pct",
+    # r10/r11-era staleness rotation (r13 VERDICT #2)
+    "dup_spans", "dup_spans_removed", "dup_spans_against",
+    "decontaminate_spans",
+    "dedup_exact", "minhash_clusters", "minhash_pairs", "jaccard_pairs",
+    "simhash", "simhash_pairs", "dedup_against", "minhash_against",
+    "levenshtein_refine", "fuzzy_join",
+    "corr_pearson", "corr_spearman", "describe", "value_counts",
+    "skew", "kurtosis", "winsorize", "entropy",
+    "sessionize", "session_stats", "asof_join", "funnel", "range_join",
+    "sample_bernoulli", "sample_stratified", "split_train_test",
+    "leakage_split",
+    "expected_fill", "weighted_var", "resample", "twa", "upsample_ffill",
+    "pivot_sum", "scd2", "table_diff",
+    "heavy_hitters", "distinct_rollup", "quantile_refine2", "salted_sum",
 ]
 
 def oracle_sql() -> dict[str, str]:
@@ -3161,6 +3311,29 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
                        FILTER (b.value IS NOT NULL AND NOT isnan(b.value)),
                      6) AS ewm_mean
             FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.user_id, a.ts""",
+        "ewm_adjf_blocked": """
+            -- adjust=False, ignore_na=True: gaps are skipped, so the
+            -- mean is a weighted sum over VALID-rank positions v with
+            -- weights a*b^(V-v), except the first valid observation
+            -- which keeps weight b^(V-1) (pandas weight-1 seed); the
+            -- weights sum to exactly 1, so no denominator.
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     count(*) FILTER (WHERE value IS NOT NULL
+                                        AND NOT isnan(value))
+                       OVER (PARTITION BY user_id ORDER BY ts) AS vn
+              FROM events
+            ),
+            v AS (SELECT user_id, vn, value FROM t
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            SELECT a.user_id, a.ts,
+                   round(sum(pow(19.0/21.0, a.vn - b.vn) *
+                             (CASE WHEN b.vn = 1 THEN 1.0
+                                   ELSE 2.0/21.0 END) * b.value), 6)
+                     AS ewm_mean
+            FROM t a LEFT JOIN v b
+              ON a.user_id = b.user_id AND b.vn <= a.vn AND a.vn > 0
             GROUP BY a.user_id, a.ts""",
         "winsorize": """
             WITH q AS (SELECT l_returnflag,

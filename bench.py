@@ -106,9 +106,11 @@ BENCH_EXTRA = [
     "ewm_mean",         # Arrow-hatch EWM recurrence
     "leakage_split",    # near-dup-aware train/test split
     # r11 wave: the pipeline composite + the forced dim-768 Arrow
-    # kernels (rows-only rows — no DuckDB denominator, wall budget
-    # still applies).  neardup_768 stays correctness-only: its wall
-    # is dominated by the deliberate 3 GB pair-expansion stress.
+    # kernels (invariant-oracle rows since r13/r14 — their DuckDB
+    # side is a cheap violation-counter recompute, declared in
+    # invariant_audit_rows; wall budget still applies).  neardup_768
+    # stays correctness-only: its wall is dominated by the deliberate
+    # 3 GB pair-expansion stress.
     "dedup_documents",
     "ann_topk_768",
     "lsh_sig_768",
@@ -357,7 +359,8 @@ def main() -> None:
         # pack_sequences, whose oracle just happens to sit under the
         # 0.2 s denominator floor
         "invariant_audit_rows": ["minhash_pairs_xx", "simhash_xx",
-                                 "ann_topk_768", "pack_sequences"],
+                                 "ann_topk_768", "lsh_sig_768",
+                                 "pack_sequences"],
         # ---- headline tail (everything below must survive truncation)
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -2,9 +2,11 @@
 
 ``groupby_ewm`` streams whole groups through one pandas kernel per
 group — correct, pandas-exact, but a group's EWM serializes on one
-worker (its docstring's declared caveat).  For ``func="mean"`` with
-``adjust=True`` (the pandas default) the caveat is avoidable: the
-adjust-form mean is a RATIO of two linear recurrences,
+worker (its docstring's declared caveat).  For ``func="mean"`` the
+caveat is avoidable, with a different carry per adjust mode.
+
+``adjust=True`` (the pandas default): the mean is a RATIO of two
+linear recurrences,
 
     num_t = D_t * num_{t-1} + x_t        (valid rows)
     den_t = D_t * den_{t-1} + 1          (valid rows)
@@ -14,28 +16,44 @@ with a scalar decay ``D = (1-alpha)`` applied per row
 (``ignore_na=False``) or per valid row (``True``) — and linear
 recurrences compose across order-range blocks exactly like
 ``scan_blocked``'s cumsums: a block summarizes to ``(A, c)`` with
-``state_out = A * state_in + c`` where ``A`` is the block's total
-decay and ``c`` its zero-init local result.  Verified empirically
-against pandas before building: ``ewm.mean == ewm.sum(x) /
+``state_out = A * state_in + c``.  Verified empirically against
+pandas before building: ``ewm.mean == ewm.sum(x) /
 ewm.sum(valid-indicator)`` at every position for both ``ignore_na``
 modes, and the carry decay is ``(1-a)^(t+1)`` / ``(1-a)^cumvalid``.
 
-    stage 1  order-quantile blocks; per-(key, block) pandas
-             ``ewm.sum`` of x and of the valid indicator, plus the
-             per-row decay-to-block-start          [parallelism =
-             groups x num_blocks, the whole point]
-    stage 2  per-block carries = last row's (A, num, den)   [small]
-    stage 3  per-group linear-fold prefix over blocks (tiny
-             ``F.aggregate`` over a collected block array)
-    stage 4  broadcast-join states back; mean = ratio
+``adjust=False`` (r14): pandas is NOT a global weighted sum here —
+its cython kernel RENORMALIZES after every observation (``old_wt``
+resets to 1), so with ``ignore_na=False`` the post-gap weights are
+``(b^g, a)`` per event, ``b = 1-a``, ``g`` = rows since the previous
+observation.  The save: the per-event update ``avg' = (w*avg + a*x)
+/ (w + a)`` is AFFINE in the previous avg with data-independent
+coefficients once the first event's ``w`` is fixed — so each block
+summarizes to ``avg_out = lam * seed + mu`` where ``seed`` is the
+avg right after the block's FIRST event and ``(lam, mu)`` come from
+TWO block-local pandas ``ewm(adjust=False)`` runs (first-observation
+value set to 0 and to 1: ``mu = run0``, ``lam = run1 - run0``).
+The cross-block fold carries ``(avg, gap_rows, seen)``: the first
+event's weight is ``w1 = b^(gap_in + h1 + 1)`` (``h1`` = the block's
+leading non-observation rows; for ``ignore_na=True`` simply
+``w1 = b``), its seed is ``(w1*avg_in + a*x1)/(w1 + a)`` with a
+zero-prior variant ``seed = x1`` when no prior block saw an
+observation (pandas' first-observation weight-1 rule).  Verified
+against a step-by-step emulation of the pandas kernel before
+building (both ignore_na modes, multi-gap series).
 
-Scope: ``func="mean"``, ``adjust=True`` (both ``ignore_na`` modes).
-``adjust=False`` carries a first-observation weight special case and
-var/std carry coupled second-moment states — those stay on
-``groupby_ewm``'s per-group kernel with its documented caveat.
-Results match ``groupby_ewm`` to float tolerance (the blocked form
-computes ``(1-a)^k`` by powers where pandas multiplies iteratively —
-last-ulp drift, pinned at rtol 1e-9 in tests/test_ewm_blocked.py).
+    stage 1  order-quantile blocks; per-(key, block) pandas ewm
+             kernels                 [parallelism = groups x blocks]
+    stage 2  per-block carries = last row's state  [small]
+    stage 3  per-group fold over blocks (tiny ``F.aggregate`` over a
+             collected block array)
+    stage 4  broadcast-join states back; per-row combine
+
+Scope: ``func="mean"``, BOTH ``adjust`` and both ``ignore_na``
+modes.  var/std stay on ``groupby_ewm``'s per-group kernel (coupled
+second-moment states).  Results match ``groupby_ewm`` to float
+tolerance (the blocked form composes decay by powers where pandas
+multiplies iteratively — last-ulp drift, pinned at rtol 1e-9 in
+tests/test_ewm_blocked.py).
 """
 
 from __future__ import annotations
@@ -81,8 +99,9 @@ def groupby_ewm_blocked(
     out: str | None = None,
     num_blocks: int = 32,
 ) -> DataFrame:
-    """``groupby_ewm(func="mean", adjust=True)`` through the blocked
-    plan: same parameters and output shape, plus ``num_blocks`` — the
+    """``groupby_ewm(func="mean")`` through the blocked plan (both
+    adjust modes): same parameters and output shape, plus
+    ``num_blocks`` — the
     order-range split width, i.e. the EWM's parallelism floor
     regardless of how few groups there are.  ``order_by`` must be
     non-null (same contract as ``groupby_scan_blocked``); it may be
@@ -90,12 +109,6 @@ def groupby_ewm_blocked(
     processing position, so downstream blocks see the full tie run
     (per-row values among tied rows are tie-order-dependent, exactly
     like the one-kernel ``groupby_ewm``)."""
-    if not adjust:
-        raise ValueError(
-            "groupby_ewm_blocked supports adjust=True only (the "
-            "adjust=False recurrence carries a first-observation "
-            "special case); use groupby_ewm"
-        )
     a = _resolve_alpha(alpha, halflife, span)
     base = 1.0 - a
     out = out or "ewm_mean"
@@ -142,6 +155,18 @@ def groupby_ewm_blocked(
     else:
         work = df.select(*in_names).withColumn("__blk", F.lit(0).cast("int"))
 
+    args = (work, by, value, order_by, out, in_fields, in_names, a, base,
+            kw, ignore_na)
+    if adjust:
+        return _adjust_true(*args)
+    return _adjust_false(*args)
+
+
+def _adjust_true(
+    work, by, value, order_by, out, in_fields, in_names, a, base, kw, ign
+):
+    """The (num, den) linear-recurrence-ratio path (module docstring
+    part 1)."""
     schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
     schema = ", ".join(
         schema_parts
@@ -154,8 +179,6 @@ def groupby_ewm_blocked(
         ]
     )
     keys = [*by, "__blk"]
-    ign = ignore_na
-
     nkeys = len(keys)
 
     def fn(pdf):
@@ -272,4 +295,179 @@ def groupby_ewm_blocked(
     # den == 0 (no valid obs yet) -> NULL, matching the per-group
     # kernel: its pandas NaN crosses the Arrow boundary as null
     y = F.when(deng > 0, numg / deng)
+    return joined.withColumn(out, y).select(*in_names, out)
+
+
+def _adjust_false(
+    work, by, value, order_by, out, in_fields, in_names, a, base, kw, ign
+):
+    """The (lam, mu, seed) affine path (module docstring part 2):
+    pandas' renormalize-per-observation kernel makes the block
+    response affine in the avg right after the block's first event,
+    with data-independent coefficients extracted from two block-local
+    pandas runs."""
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+    schema = ", ".join(
+        schema_parts
+        + [
+            "`__blk` int",
+            "`__lam` double",   # coefficient of the first-event seed
+            "`__mu` double",    # zero-seed response
+            "`__pre` boolean",  # row precedes the block's first event
+            "`__x1` double",    # block's first observation value
+            "`__h1` bigint",    # leading non-observation rows (-1: none)
+            "`__trail` bigint", # rows after the block's last observation
+            "`__n` bigint",     # block row count
+            "`__pos` bigint",   # processing position (carry selector)
+        ]
+    )
+    keys = [*by, "__blk"]
+    nkeys = len(keys)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        # same realignment discipline as the adjust=True kernel (.ewm
+        # is a windowed op; transform/cumsum/cumcount are index-
+        # aligned and need none)
+        pdf = pdf.reset_index(drop=True)
+
+        def aligned_mean(frame, col):
+            res = frame.groupby(keys, sort=False, dropna=False)[col].ewm(
+                adjust=False, ignore_na=ign, **kw
+            ).mean()
+            return res.droplevel(list(range(nkeys))).sort_index().to_numpy()
+
+        x = pdf[value].astype("float64")
+        valid = x.notna()
+        keep = pdf.copy()
+        keep["__vi"] = valid.astype("int64")
+        gk = keep.groupby(keys, sort=False, dropna=False)
+        cumv = gk["__vi"].cumsum()
+        isfirst = valid & (cumv == 1)
+        # two block-local runs differing only in the first-event
+        # value: mu = response with seed 0, lam = (seed 1) - (seed 0)
+        keep["__s0"] = x.mask(isfirst, 0.0)
+        keep["__s1"] = x.mask(isfirst, 1.0)
+        mu = aligned_mean(keep, "__s0")
+        lam = aligned_mean(keep, "__s1") - mu
+        keep["__lam"], keep["__mu"] = lam, mu
+        keep["__pre"] = (cumv == 0).to_numpy()
+        pos = gk.cumcount()
+        keep["__posv"] = pos.astype("float64").where(valid)
+        keep["__xv"] = x.where(valid)
+        gk2 = keep.groupby(keys, sort=False, dropna=False)
+        first_pos = gk2["__posv"].transform("first")  # first skips NaN
+        last_pos = gk2["__posv"].transform("last")
+        nrows = gk2["__vi"].transform("size")
+        keep["__x1"] = gk2["__xv"].transform("first").to_numpy()
+        keep["__h1"] = first_pos.fillna(-1.0).to_numpy(dtype="int64")
+        keep["__trail"] = (
+            (nrows - 1 - last_pos).fillna(0.0).to_numpy(dtype="int64")
+        )
+        keep["__n"] = nrows.to_numpy(dtype="int64")
+        keep["__pos"] = pos.to_numpy(dtype="int64")
+        return keep.drop(columns=["__vi", "__s0", "__s1", "__posv", "__xv"])
+
+    from flox_spark.transform import groupby_apply_batched
+
+    staged = groupby_apply_batched(
+        work, *keys, fn=fn, schema=schema, order_by=order_by
+    )
+
+    # stage 2: per-block carry = last row's (lam, mu) in processing
+    # order (lam/mu are constant after the block's last event, so the
+    # last ROW carries the block-end response) + the block constants
+    last = F.max(
+        F.struct(
+            F.col("__pos").alias("p"),
+            F.col("__lam").alias("lam"),
+            F.col("__mu").alias("mu"),
+        )
+    )
+    carries = staged.groupBy(*by, "__blk").agg(
+        last["lam"].alias("__clam"),
+        last["mu"].alias("__cmu"),
+        F.max("__x1").alias("__cx1"),
+        F.max("__h1").alias("__ch1"),
+        F.max("__trail").alias("__ctrail"),
+        F.max("__n").alias("__cn"),
+        (F.max("__h1") >= 0).alias("__chas"),
+    )
+
+    # stage 3: fold (avg, gap_rows, seen) over blocks in order.  For a
+    # block with events: seed = (w1*avg + a*x1)/(w1 + a) with
+    # w1 = b^(gap + h1 + 1) (ignore_na=False counts every row;
+    # ignore_na=True: w1 = b), or seed = x1 when nothing seen yet
+    # (pandas' first-observation weight-1 rule); avg_out =
+    # lam*seed + mu; gap_out = trailing rows.  An event-less block
+    # only extends the gap.
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "__blk", "__clam", "__cmu", "__cx1", "__ch1", "__ctrail",
+                "__cn", "__chas",
+            )
+        )
+    ).alias("__arr")
+    zero = F.struct(
+        F.lit(0.0).alias("avg"),
+        F.lit(0.0).alias("gap"),
+        F.lit(False).alias("seen"),
+    )
+
+    def _w1(gap, h1):
+        if ign:
+            return F.lit(base)
+        return F.pow(F.lit(base), gap + h1.cast("double") + F.lit(1.0))
+
+    def _step(s, b):
+        w1 = _w1(s["gap"], b["__ch1"])
+        seed = F.when(
+            s["seen"],
+            (w1 * s["avg"] + F.lit(a) * b["__cx1"]) / (w1 + F.lit(a)),
+        ).otherwise(b["__cx1"])
+        return F.struct(
+            F.when(b["__chas"], b["__clam"] * seed + b["__cmu"])
+            .otherwise(s["avg"]).alias("avg"),
+            F.when(b["__chas"], b["__ctrail"].cast("double"))
+            .otherwise(s["gap"] + b["__cn"].cast("double")).alias("gap"),
+            (s["seen"] | b["__chas"]).alias("seen"),
+        )
+
+    states = (
+        carries.groupBy(*by)
+        .agg(arr)
+        .select(*by, F.col("__arr"), F.posexplode("__arr").alias("__pos", "__b"))
+        .select(
+            *by,
+            F.col("__b")["__blk"].alias("__blk"),
+            F.aggregate(
+                F.slice(F.col("__arr"), F.lit(1), F.col("__pos")),
+                zero, _step,
+            ).alias("__st"),
+        )
+        .select(
+            *by, "__blk",
+            F.col("__st")["avg"].alias("__avgin"),
+            F.col("__st")["gap"].alias("__gapin"),
+            F.col("__st")["seen"].alias("__sin"),
+        )
+    )
+
+    # stage 4: per-row combine.  Rows before the block's first event
+    # carry the inbound avg (NULL when nothing seen anywhere yet);
+    # rows at/after it evaluate the affine response at the seed.
+    joined = staged.join(F.broadcast(states), [*by, "__blk"], "left")
+    sin = F.coalesce(F.col("__sin"), F.lit(False))
+    gapin = F.coalesce(F.col("__gapin"), F.lit(0.0))
+    w1 = _w1(gapin, F.col("__h1"))
+    seed = F.when(
+        sin,
+        (w1 * F.col("__avgin") + F.lit(a) * F.col("__x1")) / (w1 + F.lit(a)),
+    ).otherwise(F.col("__x1"))
+    y = F.when(F.col("__pre"), F.when(sin, F.col("__avgin"))).otherwise(
+        F.col("__lam") * seed + F.col("__mu")
+    )
     return joined.withColumn(out, y).select(*in_names, out)

@@ -252,13 +252,13 @@ def groupby_ewm(
     group — measured 4.3s -> ~1s on 1 500 small groups) and pandas'
     own ewm kernel runs — bit-identical to pandas by construction.
     Same scale caveat as every per-group sequential op (a group must
-    fit one worker's memory).  For ``func="mean"`` with
-    ``adjust=True`` the caveat IS avoidable — the adjust-form mean is
-    a ratio of two LINEAR recurrences, which compose across blocks:
-    see ``groupby_ewm_blocked`` (r13) for the giant-group path.
-    ``adjust=False`` (first-observation weight special case) and
-    var/std (coupled second-moment states) stay on this hatch, with
-    the same legitimacy as the packing operator's (SURVEY §2.6).
+    fit one worker's memory).  For ``func="mean"`` the caveat IS
+    avoidable — BOTH adjust modes are ratios of LINEAR recurrences,
+    which compose across blocks: see ``groupby_ewm_blocked``
+    (r13; adjust=False r14, via a two-candidate-state carry for the
+    first-observation weight).  var/std (coupled second-moment
+    states) stay on this hatch, with the same legitimacy as the
+    packing operator's (SURVEY §2.6).
 
     Exactly one of ``alpha`` / ``halflife`` / ``span``; ``func``:
     mean | var | std (pandas ddof=1 ewm variance).
@@ -267,7 +267,8 @@ def groupby_ewm(
     plan stats say rows-per-group crosses the measured blocked
     crossover (``blocked_route.route_to_blocked``;
     OPTIONS["blocked_route_ewm_rows"]) AND the call is in
-    ``groupby_ewm_blocked``'s scope (func="mean", adjust=True) — then
+    ``groupby_ewm_blocked``'s scope (func="mean", both adjust
+    modes) — then
     the blocked linear-recurrence form runs, which also lifts this
     hatch's whole-group-in-one-worker memory wall.
     ``"window"``/``"blocked"`` force a strategy ("window" here
@@ -282,7 +283,7 @@ def groupby_ewm(
     from flox_spark import blocked_route
 
     blocked_route.validate_plan(plan, "groupby_ewm")
-    if plan != "window" and func == "mean" and adjust:
+    if plan != "window" and func == "mean":
         from flox_spark.options import OPTIONS
 
         if plan == "blocked" or blocked_route.route_to_blocked(
@@ -297,9 +298,9 @@ def groupby_ewm(
             )
     elif plan == "blocked":
         raise ValueError(
-            "plan='blocked' requires func='mean' with adjust=True "
-            "(groupby_ewm_blocked's scope); var/std and adjust=False "
-            "stay on the per-group kernel"
+            "plan='blocked' requires func='mean' "
+            "(groupby_ewm_blocked's scope); var/std stay on the "
+            "per-group kernel (coupled second-moment states)"
         )
     out = out or f"ewm_{func}"
     kw = (

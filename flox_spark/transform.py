@@ -138,6 +138,29 @@ def groupby_apply_batched(
     Memory bound: the largest single GROUP must fit one batch's
     worth of worker memory (same contract as ``groupby_apply``); the
     carry never holds more than one group.
+
+    .. warning:: **pandas multi-key windowed-op alignment trap.**
+       Inside ``fn``, a WINDOWED groupby op — ``GroupBy.ewm``,
+       ``GroupBy.rolling``, ``GroupBy.expanding`` — does NOT return
+       rows in frame order for a MULTI-key grouper, even with
+       ``sort=False``: pandas orders the output groups by per-level
+       first-appearance codes, so a later group that reuses an
+       earlier-seen key value comes back out of position.  Writing
+       such a result straight into a column (``pdf["y"] =
+       g.ewm(...).mean().to_numpy()``) silently misassigns values
+       (this exact bug shipped in ``groupby_ewm`` for five rounds —
+       r13 SCALE.md).  Realign through the result's index instead::
+
+           res = pdf.groupby(keys, sort=False)[col].ewm(...).mean()
+           pdf["y"] = (res.droplevel(list(range(len(keys))))
+                          .sort_index().to_numpy())
+
+       (``reset_index(drop=True)`` on ``pdf`` first — the harness's
+       carry concat can produce duplicate index labels.)  Reductions
+       and transform-like ops (``transform``, ``cumsum``,
+       ``cumcount``, ``shift``) are index-aligned and need none of
+       this.  ``tests/test_transform.py`` demonstrates the trap
+       through this hatch.
     """
     from flox_spark.dtypes import is_missing
 

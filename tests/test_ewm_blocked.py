@@ -96,15 +96,89 @@ def test_blocked_ewm_leading_and_all_missing(spark):
 
 def test_blocked_ewm_rejects_unsupported(spark):
     df = _frame(spark, n=10)
-    with pytest.raises(ValueError, match="adjust=True only"):
-        groupby_ewm_blocked(df, "k", value="v", order_by="t", alpha=0.3,
-                            adjust=False)
     with pytest.raises(ValueError, match="exactly one"):
         groupby_ewm_blocked(df, "k", value="v", order_by="t")
 
 
+# ---- adjust=False (r14): the two-candidate-state carry ----
+
+@pytest.mark.parametrize("ignore_na", [False, True])
+@pytest.mark.parametrize("nb", [1, 6])
+def test_blocked_ewm_adjust_false_matches_pandas_kernel(spark, ignore_na, nb):
+    df = _frame(spark)
+    want = _rows(groupby_ewm(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na,
+        adjust=False, plan="window",
+    ))
+    got = _rows(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na,
+        adjust=False, num_blocks=nb,
+    ))
+    _close(want, got)
+
+
+@pytest.mark.parametrize("kw", [{"span": 9}, {"halflife": 4.0}])
+def test_blocked_ewm_adjust_false_param_spellings(spark, kw):
+    df = _frame(spark, seed=8)
+    want = _rows(groupby_ewm(
+        df, "k", value="v", order_by="t", adjust=False, plan="window", **kw
+    ))
+    got = _rows(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", adjust=False, num_blocks=5, **kw
+    ))
+    _close(want, got)
+
+
+def test_blocked_ewm_adjust_false_first_obs_crosses_blocks(spark):
+    # the whole point of the two-candidate carry: when the group's
+    # FIRST valid observation sits in a LATER block (leading blocks
+    # all-missing), the fold must select the zero-prior Z state for
+    # that block and the with-prior P state afterwards.  Blocks of ~2
+    # rows put the first valid row of group a in block 2.
+    pdf = pd.DataFrame({
+        "k": ["a"] * 8 + ["b"] * 4,
+        "t": list(range(8)) + list(range(4)),
+        "v": [None, float("nan"), None, None, 5.0, 1.0, None, 3.0,
+              2.0, None, 4.0, 6.0],
+    })
+    df = spark.createDataFrame(pdf)
+    for ign in (False, True):
+        want = _rows(groupby_ewm(
+            df, "k", value="v", order_by="t", alpha=0.4, ignore_na=ign,
+            adjust=False, plan="window",
+        ))
+        got = _rows(groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=0.4, ignore_na=ign,
+            adjust=False, num_blocks=4,
+        ))
+        _close(want, got)
+
+
+def test_blocked_ewm_adjust_false_hand_golden(spark):
+    # pandas' documented [x0, None, x2] adjust=False weights:
+    # (1-a)^2 for x0 and a for x2, renormalized
+    a = 0.25
+    b = 1 - a
+    pdf = pd.DataFrame({
+        "k": ["g"] * 3, "t": [0, 1, 2], "v": [10.0, None, 4.0]
+    })
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["t"]: r["ewm_mean"]
+        for r in groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=a, adjust=False,
+            ignore_na=False, num_blocks=3,
+        ).collect()
+    }
+    assert abs(got[0] - 10.0) < 1e-12
+    assert abs(got[1] - 10.0) < 1e-12  # carried forward over the gap
+    want2 = (b * b * 10.0 + a * 4.0) / (b * b + a)
+    assert abs(got[2] - want2) < 1e-12
+
+
+@pytest.mark.parametrize("adj", [True, False])
 @pytest.mark.parametrize("ign", [False, True])
-def test_blocked_ewm_tied_order_carry(spark, ign):
+def test_blocked_ewm_tied_order_carry(spark, ign, adj):
     # r13 ADVICE (high) regression pin: the stage-2 carry was keyed on
     # order_by, and when the block's max order value was TIED the
     # max-struct picked a NON-final state (cA = base^k is larger for
@@ -120,16 +194,20 @@ def test_blocked_ewm_tied_order_carry(spark, ign):
     })
     df = spark.createDataFrame(pdf)
     want = _rows(groupby_ewm(
-        df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign
+        df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+        adjust=adj,
     ))
     for nb in (2, 3, 5):
         got = _rows(groupby_ewm_blocked(
             df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
-            num_blocks=nb,
+            adjust=adj, num_blocks=nb,
         ))
         _close(want, got)
-    # hand golden for the first row after the tie run: the carried
-    # denominator must be the FULL tie run's 1 + b + b^2 (old bug: 1)
+    if not adj:
+        return
+    # hand golden (adjust=True) for the first row after the tie run:
+    # the carried denominator must be the FULL tie run's 1 + b + b^2
+    # (old bug: 1)
     got2 = {
         (r["k"], r["t"]): r["ewm_mean"]
         for r in groupby_ewm_blocked(
@@ -148,7 +226,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as hst
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     seed=hst.integers(0, 10_000),
@@ -157,15 +235,17 @@ from hypothesis import strategies as hst
     nb=hst.integers(1, 7),
     alpha=hst.floats(0.05, 0.95),
     ign=hst.booleans(),
+    adj=hst.booleans(),
 )
-def test_blocked_ewm_property(spark, seed, n, groups, nb, alpha, ign):
+def test_blocked_ewm_property(spark, seed, n, groups, nb, alpha, ign, adj):
     df = _frame(spark, n=n, seed=seed, groups=groups)
     want = _rows(groupby_ewm(
-        df, "k", value="v", order_by="t", alpha=alpha, ignore_na=ign
+        df, "k", value="v", order_by="t", alpha=alpha, ignore_na=ign,
+        adjust=adj,
     ))
     got = _rows(groupby_ewm_blocked(
         df, "k", value="v", order_by="t", alpha=alpha, ignore_na=ign,
-        num_blocks=nb,
+        adjust=adj, num_blocks=nb,
     ))
     _close(want, got)
 

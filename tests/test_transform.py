@@ -80,3 +80,67 @@ def test_stratified_sampling_rates(spark):
     assert abs(n_en - exp) < 4 * (sizes["en"] * 0.2 * 0.8) ** 0.5 + 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_apply_batched_multikey_windowed_op_trap(spark):
+    # r13 VERDICT #6: demonstrate the pandas multi-key windowed-op
+    # alignment trap THROUGH the hatch, and pin the documented
+    # realignment recipe.  GroupBy(sort=False).<windowed-op>() orders
+    # output groups by per-level first-appearance codes, so with a
+    # multi-key grouper whose second level reuses values, positions
+    # come back shuffled — the naive to_numpy() write misassigns rows
+    # while the droplevel/sort_index recipe is correct.
+    import numpy as np
+    import pandas as pd
+
+    from flox_spark.transform import groupby_apply_batched
+
+    rows = []
+    # the trigger shape (r13 SCALE.md): DIFFERENT second-level key
+    # subsets per first-level key, so a later first-level key's
+    # smaller b value gets a LARGER first-appearance code than an
+    # earlier-seen bigger b — the harness sorts each partition by
+    # (keys, order), so pandas' code-ordered output then disagrees
+    # with frame order.  Many first-level keys so every shuffle
+    # partition deterministically holds both subset shapes.
+    for i in range(40):
+        a = f"k{i:02d}"
+        bs = [2, 3] if i % 2 == 0 else [1, 3]
+        for b in bs:
+            for t in range(4):
+                rows.append((a, b, t, float(10 * b + t)))
+    pdf = pd.DataFrame(rows, columns=["a", "b", "t", "v"])
+    df = spark.createDataFrame(pdf)
+    keys = ["a", "b"]
+    schema = "a string, b bigint, t bigint, v double, naive double, good double"
+
+    def fn(p):
+        p = p.reset_index(drop=True)
+        res = p.groupby(keys, sort=False)["v"].ewm(alpha=0.5).mean()
+        p["naive"] = res.to_numpy()  # the trap: trusts output order
+        p["good"] = (
+            res.droplevel(list(range(len(keys)))).sort_index().to_numpy()
+        )
+        return p
+
+    out = groupby_apply_batched(
+        df, *keys, fn=fn, schema=schema, order_by="t"
+    ).collect()
+    # golden: per-(a,b) pandas ewm in isolation
+    want = {}
+    for (a, b), g in pdf.groupby(["a", "b"]):
+        g = g.sort_values("t")
+        for t, y in zip(g["t"], g["v"].ewm(alpha=0.5).mean()):
+            want[(a, b, t)] = y
+    good_ok = all(
+        abs(r["good"] - want[(r["a"], r["b"], r["t"])]) < 1e-12 for r in out
+    )
+    naive_bad = any(
+        abs(r["naive"] - want[(r["a"], r["b"], r["t"])]) > 1e-9 for r in out
+    )
+    assert good_ok, "documented realignment recipe must be exact"
+    assert naive_bad, (
+        "the naive positional write should demonstrate the trap on "
+        "this shape (if pandas changed behavior, revisit the "
+        "groupby_apply_batched docstring warning)"
+    )
