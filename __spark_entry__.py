@@ -1342,6 +1342,21 @@ def q_ewm_mean_blocked(s, d):
     return out.select("user_id", "ts", F.round("ewm_mean", 6).alias("ewm_mean"))
 
 
+def q_ewm_var_blocked(s, d):
+    # adjust=True blocked EWM variance (r14): four linear recurrences
+    # (Swx, Sw, Swx2 decaying by A; Sw2 by A^2) + a per-group anchor
+    # shift; var = (Sw*Swx2 - Swx^2)/(Sw^2 - Sw2) — pandas bias=False.
+    # The oracle recomputes the same four sums with the closed-form
+    # quadratic weight join (ewm_mean's shape).
+    from flox_spark.ewm_blocked import groupby_ewm_blocked
+
+    out = groupby_ewm_blocked(
+        _t(s, d, "events"), "user_id", value="value", order_by="ts",
+        span=20, func="var", num_blocks=8,
+    )
+    return out.select("user_id", "ts", F.round("ewm_var", 6).alias("ewm_var"))
+
+
 def q_ewm_adjf_blocked(s, d):
     # adjust=False blocked EWM mean (r14): pandas' renormalize-per-
     # observation kernel through the affine (lam, mu, seed) carry —
@@ -2888,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_mean": q_ewm_mean,
         "ewm_mean_blocked": q_ewm_mean_blocked,
         "ewm_adjf_blocked": q_ewm_adjf_blocked,
+        "ewm_var_blocked": q_ewm_var_blocked,
         "nansum": q_nansum,
         "count": q_count,
         "var_ddof1": q_var_ddof1,
@@ -3312,6 +3328,34 @@ UNION ALL SELECT doc_id, 7 AS band, md5(mh14::VARCHAR || '|' || mh15::VARCHAR) A
                      6) AS ewm_mean
             FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
             GROUP BY a.user_id, a.ts""",
+        "ewm_var_blocked": """
+            -- four closed-form weighted sums over row positions
+            -- (adjust=True, ignore_na=False), w = 19/21:
+            -- var = (Sw*Swx2 - Swx^2)/(Sw^2 - Sw2), bias=False
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            ),
+            s AS (
+              SELECT a.user_id, a.ts,
+                     sum(pow(19.0/21.0, a.rn - b.rn) * b.value)
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)) AS swx,
+                     sum(pow(19.0/21.0, a.rn - b.rn))
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)) AS sw,
+                     sum(pow(19.0/21.0, a.rn - b.rn) * b.value * b.value)
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)) AS swx2,
+                     sum(pow(pow(19.0/21.0, a.rn - b.rn), 2))
+                       FILTER (b.value IS NOT NULL AND NOT isnan(b.value)) AS sw2
+              FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
+              GROUP BY a.user_id, a.ts
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN sw * sw - sw2 > 0
+                              THEN greatest((sw * swx2 - swx * swx)
+                                            / (sw * sw - sw2), 0)
+                         END, 6) AS ewm_var
+            FROM s""",
         "ewm_adjf_blocked": """
             -- adjust=False, ignore_na=True: gaps are skipped, so the
             -- mean is a weighted sum over VALID-rank positions v with

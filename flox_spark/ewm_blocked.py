@@ -94,24 +94,45 @@ def groupby_ewm_blocked(
     alpha: float | None = None,
     halflife: float | None = None,
     span: float | None = None,
+    func: str = "mean",
     adjust: bool = True,
     ignore_na: bool = False,
     out: str | None = None,
     num_blocks: int = 32,
 ) -> DataFrame:
-    """``groupby_ewm(func="mean")`` through the blocked plan (both
-    adjust modes): same parameters and output shape, plus
-    ``num_blocks`` — the
+    """``groupby_ewm`` through the blocked plan: same parameters and
+    output shape, plus ``num_blocks`` — the
     order-range split width, i.e. the EWM's parallelism floor
     regardless of how few groups there are.  ``order_by`` must be
     non-null (same contract as ``groupby_scan_blocked``); it may be
     TIED — ties land in one block and the carry is selected by
     processing position, so downstream blocks see the full tie run
     (per-row values among tied rows are tie-order-dependent, exactly
-    like the one-kernel ``groupby_ewm``)."""
+    like the one-kernel ``groupby_ewm``).
+
+    ``func``: ``mean`` (both adjust modes) or ``var``/``std`` (r14,
+    adjust=True — pandas' bias=False debiased weighted variance): the
+    variance is FOUR linear recurrences (Swx, Sw, Swx2 — decay A —
+    and Sw2 — decay A^2, i.e. an ewm over the valid indicator at
+    alpha' = 1-(1-a)^2), combined as
+    ``var = (Sw*Swx2 - Swx^2)/(Sw^2 - Sw2)`` — verified against
+    pandas at 1e-15 for both ignore_na modes before building.  The
+    value column is shifted by a per-group anchor (its group mean,
+    one cheap aggregate + broadcast join) before squaring: variance
+    is shift-invariant and the centered moments avoid the raw-moment
+    cancellation.  adjust=False var/std stay on ``groupby_ewm``'s
+    per-group kernel (the renormalized second moment has no clean
+    affine form)."""
+    if func not in ("mean", "var", "std"):
+        raise ValueError(f"func must be mean|var|std, got {func!r}")
+    if func != "mean" and not adjust:
+        raise ValueError(
+            "groupby_ewm_blocked var/std support adjust=True only; "
+            "use groupby_ewm for adjust=False variance"
+        )
     a = _resolve_alpha(alpha, halflife, span)
     base = 1.0 - a
-    out = out or "ewm_mean"
+    out = out or f"ewm_{func}"
     kw = (
         {"alpha": alpha}
         if alpha is not None
@@ -158,28 +179,33 @@ def groupby_ewm_blocked(
     args = (work, by, value, order_by, out, in_fields, in_names, a, base,
             kw, ignore_na)
     if adjust:
-        return _adjust_true(*args)
+        return _adjust_true(*args, func=func)
     return _adjust_false(*args)
 
 
 def _adjust_true(
-    work, by, value, order_by, out, in_fields, in_names, a, base, kw, ign
+    work, by, value, order_by, out, in_fields, in_names, a, base, kw, ign,
+    func="mean",
 ):
     """The (num, den) linear-recurrence-ratio path (module docstring
-    part 1)."""
+    part 1); var/std add the (Swx2, Sw2) second-moment recurrences."""
+    second = func != "mean"
+    if second:
+        # per-group anchor (variance is shift-invariant): centered
+        # moments avoid raw-moment cancellation for tight data
+        anchors = work.groupBy(*by).agg(
+            F.coalesce(F.avg(F.col(value)), F.lit(0.0)).alias("__anch")
+        )
+        work = work.join(F.broadcast(anchors), list(by), "left")
     schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
-    schema = ", ".join(
-        schema_parts
-        + [
-            "`__blk` int",
-            "`__num` double",
-            "`__den` double",
-            "`__A` double",
-            "`__pos` bigint",
-        ]
-    )
+    extra = ["`__blk` int", "`__num` double", "`__den` double"]
+    if second:
+        extra += ["`__sx2` double", "`__s2` double"]
+    extra += ["`__A` double", "`__pos` bigint"]
+    schema = ", ".join(schema_parts + extra)
     keys = [*by, "__blk"]
     nkeys = len(keys)
+    a2 = 1.0 - base * base
 
     def fn(pdf):
         import numpy as np
@@ -197,9 +223,9 @@ def _adjust_true(
         # produce duplicate labels.
         pdf = pdf.reset_index(drop=True)
 
-        def aligned_ewm_sum(frame, col):
+        def aligned_ewm_sum(frame, col, ewm_kw=None):
             res = frame.groupby(keys, sort=False, dropna=False)[col].ewm(
-                adjust=True, ignore_na=ign, **kw
+                adjust=True, ignore_na=ign, **(ewm_kw or kw)
             ).sum()
             return res.droplevel(list(range(nkeys))).sort_index().to_numpy()
 
@@ -207,9 +233,22 @@ def _adjust_true(
         x = pdf[value]
         valid = x.notna()
         keep = pdf.copy()
-        keep["__num"] = aligned_ewm_sum(pdf, value)
+        drop_cols = ["__ind"]
+        if second:
+            xc = x.astype("float64") - pdf["__anch"]
+            keep["__xc"] = xc
+            keep["__xc2"] = xc * xc
+            keep["__num"] = aligned_ewm_sum(keep, "__xc")
+            keep["__sx2"] = aligned_ewm_sum(keep, "__xc2")
+            drop_cols += ["__xc", "__xc2", "__anch"]
+        else:
+            keep["__num"] = aligned_ewm_sum(pdf, value)
         keep["__ind"] = valid.astype("float64").where(valid, np.nan).to_numpy()
         keep["__den"] = aligned_ewm_sum(keep, "__ind")
+        if second:
+            # Sw2 = the same indicator ewm at alpha' = 1-(1-a)^2:
+            # squared weights decay by (1-a)^2 per step
+            keep["__s2"] = aligned_ewm_sum(keep, "__ind", {"alpha": a2})
         # cumcount/cumsum are transform-like: index-aligned, no fixup
         if ign:
             k = keep.assign(__v=valid.astype("int64")).groupby(
@@ -225,7 +264,7 @@ def _adjust_true(
         # a non-final state and silently drop the later tied rows'
         # contributions from every downstream block's mean.
         keep["__pos"] = g.cumcount().to_numpy(dtype="int64")
-        return keep.drop(columns=["__ind"])
+        return keep.drop(columns=drop_cols)
 
     from flox_spark.transform import groupby_apply_batched
 
@@ -233,29 +272,64 @@ def _adjust_true(
         work, *keys, fn=fn, schema=schema, order_by=order_by
     )
 
-    # stage 2: per-block carries = the LAST row's (A, num, den) in
+    def _z(col):
+        return F.coalesce(F.nanvl(F.col(col), F.lit(0.0)), F.lit(0.0))
+
+    # stage 2: per-block carries = the LAST row's states in
     # PROCESSING order (__pos — unique within the block, so the max
     # struct is deterministic even under tied order_by values); an
-    # all-invalid block carries (A, 0, 0) — the fold's identity shape
-    last = F.max(
-        F.struct(
-            F.col("__pos").alias("p"),
-            F.col("__A").alias("cA"),
-            F.coalesce(F.nanvl(F.col("__num"), F.lit(0.0)), F.lit(0.0)).alias("cn"),
-            F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0)).alias("cd"),
-        )
-    )
-    carries = staged.groupBy(*by, "__blk").agg(
-        last["cA"].alias("__cA"), last["cn"].alias("__cn"), last["cd"].alias("__cd")
-    )
+    # all-invalid block carries (A, 0...) — the fold's identity shape
+    carry_fields = [
+        F.col("__pos").alias("p"),
+        F.col("__A").alias("cA"),
+        _z("__num").alias("cn"),
+        _z("__den").alias("cd"),
+    ]
+    if second:
+        carry_fields += [_z("__sx2").alias("cx2"), _z("__s2").alias("c2")]
+    last = F.max(F.struct(*carry_fields))
+    carry_cols = [
+        last["cA"].alias("__cA"), last["cn"].alias("__cn"),
+        last["cd"].alias("__cd"),
+    ]
+    if second:
+        carry_cols += [last["cx2"].alias("__cx2"), last["c2"].alias("__c2")]
+    carries = staged.groupBy(*by, "__blk").agg(*carry_cols)
 
     # stage 3: exclusive linear-fold prefix over blocks per group —
     # state_in(blk i) = fold_{b < i} (A_b * state + c_b), a tiny
-    # O(blocks^2) F.aggregate over the collected block array
-    arr = F.array_sort(
-        F.collect_list(F.struct("__blk", "__cA", "__cn", "__cd"))
-    ).alias("__arr")
-    zero = F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("d"))
+    # O(blocks^2) F.aggregate over the collected block array.  The
+    # squared-weight sum Sw2 folds with A^2 (its weights decay by
+    # (1-a)^2 per step).
+    struct_cols = ["__blk", "__cA", "__cn", "__cd"]
+    zero_fields = [F.lit(0.0).alias("n"), F.lit(0.0).alias("d")]
+    if second:
+        struct_cols += ["__cx2", "__c2"]
+        zero_fields += [F.lit(0.0).alias("x2"), F.lit(0.0).alias("s2")]
+    arr = F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("__arr")
+    zero = F.struct(*zero_fields)
+
+    def _fold(s, b):
+        fields = [
+            (b["__cA"] * s["n"] + b["__cn"]).alias("n"),
+            (b["__cA"] * s["d"] + b["__cd"]).alias("d"),
+        ]
+        if second:
+            fields += [
+                (b["__cA"] * s["x2"] + b["__cx2"]).alias("x2"),
+                (b["__cA"] * b["__cA"] * s["s2"] + b["__c2"]).alias("s2"),
+            ]
+        return F.struct(*fields)
+
+    state_cols = [
+        F.col("__st")["n"].alias("__nin"),
+        F.col("__st")["d"].alias("__din"),
+    ]
+    if second:
+        state_cols += [
+            F.col("__st")["x2"].alias("__x2in"),
+            F.col("__st")["s2"].alias("__s2in"),
+        ]
     states = (
         carries.groupBy(*by)
         .agg(arr)
@@ -265,18 +339,10 @@ def _adjust_true(
             F.col("__b")["__blk"].alias("__blk"),
             F.aggregate(
                 F.slice(F.col("__arr"), F.lit(1), F.col("__pos")),
-                zero,
-                lambda s, b: F.struct(
-                    (b["__cA"] * s["n"] + b["__cn"]).alias("n"),
-                    (b["__cA"] * s["d"] + b["__cd"]).alias("d"),
-                ),
+                zero, _fold,
             ).alias("__st"),
         )
-        .select(
-            *by, "__blk",
-            F.col("__st")["n"].alias("__nin"),
-            F.col("__st")["d"].alias("__din"),
-        )
+        .select(*by, "__blk", *state_cols)
     )
 
     # stage 4: combine.  A pandas-NaN local sum means "no valid obs in
@@ -284,17 +350,28 @@ def _adjust_true(
     # zero global denominator is the leading-rows case, where pandas
     # emits NaN.
     joined = staged.join(F.broadcast(states), [*by, "__blk"], "left")
-    numg = (
-        F.coalesce(F.nanvl(F.col("__num"), F.lit(0.0)), F.lit(0.0))
-        + F.col("__A") * F.coalesce(F.col("__nin"), F.lit(0.0))
-    )
-    deng = (
-        F.coalesce(F.nanvl(F.col("__den"), F.lit(0.0)), F.lit(0.0))
-        + F.col("__A") * F.coalesce(F.col("__din"), F.lit(0.0))
-    )
-    # den == 0 (no valid obs yet) -> NULL, matching the per-group
-    # kernel: its pandas NaN crosses the Arrow boundary as null
-    y = F.when(deng > 0, numg / deng)
+    numg = _z("__num") + F.col("__A") * F.coalesce(F.col("__nin"), F.lit(0.0))
+    deng = _z("__den") + F.col("__A") * F.coalesce(F.col("__din"), F.lit(0.0))
+    if second:
+        sx2g = _z("__sx2") + F.col("__A") * F.coalesce(
+            F.col("__x2in"), F.lit(0.0)
+        )
+        s2g = _z("__s2") + F.col("__A") * F.col("__A") * F.coalesce(
+            F.col("__s2in"), F.lit(0.0)
+        )
+        # pandas bias=False: var = (Sw*Swx2 - Swx^2)/(Sw^2 - Sw2);
+        # one observation makes the divisor exactly 0 -> NULL (the
+        # per-group kernel's NaN crosses Arrow as null)
+        dvz = deng * deng - s2g
+        var = F.when(dvz > 0, (deng * sx2g - numg * numg) / dvz)
+        # weighted variance is mathematically >= 0; centered-moment
+        # rounding can produce tiny negatives — clamp like pandas
+        var = F.when(var < 0, F.lit(0.0)).otherwise(var)
+        y = F.sqrt(var) if func == "std" else var
+    else:
+        # den == 0 (no valid obs yet) -> NULL, matching the per-group
+        # kernel: its pandas NaN crosses the Arrow boundary as null
+        y = F.when(deng > 0, numg / deng)
     return joined.withColumn(out, y).select(*in_names, out)
 
 

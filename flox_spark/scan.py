@@ -283,7 +283,8 @@ def groupby_ewm(
     from flox_spark import blocked_route
 
     blocked_route.validate_plan(plan, "groupby_ewm")
-    if plan != "window" and func == "mean":
+    blockable = func == "mean" or adjust  # var/std: adjust=True only
+    if plan != "window" and blockable:
         from flox_spark.options import OPTIONS
 
         if plan == "blocked" or blocked_route.route_to_blocked(
@@ -293,14 +294,15 @@ def groupby_ewm(
 
             return groupby_ewm_blocked(
                 df, *by, value=value, order_by=order_by, alpha=alpha,
-                halflife=halflife, span=span, adjust=adjust,
+                halflife=halflife, span=span, func=func, adjust=adjust,
                 ignore_na=ignore_na, out=out,
             )
     elif plan == "blocked":
         raise ValueError(
-            "plan='blocked' requires func='mean' "
-            "(groupby_ewm_blocked's scope); var/std stay on the "
-            "per-group kernel (coupled second-moment states)"
+            "plan='blocked' requires func='mean' or adjust=True "
+            "(groupby_ewm_blocked's scope); adjust=False var/std stay "
+            "on the per-group kernel (the renormalized second moment "
+            "has no clean affine form)"
         )
     out = out or f"ewm_{func}"
     kw = (

@@ -51,15 +51,19 @@ def stream_ewm_mean(
     alpha: float | None = None,
     halflife: float | None = None,
     span: float | None = None,
+    adjust: bool = True,
     ignore_na: bool = False,
     out: str = "ewm_mean",
 ) -> DataFrame:
-    """Add an adjust=True EWM mean column to a streaming frame,
-    carried per ``by``-key across micro-batches.
+    """Add an EWM mean column to a streaming frame, carried per
+    ``by``-key across micro-batches.
 
-    Same parameter spellings as ``groupby_ewm``; adjust=True only
-    (the composable form — the blocked operator's scope note
-    applies).  Works on batch frames too, but ``groupby_ewm`` /
+    Same parameter spellings as ``groupby_ewm``; both ``adjust``
+    modes (r14 — adjust=False carries the blocked operator's
+    ``(avg, gap_rows, seen)`` state and evaluates each micro-batch's
+    affine ``lam * seed + mu`` response; see
+    ``flox_spark.ewm_blocked``'s module docstring for the algebra).
+    Works on batch frames too, but ``groupby_ewm`` /
     ``groupby_ewm_blocked`` are the right tools there."""
     a = _resolve_alpha(alpha, halflife, span)
     base = 1.0 - a
@@ -78,6 +82,10 @@ def stream_ewm_mean(
     ign = ignore_na
 
     out_schema = StructType(list(df.schema.fields)).add(out, DoubleType())
+    if not adjust:
+        return _stream_ewm_noadjust(
+            df, keys, value, order_by, a, base, kw, ign, out, out_schema
+        )
     state_schema = (
         StructType()
         .add("num", DoubleType())
@@ -148,6 +156,93 @@ def stream_ewm_mean(
         state.update((num_in, den_in, last_o))
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _stream_ewm_noadjust(
+    df, keys, value, order_by, a, base, kw, ign, out, out_schema
+):
+    """adjust=False: per-key (avg, gap_rows, seen, last_o) state; each
+    micro-batch evaluates the affine (lam, mu) response at the seed
+    (the ewm_blocked per-block combine, applied sequentially)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = (
+        StructType()
+        .add("avg", DoubleType())
+        .add("gap", DoubleType())
+        .add("seen", DoubleType())   # 0/1 flag
+        .add("last_o", DoubleType())
+    )
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            avg_in, gap_in, seen_f, last_o = (
+                float(state.get[0]), float(state.get[1]),
+                float(state.get[2]), float(state.get[3]),
+            )
+            seen = seen_f > 0
+        else:
+            avg_in, gap_in, seen, last_o = float("nan"), 0.0, False, float("-inf")
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
+                drop=True
+            )
+            oraw = pdf[order_by].to_numpy()
+            if np.issubdtype(oraw.dtype, np.datetime64):
+                onum = oraw.astype("datetime64[ns]").astype("int64").astype(
+                    "float64"
+                )
+            else:
+                onum = oraw.astype("float64")
+            if float(onum[0]) < last_o:
+                raise ValueError(
+                    f"stream_ewm_mean: key {key} received {order_by}="
+                    f"{pdf[order_by].iloc[0]!r} older than the carried "
+                    f"frontier; the EWM recurrence cannot fold late rows "
+                    "into already-emitted means — sort/buffer upstream"
+                )
+            x = pdf[value].astype("float64")
+            valid = x.notna().to_numpy()
+            n = len(pdf)
+            res = pdf.copy()
+            if valid.any():
+                first = int(np.argmax(valid))
+                # batch-local affine coefficients: two pandas runs
+                # differing only in the first-observation value
+                s0 = x.copy(); s0.iloc[first] = 0.0
+                s1 = x.copy(); s1.iloc[first] = 1.0
+                mu = s0.ewm(adjust=False, ignore_na=ign, **kw).mean().to_numpy()
+                lam = (
+                    s1.ewm(adjust=False, ignore_na=ign, **kw).mean().to_numpy()
+                    - mu
+                )
+                x1 = float(x.iloc[first])
+                if seen:
+                    w1 = base if ign else base ** (gap_in + first + 1)
+                    seed = (w1 * avg_in + a * x1) / (w1 + a)
+                else:
+                    seed = x1
+                vals = lam * seed + mu
+                vals[:first] = avg_in if seen else np.nan
+                res[out] = vals
+                avg_in = float(vals[-1])
+                lastv = int(n - 1 - np.argmax(valid[::-1]))
+                gap_in = float(n - 1 - lastv)
+                seen = True
+            else:
+                res[out] = avg_in if seen else np.nan
+                gap_in += float(n)
+            yield res
+            last_o = float(onum[-1])
+        state.update((avg_in, gap_in, 1.0 if seen else 0.0, last_o))
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -193,9 +193,9 @@ def test_plan_validation(spark):
     with pytest.raises(ValueError, match="custom Scan"):
         groupby_scan(df, "k", func=custom, value="v", order_by="t",
                      plan="blocked")
-    with pytest.raises(ValueError, match="func='mean'"):
+    with pytest.raises(ValueError, match="func='mean' or adjust=True"):
         groupby_ewm(df, "k", value="v", order_by="t", alpha=0.5,
-                    func="var", plan="blocked")
+                    func="var", adjust=False, plan="blocked")
 
 
 def test_plan_blocked_forces(spark, monkeypatch):

@@ -289,3 +289,76 @@ def test_blocked_ewm_many_groups_timestamp_order(spark):
                     y is not None and abs(y - w) <= 1e-9 * max(1, abs(w))
                 ) else 1
     assert nbad == 0
+
+
+# ---- var/std (r14): the four-recurrence second-moment carry ----
+
+def _rows_col(df, col):
+    return sorted(((r["k"], r["t"], r[col]) for r in df.collect()), key=str)
+
+
+@pytest.mark.parametrize("func", ["var", "std"])
+@pytest.mark.parametrize("ignore_na", [False, True])
+@pytest.mark.parametrize("nb", [1, 6])
+def test_blocked_ewm_var_matches_pandas_kernel(spark, func, ignore_na, nb):
+    df = _frame(spark)
+    out = f"ewm_{func}"
+    want = _rows_col(groupby_ewm(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na,
+        func=func, plan="window",
+    ), out)
+    got = _rows_col(groupby_ewm_blocked(
+        df, "k", value="v", order_by="t", alpha=0.3, ignore_na=ignore_na,
+        func=func, num_blocks=nb,
+    ), out)
+    _close(want, got, rtol=1e-8)
+
+
+def test_blocked_ewm_var_single_obs_and_leading_missing(spark):
+    # one observation -> Sw^2 - Sw2 == 0 exactly -> NULL (pandas NaN);
+    # all-missing group -> NULL everywhere; leading missing -> NULL
+    # until the second valid observation
+    pdf = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "t": list(range(5)) + list(range(3)) + list(range(2)),
+        "v": [None, float("nan"), 2.0, None, 4.0,
+              None, None, None,
+              7.0, None],
+    })
+    df = spark.createDataFrame(pdf)
+    for ign in (False, True):
+        want = _rows_col(groupby_ewm(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+            func="var", plan="window",
+        ), "ewm_var")
+        got = _rows_col(groupby_ewm_blocked(
+            df, "k", value="v", order_by="t", alpha=0.5, ignore_na=ign,
+            func="var", num_blocks=3,
+        ), "ewm_var")
+        _close(want, got, rtol=1e-8)
+
+
+def test_blocked_ewm_var_rejects_adjust_false(spark):
+    df = _frame(spark, n=10)
+    with pytest.raises(ValueError, match="adjust=True only"):
+        groupby_ewm_blocked(df, "k", value="v", order_by="t", alpha=0.3,
+                            func="var", adjust=False)
+
+
+def test_blocked_ewm_var_auto_routes(spark, monkeypatch):
+    import flox_spark.ewm_blocked as EB
+    from flox_spark.options import set_options
+
+    df = _frame(spark, n=120)
+    calls = []
+    orig = EB.groupby_ewm_blocked
+
+    def spy(*a, **kw):
+        calls.append(kw.get("func"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(EB, "groupby_ewm_blocked", spy)
+    with set_options(blocked_route_min_bytes=0, blocked_route_ewm_rows=0):
+        groupby_ewm(df, "k", value="v", order_by="t", alpha=0.4,
+                    func="std").collect()
+    assert calls == ["std"]

@@ -147,3 +147,42 @@ def test_stream_out_of_order_raises(spark, tmp_path):
         q.awaitTermination(180)
         if q.exception() is not None:
             raise q.exception()
+
+
+@pytest.mark.parametrize("ignore_na", [False, True])
+def test_stream_adjust_false_equals_batch(spark, tmp_path, ignore_na):
+    # r14: the (avg, gap_rows, seen) carried state — multi-batch
+    # stream equals batch groupby_ewm(adjust=False) over the
+    # concatenated input, both ignore_na modes (ignore_na=False
+    # exercises the cross-batch w1 = b^(gap+first+1) boundary)
+    batches, full = _batches(seed=11)
+    rows = _run_stream(
+        spark, tmp_path, batches, f"ewmadjf_{ignore_na}",
+        alpha=0.35, adjust=False, ignore_na=ignore_na,
+    )
+    want = groupby_ewm(
+        spark.createDataFrame(full), "k", value="v", order_by="t",
+        alpha=0.35, adjust=False, ignore_na=ignore_na, plan="window",
+    ).collect()
+    _close(rows, want)
+
+
+def test_stream_adjust_false_leading_missing_batches(spark, tmp_path):
+    # a whole leading micro-batch with no valid observation for one
+    # key: the gap must accumulate across batches and the first-event
+    # weight account for it
+    pdf = pd.DataFrame({
+        "k": ["a"] * 9,
+        "t": np.arange(9, dtype=np.int64),
+        "v": [None, None, None, 5.0, None, 2.0, None, None, 4.0],
+    })
+    batches = [pdf.iloc[:3], pdf.iloc[3:6], pdf.iloc[6:]]
+    rows = _run_stream(
+        spark, tmp_path, batches, "ewmadjf_lead",
+        alpha=0.4, adjust=False, ignore_na=False,
+    )
+    want = groupby_ewm(
+        spark.createDataFrame(pdf), "k", value="v", order_by="t",
+        alpha=0.4, adjust=False, ignore_na=False, plan="window",
+    ).collect()
+    _close(rows, want)
