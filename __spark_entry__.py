@@ -431,18 +431,24 @@ def q_minhash_pairs_xx(s, d):
     # discipline): inlined, the regex split re-evaluates once per
     # SHINGLE inside the transform lambda — measured 8.0 s vs 0.65 s
     # staged for this exact aggregate at sf0.1.  Shingle-LESS docs
-    # (under k tokens) are filtered out to match the oracle's
-    # sh-derived key set — they share the "" key but have empty
-    # signatures the banding never pairs (r13 ADVICE).
-    toks = docs.select(F.col("doc_id"), _word_tokens(F.col("text")).alias("__t"))
-    sh = toks.select(
-        F.col("doc_id"),
-        F.array_sort(
-            F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))
-        ).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # (under k tokens) must be dropped to match the oracle's
+    # sh-derived key set (r13 ADVICE) — via a ROW-level token-count
+    # filter (< k tokens <=> zero shingles), NOT a filter touching
+    # the shingle/key expression: Catalyst pushes key filters below
+    # the projection/aggregate and DUPLICATES the giant nested-lambda
+    # key expression (re-triggering the trap as a ~9 s first-
+    # execution penalty, measured both as a pre-aggregate size filter
+    # and as a post-aggregate __k != "" filter); the token-count
+    # predicate costs one extra per-row regex split (~0.1 s).
+    toks = docs.select(
+        F.col("doc_id"), _word_tokens(F.col("text")).alias("__t")
+    ).filter(F.size(F.col("__t")) >= 3)
+    key = F.concat_ws(
+        "\x1f",
+        F.array_sort(F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))),
+    ).alias("__k")
     grp = (
-        sh.select(F.col("doc_id"), F.concat_ws("\x1f", F.col("__sh")).alias("__k"))
+        toks.select(F.col("doc_id"), key)
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
     )
