@@ -51,22 +51,33 @@ def stream_ewm_mean(
     alpha: float | None = None,
     halflife: float | None = None,
     span: float | None = None,
+    func: str = "mean",
     adjust: bool = True,
     ignore_na: bool = False,
-    out: str = "ewm_mean",
+    out: str | None = None,
 ) -> DataFrame:
-    """Add an EWM mean column to a streaming frame, carried per
+    """Add an EWM column to a streaming frame, carried per
     ``by``-key across micro-batches.
 
-    Same parameter spellings as ``groupby_ewm``; both ``adjust``
-    modes (r14 — adjust=False carries the blocked operator's
-    ``(avg, gap_rows, seen)`` state and evaluates each micro-batch's
-    affine ``lam * seed + mu`` response; see
-    ``flox_spark.ewm_blocked``'s module docstring for the algebra).
-    Works on batch frames too, but ``groupby_ewm`` /
+    Same parameter spellings as ``groupby_ewm``.  ``func="mean"``
+    supports both ``adjust`` modes (r14 — adjust=False carries the
+    blocked operator's ``(avg, gap_rows, seen)`` state and evaluates
+    each micro-batch's affine ``lam * seed + mu`` response);
+    ``func="var"``/``"std"`` (r14) extend the adjust=True linear
+    carry with the second-moment pair (Swx2 decaying by A, Sw2 by
+    A^2) — see ``flox_spark.ewm_blocked``'s module docstring for
+    both algebras.  Works on batch frames too, but ``groupby_ewm`` /
     ``groupby_ewm_blocked`` are the right tools there."""
+    if func not in ("mean", "var", "std"):
+        raise ValueError(f"func must be mean|var|std, got {func!r}")
+    if func != "mean" and not adjust:
+        raise ValueError(
+            "stream_ewm_mean var/std support adjust=True only (the "
+            "renormalized second moment has no clean affine form)"
+        )
     a = _resolve_alpha(alpha, halflife, span)
     base = 1.0 - a
+    out = out or f"ewm_{func}"
     kw = (
         {"alpha": alpha}
         if alpha is not None
@@ -85,6 +96,11 @@ def stream_ewm_mean(
     if not adjust:
         return _stream_ewm_noadjust(
             df, keys, value, order_by, a, base, kw, ign, out, out_schema
+        )
+    if func != "mean":
+        return _stream_ewm_second(
+            df, keys, value, order_by, a, base, kw, ign, func, out,
+            out_schema,
         )
     state_schema = (
         StructType()
@@ -156,6 +172,103 @@ def stream_ewm_mean(
         state.update((num_in, den_in, last_o))
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _stream_ewm_second(
+    df, keys, value, order_by, a, base, kw, ign, func, out, out_schema
+):
+    """adjust=True var/std: the linear carry extended with the
+    second-moment pair (Swx2 decay A; Sw2 decay A^2 — an indicator
+    ewm at alpha' = 1-(1-a)^2), combined as pandas' bias=False
+    ``var = (Sw*Swx2 - Swx^2)/(Sw^2 - Sw2)``.  The per-key ANCHOR
+    (first observed value, carried in state) shifts the moments for
+    conditioning — variance is shift-invariant."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a2 = 1.0 - base * base
+    state_schema = (
+        StructType()
+        .add("anch", DoubleType())
+        .add("num", DoubleType())
+        .add("den", DoubleType())
+        .add("sx2", DoubleType())
+        .add("s2", DoubleType())
+        .add("last_o", DoubleType())
+    )
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            anch, num_in, den_in, sx2_in, s2_in, last_o = (
+                float(state.get[i]) for i in range(6)
+            )
+        else:
+            anch, num_in, den_in, sx2_in, s2_in, last_o = (
+                float("nan"), 0.0, 0.0, 0.0, 0.0, float("-inf")
+            )
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
+                drop=True
+            )
+            oraw = pdf[order_by].to_numpy()
+            if np.issubdtype(oraw.dtype, np.datetime64):
+                onum = oraw.astype("datetime64[ns]").astype("int64").astype(
+                    "float64"
+                )
+            else:
+                onum = oraw.astype("float64")
+            if float(onum[0]) < last_o:
+                raise ValueError(
+                    f"stream_ewm_mean: key {key} received {order_by}="
+                    f"{pdf[order_by].iloc[0]!r} older than the carried "
+                    f"frontier; the EWM recurrence cannot fold late rows "
+                    "into already-emitted means — sort/buffer upstream"
+                )
+            x = pdf[value].astype("float64")
+            valid = x.notna()
+            if anch != anch and valid.any():
+                anch = float(x[valid].iloc[0])
+            xc = x - anch  # NaN anchor only when nothing valid yet
+            num_loc = xc.ewm(adjust=True, ignore_na=ign, **kw).sum()
+            ind = valid.astype("float64").where(valid, np.nan)
+            den_loc = ind.ewm(adjust=True, ignore_na=ign, **kw).sum()
+            sx2_loc = (xc * xc).ewm(adjust=True, ignore_na=ign, **kw).sum()
+            s2_loc = ind.ewm(adjust=True, ignore_na=ign, alpha=a2).sum()
+            if ign:
+                k = valid.cumsum().to_numpy(dtype="float64")
+            else:
+                k = np.arange(1, len(pdf) + 1, dtype="float64")
+            A = np.power(base, k)
+            num_g = np.nan_to_num(num_loc.to_numpy(), nan=0.0) + A * num_in
+            den_g = np.nan_to_num(den_loc.to_numpy(), nan=0.0) + A * den_in
+            sx2_g = np.nan_to_num(sx2_loc.to_numpy(), nan=0.0) + A * sx2_in
+            s2_g = np.nan_to_num(s2_loc.to_numpy(), nan=0.0) + A * A * s2_in
+            res = pdf.copy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dv = den_g * den_g - s2_g
+                var = np.where(
+                    dv > 0,
+                    np.maximum(
+                        (den_g * sx2_g - num_g * num_g) / np.where(
+                            dv > 0, dv, 1.0
+                        ),
+                        0.0,
+                    ),
+                    np.nan,
+                )
+                res[out] = np.sqrt(var) if func == "std" else var
+            yield res
+            num_in, den_in = float(num_g[-1]), float(den_g[-1])
+            sx2_in, s2_in = float(sx2_g[-1]), float(s2_g[-1])
+            last_o = float(onum[-1])
+        state.update((anch, num_in, den_in, sx2_in, s2_in, last_o))
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

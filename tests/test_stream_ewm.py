@@ -30,7 +30,7 @@ def _batches(seed=4, n=240, k=3, nb=3):
             for i in range(nb)], pdf
 
 
-def _run_stream(spark, tmp_path, batches, qname, **kw):
+def _run_stream(spark, tmp_path, batches, qname, col="ewm_mean", **kw):
     tmp = str(tmp_path)
     for i, b in enumerate(batches):
         spark.createDataFrame(b).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
@@ -49,12 +49,12 @@ def _run_stream(spark, tmp_path, batches, qname, **kw):
         .trigger(availableNow=True).start()
     )
     q.awaitTermination(180)
-    return spark.sql(f"SELECT k, t, ewm_mean FROM {qname}").collect()
+    return spark.sql(f"SELECT k, t, {col} FROM {qname}").collect()
 
 
-def _close(stream_rows, batch_rows, rtol=1e-9):
-    got = {(r["k"], r["t"]): r["ewm_mean"] for r in stream_rows}
-    want = {(r["k"], r["t"]): r["ewm_mean"] for r in batch_rows}
+def _close(stream_rows, batch_rows, rtol=1e-9, col="ewm_mean"):
+    got = {(r["k"], r["t"]): r[col] for r in stream_rows}
+    want = {(r["k"], r["t"]): r[col] for r in batch_rows}
     assert set(got) == set(want)
     for key in want:
         x, y = want[key], got[key]
@@ -186,3 +186,31 @@ def test_stream_adjust_false_leading_missing_batches(spark, tmp_path):
         alpha=0.4, adjust=False, ignore_na=False, plan="window",
     ).collect()
     _close(rows, want)
+
+
+@pytest.mark.parametrize("func", ["var", "std"])
+def test_stream_var_equals_batch(spark, tmp_path, func):
+    # r14: the linear carry extended with (Swx2, Sw2); anchored per
+    # key by the first observed value carried in state
+    batches, full = _batches(seed=21)
+    col = f"ewm_{func}"
+    rows = _run_stream(
+        spark, tmp_path, batches, f"ewmvar_{func}", col=col,
+        alpha=0.3, func=func,
+    )
+    want = groupby_ewm(
+        spark.createDataFrame(full), "k", value="v", order_by="t",
+        alpha=0.3, func=func, plan="window",
+    ).collect()
+    _close(rows, want, rtol=1e-7, col=col)
+
+
+def test_stream_var_rejects_adjust_false(spark):
+    import pandas as _pd
+
+    from flox_spark.streaming import stream_ewm_mean as _s
+
+    df = spark.createDataFrame(_pd.DataFrame({"k": ["a"], "t": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="adjust=True only"):
+        _s(df, "k", value="v", order_by="t", alpha=0.3, func="var",
+           adjust=False)
