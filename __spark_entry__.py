@@ -400,13 +400,28 @@ def q_minhash_pairs_xx(s, d):
     # plan -> RDD conversion); this literal-pairs form runs each
     # pipeline exactly once.
     from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
-    from flox_spark.plans.util import local_frame
+    from flox_spark.plans.util import local_frame, materialize_shared
     from flox_spark.streaming import minhash_band_keys
 
     docs = _t(s, d, "documents")
+    # ONE banding pass (r14 optimization): the r14-mid form ran the
+    # tokenize+shingle+minhash pipeline TWICE — once inside
+    # minhash_candidates and once more for the band-shape audit's
+    # minhash_band_keys call (two independent actions, two full
+    # pipelines; 18 Spark jobs, 3.1-4.3 s wall).  minhash_band_keys
+    # and band_buckets are bit-identical by shared construction
+    # (band_key/minhash_min_exprs are single-sourced), so build the
+    # band keys once, materialize, and feed BOTH the production
+    # self-join (via minhash_candidates(buckets=...)) and the
+    # band-shape aggregate from it.
+    bk = materialize_shared(
+        minhash_band_keys(
+            docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
+        )
+    )
     pair_rows = minhash_candidates(
         docs, num_hashes=16, bands=4, shingle_k=3,
-        max_bucket=None, hash_impl="xxhash64",
+        max_bucket=None, hash_impl="xxhash64", buckets=bk,
     ).collect()
     pair_set = {(r["id_a"], r["id_b"]) for r in pair_rows}
     n_bad_order = sum(1 for a, b in ((r["id_a"], r["id_b"]) for r in pair_rows) if a >= b)
@@ -416,16 +431,6 @@ def q_minhash_pairs_xx(s, d):
     # side — Spark cannot broadcast the LEFT of an anti join), unknown
     # = literal ids minus known.  No id collect.
     ids = sorted({x for p in pair_set for x in p})
-    if ids:
-        idf = local_frame(s, [(i,) for i in ids], "pid bigint")
-        n_known = (
-            docs.select(F.col("doc_id").alias("pid"))
-            .join(F.broadcast(idf), "pid", "left_semi")
-            .count()
-        )
-        n_unknown_ids = len(ids) - n_known
-    else:
-        n_unknown_ids = 0
     # duplicate shingle-set groups: ONE aggregate, only n>1 groups
     # survive.  Tokens STAGED in their own select (the _word_tokens
     # discipline): inlined, the regex split re-evaluates once per
@@ -470,25 +475,22 @@ def q_minhash_pairs_xx(s, d):
             (F.col("a") == F.col("id_a")) & (F.col("b") == F.col("id_b")),
             "left",
         )
-        drow = checked.agg(
+        dstats = checked.agg(
             F.count(F.lit(1)).alias("dsp"),
             F.coalesce(
                 F.sum(F.col("id_a").isNotNull().cast("long")), F.lit(0)
             ).alias("cap"),
-        ).collect()[0]
-    else:
-        drow = dup_pairs.agg(
-            F.count(F.lit(1)).alias("dsp"), F.lit(0).alias("cap")
-        ).collect()[0]
-    dup_shingle_pairs, dup_captured = drow["dsp"], drow["cap"]
-    # band SHAPE: every doc hashes into exactly one bucket per band —
-    # a 4-row aggregate crossed with the doc count, compared Spark-side
-    tot = docs.agg(F.count(F.lit(1)).alias("__nd"))
-    brow = (
-        minhash_band_keys(
-            docs, num_hashes=16, bands=4, shingle_k=3, hash_impl="xxhash64"
         )
-        .groupBy("band").agg(F.count(F.lit(1)).alias("nb"))
+    else:
+        dstats = dup_pairs.agg(
+            F.count(F.lit(1)).alias("dsp"), F.lit(0).cast("long").alias("cap")
+        )
+    # band SHAPE: every doc hashes into exactly one bucket per band —
+    # a 4-row aggregate (over the SHARED materialized band keys, not a
+    # second banding pipeline) crossed with the doc count
+    tot = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    bstats = (
+        bk.groupBy("band").agg(F.count(F.lit(1)).alias("nb"))
         .crossJoin(F.broadcast(tot))
         .agg(
             F.count(F.lit(1)).alias("n_bands"),
@@ -496,9 +498,29 @@ def q_minhash_pairs_xx(s, d):
                 F.sum((F.col("nb") != F.col("__nd")).cast("long")), F.lit(0)
             ).alias("n_uneven"),
         )
-        .collect()[0]
     )
-    n_bands, n_uneven_bands = brow["n_bands"], brow["n_uneven"]
+    # known-id count for the unknown-id audit, in the SAME action
+    if ids:
+        idf = local_frame(s, [(i,) for i in ids], "pid bigint")
+        kstats = (
+            docs.select(F.col("doc_id").alias("pid"))
+            .join(F.broadcast(idf), "pid", "left_semi")
+            .agg(F.count(F.lit(1)).alias("nk"))
+        )
+    else:
+        kstats = None
+    # ONE merged driver action (r14 optimization): the r14-mid form
+    # collected dstats / bstats / the known-id count as THREE separate
+    # actions, each paying the per-job scheduling floor.  The subtrees
+    # are disjoint (no shared frame re-executes), so crossJoining the
+    # three 1-row aggregates costs nothing and saves two actions.
+    merged = dstats.crossJoin(bstats)
+    if kstats is not None:
+        merged = merged.crossJoin(kstats)
+    arow = merged.collect()[0]
+    dup_shingle_pairs, dup_captured = arow["dsp"], arow["cap"]
+    n_bands, n_uneven_bands = arow["n_bands"], arow["n_uneven"]
+    n_unknown_ids = (len(ids) - arow["nk"]) if kstats is not None else 0
     return local_frame(
         s,
         [(n_bad_order, n_dup_pairs, n_unknown_ids, dup_shingle_pairs,
@@ -666,47 +688,50 @@ def q_lsh_sig_768(s, d):
     # the embeddings table; the violation counters pin at zero.
     # Pytest pins the numpy/expr signature bit-parity; this row is
     # the kernel running under the driver harness.
+    #
+    # ONE aggregation pass (r14 optimization): the r14-mid form built
+    # three plan branches over `sigs` (stats agg, exploded per-band
+    # agg crossed with stats, final cross of both) — the FORCED numpy
+    # signature pipeline (tiles + Arrow matmul) appeared 3x in the
+    # physical plan (3 MapInPandas nodes, 10 Exchanges; measured
+    # 2.2-3.2 s).  Per-band distinct-bucket counts are just
+    # count_distinct(substring(sig, 4i+1, 4)), so the whole audit fits
+    # in ONE aggregate over one signature pass (1 MapInPandas); the
+    # band fold (n_bands / out-of-bounds counter) becomes row-local
+    # arithmetic on that single row.  Counter semantics preserved
+    # exactly, incl. NULL-signature rows (substring(NULL) is ignored
+    # by count_distinct -> __nbI = 0 -> counted out-of-bounds, same as
+    # the exploded form's NULL bucket) and the empty-input row
+    # (n_rows = 0 -> n_bands = 0, n_bucket_oob = 0, as the old
+    # zero-row per_band aggregate produced).
     from flox_spark.operators.similarity import lsh_signature_bits
 
     base = _tiles768(_t(s, d, "embeddings"))
     sigs = lsh_signature_bits(base, planes=16, dim=768, kernel="numpy")
-    stats = sigs.agg(
+    row = sigs.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("vec_id")).alias("n_vecs"),
         F.coalesce(
             F.sum((~F.col("sig").rlike("^[01]{16}$")).cast("long")), F.lit(0)
         ).alias("n_bad_format"),
+        *[
+            F.count_distinct(F.substring("sig", i * 4 + 1, 4)).alias(f"__nb{i}")
+            for i in range(4)
+        ],
     )
-    bands = sigs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.substring("sig", i * 4 + 1, 4).alias("bucket"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bb")
-    ).select("bb.*")
-    per_band = bands.groupBy("band").agg(
-        F.count_distinct("bucket").alias("__nb")
-    )
-    bstats = per_band.crossJoin(F.broadcast(stats.select("n_vecs"))).agg(
-        F.count(F.lit(1)).alias("n_bands"),
-        F.coalesce(
-            F.sum(
-                (
-                    (F.col("__nb") < 1)
-                    | (F.col("__nb") > F.least(F.lit(16), F.col("n_vecs")))
-                ).cast("long")
-            ),
-            F.lit(0),
-        ).alias("n_bucket_oob"),
-    )
-    return stats.crossJoin(bstats).select(
-        "n_rows", "n_vecs", "n_bad_format", "n_bands", "n_bucket_oob"
+    cap = F.least(F.lit(16).cast("long"), F.col("n_vecs"))
+    oob = None
+    for i in range(4):
+        nb = F.col(f"__nb{i}")
+        term = ((nb < 1) | (nb > cap)).cast("long")
+        oob = term if oob is None else oob + term
+    has_rows = F.col("n_rows") > 0
+    return row.select(
+        "n_rows",
+        "n_vecs",
+        "n_bad_format",
+        F.when(has_rows, F.lit(4).cast("long")).otherwise(F.lit(0).cast("long")).alias("n_bands"),
+        F.when(has_rows, oob).otherwise(F.lit(0).cast("long")).alias("n_bucket_oob"),
     )
 
 

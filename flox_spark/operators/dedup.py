@@ -424,6 +424,7 @@ def minhash_candidates(
     shingle_k: int = 3,
     max_bucket: int | None = 1000,
     hash_impl: str = "xxhash64",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands
     of ``num_hashes/bands`` rows each, hash each band, and emit all
@@ -433,17 +434,30 @@ def minhash_candidates(
     the quadratic pair expansion — at 100 TB this is the difference
     between a join and an outage; dropped buckets mean "everything
     here is near-identical", which callers handle via dedup_exact.
-    """
-    buckets = band_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_k, hash_impl
-    )
-    buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
-    # the self-join is a diamond DAG: without materializing, Spark
-    # recomputes the whole shingle+md5 pipeline for BOTH sides
-    # (verified via .explain: 2 FileScans, 0 ReusedExchange)
-    from flox_spark.plans.util import materialize_shared
 
-    buckets = materialize_shared(buckets)
+    ``buckets``: optionally a pre-built, ALREADY-MATERIALIZED
+    (id, band, bkey) frame (``band_buckets``/``minhash_band_keys``
+    output — the two are bit-identical by shared construction).  A
+    caller that also needs the banding for something else (an audit,
+    a stats pass) builds it once, ``materialize_shared``s it, and
+    passes it here so the shingle+minhash pipeline runs once instead
+    of once per consumer; the caller owns materialization in that
+    case (an unmaterialized frame would recompute the pipeline for
+    both sides of the self-join diamond below).
+    """
+    if buckets is None:
+        buckets = band_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_k, hash_impl
+        )
+        buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
+        # the self-join is a diamond DAG: without materializing, Spark
+        # recomputes the whole shingle+md5 pipeline for BOTH sides
+        # (verified via .explain: 2 FileScans, 0 ReusedExchange)
+        from flox_spark.plans.util import materialize_shared
+
+        buckets = materialize_shared(buckets)
+    else:
+        buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

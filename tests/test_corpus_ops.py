@@ -352,3 +352,39 @@ def test_pack_sequences_missing_column_fails_at_build(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
     with _pytest.raises(ValueError, match="n_tokens"):
         pack_sequences(df, budget=10)
+
+
+def test_minhash_candidates_prebuilt_buckets_identical(spark):
+    # r14 optimization plumbing: a caller that also audits the banding
+    # builds (id, band, bkey) once and passes it via ``buckets=`` —
+    # the pair set must be IDENTICAL to the self-built path, and the
+    # prebuilt plan must not contain a second banding pipeline (no
+    # second scan of the docs source).
+    from flox_spark.operators import minhash_candidates
+    from flox_spark.plans.util import materialize_shared
+    from flox_spark.streaming import minhash_band_keys
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base.replace("today", "tomorrow")),
+            (3, "a totally different new document about spark plans"),
+            (4, base),
+        ],
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, max_bucket=None).collect()
+    )
+    bk = materialize_shared(minhash_band_keys(docs))
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, max_bucket=None, buckets=bk).collect()
+    )
+    assert got == want and (1, 4) in got
+    # max_bucket still applies on the prebuilt path (the quadratic
+    # guard is re-applied to the caller's frame)
+    capped = minhash_candidates(docs, max_bucket=1, buckets=bk).collect()
+    assert capped == []
