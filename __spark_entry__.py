@@ -557,39 +557,49 @@ def q_simhash_xx(s, d):
     # under ANY hash impl.  The oracle recomputes doc and token-set
     # counts from raw text; the violation counters pin at zero.
     from flox_spark.operators.dedup import _word_tokens
-    from flox_spark.plans.util import materialize_shared
 
     docs = _t(s, d, "documents")
-    sigs = simhash_signatures(docs, hex_chars=8, hash_impl="xxhash64")
-    keys = docs.select(
+    # ONE LINEAR plan (r14 optimization): the r14-mid form computed
+    # signatures and token-set keys as two pipelines joined by doc_id
+    # (a broadcast build job), localCheckpointed the join for the
+    # base/per-key branch diamond (another job), and crossJoined two
+    # aggregates (9 jobs, 1.5-1.6 s).  Instead: thread the raw text
+    # through the signature operator (carry=, the minhash_signatures
+    # pattern), derive the token-set key row-locally, and fold BOTH
+    # aggregation levels in one pass with rollup("__k") — the global
+    # grouping-set row carries the row/doc/format counters, the
+    # per-key rows carry the distinct-signature split counters, and a
+    # final row-local aggregate separates them by grouping().  No
+    # join, no checkpoint, no diamond; exec 3 jobs.
+    sigs = simhash_signatures(
+        docs, hex_chars=8, hash_impl="xxhash64", carry=("text",)
+    )
+    frame = sigs.select(
         "doc_id",
+        "simhash",
         F.concat_ws(
             "\x1f", F.array_sort(F.array_distinct(_word_tokens(F.col("text"))))
         ).alias("__k"),
     )
-    # materialized once: the base and per-key audit branches would
-    # otherwise each re-run the signature + token-set pipelines
-    j = materialize_shared(sigs.join(F.broadcast(keys), "doc_id", "left"))
-    base = j.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    rolled = frame.rollup("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("doc_id")).alias("__nd"),
         F.coalesce(
             F.sum((~F.col("simhash").rlike("^[0-9a-f]{8}$")).cast("long")),
             F.lit(0),
-        ).alias("n_bad_format"),
+        ).alias("__nbad"),
+        F.count_distinct(F.col("simhash")).alias("__ns"),
+        F.grouping("__k").alias("__gid"),
     )
-    per_key = j.groupBy("__k").agg(
-        F.count_distinct(F.col("simhash")).alias("__ns")
-    )
-    split = per_key.agg(
-        F.count(F.lit(1)).alias("n_token_sets"),
+    g = F.col("__gid") == 1  # the global grouping-set row
+    return rolled.agg(
+        F.coalesce(F.sum(F.when(g, F.col("__n"))), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.max(F.when(g, F.col("__nd"))), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(g, F.col("__nbad"))), F.lit(0)).alias("n_bad_format"),
+        F.coalesce(F.sum(F.when(~g, F.lit(1))), F.lit(0)).alias("n_token_sets"),
         F.coalesce(
-            F.sum((F.col("__ns") > 1).cast("long")), F.lit(0)
+            F.sum(F.when(~g & (F.col("__ns") > 1), F.lit(1))), F.lit(0)
         ).alias("n_split_token_sets"),
-    )
-    return base.crossJoin(split).select(
-        "n_rows", "n_docs", "n_bad_format", "n_token_sets",
-        "n_split_token_sets",
     )
 
 

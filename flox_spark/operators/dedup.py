@@ -259,6 +259,111 @@ def minhash_seed_cols(mins_col: str, num_hashes: int, prefix: str = "mh") -> lis
 _CARRY_RESERVED = frozenset({"band", "bkey", "__c", "__sh", "__hp", "__mins", "__t"})
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for SQL-text assembly."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _minhash_pipeline_sql(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    hash_impl: str,
+    unit: str,
+    carry: tuple[str, ...],
+    out: str,
+    prefix: str = "mh",
+) -> DataFrame:
+    """The staged signature/banding pipeline as ONE parameterized
+    ``spark.sql`` call — the plan-assembly twin of the Column-built
+    form (bit-identical expressions, same staged-projection CTE
+    boundaries, same physical plan).
+
+    Why it exists (r14 optimization): assembling the staged pipeline
+    through DataFrame selects costs ~0.5 s of py4j + per-select
+    analysis per build (measured: a 32-column ``.select`` alone is
+    ~160 ms; the same projection inside one ``spark.sql`` is ~20 ms,
+    the whole banding CTE ~120 ms) — a fixed per-plan-build cost paid
+    by every member of the minhash family.  One SQL string analyzes
+    once.  The seed_centroids SQL-string conversion (r13) is the
+    in-repo precedent.
+
+    ``out``: "signatures" (id, carry..., {prefix}0..{prefix}N) or
+    "band_keys" (id, carry..., band, bkey).  Callers keep the Column
+    path for STREAMING frames (parameterized sql is only exercised on
+    batch plans here).
+    """
+    k = shingle_k
+    idq = _bt(id_col)
+    carryq = "".join(f", {_bt(c)}" for c in carry)
+    if unit == "word":
+        parts = ", ' ', ".join(f"__t[i{j - 1:+d}]" for j in range(k))
+        stage_in = (
+            f"WITH __mh_t AS (SELECT {idq}{carryq}, "
+            f"split(lower(trim({_bt(text_col)})), '\\\\s+') AS __t FROM {{src}}),\n"
+            f"__mh_s AS (SELECT {idq}{carryq}, CASE WHEN size(__t) >= {k} "
+            f"THEN transform(sequence(1, size(__t) - {k - 1}), i -> concat({parts})) "
+            f"ELSE array(concat_ws(' ', __t)) END AS __sh FROM __mh_t)"
+        )
+    elif unit == "char":
+        stage_in = (
+            f"WITH __mh_c AS (SELECT {idq}{carryq}, "
+            f"lower(trim({_bt(text_col)})) AS __c FROM {{src}}),\n"
+            f"__mh_s AS (SELECT {idq}{carryq}, CASE WHEN length(__c) >= {k} "
+            f"THEN transform(sequence(1, length(__c) - {k - 1}), i -> substr(__c, i, {k})) "
+            f"ELSE array(__c) END AS __sh FROM __mh_c)"
+        )
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
+    if hash_impl == "xxhash64":
+        hp = (
+            "named_struct('h1', shiftright(xxhash64(x), 32) & 4294967295, "
+            "'h2', xxhash64(x) & 4294967295)"
+        )
+    elif hash_impl == "md5":
+        hp = (
+            "named_struct('h1', cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint), "
+            "'h2', cast(conv(substring(md5(x), 9, 8), 16, 10) as bigint))"
+        )
+    else:
+        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
+    sql = (
+        f"{stage_in},\n"
+        f"__mh_h AS (SELECT {idq}{carryq}, transform(__sh, x -> {hp}) AS __hp FROM __mh_s),\n"
+        f"__mh_m AS (SELECT {idq}{carryq}, aggregate(__hp, "
+        f"array_repeat(cast({MINHASH_P} as bigint), {num_hashes}), "
+        f"(acc, x) -> transform(acc, (c, i) -> least(c, (x.h1 + i * x.h2) % {MINHASH_P}))"
+        f") AS __mins FROM __mh_h)"
+    )
+    if out == "signatures":
+        seed_cols = ", ".join(
+            f"element_at(__mins, {j + 1}) AS {_bt(prefix + str(j))}"
+            for j in range(num_hashes)
+        )
+        sql += f"\nSELECT {idq}{carryq}, {seed_cols} FROM __mh_m"
+    elif out == "band_keys":
+        r = num_hashes // bands
+        structs = []
+        for b in range(bands):
+            cols = ", ".join(f"element_at(__mins, {b * r + j + 1})" for j in range(r))
+            if hash_impl == "xxhash64":
+                bkey = f"cast(xxhash64({cols}) as string)"
+            else:
+                bkey = f"md5(concat_ws('|', {cols}))"
+            structs.append(f"named_struct('band', {b}, 'bkey', {bkey})")
+        sql += (
+            f"\nSELECT {idq}{carryq}, bb.band AS band, bb.bkey AS bkey "
+            f"FROM __mh_m LATERAL VIEW explode(array({', '.join(structs)})) __mh_e AS bb"
+        )
+    else:
+        raise ValueError(f"out must be signatures|band_keys, got {out!r}")
+    return df.sparkSession.sql(sql, src=df)
+
+
 def _check_carry(carry, num_hashes: int | None = None) -> None:
     bad = sorted(set(carry) & _CARRY_RESERVED)
     if num_hashes:
@@ -301,6 +406,16 @@ def minhash_signatures(
     name in ``fuzzy_join``) that downstream wants without a join-back.
     Don't carry document-sized text: it rides every shuffle after."""
     _check_carry(carry, num_hashes)
+    if not df.isStreaming:
+        # batch plans assemble through ONE parameterized spark.sql
+        # call (bit-identical expressions; ~0.5 s -> ~0.1 s of py4j +
+        # analysis per build, r14; see _minhash_pipeline_sql)
+        return _minhash_pipeline_sql(
+            ensure_parallelism(df),
+            id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=1, shingle_k=shingle_k, hash_impl=hash_impl,
+            unit=unit, carry=tuple(carry), out="signatures",
+        )
     hp = _minhash_halves(hash_impl)
     keep = [F.col(c) for c in carry]
     if unit == "word":
@@ -362,6 +477,17 @@ def band_buckets(
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    _check_carry(carry, num_hashes)
+    if not df.isStreaming:
+        # one-sql-call assembly for batch plans (r14; see
+        # _minhash_pipeline_sql) — the band explode rides in the same
+        # analyzed statement
+        return _minhash_pipeline_sql(
+            ensure_parallelism(df),
+            id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, shingle_k=shingle_k, hash_impl=hash_impl,
+            unit=unit, carry=tuple(carry), out="band_keys",
         )
     r = num_hashes // bands
     sigs = minhash_signatures(
@@ -536,12 +662,65 @@ def ngram_jaccard_pairs(
 _HEX = "0123456789abcdef"
 
 
+def _simhash_pipeline_sql(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    hex_chars: int,
+    hash_impl: str,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """``simhash_signatures`` assembled as ONE parameterized
+    ``spark.sql`` call — bit-identical expressions and CTE stage
+    boundaries, one analysis pass instead of per-select (the
+    ``_minhash_pipeline_sql`` rationale; the hex-char rebuild alone is
+    32 nested CASE columns of py4j traffic on the Column path)."""
+    nbits = hex_chars * 4
+    idq = _bt(id_col)
+    carryq = "".join(f", {_bt(c)}" for c in carry)
+    toks = f"array_distinct(split(lower(trim({_bt(text_col)})), '\\\\s+'))"
+    if hash_impl == "xxhash64":
+        hs = f"transform({toks}, t -> xxhash64(t))"
+        bitpos = "i + 3 - (i % 4) * 2"
+    else:  # md5 (validated by the caller)
+        if hex_chars <= 15:
+            tok_long = f"cast(conv(substring(md5(t), 1, {hex_chars}), 16, 10) as bigint)"
+        else:
+            tok_long = (
+                f"shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
+                f"{4 * (hex_chars - 8)}) | "
+                f"cast(conv(substring(md5(t), 9, {hex_chars - 8}), 16, 10) as bigint)"
+            )
+        hs = f"transform({toks}, t -> {tok_long})"
+        bitpos = f"{nbits - 1} - i"
+    votes = (
+        f"aggregate(__hs, array_repeat(cast(0 as bigint), {nbits}), "
+        f"(acc, h) -> transform(acc, (c, i) -> c + getbit(h, {bitpos}) * 2 - 1))"
+    )
+    chars = []
+    for p in range(hex_chars):
+        val = " + ".join(
+            f"(CASE WHEN element_at(__v, {p * 4 + j + 1}) > 0 THEN {2 ** (3 - j)} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substr('{_HEX}', ({val}) + 1, 1)")
+    sql = (
+        f"WITH __sh_h AS (SELECT {idq}{carryq}, {hs} AS __hs FROM {{src}} "
+        f"WHERE {_bt(text_col)} IS NOT NULL),\n"
+        f"__sh_v AS (SELECT {idq}{carryq}, {votes} AS __v FROM __sh_h)\n"
+        f"SELECT {idq}{carryq}, concat({', '.join(chars)}) AS simhash FROM __sh_v"
+    )
+    return df.sparkSession.sql(sql, src=df)
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     hex_chars: int = 8,
     hash_impl: str = "xxhash64",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """SimHash over distinct tokens (unit weights): for each of
     ``hex_chars * 4`` bits, sum +1/-1 votes of hash(token)'s bit and
@@ -556,7 +735,33 @@ def simhash_signatures(
     pure projection with ZERO exchanges, like the text operators; the
     explode -> groupBy formulation this replaces is kept as
     ``_simhash_signatures_grouped`` and equality-tested.
+
+    ``carry`` names extra columns of ``df`` threaded through the
+    staged selects into the output (the ``minhash_signatures``
+    pattern) — for a caller that needs row-aligned extras (an audit's
+    token-set key) WITHOUT a join-back.  Short payloads only: carried
+    columns ride every projection after.
     """
+    bad_carry = sorted(set(carry) & {"__hs", "__v", "simhash"})
+    if bad_carry:
+        raise ValueError(
+            f"carry column(s) {bad_carry} collide with the signature "
+            "pipeline's internal/output names (__hs, __v, simhash) — "
+            "rename them before carrying"
+        )
+    if hash_impl == "xxhash64" and hex_chars * 4 > 64:
+        raise ValueError("xxhash64 simhash supports at most 16 hex chars")
+    if hash_impl == "md5" and hex_chars > 16:
+        raise ValueError("md5 simhash supports at most 16 hex chars")
+    if hash_impl not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
+    if not df.isStreaming:
+        return _simhash_pipeline_sql(
+            ensure_parallelism(df),
+            id_col=id_col, text_col=text_col, hex_chars=hex_chars,
+            hash_impl=hash_impl, carry=tuple(carry),
+        )
+    keep = [F.col(c) for c in carry]
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
 
     if hash_impl == "xxhash64":
@@ -565,7 +770,7 @@ def simhash_signatures(
         base = (
             ensure_parallelism(df)
             .filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"))
+            .select(F.col(id_col), *keep, F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"))
         )
 
         # all bits voted in ONE fold (array-state accumulator); flat
@@ -579,7 +784,7 @@ def simhash_signatures(
                 acc, lambda c, i: c + F.getbit(h, i + 3 - (i % 4) * 2) * 2 - 1
             ),
         )
-        sig = base.select(F.col(id_col), votes.alias("__v"))
+        sig = base.select(F.col(id_col), *keep, votes.alias("__v"))
         out_chars = []
         for p in range(hex_chars):
             val = None
@@ -589,7 +794,7 @@ def simhash_signatures(
                 ).otherwise(F.lit(0))
                 val = bit if val is None else val + bit
             out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
-        return sig.select(F.col(id_col), F.concat(*out_chars).alias("simhash"))
+        return sig.select(F.col(id_col), *keep, F.concat(*out_chars).alias("simhash"))
     if hash_impl != "md5":
         raise ValueError(f"hash_impl must be md5|xxhash64, got {hash_impl!r}")
 
@@ -620,6 +825,7 @@ def simhash_signatures(
         .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
+            *keep,
             F.transform(toks, tok_long).alias("__hs"),
         )
     )
@@ -634,7 +840,7 @@ def simhash_signatures(
             acc, lambda c, i: c + F.getbit(v, F.lit(nbits - 1) - i) * 2 - 1
         ),
     )
-    sig = base.select(F.col(id_col), votes.alias("__v"))
+    sig = base.select(F.col(id_col), *keep, votes.alias("__v"))
     out_chars = []
     for p in range(hex_chars):
         val = None
@@ -644,7 +850,7 @@ def simhash_signatures(
             ).otherwise(F.lit(0))
             val = bit if val is None else val + bit
         out_chars.append(F.lit(_HEX).substr(val + 1, F.lit(1)))
-    return sig.select(F.col(id_col), F.concat(*out_chars).alias("simhash"))
+    return sig.select(F.col(id_col), *keep, F.concat(*out_chars).alias("simhash"))
 
 
 def _simhash_signatures_grouped(

@@ -62,10 +62,19 @@ def minhash_band_keys(
     extra = list(extra_cols or [])
     if not df.isStreaming:
         # fan out single-file scans before the CPU-bound hashing (a
-        # streaming frame already shuffles into the stateful operator)
+        # streaming frame already shuffles into the stateful operator),
+        # then assemble through ONE parameterized spark.sql call (r14;
+        # bit-identical to the staged Column pipeline below, which
+        # remains the streaming path — see _minhash_pipeline_sql)
+        from flox_spark.operators.dedup import _minhash_pipeline_sql
         from flox_spark.plans import ensure_parallelism
 
-        df = ensure_parallelism(df)
+        return _minhash_pipeline_sql(
+            ensure_parallelism(df),
+            id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, shingle_k=shingle_k, hash_impl=hash_impl,
+            unit="word", carry=tuple(extra), out="band_keys",
+        )
     from flox_spark.operators.dedup import (
         _minhash_halves,
         _shingles_from_tokens,
