@@ -306,7 +306,6 @@ def cosine_topk(
     """
     if kernel not in ("auto", "expr", "numpy"):
         raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
-    base = ensure_parallelism(base)
     if kernel == "auto":
         from flox_spark.plans.util import estimate_size_bytes
 
@@ -323,6 +322,10 @@ def cosine_topk(
             else "expr"
         )
     if kernel == "numpy":
+        # matmul = memory-bandwidth work: below the byte gate the
+        # fan-out exchange costs more than the compute (see
+        # lsh_signature_bits); auto only picks numpy past 64 MB
+        base = ensure_parallelism(base, min_bytes=8 << 20)
         qrows = [
             (r[0], r[1]) for r in queries.select(query_id_col, vec_col).collect()
         ]
@@ -331,6 +334,9 @@ def cosine_topk(
             queries.schema[query_id_col], dim,
         )
     else:
+        # the per-pair expr fold IS expensive per row: unconditional
+        # fan-out, as before
+        base = ensure_parallelism(base)
         # norms precomputed per ROW on each side: inside the pair
         # expression they would re-evaluate per PAIR — O(N*Q*dim)
         # instead of O((N+Q)*dim)
@@ -473,7 +479,6 @@ def lsh_signature_bits(
     if kernel not in ("auto", "expr", "numpy"):
         raise ValueError(f"kernel must be auto|expr|numpy, got {kernel!r}")
     emb = F.col(vec_col)
-    df = ensure_parallelism(df)
     if kernel == "auto":
         from flox_spark.plans.util import estimate_size_bytes
 
@@ -490,7 +495,17 @@ def lsh_signature_bits(
             else "expr"
         )
     if kernel == "numpy":
-        return _numpy_signature_pass(df, id_col, vec_col, planes, dim)
+        # the matmul pass is memory-bandwidth work, not an expensive
+        # per-row fold: below the byte gate the fan-out exchange costs
+        # more wall than the compute it parallelizes (the min_bytes
+        # rationale in ensure_parallelism's docstring) — a FORCED
+        # numpy kernel on a small frame skips it; the auto route only
+        # picks numpy past 64 MB, where the fan always happens
+        return _numpy_signature_pass(
+            ensure_parallelism(df, min_bytes=8 << 20), id_col, vec_col,
+            planes, dim,
+        )
+    df = ensure_parallelism(df)
 
     if isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM:
         vc = _sqlref(vec_col)
