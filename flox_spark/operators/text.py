@@ -68,9 +68,27 @@ def quality_score(df: DataFrame, text_col: str = "text", prefix: str = "q_") -> 
     """Heuristic quality features: length, token count, mean token
     length, punctuation ratio, stopword(en) ratio, and a composite
     score.  All ratios are exact rational arithmetic over counts, so
-    the DuckDB oracle reproduces them bit-for-bit."""
+    the DuckDB oracle reproduces them bit-for-bit.
+
+    Physical shape (r14): the tokenization is STAGED once as a real
+    column — inlined, the split/lower/trim subtree re-evaluates once
+    per CONSUMING expression (the r14 before-plan shows 20 copies in
+    ONE Project, which the stopword lambda keeps out of codegen and
+    codegen's CSE) — and the composite score references the staged
+    ratio COLUMNS instead of re-deriving each (CollapseProject leaves
+    multi-referenced non-cheap aliases staged).  The fan-out follows
+    the expensive-per-row-fold convention (kmeans assignment): the
+    regex/array work here measures ~130 us/doc, orders above the
+    exchange cost, so ``ensure_parallelism`` runs ungated; at scale
+    the scan already meets default parallelism and it is a no-op."""
+    from flox_spark.plans import ensure_parallelism
+
     text = F.col(text_col)
-    toks = _tokens(text)
+    tok_col = f"__{prefix}toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    work = ensure_parallelism(df).withColumn(tok_col, _tokens(text))
+    toks = F.col(tok_col)
     n_chars = F.length(text).cast("long")
     n_tokens = F.size(toks).cast("long")
     n_punct = (F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))).cast("long")
@@ -79,49 +97,83 @@ def quality_score(df: DataFrame, text_col: str = "text", prefix: str = "q_") -> 
     mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+
+    def c(s: str) -> Column:
+        return F.col(f"{prefix}{s}")
+
     score = (
-        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.05, F.lit(0.15)).otherwise(F.lit(0.0))
+        F.when((c("n_tokens") >= 5) & (c("n_tokens") <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((c("mean_tok_len") >= 3.0) & (c("mean_tok_len") <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(c("punct_ratio") <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when(c("stop_ratio") >= 0.05, F.lit(0.15)).otherwise(F.lit(0.0))
     )
     return (
-        df.withColumn(f"{prefix}n_tokens", n_tokens)
+        work.withColumn(f"{prefix}n_tokens", n_tokens)
         .withColumn(f"{prefix}mean_tok_len", mean_tok_len)
         .withColumn(f"{prefix}punct_ratio", punct_ratio)
         .withColumn(f"{prefix}stop_ratio", stop_ratio)
         .withColumn(f"{prefix}score", score)
+        .drop(tok_col)
     )
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Stopword-hit language heuristic: score = number of tokens in
     each language's stopword list; winner = highest score, ties broken
-    alphabetically; no hits at all -> 'und' (undetermined)."""
-    toks = _tokens(F.col(text_col))
+    alphabetically; no hits at all -> 'und' (undetermined).
+
+    Tokens and the per-language hit counts are STAGED as real columns
+    (r14, quality_score's rationale): inlined, each language's
+    filter-over-split subtree re-evaluates in the argmax AND in every
+    tie-break comparison — 3x per language on top of re-tokenizing."""
+    from flox_spark.plans import ensure_parallelism
 
     def _hits(sw: tuple[str, ...]):
         # NB: a one-arg lambda — a second (even defaulted) parameter
         # makes F.filter pass the element index into it
         return lambda t: t.isin(*sw)
 
-    scores = [
-        (lang, F.size(F.filter(toks, _hits(sw))))
-        for lang, sw in sorted(LANG_STOPWORDS.items())
-    ]
+    tok_col = "__lid_toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    work = ensure_parallelism(df).withColumn(tok_col, _tokens(F.col(text_col)))
+    langs = sorted(LANG_STOPWORDS)
+    staged: list[str] = []
+    for lang in langs:
+        sc = f"{tok_col}_{lang}"
+        work = work.withColumn(
+            sc, F.size(F.filter(F.col(tok_col), _hits(LANG_STOPWORDS[lang])))
+        )
+        staged.append(sc)
+    scores = [(lang, F.col(f"{tok_col}_{lang}")) for lang in langs]
     # argmax with alphabetical tie-break: fold keeping (best_score, lang)
-    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    best_col = f"{tok_col}_best"
+    work = work.withColumn(
+        best_col,
+        F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1],
+    )
+    best = F.col(best_col)
     pick = F.lit("und")
     for lang, s in reversed(scores):  # earlier (alphabetical) languages win ties
         pick = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pick)
-    return df.withColumn(out, pick)
+    return work.withColumn(out, pick).drop(tok_col, best_col, *staged)
 
 
 def repetition_ratio(df: DataFrame, text_col: str = "text", prefix: str = "rep_") -> DataFrame:
     """Repetition signals (Gopher-style quality filters): fraction of
     distinct tokens, and the frequency share of the most common token.
-    High repetition marks boilerplate/spam.  Pure array expressions."""
-    toks = _tokens(F.col(text_col))
+    High repetition marks boilerplate/spam.  Pure array expressions.
+
+    Tokens STAGED once (r14, quality_score's rationale): inlined, the
+    split/lower/trim subtree re-evaluates under size, array_distinct,
+    array_sort AND the run-length aggregate."""
+    from flox_spark.plans import ensure_parallelism
+
+    tok_col = "__rep_toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    df = ensure_parallelism(df).withColumn(tok_col, _tokens(F.col(text_col)))
+    toks = F.col(tok_col)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     distinct_ratio = F.when(n > 0, n_distinct / n).otherwise(F.lit(1.0))
@@ -139,8 +191,10 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", prefix: str = "rep_"
         lambda acc: acc["best"],
     )
     top_ratio = F.when(n > 0, top_run / n).otherwise(F.lit(0.0))
-    return df.withColumn(f"{prefix}distinct_ratio", distinct_ratio).withColumn(
-        f"{prefix}top_token_ratio", top_ratio
+    return (
+        df.withColumn(f"{prefix}distinct_ratio", distinct_ratio)
+        .withColumn(f"{prefix}top_token_ratio", top_ratio)
+        .drop(tok_col)
     )
 
 
