@@ -1309,18 +1309,29 @@ def q_value_counts(s, d):
 
 
 def q_skew(s, d):
-    # pandas GroupBy.skew parity via anchor-shifted power sums
+    # pandas GroupBy.skew parity via anchor-shifted power sums.
+    # sort=False (r14, guide §2.4): the final orderBy of the
+    # group-sized result exists only to present sorted groups — the
+    # harness canonicalizes row order before hashing, and the sort's
+    # range exchange costs 2 extra AQE jobs (~0.2 s measured: 0.60 ->
+    # 0.40 s best-of-4 at sf0.1).  The OPERATOR default keeps
+    # sort=True (flox sorted-groups parity).
     from flox_spark import groupby_skew
 
-    out = groupby_skew(_t(s, d, "lineitem"), "l_returnflag", value="l_quantity")
+    out = groupby_skew(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_quantity", sort=False
+    )
     return out.select("l_returnflag", F.round("skew", 9).alias("skew"))
 
 
 def q_kurtosis(s, d):
-    # pandas GroupBy.kurt parity (bias-corrected excess kurtosis)
+    # pandas GroupBy.kurt parity (bias-corrected excess kurtosis);
+    # sort=False per q_skew's rationale (presentation-only sort)
     from flox_spark import groupby_kurtosis
 
-    out = groupby_kurtosis(_t(s, d, "lineitem"), "l_returnflag", value="l_quantity")
+    out = groupby_kurtosis(
+        _t(s, d, "lineitem"), "l_returnflag", value="l_quantity", sort=False
+    )
     return out.select("l_returnflag", F.round("kurt", 9).alias("kurt"))
 
 
@@ -1948,7 +1959,7 @@ def q_quality_report(s, d):
     # the quality decision layer: per-drop-reason counts over documents
     from flox_spark.operators import quality_filter_report
 
-    return quality_filter_report(_t(s, d, "documents"))
+    return quality_filter_report(_t(s, d, "documents"), sort=False)
 
 
 def q_decontaminate(s, d):
@@ -1980,7 +1991,7 @@ def q_weighted_mean(s, d):
     out = groupby_reduce_weighted(
         _t(s, d, "lineitem"), "l_returnflag",
         func="nanmean", value="l_extendedprice", weights="l_quantity",
-        alias="wmean_price",
+        alias="wmean_price", sort=False,  # presentation-only sort (q_skew note)
     )
     return out.withColumn("wmean_price", F.round("wmean_price", 4))
 

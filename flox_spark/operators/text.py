@@ -271,16 +271,18 @@ def quality_filter(
 
 
 def quality_filter_report(
-    df: DataFrame, text_col: str = "text", **thresholds
+    df: DataFrame, text_col: str = "text", sort: bool = True, **thresholds
 ) -> DataFrame:
     """Per-reason drop counts (plus a ``kept`` row) — one tiny
-    aggregate over the annotations."""
+    aggregate over the annotations.  ``sort=False`` skips the
+    presentation orderBy (its range exchange costs two extra AQE
+    jobs — callers that canonicalize row order themselves, like the
+    bench harness, don't need it)."""
     ann = annotate_quality_filter(df, text_col=text_col, **thresholds)
-    return (
-        ann.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("outcome")
-    )
+    out = ann.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return out.orderBy("outcome") if sort else out
 
 
 # ---------------------------------------------------------------------------
