@@ -431,23 +431,53 @@ def q_minhash_pairs_xx(s, d):
     # side — Spark cannot broadcast the LEFT of an anti join), unknown
     # = literal ids minus known.  No id collect.
     ids = sorted({x for p in pair_set for x in p})
-    # duplicate shingle-set groups: ONE aggregate, only n>1 groups
-    # survive.  Tokens STAGED in their own select (the _word_tokens
-    # discipline): inlined, the regex split re-evaluates once per
-    # SHINGLE inside the transform lambda — measured 8.0 s vs 0.65 s
-    # staged for this exact aggregate at sf0.1.  Shingle-LESS docs
-    # (under k tokens) must be dropped to match the oracle's
-    # sh-derived key set (r13 ADVICE) — via a ROW-level token-count
-    # filter (< k tokens <=> zero shingles), NOT a filter touching
-    # the shingle/key expression: Catalyst pushes key filters below
-    # the projection/aggregate and DUPLICATES the giant nested-lambda
-    # key expression (re-triggering the trap as a ~9 s first-
-    # execution penalty, measured both as a pre-aggregate size filter
-    # and as a post-aggregate __k != "" filter); the token-count
-    # predicate costs one extra per-row regex split (~0.1 s).
-    toks = docs.select(
-        F.col("doc_id"), _word_tokens(F.col("text")).alias("__t")
-    ).filter(F.size(F.col("__t")) >= 3)
+    # duplicate shingle-set groups: signature-prefiltered (r14).  The
+    # minhash signature is a deterministic function of the shingle
+    # SET, so equal shingle sets => equal (band, bkey) rows — every
+    # true dup group lands inside one signature-equal group of the
+    # ALREADY-materialized band keys.  Prefilter: rebuild each doc's
+    # signature from bk (array_sort(collect_list(struct(band,bkey))):
+    # two tiny-row exchanges over the checkpointed frame), keep docs
+    # in multi-doc signature groups, and compute the EXPENSIVE exact
+    # shingle-set key only for those (~327 of 5000 docs at sf0.1 —
+    # the near-dup candidate class, bounded at scale like pair_set).
+    # LSH sig collisions between UNequal sets only add candidates;
+    # the exact-key aggregate below still decides membership, so the
+    # counters are provably identical to the full-corpus aggregate
+    # (no false negatives: sig equality is implied by set equality;
+    # false positives form n=1 exact-key groups and drop out).  This
+    # replaced a THIRD full tokenize+shingle pass over all docs
+    # (0.75 s) with ~0.2 s of tiny aggregates + a 15x-smaller exact
+    # pass — and at scale it shuffles 32-byte sig structs instead of
+    # grouping giant concat keys over the whole corpus.
+    #
+    # Exact stage: tokens STAGED in their own select (the
+    # _word_tokens discipline): inlined, the regex split re-evaluates
+    # once per SHINGLE inside the transform lambda — measured 8.0 s
+    # vs 0.65 s staged for this exact aggregate at sf0.1.  Shingle-
+    # LESS docs (under k tokens) must be dropped to match the
+    # oracle's sh-derived key set (r13 ADVICE) — via a ROW-level
+    # token-count filter (< k tokens <=> zero shingles), NOT a filter
+    # touching the shingle/key expression: Catalyst pushes key
+    # filters below the projection/aggregate and DUPLICATES the giant
+    # nested-lambda key expression (re-triggering the trap as a ~9 s
+    # first-execution penalty, measured both as a pre-aggregate size
+    # filter and as a post-aggregate __k != "" filter); the
+    # token-count predicate costs one extra per-row regex split.
+    sig = bk.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("band", "bkey"))).alias("__sig")
+    )
+    cand = (
+        sig.groupBy("__sig")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    toks = (
+        docs.join(F.broadcast(cand), "doc_id", "left_semi")
+        .select(F.col("doc_id"), _word_tokens(F.col("text")).alias("__t"))
+        .filter(F.size(F.col("__t")) >= 3)
+    )
     key = F.concat_ws(
         "\x1f",
         F.array_sort(F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))),

@@ -388,3 +388,41 @@ def test_minhash_candidates_prebuilt_buckets_identical(spark):
     # guard is re-applied to the caller's frame)
     capped = minhash_candidates(docs, max_bucket=1, buckets=bk).collect()
     assert capped == []
+
+
+def test_minhash_pairs_xx_sig_prefilter_differential(spark):
+    # r14 optimization: the audit's dup-shingle-group aggregate is
+    # prefiltered through signature-equal groups of the materialized
+    # band keys instead of running a full-corpus exact-key aggregate.
+    # Differential: brute-force the dup shingle-set pair count in
+    # Python over the sf0.001 corpus (same tokenize/shingle rules,
+    # >=k-token docs only, sorted-distinct shingle set as the key)
+    # and pin every audit counter — including completeness
+    # (dup_captured == dup_shingle_pairs: equal sets are captured by
+    # EVERY band under any hash when max_bucket=None).
+    import itertools
+    import re
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+
+    d = "/root/testdata/sf0.1"  # the only SF whose fixture seeds exact dups
+    row = em.queries()["minhash_pairs_xx"](spark, d).collect()[0]
+
+    tab = pq.read_table(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    groups: dict[tuple, int] = {}
+    for doc_id, text in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        if text is None:
+            continue
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < 3:
+            continue
+        key = tuple(sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}))
+        groups[key] = groups.get(key, 0) + 1
+    want_pairs = sum(n * (n - 1) // 2 for n in groups.values() if n > 1)
+    assert want_pairs > 0  # the fixture seeds exact duplicates
+    assert row["dup_shingle_pairs"] == want_pairs
+    assert row["dup_captured"] == want_pairs
+    assert row["n_bad_order"] == 0 and row["n_dup_pairs"] == 0
+    assert row["n_unknown_ids"] == 0 and row["n_uneven_bands"] == 0
