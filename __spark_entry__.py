@@ -515,42 +515,68 @@ def q_minhash_pairs_xx(s, d):
         dstats = dup_pairs.agg(
             F.count(F.lit(1)).alias("dsp"), F.lit(0).cast("long").alias("cap")
         )
-    # band SHAPE: every doc hashes into exactly one bucket per band —
-    # a 4-row aggregate (over the SHARED materialized band keys, not a
-    # second banding pipeline) crossed with the doc count
-    tot = docs.agg(F.count(F.lit(1)).alias("__nd"))
-    bstats = (
-        bk.groupBy("band").agg(F.count(F.lit(1)).alias("nb"))
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.count(F.lit(1)).alias("n_bands"),
-            F.coalesce(
-                F.sum((F.col("nb") != F.col("__nd")).cast("long")), F.lit(0)
-            ).alias("n_uneven"),
-        )
-    )
-    # known-id count for the unknown-id audit, in the SAME action
+    # band SHAPE: every doc hashes into exactly one bucket per band.
+    # Computed from the SHARED sig frame (r14 job-floor cut): per-band
+    # row counts of bk are recoverable row-locally from each doc's
+    # __sig array (band values are literal 0..bands-1 by the banding
+    # pipeline's own construction), so this branch REUSES sig's
+    # doc_id exchange instead of paying bk.groupBy("band")'s own —
+    # and the n_bands / n_uneven comparison against the doc count
+    # moves to 4-number driver arithmetic, dropping the old
+    # crossJoin(broadcast(tot)) subtree and its corpus scan.
+    def _band_eq(b):
+        # NOTE: must return a ONE-arg lambda — F.filter hands a
+        # 2-param lambda (element, index), so a default-arg capture
+        # (lambda x, _b=b: ...) silently binds _b to the array INDEX
+        return lambda x: x["band"] == F.lit(b)
+
+    bstats = sig.agg(*[
+        F.coalesce(
+            F.sum(F.size(F.filter(F.col("__sig"), _band_eq(b)))), F.lit(0)
+        ).alias(f"nb{b}")
+        for b in range(4)
+    ])
+    # known-id count for the unknown-id audit — fused with the doc
+    # count into ONE corpus scan (the old form scanned docs twice:
+    # tot = docs.agg(count) and a second semi-join scan for nk)
     if ids:
         idf = local_frame(s, [(i,) for i in ids], "pid bigint")
         kstats = (
-            docs.select(F.col("doc_id").alias("pid"))
-            .join(F.broadcast(idf), "pid", "left_semi")
-            .agg(F.count(F.lit(1)).alias("nk"))
+            docs.select("doc_id")
+            .join(F.broadcast(idf), F.col("doc_id") == F.col("pid"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("__nd"),
+                F.count(F.col("pid")).alias("nk"),
+            )
         )
     else:
-        kstats = None
+        kstats = docs.agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.lit(None).cast("long").alias("nk"),
+        )
     # ONE merged driver action (r14 optimization): the r14-mid form
-    # collected dstats / bstats / the known-id count as THREE separate
-    # actions, each paying the per-job scheduling floor.  The subtrees
-    # are disjoint (no shared frame re-executes), so crossJoining the
-    # three 1-row aggregates costs nothing and saves two actions.
-    merged = dstats.crossJoin(bstats)
-    if kstats is not None:
-        merged = merged.crossJoin(kstats)
-    arow = merged.collect()[0]
-    dup_shingle_pairs, dup_captured = arow["dsp"], arow["cap"]
-    n_bands, n_uneven_bands = arow["n_bands"], arow["n_uneven"]
-    n_unknown_ids = (len(ids) - arow["nk"]) if kstats is not None else 0
+    # collected the audit stats as THREE separate actions, each paying
+    # the per-job scheduling floor.  The subtrees are disjoint, so
+    # merge them — via a 3-row unionByName rather than the earlier
+    # crossJoins: each crossJoin materialized its 1-row build side as
+    # an extra AQE broadcast job, while union branches flow straight
+    # into the single collect (15 -> ~10 jobs for this action).
+    merged = (
+        dstats.withColumn("__src", F.lit("d"))
+        .unionByName(
+            bstats.withColumn("__src", F.lit("b")), allowMissingColumns=True
+        )
+        .unionByName(
+            kstats.withColumn("__src", F.lit("k")), allowMissingColumns=True
+        )
+    )
+    rows = {r["__src"]: r for r in merged.collect()}
+    dup_shingle_pairs, dup_captured = rows["d"]["dsp"], rows["d"]["cap"]
+    nd = rows["k"]["__nd"]
+    nbs = [rows["b"][f"nb{b}"] for b in range(4)]
+    n_bands = sum(1 for nb in nbs if nb > 0)
+    n_uneven_bands = sum(1 for nb in nbs if nb > 0 and nb != nd)
+    n_unknown_ids = (len(ids) - rows["k"]["nk"]) if ids else 0
     return local_frame(
         s,
         [(n_bad_order, n_dup_pairs, n_unknown_ids, dup_shingle_pairs,
