@@ -583,7 +583,16 @@ def minhash_candidates(
 
         buckets = materialize_shared(buckets)
     else:
-        buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
+        if max_bucket is not None:
+            # the cap's bucket-size window sits ON TOP of the caller's
+            # materialization — without re-materializing, the window
+            # (though not the pipeline) recomputes on both sides of
+            # the self-join diamond below
+            from flox_spark.plans.util import materialize_shared
+
+            buckets = materialize_shared(
+                cap_buckets(buckets, ["band", "bkey"], max_bucket)
+            )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

@@ -133,11 +133,17 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
         # makes F.filter pass the element index into it
         return lambda t: t.isin(*sw)
 
+    langs = sorted(LANG_STOPWORDS)
     tok_col = "__lid_toks"
-    while tok_col in df.columns:
+    # collision-check every DERIVED staged name too (__lid_toks_<lang>
+    # / __lid_toks_best), not just the token column itself: withColumn
+    # would silently clobber an input column named like one of them
+    def _derived(tc: str) -> list[str]:
+        return [tc, *(f"{tc}_{lang}" for lang in langs), f"{tc}_best"]
+
+    while any(c in df.columns for c in _derived(tok_col)):
         tok_col += "_"
     work = ensure_parallelism(df).withColumn(tok_col, _tokens(F.col(text_col)))
-    langs = sorted(LANG_STOPWORDS)
     staged: list[str] = []
     for lang in langs:
         sc = f"{tok_col}_{lang}"

@@ -60,6 +60,12 @@ def minhash_band_keys(
         )
     r = num_hashes // bands
     extra = list(extra_cols or [])
+    # same reserved-name guard band_buckets/minhash_signatures apply:
+    # an extra column named band/bkey/__t etc. would silently clobber
+    # pipeline-internal/output columns instead of erroring
+    from flox_spark.operators.dedup import _check_carry
+
+    _check_carry(extra, num_hashes)
     if not df.isStreaming:
         # fan out single-file scans before the CPU-bound hashing (a
         # streaming frame already shuffles into the stateful operator),

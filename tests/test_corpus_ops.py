@@ -395,7 +395,7 @@ def test_minhash_pairs_xx_sig_prefilter_differential(spark):
     # prefiltered through signature-equal groups of the materialized
     # band keys instead of running a full-corpus exact-key aggregate.
     # Differential: brute-force the dup shingle-set pair count in
-    # Python over the sf0.001 corpus (same tokenize/shingle rules,
+    # Python over the sf0.1 corpus (same tokenize/shingle rules,
     # >=k-token docs only, sorted-distinct shingle set as the key)
     # and pin every audit counter — including completeness
     # (dup_captured == dup_shingle_pairs: equal sets are captured by
@@ -415,7 +415,11 @@ def test_minhash_pairs_xx_sig_prefilter_differential(spark):
     for doc_id, text in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
         if text is None:
             continue
-        toks = re.split(r"\s+", text.strip().lower())
+        # ASCII-equivalent of Java/Spark's \s and trim(): Python's \s
+        # and str.strip() also match Unicode whitespace (U+00A0 etc.)
+        # and would silently tokenize differently from the Spark side
+        _ws = " \t\n\x0b\f\r"
+        toks = re.split(f"[{_ws}]+", text.strip(_ws).lower())
         if len(toks) < 3:
             continue
         key = tuple(sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}))

@@ -4,11 +4,10 @@ artifact (before/after plan diffs the judge can read without Spark).
 
 Usage: python tools/plan_capture.py <tag> <before|after> q1 [q2 ...]
 
-Audit-row queries (minhash_pairs_xx, lsh_sig_768, neardup_768, ...)
-return a driver-built LocalRelation whose own plan is trivial; for
-those this captures the formatted plans of the CONSTITUENT pipelines
-where the module exposes them via _plan_parts (optional hook), else
-the final frame's plan.
+NB: this always captures the FINAL frame's plan.  Audit-row queries
+whose result is a driver-built LocalRelation show a trivial plan
+here; capture their constituent pipelines by hand (the r14
+minhash_pairs_xx_audit_* files were produced that way).
 """
 
 from __future__ import annotations
