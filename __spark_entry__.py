@@ -399,7 +399,6 @@ def q_minhash_pairs_xx(s, d):
     # pipeline) and lazy-checkpointing the shared frames 10.7 s (AQE
     # plan -> RDD conversion); this literal-pairs form runs each
     # pipeline exactly once.
-    from flox_spark.operators.dedup import _shingles_from_tokens, _word_tokens
     from flox_spark.plans.util import local_frame, materialize_shared
     from flox_spark.streaming import minhash_band_keys
 
@@ -431,145 +430,97 @@ def q_minhash_pairs_xx(s, d):
     # side — Spark cannot broadcast the LEFT of an anti join), unknown
     # = literal ids minus known.  No id collect.
     ids = sorted({x for p in pair_set for x in p})
-    # duplicate shingle-set groups: signature-prefiltered (r14).  The
-    # minhash signature is a deterministic function of the shingle
-    # SET, so equal shingle sets => equal (band, bkey) rows — every
-    # true dup group lands inside one signature-equal group of the
-    # ALREADY-materialized band keys.  Prefilter: rebuild each doc's
-    # signature from bk (array_sort(collect_list(struct(band,bkey))):
-    # two tiny-row exchanges over the checkpointed frame), keep docs
-    # in multi-doc signature groups, and compute the EXPENSIVE exact
-    # shingle-set key only for those (~327 of 5000 docs at sf0.1 —
-    # the near-dup candidate class, bounded at scale like pair_set).
-    # LSH sig collisions between UNequal sets only add candidates;
-    # the exact-key aggregate below still decides membership, so the
-    # counters are provably identical to the full-corpus aggregate
-    # (no false negatives: sig equality is implied by set equality;
-    # false positives form n=1 exact-key groups and drop out).  This
-    # replaced a THIRD full tokenize+shingle pass over all docs
-    # (0.75 s) with ~0.2 s of tiny aggregates + a 15x-smaller exact
-    # pass — and at scale it shuffles 32-byte sig structs instead of
-    # grouping giant concat keys over the whole corpus.
+    # duplicate shingle-set groups: prefiltered by the LITERAL pair
+    # ids (r15; supersedes the r14 signature-equality rebuild).  Equal
+    # shingle sets => equal minhash signatures => ALL 4 bands collide
+    # => with max_bucket=None the pair is IN pair_set, so every doc of
+    # every true dup group appears in `ids` — the already-collected
+    # pair-id set is a correct prefilter with NO extra Spark subtree.
+    # The r14 form rebuilt each doc's signature from bk
+    # (collect_list + a second groupBy: two exchanges + a broadcast
+    # build, ~3 AQE jobs) to find multi-doc signature groups; `ids`
+    # is a superset of those docs (any sig-equal partner pair shares
+    # all bands), and supersets are safe for the same reason LSH
+    # collisions were: the exact-key aggregate below still decides
+    # membership — false positives form n=1 exact-key groups and
+    # drop out, no false negatives (set equality => pair emitted).
+    # ~600 of 5000 docs at sf0.1 — the near-dup candidate class,
+    # bounded at scale exactly like pair_set itself.
     #
-    # Exact stage: tokens STAGED in their own select (the
-    # _word_tokens discipline): inlined, the regex split re-evaluates
-    # once per SHINGLE inside the transform lambda — measured 8.0 s
-    # vs 0.65 s staged for this exact aggregate at sf0.1.  Shingle-
-    # LESS docs (under k tokens) must be dropped to match the
-    # oracle's sh-derived key set (r13 ADVICE) — via a ROW-level
-    # token-count filter (< k tokens <=> zero shingles), NOT a filter
-    # touching the shingle/key expression: Catalyst pushes key
-    # filters below the projection/aggregate and DUPLICATES the giant
-    # nested-lambda key expression (re-triggering the trap as a ~9 s
-    # first-execution penalty, measured both as a pre-aggregate size
-    # filter and as a post-aggregate __k != "" filter); the
-    # token-count predicate costs one extra per-row regex split.
-    sig = bk.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("band", "bkey"))).alias("__sig")
+    # The WHOLE audit tree is assembled in ONE parameterized
+    # spark.sql call (r15): the Column-built form cost ~0.7 s of py4j
+    # round trips per build (1656 measured); one SQL string analyzes
+    # once.  Expressions are the exact twins of the r14 Column form
+    # (same staged-token CTE, same shingle transform as
+    # _minhash_pipeline_sql's word branch, same aggregates), pinned
+    # by the brute-force differential test and the DuckDB invariant
+    # oracle.
+    #
+    # Exact stage notes preserved from r14: tokens are STAGED in
+    # their own CTE (inlined, the regex split re-evaluates once per
+    # SHINGLE inside the transform lambda — measured 8.0 s vs 0.65 s
+    # staged); shingle-LESS docs (under k tokens) are dropped via a
+    # ROW-level token-count filter, NOT a filter touching the
+    # shingle/key expression (Catalyst pushes key filters below the
+    # projection and DUPLICATES the giant nested-lambda key — a ~9 s
+    # first-execution penalty, measured).  Band SHAPE counts come
+    # straight off the checkpointed bk frame as 4 conditional sums —
+    # one partial-aggregate pass, no doc_id exchange (the r14 sig
+    # route existed to reuse an exchange this form no longer needs);
+    # the n_bands / n_uneven comparison stays 4-number driver
+    # arithmetic.  The known-id/doc-count scan and the three 1-row
+    # aggregates keep their r14 shape (one corpus scan, one merged
+    # UNION action), now inside the same SQL statement.
+    litp = local_frame(s, sorted(pair_set), "id_a bigint, id_b bigint")
+    idf = local_frame(s, [(i,) for i in ids], "pid bigint")
+    nb_cols = ", ".join(
+        f"coalesce(sum(cast(band = {b} as bigint)), 0) AS nb{b}" for b in range(4)
     )
-    cand = (
-        sig.groupBy("__sig")
-        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
-        .filter(F.col("n") > 1)
-        .select(F.explode("ids").alias("doc_id"))
+    audit_sql = (
+        "WITH __toks AS (\n"
+        "  SELECT /*+ BROADCAST(i) */ d.doc_id,"
+        " split(lower(trim(d.text)), '\\\\s+') AS __t\n"
+        "  FROM {src} d LEFT SEMI JOIN {idf} i ON d.doc_id = i.pid\n"
+        "),\n"
+        "__keyed AS (\n"
+        "  SELECT doc_id, concat_ws('\x1f', array_sort(array_distinct(\n"
+        "    CASE WHEN size(__t) >= 3\n"
+        "    THEN transform(sequence(1, size(__t) - 2),"
+        " i -> concat(__t[i-1], ' ', __t[i+0], ' ', __t[i+1]))\n"
+        "    ELSE array(concat_ws(' ', __t)) END))) AS __k\n"
+        "  FROM __toks WHERE size(__t) >= 3\n"
+        "),\n"
+        "__grp AS (\n"
+        "  SELECT count(1) AS n, collect_list(doc_id) AS ids\n"
+        "  FROM __keyed GROUP BY __k\n"
+        "),\n"
+        "__dp AS (\n"
+        "  SELECT a, b FROM (\n"
+        "    SELECT explode(ids) AS a, ids FROM __grp WHERE n > 1\n"
+        "  ) LATERAL VIEW explode(ids) __e AS b WHERE a < b\n"
+        "),\n"
+        "__dstats AS (\n"
+        "  SELECT /*+ BROADCAST(p) */ count(1) AS dsp,\n"
+        "    coalesce(sum(cast(p.id_a IS NOT NULL AS bigint)), 0) AS cap\n"
+        "  FROM __dp LEFT JOIN {litp} p ON __dp.a = p.id_a AND __dp.b = p.id_b\n"
+        "),\n"
+        f"__bstats AS (SELECT {nb_cols} FROM {{bk}}),\n"
+        "__kstats AS (\n"
+        "  SELECT /*+ BROADCAST(i) */ count(1) AS __nd, count(i.pid) AS nk\n"
+        "  FROM {src} d LEFT JOIN {idf} i ON d.doc_id = i.pid\n"
+        ")\n"
+        "SELECT 'd' AS __src, dsp, cap, CAST(NULL AS bigint) AS nb0,"
+        " CAST(NULL AS bigint) AS nb1, CAST(NULL AS bigint) AS nb2,"
+        " CAST(NULL AS bigint) AS nb3, CAST(NULL AS bigint) AS __nd,"
+        " CAST(NULL AS bigint) AS nk FROM __dstats\n"
+        "UNION ALL SELECT 'b', CAST(NULL AS bigint), CAST(NULL AS bigint),"
+        " nb0, nb1, nb2, nb3, CAST(NULL AS bigint), CAST(NULL AS bigint)"
+        " FROM __bstats\n"
+        "UNION ALL SELECT 'k', CAST(NULL AS bigint), CAST(NULL AS bigint),"
+        " CAST(NULL AS bigint), CAST(NULL AS bigint), CAST(NULL AS bigint),"
+        " CAST(NULL AS bigint), __nd, nk FROM __kstats"
     )
-    toks = (
-        docs.join(F.broadcast(cand), "doc_id", "left_semi")
-        .select(F.col("doc_id"), _word_tokens(F.col("text")).alias("__t"))
-        .filter(F.size(F.col("__t")) >= 3)
-    )
-    key = F.concat_ws(
-        "\x1f",
-        F.array_sort(F.array_distinct(_shingles_from_tokens(F.col("__t"), 3))),
-    ).alias("__k")
-    grp = (
-        toks.select(F.col("doc_id"), key)
-        .groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
-    )
-    # within-group pair expansion stays distributed (double explode —
-    # near-dup groups only, the bounded class); completeness = LEFT
-    # join against the literal pair frame, counted in one aggregate
-    dup_pairs = (
-        grp.filter(F.col("n") > 1)
-        .select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-    )
-    if pair_set:
-        litp = local_frame(
-            s, sorted(pair_set), "id_a bigint, id_b bigint"
-        )
-        checked = dup_pairs.join(
-            F.broadcast(litp),
-            (F.col("a") == F.col("id_a")) & (F.col("b") == F.col("id_b")),
-            "left",
-        )
-        dstats = checked.agg(
-            F.count(F.lit(1)).alias("dsp"),
-            F.coalesce(
-                F.sum(F.col("id_a").isNotNull().cast("long")), F.lit(0)
-            ).alias("cap"),
-        )
-    else:
-        dstats = dup_pairs.agg(
-            F.count(F.lit(1)).alias("dsp"), F.lit(0).cast("long").alias("cap")
-        )
-    # band SHAPE: every doc hashes into exactly one bucket per band.
-    # Computed from the SHARED sig frame (r14 job-floor cut): per-band
-    # row counts of bk are recoverable row-locally from each doc's
-    # __sig array (band values are literal 0..bands-1 by the banding
-    # pipeline's own construction), so this branch REUSES sig's
-    # doc_id exchange instead of paying bk.groupBy("band")'s own —
-    # and the n_bands / n_uneven comparison against the doc count
-    # moves to 4-number driver arithmetic, dropping the old
-    # crossJoin(broadcast(tot)) subtree and its corpus scan.
-    def _band_eq(b):
-        # NOTE: must return a ONE-arg lambda — F.filter hands a
-        # 2-param lambda (element, index), so a default-arg capture
-        # (lambda x, _b=b: ...) silently binds _b to the array INDEX
-        return lambda x: x["band"] == F.lit(b)
-
-    bstats = sig.agg(*[
-        F.coalesce(
-            F.sum(F.size(F.filter(F.col("__sig"), _band_eq(b)))), F.lit(0)
-        ).alias(f"nb{b}")
-        for b in range(4)
-    ])
-    # known-id count for the unknown-id audit — fused with the doc
-    # count into ONE corpus scan (the old form scanned docs twice:
-    # tot = docs.agg(count) and a second semi-join scan for nk)
-    if ids:
-        idf = local_frame(s, [(i,) for i in ids], "pid bigint")
-        kstats = (
-            docs.select("doc_id")
-            .join(F.broadcast(idf), F.col("doc_id") == F.col("pid"), "left")
-            .agg(
-                F.count(F.lit(1)).alias("__nd"),
-                F.count(F.col("pid")).alias("nk"),
-            )
-        )
-    else:
-        kstats = docs.agg(
-            F.count(F.lit(1)).alias("__nd"),
-            F.lit(None).cast("long").alias("nk"),
-        )
-    # ONE merged driver action (r14 optimization): the r14-mid form
-    # collected the audit stats as THREE separate actions, each paying
-    # the per-job scheduling floor.  The subtrees are disjoint, so
-    # merge them — via a 3-row unionByName rather than the earlier
-    # crossJoins: each crossJoin materialized its 1-row build side as
-    # an extra AQE broadcast job, while union branches flow straight
-    # into the single collect (15 -> ~10 jobs for this action).
-    merged = (
-        dstats.withColumn("__src", F.lit("d"))
-        .unionByName(
-            bstats.withColumn("__src", F.lit("b")), allowMissingColumns=True
-        )
-        .unionByName(
-            kstats.withColumn("__src", F.lit("k")), allowMissingColumns=True
-        )
-    )
+    merged = s.sql(audit_sql, src=docs, idf=idf, litp=litp, bk=bk)
     rows = {r["__src"]: r for r in merged.collect()}
     dup_shingle_pairs, dup_captured = rows["d"]["dsp"], rows["d"]["cap"]
     nd = rows["k"]["__nd"]
