@@ -413,6 +413,267 @@ _reg(
 )
 
 
+# ---------------------------------------------------------------------------
+# SQL-TEXT twins of the simple builders (r15 optimization; r14 VERDICT
+# next #3).  Assembling a plain grouped reduction through Column
+# objects costs ~270 py4j round trips (~0.17 s) per plan build — every
+# F.* call is a JVM round trip.  The same expression as ONE SQL string
+# through F.expr parses in a single round trip.  These builders emit
+# text whose ANALYZED tree is the exact twin of the Column builders
+# above (same functions, same casts, same CASE/struct shapes — literal
+# spellings like CAST('NaN' AS DOUBLE) constant-fold to the Column
+# path's folded literals), so the OPTIMIZED/physical plans are
+# identical; tests/test_reduce.py::test_sql_twin_plan_parity pins
+# plan-string equality per (func, dtype) and the md5 oracle sweep pins
+# the results.  Only the shapes core.groupby_reduce's fast path
+# actually takes are covered: a builder (or a dtype probe) returning
+# None sends the caller back to the Column path — never a behavior
+# change, only an assembly-cost one.
+#
+# Maintenance invariant: these mirror the Column builders ABOVE —
+# change one, change both (the parity test fails loudly otherwise).
+
+_SQL_F = "FLOAT"
+_SQL_D = "DOUBLE"
+
+
+def sql_quote(name: str) -> str:
+    """Backtick-quote an identifier for SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_float_t(dt: DataType) -> str:
+    return _SQL_F if isinstance(dt, FloatType) else _SQL_D
+
+
+def sql_missing(v: str, dt: DataType) -> str:
+    """Text twin of dtypes.is_missing."""
+    if is_float_type(dt):
+        return f"({v} IS NULL OR isnan({v}))"
+    return f"({v} IS NULL)"
+
+
+def _sql_skip(v: str, dt: DataType) -> str:
+    """Text twin of dtypes.to_skip."""
+    if is_float_type(dt):
+        return f"nanvl({v}, CAST(NULL AS {_sql_float_t(dt)}))"
+    return v
+
+
+def _sql_prop(v: str, dt: DataType) -> str:
+    """Text twin of dtypes.to_prop."""
+    if is_float_type(dt):
+        return f"coalesce({v}, CAST('NaN' AS {_sql_float_t(dt)}))"
+    return v
+
+
+def _sql_sentinel(rdt: str) -> str:
+    """Text twin of _nan_sentinel for a simpleString/SQL type name."""
+    if rdt.lower() in ("double", "float"):
+        return f"CAST('NaN' AS {rdt.upper()})"
+    return f"CAST(NULL AS {rdt.upper()})"
+
+
+def _sql_propagate(missing: str, expr: str, rdt: str) -> str:
+    """Text twin of _propagate."""
+    return f"CASE WHEN bool_or({missing}) THEN {_sql_sentinel(rdt)} ELSE {expr} END"
+
+
+def sql_arith_idx(v: str, dt: DataType) -> str | None:
+    """Text twin of dtypes.arith_input for ORDER columns (first/last/
+    arg*).  None = unsupported here -> Column path."""
+    if dt_mod.is_bool_type(dt) or is_timedelta_type(dt):
+        return None  # exotic order columns keep the generic builder
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return f"unix_micros(CAST({v} AS TIMESTAMP))"
+    if isinstance(dt, DateType):
+        return f"CAST(datediff({v}, CAST('1970-01-01' AS DATE)) AS BIGINT)"
+    return v  # numeric: identity
+
+
+def _sql_value_arith(v: str, dt: DataType) -> str | None:
+    """Text twin of AggContext.arith() (to_skip then arith_input) for
+    the VALUE column of arithmetic reductions.  Datetime/timedelta
+    values (restore round-trips) keep the Column path."""
+    if is_datetime_type(dt) or is_timedelta_type(dt):
+        return None
+    skip = _sql_skip(v, dt)
+    if dt_mod.is_bool_type(dt):
+        return f"CAST({skip} AS BIGINT)"
+    return skip
+
+
+def _sql_restore_f32(expr: str, dt: DataType) -> str:
+    """Text twin of _restore_float32."""
+    if isinstance(dt, FloatType):
+        return f"CAST({expr} AS FLOAT)"
+    return expr
+
+
+def _sql_rdt(dt: DataType, int_name: str = "bigint") -> str:
+    """The propagate result-type name the Column builders pass."""
+    if isinstance(dt, FloatType):
+        return "float"
+    return "double" if is_float_type(dt) else int_name
+
+
+class SqlAggContext:
+    """Everything a SQL-text builder needs: pre-quoted column texts."""
+
+    def __init__(self, v: str, dt: DataType, idx: str | None, kwargs: dict):
+        self.v = v
+        self.dt = dt
+        self.idx = idx
+        self.kwargs = kwargs
+
+    @property
+    def missing(self) -> str:
+        return sql_missing(self.v, self.dt)
+
+    @property
+    def v_skip(self) -> str:
+        return _sql_skip(self.v, self.dt)
+
+
+def _sql_count(c: SqlAggContext) -> str:
+    return f"count({c.v_skip})"
+
+
+def _sql_sum(c: SqlAggContext, skipna: bool) -> str | None:
+    v = _sql_value_arith(c.v, c.dt)
+    if v is None:
+        return None
+    zero = f"CAST(0 AS {_SQL_D})" if is_float_type(c.dt) else "CAST(0 AS BIGINT)"
+    expr = _sql_restore_f32(f"coalesce(sum({v}), {zero})", c.dt)
+    if skipna:
+        return expr
+    return _sql_propagate(c.missing, expr, _sql_rdt(c.dt))
+
+
+def _sql_mean(c: SqlAggContext, skipna: bool) -> str | None:
+    v = _sql_value_arith(c.v, c.dt)
+    if v is None:
+        return None
+    expr = _sql_restore_f32(f"avg({v})", c.dt)
+    if skipna:
+        return expr
+    return _sql_propagate(c.missing, expr, _sql_rdt(c.dt, int_name="double"))
+
+
+def _sql_var(c: SqlAggContext, skipna: bool, std: bool) -> str | None:
+    v = _sql_value_arith(c.v, c.dt)
+    if v is None:
+        return None
+    ddof = int(c.kwargs.get("ddof", 0))
+    if ddof == 0:
+        expr = f"var_pop({v})"
+    elif ddof == 1:
+        expr = f"var_samp({v})"
+    else:
+        expr = (
+            f"CASE WHEN count({v}) > {ddof} THEN "
+            f"((var_pop({v}) * count({v})) / (count({v}) - {ddof})) "
+            f"ELSE CAST('NaN' AS {_SQL_D}) END"
+        )
+    if std:
+        expr = f"sqrt({expr})"
+    expr = _sql_restore_f32(expr, c.dt)
+    rdt = _sql_rdt(c.dt, int_name="double")
+    expr = f"coalesce({expr}, {_sql_sentinel(rdt)})"
+    return expr if skipna else _sql_propagate(c.missing, expr, rdt)
+
+
+def _sql_minmax(c: SqlAggContext, skipna: bool, is_max: bool) -> str:
+    f = "max" if is_max else "min"
+    expr = f"{f}({c.v_skip})"
+    if skipna:
+        return expr
+    return _sql_propagate(c.missing, expr, c.dt.simpleString())
+
+
+def _sql_first_last(c: SqlAggContext, skipna: bool, is_last: bool) -> str | None:
+    if c.idx is None:
+        return None
+    v = c.v if skipna else _sql_prop(c.v, c.dt)
+    pair = f"struct({c.idx} AS i, {v} AS v)"
+    if skipna:
+        pair = f"CASE WHEN NOT {c.missing} THEN {pair} END"
+    f = "max" if is_last else "min"
+    return f"{f}({pair}).v"
+
+
+def _sql_arg(c: SqlAggContext, skipna: bool, is_max: bool) -> str | None:
+    if c.idx is None:
+        return None
+    if is_max:
+        pair = f"CASE WHEN NOT {c.missing} THEN struct({c.v} AS v, -({c.idx}) AS ni) END"
+        best = f"-(max({pair}).ni)"
+    else:
+        pair = f"CASE WHEN NOT {c.missing} THEN struct({c.v} AS v, {c.idx} AS i) END"
+        best = f"min({pair}).i"
+    if skipna:
+        return best
+    first_missing = f"min(CASE WHEN {c.missing} THEN {c.idx} END)"
+    return f"CASE WHEN bool_or({c.missing}) THEN {first_missing} ELSE {best} END"
+
+
+def _sql_any_all(c: SqlAggContext, is_all: bool) -> str | None:
+    if dt_mod.is_bool_type(c.dt):
+        b = c.v
+    elif is_float_type(c.dt):
+        b = f"CASE WHEN {c.v} IS NOT NULL THEN (isnan({c.v}) OR ({c.v} != 0.0D)) END"
+    elif is_datetime_type(c.dt) or is_timedelta_type(c.dt):
+        return None  # numericized comparison: keep the Column path
+    else:
+        b = f"CASE WHEN {c.v} IS NOT NULL THEN ({c.v} != 0) END"
+    expr = f"bool_and({b})" if is_all else f"bool_or({b})"
+    return f"coalesce({expr}, false)"
+
+
+def _sql_nunique(c: SqlAggContext, skipna: bool) -> str:
+    dc = f"count(DISTINCT {c.v_skip})"
+    if skipna:
+        return dc
+    return f"{dc} + max(CASE WHEN {c.missing} THEN 1 ELSE 0 END)"
+
+
+# name -> text builder; mirrors REDUCTIONS for the simple shapes.
+# prod/nanprod are NOT here: F.product has no SQL surface (the
+# Product aggregate is DataFrame-API-only), and the quantile/mode
+# families route through their own strategies in core.py.
+SQL_BUILDERS: dict[str, Callable[[SqlAggContext], str | None]] = {
+    "count": _sql_count,
+    "nanlen": _sql_count,
+    "len": lambda c: "count(1)",
+    "sum": lambda c: _sql_sum(c, skipna=False),
+    "nansum": lambda c: _sql_sum(c, skipna=True),
+    "mean": lambda c: _sql_mean(c, skipna=False),
+    "nanmean": lambda c: _sql_mean(c, skipna=True),
+    "var": lambda c: _sql_var(c, skipna=False, std=False),
+    "nanvar": lambda c: _sql_var(c, skipna=True, std=False),
+    "std": lambda c: _sql_var(c, skipna=False, std=True),
+    "nanstd": lambda c: _sql_var(c, skipna=True, std=True),
+    "min": lambda c: _sql_minmax(c, skipna=False, is_max=False),
+    "nanmin": lambda c: _sql_minmax(c, skipna=True, is_max=False),
+    "max": lambda c: _sql_minmax(c, skipna=False, is_max=True),
+    "nanmax": lambda c: _sql_minmax(c, skipna=True, is_max=True),
+    "first": lambda c: _sql_first_last(c, skipna=False, is_last=False),
+    "last": lambda c: _sql_first_last(c, skipna=False, is_last=True),
+    "nanfirst": lambda c: _sql_first_last(c, skipna=True, is_last=False),
+    "nanlast": lambda c: _sql_first_last(c, skipna=True, is_last=True),
+    "argmin": lambda c: _sql_arg(c, skipna=False, is_max=False),
+    "argmax": lambda c: _sql_arg(c, skipna=False, is_max=True),
+    "nanargmin": lambda c: _sql_arg(c, skipna=True, is_max=False),
+    "nanargmax": lambda c: _sql_arg(c, skipna=True, is_max=True),
+    "all": lambda c: _sql_any_all(c, is_all=True),
+    "any": lambda c: _sql_any_all(c, is_all=False),
+    "nannunique": lambda c: _sql_nunique(c, skipna=True),
+    "nunique": lambda c: _sql_nunique(c, skipna=False),
+}
+
+
 def pandas_aggregation(
     name: str,
     fn: Callable,

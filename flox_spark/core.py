@@ -380,6 +380,31 @@ def groupby_reduce(
         raise ValueError(f"func {agg.name!r} requires order_by= (positional semantics)")
     out_name = alias or agg.name
 
+    # ---- SQL-text fast path (r15; r14 VERDICT next #3) ---------------
+    # The PLAIN reduction shape — no bins, no expected grid, no
+    # min_count/fill, no dtype override — is the registry's hot path
+    # and its Column assembly cost ~270 py4j round trips (~0.17 s) per
+    # plan build.  The same DataFrame operators with every expression
+    # parsed from ONE SQL string (F.expr) build in ~0.05 s with an
+    # IDENTICAL physical plan (aggregations.SQL_BUILDERS docstring;
+    # plan parity pinned in tests/test_reduce.py).  Any shape or dtype
+    # the text twins do not cover falls through to the generic builder
+    # below — never a semantic fork, only an assembly-cost one.
+    if (
+        expected_groups is None
+        and isbin is False
+        and not bin_labels
+        and fill_value is None
+        and min_count is None
+        and dtype is None
+        and isinstance(func, str)
+    ):
+        fast = _sql_simple_path(
+            df, by, agg, value, order_by, out_name, sort, finalize_kwargs
+        )
+        if fast is not None:
+            return fast
+
     # ---- label prep: drop invalid labels, digitize bins -------------
     key_cols: list[str] = []
     by_dts: list = []
@@ -582,6 +607,94 @@ def groupby_reduce(
     return result
 
 
+def _sql_simple_path(
+    df: DataFrame,
+    by: tuple,
+    agg,
+    value: str,
+    order_by: str | None,
+    out_name: str,
+    sort: bool,
+    finalize_kwargs: dict | None,
+) -> DataFrame | None:
+    """The plain-reduction build with every expression parsed from SQL
+    text (one py4j round trip each) instead of assembled Column-call by
+    Column-call.  Same DataFrame operators, same expressions, same
+    physical plan (tests/test_reduce.py::test_sql_twin_plan_parity) —
+    returns None whenever the shape or a dtype is outside the text
+    twins' coverage, sending the caller to the generic builder."""
+    from flox_spark import aggregations as A
+
+    if df.isStreaming:
+        return None
+    builder = A.SQL_BUILDERS.get(agg.name)
+    if builder is None:
+        return None
+    fkw = dict(finalize_kwargs or {})
+    if set(fkw) - {"ddof"}:
+        return None
+    schema = df.schema
+    names = set(df.columns)
+    # missing columns fall through: the generic path owns the errors
+    if value not in names or any(b not in names for b in by):
+        return None
+    vdt = schema[value].dataType
+    idx_sql = None
+    if order_by is not None:
+        if order_by not in names:
+            return None
+        idx_sql = A.sql_arith_idx(
+            A.sql_quote(order_by), schema[order_by].dataType
+        )
+        if idx_sql is None:
+            return None
+    # ---- label prep (text twin of the generic loop) ------------------
+    preds: list[str] = []
+    folds: list[tuple[str, str]] = []
+    work_value = value
+    snapshot = False
+    for b in by:
+        bdt = schema[b].dataType
+        preds.append(f"NOT {A.sql_missing(A.sql_quote(b), bdt)}")
+        if is_float_type(bdt):
+            if b == value:
+                # grouping-key normalization only: snapshot the raw
+                # bits first (sign-sensitive reductions see -0.0)
+                snapshot = True
+                work_value = "__fs_value_raw"
+            from pyspark.sql.types import FloatType
+
+            t = "FLOAT" if isinstance(bdt, FloatType) else "DOUBLE"
+            folds.append(
+                (
+                    b,
+                    f"CASE WHEN {A.sql_quote(b)} = 0 "
+                    f"THEN CAST(0.0D AS {t}) ELSE {A.sql_quote(b)} END",
+                )
+            )
+    work = df.filter(F.expr(" AND ".join(preds)))
+    if snapshot:
+        work = work.withColumn("__fs_value_raw", F.col(value))
+    for b, txt in folds:
+        work = work.withColumn(b, F.expr(txt))
+    ctx = A.SqlAggContext(A.sql_quote(work_value), vdt, idx_sql, fkw)
+    expr_sql = builder(ctx)
+    if expr_sql is None:
+        return None
+    aggs_list = [F.expr(expr_sql).alias(out_name)]
+    occ = (not sort) and order_by is not None
+    if occ:
+        # fused first-occurrence position, as in the generic path
+        aggs_list.append(F.expr(f"min({idx_sql})").alias("__occ"))
+    result = work.groupBy(*by).agg(*aggs_list)
+    if sort:
+        return _sorted_output(result, list(by), None, heavy=False, input_df=work)
+    if occ:
+        # declared_card is None on this path -> always the plain order
+        return result.orderBy(F.col("__occ").asc_nulls_last()).drop("__occ")
+    return result
+
+
 def _declared_cardinality(isbin_t: tuple, expected_t: tuple) -> int | None:
     """Exact output cardinality when every expected group list is
     declared (the reindex grid size); None when any by's groups are
@@ -595,7 +708,10 @@ def _declared_cardinality(isbin_t: tuple, expected_t: tuple) -> int | None:
 
 
 def _tiny_sorted(
-    result: DataFrame, *sort_cols, input_df: DataFrame | None = None
+    result: DataFrame,
+    *sort_cols,
+    input_df: DataFrame | None = None,
+    in_size: int | None = None,
 ) -> DataFrame:
     """Single-task sort for provably tiny (group-cardinality-sized)
     outputs.  ``coalesce(1)`` rides the upstream aggregate's existing
@@ -616,9 +732,12 @@ def _tiny_sorted(
       aggregate, where the scan itself satisfies the group
       distribution) would serialize its data-sized SCAN stage —
       those always keep the explicit exchange."""
-    from flox_spark.plans.util import estimate_size_bytes
+    if in_size is None and input_df is not None:
+        # callers that already probed the stats pass in_size down —
+        # the plan-stats fetch is a py4j round trip worth not repeating
+        from flox_spark.plans.util import estimate_size_bytes
 
-    in_size = estimate_size_bytes(input_df) if input_df is not None else None
+        in_size = estimate_size_bytes(input_df)
     small_input = (
         in_size is not None
         and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]
@@ -708,7 +827,9 @@ def _sorted_output(
 
         in_size = estimate_size_bytes(input_df)
         if in_size is not None and in_size <= OPTIONS["single_partition_sort_input_max_bytes"]:
-            return _tiny_sorted(result, *sort_cols, input_df=input_df)
+            return _tiny_sorted(
+                result, *sort_cols, input_df=input_df, in_size=in_size
+            )
     if heavy:
         from flox_spark.plans.util import materialize_shared
 
@@ -812,19 +933,43 @@ def groupby_reduce_multi(
                 "groupby_reduce for the multi-stage exact paths.",
                 stacklevel=2,
             )
-        # numericize the order column exactly as groupby_reduce does:
-        # arg* builders negate idx for the tie-break, which fails on
-        # timestamp/date order columns without the int64 view
-        idx_col = None
-        if order_by:
-            idx_col, _ = arith_input(F.col(order_by), work.schema[order_by].dataType)
-        ctx = AggContext(
-            value=F.col(value),
-            dt=work.schema[value].dataType,
-            idx=idx_col,
-            kwargs=fk,
-        )
-        exprs.append(agg.build(ctx).alias(out_name))
+        vdt = work.schema[value].dataType
+        # SQL-text twin per expression (r15, see groupby_reduce's fast
+        # path): same expression tree from one F.expr parse instead of
+        # per-call Column assembly; builders return None on shapes
+        # they do not cover and the Column path below stands in
+        txt = None
+        if isinstance(func, str) and not (fk and set(fk) - {"ddof"}):
+            from flox_spark import aggregations as A
+
+            sb = A.SQL_BUILDERS.get(agg.name)
+            if sb is not None:
+                idx_sql = (
+                    A.sql_arith_idx(
+                        A.sql_quote(order_by), work.schema[order_by].dataType
+                    )
+                    if order_by
+                    else None
+                )
+                if not (agg.needs_order and idx_sql is None):
+                    txt = sb(A.SqlAggContext(A.sql_quote(value), vdt, idx_sql, fk))
+        if txt is not None:
+            exprs.append(F.expr(txt).alias(out_name))
+        else:
+            # numericize the order column exactly as groupby_reduce
+            # does: arg* builders negate idx for the tie-break, which
+            # fails on timestamp/date order columns without the int64
+            # view
+            idx_col = None
+            if order_by:
+                idx_col, _ = arith_input(F.col(order_by), work.schema[order_by].dataType)
+            ctx = AggContext(
+                value=F.col(value),
+                dt=vdt,
+                idx=idx_col,
+                kwargs=fk,
+            )
+            exprs.append(agg.build(ctx).alias(out_name))
         fills[out_name] = fill_value if fill_value is not None else agg.default_fill
 
     all_declared = all(e is not None for e in expected_t)

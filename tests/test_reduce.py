@@ -438,3 +438,83 @@ def test_key_is_value_negzero_multi(spark):
     assert set(res) == {0.0, 2.5}
     assert math.copysign(1.0, res[0.0][0]) == -1.0
     assert res[0.0][1] == 3.0
+
+
+def _norm_plan(df) -> str:
+    """executedPlan string with expression ids and codegen stage ids
+    stripped — the comparable physical-plan fingerprint."""
+    import re
+
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    txt = re.sub(r"#\d+[A-Za-z]*", "#", txt)
+    txt = re.sub(r"plan_id=\d+", "plan_id=", txt)
+    return re.sub(r"\*\(\d+\)", "*", txt)
+
+
+def test_sql_twin_plan_parity(spark):
+    """The r15 SQL-text fast path must produce the SAME physical plan
+    as the generic Column builders for every covered (func, dtype)
+    shape — change a builder on one side only and this fails loudly."""
+    from flox_spark.core import _sql_simple_path
+    from flox_spark.aggregations import REDUCTIONS, SQL_BUILDERS
+
+    rows = [
+        (1, "a", 1.5, float("nan"), 7, True, 2.5),
+        (2, "a", -0.5, 2.0, None, False, None),
+        (3, "b", None, 3.25, 9, None, 0.0),
+        (4, None, 4.0, -1.0, 4, True, -0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="t int, ks string, vd double, vd2 double, vl int, vb boolean, kf double"
+    )
+    fdf = df.withColumn("vf", df.vd.cast("float"))
+    cases = []
+    for name in sorted(SQL_BUILDERS):
+        kw = {"order_by": "t"} if REDUCTIONS[name].needs_order else {}
+        cases += [
+            (name, "ks", "vd", kw),      # string key, double value (NaN+NULL)
+            (name, "ks", "vl", kw),      # int value
+            (name, "ks", "vb", kw),      # bool value
+            (name, "kf", "kf", kw),      # float key == value (negzero fold)
+        ]
+        if name in ("var", "nanvar", "std", "nanstd"):
+            cases.append((name, "ks", "vd", {**kw, "finalize_kwargs": {"ddof": 1}}))
+            cases.append((name, "ks", "vd", {**kw, "finalize_kwargs": {"ddof": 2}}))
+    float_cases = [(n, "ks", "vf", {"order_by": "t"} if REDUCTIONS[n].needs_order else {})
+                   for n in ("sum", "nansum", "mean", "var", "min", "first", "any")]
+    checked = 0
+    for name, key, val, kw in cases + float_cases:
+        frame = fdf if val == "vf" else df
+        agg = REDUCTIONS[name]
+        for sort in (True, False):
+            fast = _sql_simple_path(
+                frame, (key,), agg, val, kw.get("order_by"), "r", sort,
+                kw.get("finalize_kwargs"),
+            )
+            assert fast is not None, (name, val, "fast path did not fire")
+            generic = _generic_reduce(frame, key, name, val, sort, kw)
+            assert _norm_plan(fast) == _norm_plan(generic), (name, key, val, kw, sort)
+            # and identical rows
+            a = sorted(map(tuple, fast.collect()), key=repr)
+            b = sorted(map(tuple, generic.collect()), key=repr)
+            assert repr(a) == repr(b), (name, key, val, kw, sort)
+            checked += 1
+    assert checked >= 200
+
+
+def _generic_reduce(df, key, name, val, sort, kw):
+    """groupby_reduce with the fast path disabled (monkeypatch-free:
+    call the generic flow by passing a shape the guard rejects, then
+    undo it — here simply via a temporary builder-less registry)."""
+    import flox_spark.aggregations as A
+    import flox_spark.core as C
+
+    saved = A.SQL_BUILDERS.pop(name)
+    try:
+        return C.groupby_reduce(
+            df, key, func=name, value=val, alias="r", sort=sort,
+            order_by=kw.get("order_by"),
+            finalize_kwargs=kw.get("finalize_kwargs"),
+        )
+    finally:
+        A.SQL_BUILDERS[name] = saved
