@@ -2838,21 +2838,18 @@ def q_scd2(s, d):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-coverage rotation: the harness checks a
-    # 50-query prefix of this dict, assembled from `_R14_WINDOW` below
-    # over the full registry.  Round-14 window: [1-7] the rows whose
-    # implementation changed this round — the NEW adjust=False blocked
-    # EWM row (ewm_adjf_blocked) + the ewm family (shared blocked
-    # module restructure + the tied-order carry fix), the rewritten
-    # minhash_pairs_xx audit (Spark-side certification, no corpus
-    # collects), and the rank family (rank_blocked __vord staging +
-    # the plan="auto" routing default in groupby_rank) — then [8-50]
-    # the r10/r11-era staleness rotation from the r13 VERDICT #2
-    # list: the span-dedup family, the dedup/LSH family, rank/corr/
-    # stats, sessions/asof/funnel, sampling/splits, and the
-    # expected_fill/weighted/resample/pivot/scd2/diff/heavy-hitters/
-    # rollup/range-join/refine2/salted tail.
-    # All pass tools/check_oracle.py at sf0.001/0.01/0.1 regardless of
-    # window position.
+    # 50-query prefix of this dict, assembled from `_R15_WINDOW` below
+    # over the full registry.  Round-15 window (r14 VERDICT next #1):
+    # [1-17] the r14-touched rows the driver has never hash-checked
+    # post-change — the three big rewrites (lsh_sig_768, simhash_xx,
+    # ann_topk_768), the SQL-twin dedup family rows, the staged text
+    # family, the dropped-presentation-sort rows, the scan/EWM blocked
+    # rows — plus minhash_pairs_xx again (its audit was re-assembled
+    # as one SQL statement THIS round); then [18-42] every row riding
+    # the r15 SQL-text fast path of groupby_reduce/_multi (the plain
+    # reduction family); then [43-50] stale rows not checked since
+    # r12.  All pass tools/check_oracle.py at sf0.001/0.01/0.1
+    # regardless of window position.
     base = {
         "perplexity": q_perplexity,
         "perplexity_filter": q_perplexity_filter,
@@ -3008,30 +3005,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_sum": q_salted_sum,
         "weighted_mean": q_weighted_mean,
     }
-    return {**{k: base[k] for k in _R14_WINDOW}, **base}
+    return {**{k: base[k] for k in _R15_WINDOW}, **base}
 
 
 # the driver-checked 50-query prefix (see the rotation comment above);
 # dict insertion order puts these first, then every remaining registry
 # row in its stable order.  Keep this list in sync with the comment.
-_R14_WINDOW = [
-    # r14-changed rows
-    "ewm_adjf_blocked", "ewm_mean_blocked", "ewm_mean",
-    "minhash_pairs_xx", "rank_avg_blocked", "rank_avg", "rank_pct",
-    # r10/r11-era staleness rotation (r13 VERDICT #2)
-    "dup_spans", "dup_spans_removed", "dup_spans_against",
-    "decontaminate_spans",
-    "dedup_exact", "minhash_clusters", "minhash_pairs", "jaccard_pairs",
-    "simhash", "simhash_pairs", "dedup_against", "minhash_against",
-    "levenshtein_refine", "fuzzy_join",
-    "corr_pearson", "corr_spearman", "describe", "value_counts",
-    "skew", "kurtosis", "winsorize", "entropy",
-    "sessionize", "session_stats", "asof_join", "funnel", "range_join",
-    "sample_bernoulli", "sample_stratified", "split_train_test",
-    "leakage_split",
-    "expected_fill", "weighted_var", "resample", "twa", "upsample_ffill",
-    "pivot_sum", "scd2", "table_diff",
-    "heavy_hitters", "distinct_rollup", "quantile_refine2", "salted_sum",
+_R15_WINDOW = [
+    # r14-touched rows never driver-checked post-change (r14 VERDICT
+    # next #1), + minhash_pairs_xx (audit re-assembled again in r15)
+    "lsh_sig_768", "simhash_xx", "ann_topk_768", "minhash_bands",
+    "minhash_estimate", "text_quality", "text_langid", "text_repetition",
+    "quality_report", "profile", "weighted_mean", "dedup_documents",
+    "scan_cumsum", "scan_ffill", "scan_shift_blocked", "ewm_var_blocked",
+    "minhash_pairs_xx",
+    # r15 SQL-text fast-path rows (groupby_reduce/_multi plain family)
+    "sum", "mean", "var", "count", "nansum", "std", "var_ddof1",
+    "min", "max", "argmax", "argmin", "first", "last",
+    "first_plain", "argmax_plain", "min_plain",
+    "nunique", "nunique_plain", "dayofyear_mean", "monthhour_sum",
+    "multiby_highcard", "highcard_random", "q1_multi", "any", "all",
+    # staleness tail (not driver-checked since r12)
+    "transform_mean", "fillna_group", "ntile_buckets", "sample_global",
+    "split_by_group", "json_extract", "embed_normalize", "embed_quantize",
 ]
 
 def oracle_sql() -> dict[str, str]:

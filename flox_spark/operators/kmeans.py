@@ -90,8 +90,14 @@ def _nearest_cid(vec_col: str) -> "F.Column":
     NULL from NULL/short vectors, Infinity from overflow) are filtered
     first — the old fold's ``d < acc.d`` never admitted them either —
     and an all-invalid row keeps the old sentinel cid of -1."""
+    return F.expr(_nearest_cid_sql(vec_col))
+
+
+def _nearest_cid_sql(vec_col: str) -> str:
+    """SQL text of the ``_nearest_cid`` fold (see its docstring) —
+    exposed so one-statement callers can splice it."""
     vc = ".".join("`%s`" % p.replace("`", "``") for p in vec_col.split("."))
-    return F.expr(
+    return (
         "coalesce(array_min(filter(transform(__cents, c -> struct("
         f"aggregate(zip_with({vc}, c.centroid, "
         "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "

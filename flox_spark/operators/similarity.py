@@ -62,6 +62,23 @@ def _sqlref(name: str) -> str:
 _UNROLL_MAX_DIM = 32
 
 
+def _dot_sql(ra: str, rb: str, dim: int) -> str:
+    """SQL text of the sequential dot product over two PRE-QUOTED
+    refs — the string the name-based ``_dot`` branch parses, exposed
+    so multi-expression callers can splice it into one statement."""
+    if isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM:
+        terms = " + ".join(
+            f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({rb}, {i}) AS DOUBLE))"
+            for i in range(dim)
+        )
+        return f"(0.0D + {terms})"
+    return (
+        f"aggregate(zip_with({ra}, {rb}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Sequential left-to-right dot product (bit-reproducible across
     engines that evaluate list folds sequentially).
@@ -77,18 +94,7 @@ def _dot(a: Column | str, b: Column | str, dim: int) -> Column:
     time (measured), which dominated ivf/ann bench wall."""
     unroll = isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM
     if isinstance(a, str) and isinstance(b, str):
-        if unroll:
-            ra, rb = _sqlref(a), _sqlref(b)
-            terms = " + ".join(
-                f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({rb}, {i}) AS DOUBLE))"
-                for i in range(dim)
-            )
-            return F.expr(f"(0.0D + {terms})")
-        return F.expr(
-            f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
+        return F.expr(_dot_sql(_sqlref(a), _sqlref(b), dim))
     if unroll:
         acc: Column = F.lit(0.0)
         for i in range(dim):
@@ -98,21 +104,25 @@ def _dot(a: Column | str, b: Column | str, dim: int) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _norm_sql(ra: str, dim: int) -> str:
+    """SQL text of the L2 norm over a PRE-QUOTED ref (see _dot_sql)."""
+    if isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM:
+        terms = " + ".join(
+            f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({ra}, {i}) AS DOUBLE))"
+            for i in range(dim)
+        )
+        return f"sqrt(0.0D + {terms})"
+    return (
+        f"sqrt(aggregate(transform({ra}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def _norm(a: Column | str, dim: int) -> Column:
     unroll = isinstance(dim, int) and 0 < dim <= _UNROLL_MAX_DIM
     if isinstance(a, str):
-        if unroll:
-            ra = _sqlref(a)
-            terms = " + ".join(
-                f"(CAST(get({ra}, {i}) AS DOUBLE) * CAST(get({ra}, {i}) AS DOUBLE))"
-                for i in range(dim)
-            )
-            return F.expr(f"sqrt(0.0D + {terms})")
-        return F.expr(
-            f"sqrt(aggregate(transform({_sqlref(a)}, "
-            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x))"
-        )
+        return F.expr(_norm_sql(_sqlref(a), dim))
     if unroll:
         acc: Column = F.lit(0.0)
         for i in range(dim):
@@ -1285,6 +1295,7 @@ def semantic_dedup_pairs(
     stage_norms = verify != "numpy"
     proj = df.select(F.col(id_col), F.col(vec_col))
     fanned = proj if small else ensure_parallelism(proj)
+    assigned = None  # set directly by the one-statement small path
     if fit_assigned is not None:
         # labels already computed (and, in the plan loop, checkpointed)
         # by the fit — no second assignment pass of ANY flavor
@@ -1304,14 +1315,29 @@ def semantic_dedup_pairs(
         # ``_seed_cents`` (kmeans contract), so the oracle assignment
         # is unchanged; the right side is ONE row, so the cartesian
         # replicates k*dim doubles per task, never data.
-        packed = seed_centroids(df, k, id_col=id_col, vec_col=vec_col).agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__cid"), F.col("centroid")))
-            ).alias("__cents")
+        # Assembled as ONE parameterized spark.sql statement (r15):
+        # the Column form (agg + crossJoin + withColumn + select +
+        # filter) cost ~0.25 s of py4j round trips per build; the
+        # expressions are the same text the Column path parses
+        # (_nearest_cid_sql/_norm_sql are the single-source strings).
+        from flox_spark.operators.kmeans import _nearest_cid_sql
+
+        idq = _sqlref(id_col)
+        vecq = _sqlref(vec_col)
+        nrm = f", {_norm_sql(vecq, dim)} AS __nrm" if stage_norms else ""
+        sql = (
+            "SELECT * FROM (\n"
+            "  SELECT /*+ SHUFFLE_REPLICATE_NL(p) */ "
+            f"{idq}, {vecq}, {_nearest_cid_sql(vec_col)} AS __cl{nrm}\n"
+            "  FROM {src} CROSS JOIN (SELECT array_sort(collect_list("
+            "struct(__cid, centroid))) AS __cents FROM {seeds}) p\n"
+            ") WHERE __cl >= 0"
         )
-        folded = fanned.crossJoin(packed.hint("shuffle_replicate_nl")).withColumn(
-            "__cl", _nearest_cid(vec_col)
+        assigned = spark.sql(
+            sql, src=fanned,
+            seeds=seed_centroids(df, k, id_col=id_col, vec_col=vec_col),
         )
+        folded = None
     elif two_level:
         # the numpy coarse partition needs the centroid VALUES: one
         # k-sized collect (only on this path)
@@ -1355,20 +1381,21 @@ def semantic_dedup_pairs(
         folded = fanned.crossJoin(_packed_centroids(_cents())).withColumn(
             "__cl", _nearest_cid(vec_col)
         )
-    cols = [F.col(id_col), F.col(vec_col), F.col("__cl")]
-    if stage_norms:
-        # norms precomputed per ROW: computing them inside the pair
-        # expression re-evaluates per PAIR — O(pairs*dim) instead of
-        # O(rows*dim).  Skipped on the pre-resolved Arrow route, which
-        # computes norms from the vectors it already ships.
-        cols.append(_norm(vec_col, dim).alias("__nrm"))
-    assigned = (
-        folded.select(*cols)
-        # -1 is the no-valid-cell sentinel (NaN/NULL vectors, or an
-        # EMPTY centroid table): those rows belong to no cell and must
-        # not pair with each other through a shared "-1 cell"
-        .filter(F.col("__cl") >= 0)
-    )
+    if assigned is None:
+        cols = [F.col(id_col), F.col(vec_col), F.col("__cl")]
+        if stage_norms:
+            # norms precomputed per ROW: computing them inside the pair
+            # expression re-evaluates per PAIR — O(pairs*dim) instead
+            # of O(rows*dim).  Skipped on the pre-resolved Arrow route,
+            # which computes norms from the vectors it already ships.
+            cols.append(_norm(vec_col, dim).alias("__nrm"))
+        assigned = (
+            folded.select(*cols)
+            # -1 is the no-valid-cell sentinel (NaN/NULL vectors, or an
+            # EMPTY centroid table): those rows belong to no cell and
+            # must not pair with each other through a shared "-1 cell"
+            .filter(F.col("__cl") >= 0)
+        )
     # Two physical shapes for the in-cell pair stage, picked by the
     # size gate above:
     #
@@ -1457,21 +1484,6 @@ def semantic_dedup_pairs(
         )
         assigned = cap_buckets(assigned, ["__cl"], max_cluster)
         a, b = assigned.alias("a"), assigned.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.__cl") == F.col("b.__cl"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"a.{vec_col}").alias("__va"),
-        F.col(f"b.{vec_col}").alias("__vb"),
-        *(
-            [F.col("a.__nrm").alias("__na"), F.col("b.__nrm").alias("__nb")]
-            if stage_norms
-            else []
-        ),
-    )
     # in-cell verify kernel, the embedding_near_duplicates split: past
     # the JIT unroll limit the per-pair fold runs INTERPRETED — at
     # web-scale pair volumes that pins executor CPU (dim-768 table in
@@ -1480,6 +1492,8 @@ def semantic_dedup_pairs(
     # the pair volume is known (small path: EXACT, from the collected
     # cluster sizes) or estimated (stats > 64 MB) to dominate the
     # Arrow round trip; oracle-scale inputs keep the bit-exact fold.
+    # (Resolved BEFORE the pair join is assembled — r15 — so the
+    # small/expr shape can build join+score+filter as one statement.)
     if verify not in ("auto", "expr", "numpy"):
         raise ValueError(f"verify must be auto|expr|numpy, got {verify!r}")
     if verify == "auto":
@@ -1496,6 +1510,45 @@ def semantic_dedup_pairs(
             verify = (
                 "numpy" if size is not None and size > (64 << 20) else "expr"
             )
+    thr = f"CAST('{float(threshold)!r}' AS DOUBLE)"
+    if small and verify == "expr" and stage_norms:
+        # ONE parameterized statement for broadcast-join + cosine +
+        # threshold + rounding (r15): the Column chain (join + 6-col
+        # select + withColumn + filter + select) cost ~0.2 s of py4j
+        # per build.  Expressions are the exact twins (same _dot_sql
+        # text, same CASTs); both {ckpt} references resolve to the
+        # same checkpointed frame, so the broadcast build reads the
+        # cache the probe scans.
+        idq = _sqlref(id_col)
+        vecq = _sqlref(vec_col)
+        out = (
+            f"round(__sim, {int(round_to)})" if round_to is not None else "__sim"
+        )
+        sim = f"({_dot_sql('a.' + vecq, 'b.' + vecq, dim)} / (a.__nrm * b.__nrm))"
+        pair_sql = (
+            "SELECT id_a, id_b, " + out + " AS cos_sim FROM (\n"
+            f"  SELECT /*+ BROADCAST(b) */ a.{idq} AS id_a, b.{idq} AS id_b,"
+            f" {sim} AS __sim\n"
+            "  FROM {ckpt} a JOIN {ckpt} b"
+            f" ON a.__cl = b.__cl AND a.{idq} < b.{idq}\n"
+            f") WHERE __sim >= {thr} AND NOT isnan(__sim)"
+        )
+        return spark.sql(pair_sql, ckpt=assigned)
+    joined = a.join(
+        b,
+        (F.col("a.__cl") == F.col("b.__cl"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("__va"),
+        F.col(f"b.{vec_col}").alias("__vb"),
+        *(
+            [F.col("a.__nrm").alias("__na"), F.col("b.__nrm").alias("__nb")]
+            if stage_norms
+            else []
+        ),
+    )
     if verify == "numpy":
         scored = _arrow_cosine_pass(joined, dim)
     else:
